@@ -1,0 +1,618 @@
+"""Time-series expression AST.
+
+Mirrors the reference expression model in capability, not implementation:
+  - DataExpr      (`atlas-core/.../model/DataExpr.scala`)    — scan + first aggregation
+  - MathExpr      (`atlas-core/.../model/MathExpr.scala`)    — per-point map / join / regroup
+  - StatefulExpr  (`atlas-core/.../model/StatefulExpr.scala`)— windowed online ops
+  - FilterExpr    (`atlas-core/.../model/FilterExpr.scala`)  — stat/filter/topk
+  - StyleExpr     (`atlas-core/.../model/StyleExpr.scala`)   — presentation settings
+  - EventExpr     (`atlas-core/.../model/EventExpr.scala`)   — event table/sample
+
+Nodes are pure data; evaluation lives in `atlas_spark/plans/builder.py`
+(Spark) and `atlas_spark/oracle/sqlgen.py` (DuckDB oracle SQL).
+
+`group_keys()` is the reference's `finalGrouping`: the tag keys the result
+rows are keyed by.  `None` means ungrouped-by-key but still multi-line
+(`:all`); `()` means a single aggregate line.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+from .query import Query, TrueQuery
+
+# ---------------------------------------------------------------------------
+# base
+
+
+class TimeSeriesExpr:
+    def display(self) -> str:
+        raise NotImplementedError
+
+    def __str__(self) -> str:  # pragma: no cover
+        return self.display()
+
+    def group_keys(self) -> tuple[str, ...] | None:
+        """Tag keys the result is grouped by.  () = single line."""
+        return ()
+
+    def data_exprs(self) -> list["DataExpr"]:
+        """Leaf data expressions (storage reads) under this node."""
+        out: list[DataExpr] = []
+        for child in self.children():
+            out.extend(child.data_exprs())
+        return out
+
+    def children(self) -> list["TimeSeriesExpr"]:
+        return []
+
+    def rewrite_queries(self, f) -> "TimeSeriesExpr":
+        """Rebuild the tree applying `f: Query -> Query` to leaf queries
+        (used for `:cq`, QueryVocabulary.scala:598-635)."""
+        raise NotImplementedError
+
+
+# ---------------------------------------------------------------------------
+# data expressions (DataExpr.scala)
+
+AGGR_FNS = ("sum", "count", "min", "max")
+CFS = ("sum", "avg", "min", "max")
+
+
+@dataclass(frozen=True)
+class DataExpr(TimeSeriesExpr):
+    """Base for expressions that read storage."""
+
+    query: Query
+
+    def data_exprs(self):
+        return [self]
+
+    def rewrite_queries(self, f):
+        return type(self)(**{**self.__dict__, "query": f(self.query)})
+
+
+@dataclass(frozen=True)
+class AllExpr(DataExpr):
+    """`q,:all` — every matching series, no aggregation (DataExpr.scala:128-140)."""
+
+    offset: int = 0  # steps
+
+    def group_keys(self):
+        return None
+
+    def display(self):
+        return f"{self.query.display()},:all"
+
+
+@dataclass(frozen=True)
+class AggrExpr(DataExpr):
+    """`q,:sum|:count|:min|:max` with optional consolidation fn and offset
+    (DataExpr.scala:171-255; ConsolidationFunction.scala:27-119)."""
+
+    fn: str = "sum"
+    offset: int = 0  # steps (applied as shifted read window, DataVocabulary.scala:202)
+    cf: str | None = None  # explicit consolidation fn (:cf-*)
+
+    def __post_init__(self):
+        assert self.fn in AGGR_FNS, self.fn
+
+    def group_keys(self):
+        return ()
+
+    def display(self):
+        s = f"{self.query.display()},:{self.fn}"
+        if self.cf:
+            s += f",:cf-{self.cf}"
+        if self.offset:
+            s += f",{self.offset},:offset"
+        return s
+
+
+@dataclass(frozen=True)
+class GroupByExpr(DataExpr):
+    """`af,(,k1,...,),:by` (DataExpr.scala:285-346).
+
+    Series missing any group key are dropped (DataExpr.scala:108-122).
+    """
+
+    af: AggrExpr = None  # type: ignore[assignment]
+    keys: tuple[str, ...] = ()
+
+    def group_keys(self):
+        return self.keys
+
+    def display(self):
+        ks = ",".join(self.keys)
+        return f"{self.af.display()},(,{ks},),:by"
+
+    def rewrite_queries(self, f):
+        return GroupByExpr(f(self.query), AggrExpr(f(self.af.query), self.af.fn, self.af.offset, self.af.cf), self.keys)
+
+
+# ---------------------------------------------------------------------------
+# math expressions (MathExpr.scala)
+
+
+@dataclass(frozen=True)
+class ConstExpr(TimeSeriesExpr):
+    """`N,:const` (MathExpr.scala:89-118)."""
+
+    v: float
+
+    def display(self):
+        return f"{_fmt_num(self.v)},:const"
+
+    def rewrite_queries(self, f):
+        return self
+
+
+@dataclass(frozen=True)
+class RandomExpr(TimeSeriesExpr):
+    """`:random` / `seed,:srandom` — deterministic hash-of-timestamp noise
+    (MathExpr.scala:125-177): lowbias64(seed ^ timestamp) % 1000 / 1000."""
+
+    seed: int = 0
+
+    def display(self):
+        return ":random" if self.seed == 0 else f"{self.seed},:srandom"
+
+    def rewrite_queries(self, f):
+        return self
+
+
+TIME_MODES = (
+    "secondOfMinute", "secondOfDay", "minuteOfHour", "minuteOfDay",
+    "hourOfDay", "dayOfWeek", "dayOfMonth", "dayOfYear", "monthOfYear",
+    "yearOfCentury", "yearOfEra", "seconds", "minutes", "hours", "days", "weeks",
+)
+
+
+@dataclass(frozen=True)
+class TimeExpr(TimeSeriesExpr):
+    """`mode,:time` — calendar field / since-epoch value (MathExpr.scala:179-237)."""
+
+    mode: str
+
+    def display(self):
+        return f"{self.mode},:time"
+
+    def rewrite_queries(self, f):
+        return self
+
+
+@dataclass(frozen=True)
+class TimeSpanExpr(TimeSeriesExpr):
+    """`s,e,:time-span` — 1.0 within [s,e] else 0.0 (MathExpr.scala:239-308)."""
+
+    s: str
+    e: str
+
+    def display(self):
+        return f"{self.s},{self.e},:time-span"
+
+    def rewrite_queries(self, f):
+        return self
+
+
+UNARY_OPS = ("abs", "neg", "sin", "sqrt", "per-step")
+CLAMP_OPS = ("clamp-min", "clamp-max")
+
+
+@dataclass(frozen=True)
+class UnaryMathExpr(TimeSeriesExpr):
+    """Per-point unary map (MathExpr.scala:372-454); clamp has a parameter
+    (MathExpr.scala:310-370)."""
+
+    op: str
+    expr: TimeSeriesExpr
+    param: float | None = None
+
+    def group_keys(self):
+        return self.expr.group_keys()
+
+    def children(self):
+        return [self.expr]
+
+    def display(self):
+        if self.op in CLAMP_OPS:
+            return f"{self.expr.display()},{_fmt_num(self.param)},:{self.op}"
+        return f"{self.expr.display()},:{self.op}"
+
+    def rewrite_queries(self, f):
+        return UnaryMathExpr(self.op, self.expr.rewrite_queries(f), self.param)
+
+
+BINARY_OPS = (
+    "add", "sub", "mul", "div", "pow", "gt", "ge", "lt", "le",
+    "fadd", "fsub", "fmul", "fdiv", "and", "or",
+)
+
+
+@dataclass(frozen=True)
+class BinaryMathExpr(TimeSeriesExpr):
+    """Pointwise binary op; grouping-join rules from MathExpr.scala:456-576:
+    if both sides grouped, one side's keys must be a subset of the other's;
+    join on common keys, keep the superset side's grouping."""
+
+    op: str
+    lhs: TimeSeriesExpr
+    rhs: TimeSeriesExpr
+
+    def __post_init__(self):
+        assert self.op in BINARY_OPS, self.op
+        self.group_keys()  # validate subset rule at construction
+
+    def group_keys(self):
+        g1, g2 = self.lhs.group_keys(), self.rhs.group_keys()
+        if g1 is None or g2 is None:
+            raise ValueError(":all results cannot be used with binary math ops")
+        if not g1:
+            return g2
+        if not g2:
+            return g1
+        s1, s2 = set(g1), set(g2)
+        if s1 <= s2:
+            return g2
+        if s2 <= s1:
+            return g1
+        raise ValueError(
+            f"both sides of :{self.op} are grouped but neither grouping is a "
+            f"subset of the other: {g1} vs {g2}"
+        )
+
+    def children(self):
+        return [self.lhs, self.rhs]
+
+    def display(self):
+        return f"{self.lhs.display()},{self.rhs.display()},:{self.op}"
+
+    def rewrite_queries(self, f):
+        return BinaryMathExpr(self.op, self.lhs.rewrite_queries(f), self.rhs.rewrite_queries(f))
+
+
+@dataclass(frozen=True)
+class AggrMathExpr(TimeSeriesExpr):
+    """Second-level aggregation collapsing all result lines pointwise into
+    one (MathExpr.scala:711-794)."""
+
+    fn: str
+    expr: TimeSeriesExpr
+
+    def __post_init__(self):
+        assert self.fn in AGGR_FNS, self.fn
+
+    def group_keys(self):
+        return ()
+
+    def children(self):
+        return [self.expr]
+
+    def display(self):
+        return f"{self.expr.display()},:{self.fn}"
+
+    def rewrite_queries(self, f):
+        return AggrMathExpr(self.fn, self.expr.rewrite_queries(f))
+
+
+@dataclass(frozen=True)
+class MathGroupByExpr(TimeSeriesExpr):
+    """Multi-level group by: regroup a grouped result by a subset of its keys
+    (MathExpr.scala:796-857; subset check :806-809)."""
+
+    af: AggrMathExpr
+    keys: tuple[str, ...]
+
+    def __post_init__(self):
+        inner = self.af.expr.group_keys()
+        if inner is None or not set(self.keys) <= set(inner):
+            raise ValueError(
+                f"multi-level group by keys {self.keys} must be a subset of "
+                f"the inner grouping {inner}"
+            )
+
+    def group_keys(self):
+        return self.keys
+
+    def children(self):
+        return [self.af]
+
+    def display(self):
+        ks = ",".join(self.keys)
+        return f"{self.af.display()},(,{ks},),:by"
+
+    def rewrite_queries(self, f):
+        return MathGroupByExpr(self.af.rewrite_queries(f), self.keys)
+
+
+@dataclass(frozen=True)
+class AsExpr(TimeSeriesExpr):
+    """`orig,repl,:as` — rename a result tag key (MathExpr.scala:52-87)."""
+
+    expr: TimeSeriesExpr
+    orig: str
+    repl: str
+
+    def group_keys(self):
+        g = self.expr.group_keys()
+        if g is None:
+            return None
+        return tuple(self.repl if k == self.orig else k for k in g)
+
+    def children(self):
+        return [self.expr]
+
+    def display(self):
+        return f"{self.expr.display()},{self.orig},{self.repl},:as"
+
+    def rewrite_queries(self, f):
+        return AsExpr(self.expr.rewrite_queries(f), self.orig, self.repl)
+
+
+@dataclass(frozen=True)
+class NamedRewrite(TimeSeriesExpr):
+    """Macro display preservation (MathExpr.scala:1202-1340): `evaluated` is
+    what runs; `display_str` is what prints (e.g. `:avg`)."""
+
+    name: str
+    display_str: str
+    evaluated: TimeSeriesExpr
+
+    def group_keys(self):
+        return self.evaluated.group_keys()
+
+    def children(self):
+        return [self.evaluated]
+
+    def display(self):
+        return self.display_str
+
+    def rewrite_queries(self, f):
+        return NamedRewrite(self.name, self.display_str, self.evaluated.rewrite_queries(f))
+
+
+# ---------------------------------------------------------------------------
+# stateful expressions (StatefulExpr.scala, algorithm/*)
+
+STATEFUL_OPS = (
+    "delay", "rolling-count", "rolling-min", "rolling-max", "rolling-mean",
+    "rolling-sum", "trend", "integral", "cumulative-max", "derivative",
+    "des", "sdes",
+)
+
+
+@dataclass(frozen=True)
+class StatefulMathExpr(TimeSeriesExpr):
+    """Online windowed op over the dense step grid.  State is per output
+    series; series absent in an interval still tick with NaN
+    (StatefulExpr.scala:313-321)."""
+
+    op: str
+    expr: TimeSeriesExpr
+    params: tuple[float, ...] = ()
+
+    def __post_init__(self):
+        assert self.op in STATEFUL_OPS, self.op
+
+    def group_keys(self):
+        return self.expr.group_keys()
+
+    def children(self):
+        return [self.expr]
+
+    def display(self):
+        ps = ",".join(_fmt_num(p) for p in self.params)
+        return f"{self.expr.display()}{',' + ps if ps else ''},:{self.op}"
+
+    def rewrite_queries(self, f):
+        return StatefulMathExpr(self.op, self.expr.rewrite_queries(f), self.params)
+
+
+# ---------------------------------------------------------------------------
+# filter expressions (FilterExpr.scala)
+
+STATS = ("avg", "max", "min", "last", "total", "count")
+
+
+@dataclass(frozen=True)
+class StatExpr(TimeSeriesExpr):
+    """`expr,stat,:stat` — each line becomes a constant line of its summary
+    stat over the window (FilterExpr.scala:40-67, SummaryStats.scala)."""
+
+    expr: TimeSeriesExpr
+    stat: str
+
+    def group_keys(self):
+        return self.expr.group_keys()
+
+    def children(self):
+        return [self.expr]
+
+    def display(self):
+        return f"{self.expr.display()},{self.stat},:stat"
+
+    def rewrite_queries(self, f):
+        return StatExpr(self.expr.rewrite_queries(f), self.stat)
+
+
+@dataclass(frozen=True)
+class StatPlaceholder(TimeSeriesExpr):
+    """`:stat-avg` etc. inside the predicate of `:filter`
+    (FilterExpr.scala:69-118); resolved at plan build."""
+
+    stat: str
+
+    def group_keys(self):
+        return ()
+
+    def display(self):
+        return f":stat-{self.stat}"
+
+    def rewrite_queries(self, f):
+        return self
+
+
+@dataclass(frozen=True)
+class FilterOpExpr(TimeSeriesExpr):
+    """`expr,pred,:filter` — keep lines where the pred line is truthy at any
+    point in the window (FilterExpr.scala:120-167)."""
+
+    expr: TimeSeriesExpr
+    pred: TimeSeriesExpr
+
+    def group_keys(self):
+        return self.expr.group_keys()
+
+    def children(self):
+        return [self.expr, self.pred]
+
+    def display(self):
+        return f"{self.expr.display()},{self.pred.display()},:filter"
+
+    def rewrite_queries(self, f):
+        return FilterOpExpr(self.expr.rewrite_queries(f), self.pred.rewrite_queries(f))
+
+
+@dataclass(frozen=True)
+class TopKExpr(TimeSeriesExpr):
+    """`expr,stat,k,:topk` / `:bottomk` and the `-others-*` variants
+    (FilterExpr.scala:172-336)."""
+
+    expr: TimeSeriesExpr
+    stat: str
+    k: int
+    bottom: bool = False
+    others: str | None = None  # aggregation fn for the --others-- line
+
+    def group_keys(self):
+        return self.expr.group_keys()
+
+    def children(self):
+        return [self.expr]
+
+    def display(self):
+        word = "bottomk" if self.bottom else "topk"
+        if self.others:
+            word += f"-others-{self.others}"
+        return f"{self.expr.display()},{self.stat},{self.k},:{word}"
+
+    def rewrite_queries(self, f):
+        return TopKExpr(self.expr.rewrite_queries(f), self.stat, self.k, self.bottom, self.others)
+
+
+@dataclass(frozen=True)
+class ConsolidateExpr(TimeSeriesExpr):
+    """`expr,cf,step,:consolidate` — render-time consolidation to a larger
+    step (FilterExpr.scala:364-391)."""
+
+    expr: TimeSeriesExpr
+    cf: str
+    multiple: int  # new step = multiple * base step
+
+    def group_keys(self):
+        return self.expr.group_keys()
+
+    def children(self):
+        return [self.expr]
+
+    def display(self):
+        return f"{self.expr.display()},:cf-{self.cf},{self.multiple},:consolidate"
+
+    def rewrite_queries(self, f):
+        return ConsolidateExpr(self.expr.rewrite_queries(f), self.cf, self.multiple)
+
+
+# ---------------------------------------------------------------------------
+# style (StyleExpr.scala) — settings attached to an expression
+
+
+@dataclass(frozen=True)
+class StyleExpr(TimeSeriesExpr):
+    expr: TimeSeriesExpr
+    settings: tuple[tuple[str, str], ...] = ()
+
+    def settings_dict(self) -> dict[str, str]:
+        return dict(self.settings)
+
+    def with_setting(self, k: str, v: str) -> "StyleExpr":
+        s = dict(self.settings)
+        s[k] = v
+        return StyleExpr(self.expr, tuple(sorted(s.items())))
+
+    def group_keys(self):
+        return self.expr.group_keys()
+
+    def children(self):
+        return [self.expr]
+
+    def display(self):
+        out = self.expr.display()
+        for k, v in self.settings:
+            out += f",{v},:{k}"
+        return out
+
+    def rewrite_queries(self, f):
+        return StyleExpr(self.expr.rewrite_queries(f), self.settings)
+
+
+# ---------------------------------------------------------------------------
+# events (EventExpr.scala)
+
+
+@dataclass(frozen=True)
+class EventTableExpr(TimeSeriesExpr):
+    """`q,(,cols,),:table` (EventExpr.scala:50-57)."""
+
+    query: Query
+    cols: tuple[str, ...]
+
+    def display(self):
+        return f"{self.query.display()},(,{','.join(self.cols)},),:table"
+
+    def rewrite_queries(self, f):
+        return EventTableExpr(f(self.query), self.cols)
+
+
+@dataclass(frozen=True)
+class EventSampleExpr(TimeSeriesExpr):
+    """`q,(,by,),(,proj,),:sample` (EventExpr.scala:70-82)."""
+
+    query: Query
+    by: tuple[str, ...]
+    proj: tuple[str, ...] = ()
+
+    def display(self):
+        return (
+            f"{self.query.display()},(,{','.join(self.by)},),"
+            f"(,{','.join(self.proj)},),:sample"
+        )
+
+    def rewrite_queries(self, f):
+        return EventSampleExpr(f(self.query), self.by, self.proj)
+
+
+# ---------------------------------------------------------------------------
+
+
+def _fmt_num(v: float | None) -> str:
+    if v is None:
+        return ""
+    if isinstance(v, float) and v.is_integer() and abs(v) < 1e15:
+        return str(int(v))
+    return repr(v)
+
+
+def macro_avg(q: Query) -> TimeSeriesExpr:
+    """`q,:avg` -> sum/count with display preservation (MathVocabulary.scala:92-108)."""
+    ev = BinaryMathExpr("div", AggrExpr(q, "sum"), AggrExpr(q, "count"))
+    return NamedRewrite("avg", f"{q.display()},:avg", ev)
+
+
+def macro_pct(expr: TimeSeriesExpr) -> TimeSeriesExpr:
+    """`:pct` — each line as percent of the pointwise total
+    (MathVocabulary.scala:155-171)."""
+    total = AggrMathExpr("sum", expr)
+    ev = BinaryMathExpr("mul", BinaryMathExpr("div", expr, total), ConstExpr(100.0))
+    return NamedRewrite("pct", f"{expr.display()},:pct", ev)

@@ -1,0 +1,32 @@
+"""Registry of LLM-pipeline operator queries (driver contract entries)."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import dedup, multimodal, similarity, text
+
+
+@dataclass
+class OpSpec:
+    name: str
+    run: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL; None -> rows-only check
+
+
+SPECS: list[OpSpec] = [
+    OpSpec("op_dedup_exact", dedup.dedup_exact, dedup.DEDUP_EXACT_SQL),
+    OpSpec("op_token_count", text.token_count, text.TOKEN_COUNT_SQL),
+    OpSpec("op_quality_score", text.quality_score, text.QUALITY_SCORE_SQL),
+    OpSpec("op_lang_source_stats", text.lang_source_stats, text.LANG_SOURCE_STATS_SQL),
+    OpSpec("op_doc_fingerprint", text.doc_fingerprint, text.DOC_FINGERPRINT_SQL),
+    OpSpec("op_cosine_topk", similarity.cosine_topk, similarity.cosine_topk_sql()),
+    OpSpec("op_ngram_jaccard", dedup.ngram_jaccard_pairs, None),
+    OpSpec("op_minhash_candidates", dedup.minhash_lsh_candidates, None),
+    OpSpec("op_simhash", dedup.simhash, None),
+    OpSpec("op_media_features", multimodal.extract_media_features, multimodal.EXTRACT_MEDIA_SQL),
+    OpSpec("op_lsh_topk", similarity.lsh_bucketed_topk, None),
+]

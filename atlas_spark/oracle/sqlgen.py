@@ -1,0 +1,459 @@
+"""ASL expression -> DuckDB oracle SQL.
+
+The Spark-native analogue of the reference's ASL->SQL translation
+(`atlas-postgres/.../SqlUtils.scala:176-238`): WHERE from the Query tree,
+GROUP BY from `:by`, aggregate fn from the DataExpr, window functions for
+the stateful vocabulary.
+
+Every generated statement selects columns `[<key cols...>, t, value]` from
+a `dp` CTE (provided by the DatapointSource) so the driver can hash-compare
+the Spark result with the DuckDB result.  Generated SQL mirrors the
+*declared semantics* (dense step grid, null = no data) — it is the
+independent re-implementation used as the correctness oracle.
+"""
+
+from __future__ import annotations
+
+from ..model import expr as E
+from ..model import query as Q
+from ..plans.context import EvalContext
+from ..sources.datapoints import sanitize
+
+
+def query_where(q: Q.Query, col=lambda k: sanitize(k)) -> str:
+    """Query AST -> SQL boolean expression (NULL-safe: missing key never
+    matches, including under :not)."""
+
+    def esc(v: str) -> str:
+        return "'" + v.replace("'", "''") + "'"
+
+    def go(q: Q.Query) -> str:
+        if isinstance(q, Q.TrueQuery):
+            return "TRUE"
+        if isinstance(q, Q.FalseQuery):
+            return "FALSE"
+        if isinstance(q, Q.HasKeyQuery):
+            return f"{col(q.k)} IS NOT NULL"
+        if isinstance(q, Q.EqualQuery):
+            return f"{col(q.k)} = {esc(q.v)}"
+        if isinstance(q, Q.LessThanQuery):
+            return f"{col(q.k)} < {esc(q.v)}"
+        if isinstance(q, Q.LessThanEqualQuery):
+            return f"{col(q.k)} <= {esc(q.v)}"
+        if isinstance(q, Q.GreaterThanQuery):
+            return f"{col(q.k)} > {esc(q.v)}"
+        if isinstance(q, Q.GreaterThanEqualQuery):
+            return f"{col(q.k)} >= {esc(q.v)}"
+        if isinstance(q, Q.RegexQuery):
+            return f"regexp_matches({col(q.k)}, {esc('^' + q.v)})"
+        if isinstance(q, Q.RegexIgnoreCaseQuery):
+            return f"regexp_matches({col(q.k)}, {esc('(?i)^' + q.v)})"
+        if isinstance(q, Q.InQuery):
+            vs = ", ".join(esc(v) for v in q.vs)
+            return f"{col(q.k)} IN ({vs})"
+        if isinstance(q, Q.AndQuery):
+            return f"({go(q.q1)} AND {go(q.q2)})"
+        if isinstance(q, Q.OrQuery):
+            return f"({go(q.q1)} OR {go(q.q2)})"
+        if isinstance(q, Q.NotQuery):
+            return f"(NOT COALESCE({go(q.q)}, FALSE))"
+        raise TypeError(f"unknown query node {q!r}")
+
+    return f"COALESCE({go(q)}, FALSE)"
+
+
+_AGG_SQL = {
+    "sum": "sum({v})",
+    "count": "count({v})",
+    "min": "min({v})",
+    "max": "max({v})",
+}
+
+_STAT_SQL = {
+    "avg": "avg({v})",
+    "max": "max({v})",
+    "min": "min({v})",
+    "last": "last({v} ORDER BY t) FILTER (WHERE {v} IS NOT NULL)",
+    "total": "sum({v})",
+    "count": "count({v})",
+}
+
+
+class SqlGen:
+    """Generates one SELECT per expression node, composed as chained CTEs."""
+
+    def __init__(self, dp_cte: str, ctx: EvalContext):
+        self.dp_cte = dp_cte
+        self.ctx = ctx
+        self._ctes: list[tuple[str, str]] = []
+        self._n = 0
+
+    def _add(self, sql: str) -> str:
+        self._n += 1
+        name = f"x{self._n}"
+        self._ctes.append((name, sql))
+        return name
+
+    # ------------------------------------------------------------------ api
+
+    def generate(self, e: E.TimeSeriesExpr, drop_nulls: bool = True) -> str:
+        """Full SQL statement for the expression result."""
+        self._ctes = [("dp", self.dp_cte)]
+        self._n = 0
+        rel, keys = self._gen(e)
+        cols = ", ".join(list(keys) + ["t", "value"])
+        where = "WHERE value IS NOT NULL" if drop_nulls else ""
+        ctes = ",\n".join(f"{n} AS ({s})" for n, s in self._ctes)
+        return f"WITH {ctes}\nSELECT {cols} FROM {rel} {where}"
+
+    # ------------------------------------------------------------- internals
+
+    def _grid(self) -> str:
+        c = self.ctx
+        return self._add(
+            f"SELECT unnest(range({c.start}, {c.end}, {c.step})) AS t"
+        )
+
+    def _densify(self, rel: str, keys: list[str]) -> str:
+        g = self._grid()
+        if keys:
+            ks = ", ".join(keys)
+            kd = self._add(f"SELECT DISTINCT {ks} FROM {rel}")
+            return self._add(
+                f"SELECT k.*, g.t, r.value FROM {kd} k CROSS JOIN {g} g "
+                f"LEFT JOIN {rel} r USING ({ks}, t)"
+            )
+        return self._add(
+            f"SELECT g.t, r.value FROM {g} g LEFT JOIN {rel} r USING (t)"
+        )
+
+    def _gen(self, e: E.TimeSeriesExpr) -> tuple[str, list[str]]:
+        """Returns (relation name, key column list); relation is sparse
+        unless produced dense."""
+        c = self.ctx
+
+        if isinstance(e, E.GroupByExpr):
+            keys = [sanitize(k) for k in e.keys]
+            where = query_where(e.query)
+            off = e.af.offset * c.step
+            tsel = f"t + {off}" if off else "t"
+            lo, hi = c.start - off, c.end - off
+            agg = _AGG_SQL[e.af.fn].format(v="value")
+            notnull = " AND ".join(f"{k} IS NOT NULL" for k in keys)
+            rel = self._add(
+                f"SELECT {', '.join(keys)}, {tsel} AS t, {agg} AS value FROM dp "
+                f"WHERE t >= {lo} AND t < {hi} AND {where} AND {notnull} "
+                f"GROUP BY {', '.join(keys)}, t"
+            )
+            return rel, keys
+
+        if isinstance(e, E.AggrExpr):
+            where = query_where(e.query)
+            off = e.offset * c.step
+            tsel = f"t + {off}" if off else "t"
+            lo, hi = c.start - off, c.end - off
+            agg = _AGG_SQL[e.fn].format(v="value")
+            rel = self._add(
+                f"SELECT {tsel} AS t, {agg} AS value FROM dp "
+                f"WHERE t >= {lo} AND t < {hi} AND {where} GROUP BY t"
+            )
+            return rel, []
+
+        if isinstance(e, E.AllExpr):
+            where = query_where(e.query)
+            rel = self._add(
+                f"SELECT * FROM dp WHERE t >= {c.start} AND t < {c.end} AND {where}"
+            )
+            return rel, ["k_name", "k_bucket"]
+
+        if isinstance(e, E.ConstExpr):
+            g = self._grid()
+            rel = self._add(f"SELECT t, CAST({e.v!r} AS DOUBLE) AS value FROM {g}")
+            return rel, []
+
+        if isinstance(e, E.TimeExpr):
+            g = self._grid()
+            expr = _time_sql(e.mode)
+            rel = self._add(f"SELECT t, CAST({expr} AS DOUBLE) AS value FROM {g}")
+            return rel, []
+
+        if isinstance(e, E.TimeSpanExpr):
+            from ..util.strings import parse_time_ref
+
+            s, t_end = parse_time_ref(e.s, c), parse_time_ref(e.e, c)
+            g = self._grid()
+            rel = self._add(
+                f"SELECT t, CASE WHEN t >= {s} AND t <= {t_end} THEN 1.0 ELSE 0.0 END AS value FROM {g}"
+            )
+            return rel, []
+
+        if isinstance(e, E.UnaryMathExpr):
+            rel, keys = self._gen(e.expr)
+            expr = _unary_sql(e.op, "value", e.param, c.step)
+            out = self._add(
+                f"SELECT {', '.join(keys + ['t'])}, CAST({expr} AS DOUBLE) AS value FROM {rel}"
+            )
+            return out, keys
+
+        if isinstance(e, E.BinaryMathExpr):
+            return self._gen_binary(e)
+
+        if isinstance(e, E.AggrMathExpr):
+            rel, _ = self._gen(e.expr)
+            agg = _AGG_SQL[e.fn].format(v="value")
+            out = self._add(f"SELECT t, {agg} AS value FROM {rel} GROUP BY t")
+            return out, []
+
+        if isinstance(e, E.MathGroupByExpr):
+            rel, _ = self._gen(e.af.expr)
+            keys = [sanitize(k) for k in e.keys]
+            agg = _AGG_SQL[e.af.fn].format(v="value")
+            out = self._add(
+                f"SELECT {', '.join(keys)}, t, {agg} AS value FROM {rel} "
+                f"GROUP BY {', '.join(keys)}, t"
+            )
+            return out, keys
+
+        if isinstance(e, E.AsExpr):
+            rel, keys = self._gen(e.expr)
+            old, new = sanitize(e.orig), sanitize(e.repl)
+            if old not in keys:
+                return rel, keys
+            sel = [f"{k} AS {new}" if k == old else k for k in keys]
+            out = self._add(f"SELECT {', '.join(sel)}, t, value FROM {rel}")
+            return out, [new if k == old else k for k in keys]
+
+        if isinstance(e, E.NamedRewrite):
+            return self._gen(e.evaluated)
+
+        if isinstance(e, E.StatefulMathExpr):
+            return self._gen_stateful(e)
+
+        if isinstance(e, E.StatExpr):
+            rel, keys = self._gen(e.expr)
+            part = f"PARTITION BY {', '.join(keys)}" if keys else ""
+            stat = _stat_over(e.stat, part)
+            out = self._add(
+                f"SELECT {', '.join(keys + ['t'])}, CAST({stat} AS DOUBLE) AS value FROM {rel}"
+            )
+            return out, keys
+
+        if isinstance(e, E.FilterOpExpr):
+            return self._gen_filter(e)
+
+        if isinstance(e, E.TopKExpr):
+            return self._gen_topk(e)
+
+        if isinstance(e, E.ConsolidateExpr):
+            rel, keys = self._gen(e.expr)
+            m = e.multiple
+            ns = m * c.step
+            tc = f"{c.start} + ((t - {c.start}) - (t - {c.start}) % {ns})"
+            if e.cf == "avg":
+                agg = f"sum(value) / {float(m)!r}"
+            else:
+                agg = _AGG_SQL[e.cf].format(v="value")
+            sel = keys + [f"{tc} AS t", f"{agg} AS value"]
+            grp = keys + [tc]
+            out = self._add(
+                f"SELECT {', '.join(sel)} FROM {rel} GROUP BY {', '.join(grp)}"
+            )
+            return out, keys
+
+        if isinstance(e, E.StyleExpr):
+            return self._gen(e.expr)
+
+        raise TypeError(f"sqlgen: cannot handle {type(e).__name__}")
+
+    def _gen_binary(self, e: E.BinaryMathExpr) -> tuple[str, list[str]]:
+        r1, k1 = self._gen(e.lhs)
+        r2, k2 = self._gen(e.rhs)
+        d1 = self._densify(r1, k1)
+        d2 = self._densify(r2, k2)
+        if set(k1) <= set(k2):
+            sup_rel, sup_keys, sub_rel, sub_keys, flipped = d2, k2, d1, k1, True
+        else:
+            sup_rel, sup_keys, sub_rel, sub_keys, flipped = d1, k1, d2, k2, False
+        on = " AND ".join([f"a.{k} = b.{k}" for k in sub_keys] + ["a.t = b.t"])
+        a_val, b_val = ("b.value", "a.value") if flipped else ("a.value", "b.value")
+        expr = _binary_sql(e.op, a_val, b_val)
+        cols = ", ".join([f"a.{k}" for k in sup_keys] + ["a.t"])
+        # inner join: lines whose common key has no match on the other side
+        # are dropped (MathExpr.scala:552-575 "case null => Nil")
+        out = self._add(
+            f"SELECT {cols}, CAST({expr} AS DOUBLE) AS value "
+            f"FROM {sup_rel} a JOIN {sub_rel} b ON {on}"
+        )
+        return out, sup_keys
+
+    def _gen_stateful(self, e: E.StatefulMathExpr) -> tuple[str, list[str]]:
+        rel, keys = self._gen(e.expr)
+        d = self._densify(rel, keys)
+        part = f"PARTITION BY {', '.join(keys)} " if keys else ""
+        w = f"OVER ({part}ORDER BY t"
+        p = e.params
+        op = e.op
+        if op == "delay":
+            expr = f"lag(value, {int(p[0])}) {w})"
+        elif op == "rolling-count":
+            cond = "CASE WHEN value IS NOT NULL AND abs(value) >= 1e-12 THEN 1 ELSE 0 END"
+            expr = f"sum({cond}) {w} ROWS BETWEEN {int(p[0]) - 1} PRECEDING AND CURRENT ROW)"
+        elif op in ("rolling-min", "rolling-max", "rolling-sum"):
+            fn = {"rolling-min": "min", "rolling-max": "max", "rolling-sum": "sum"}[op]
+            expr = f"{fn}(value) {w} ROWS BETWEEN {int(p[0]) - 1} PRECEDING AND CURRENT ROW)"
+        elif op == "rolling-mean":
+            n, mn = int(p[0]), int(p[1])
+            win = f"{w} ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW)"
+            expr = f"CASE WHEN count(value) {win} >= {mn} THEN avg(value) {win} END"
+        elif op == "trend":
+            n = max(1, int(p[0]) // self.ctx.step)
+            expr = f"avg(value) {w} ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW)"
+        elif op == "integral":
+            expr = f"sum(value) {w} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        elif op == "cumulative-max":
+            expr = f"max(value) {w} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        elif op == "derivative":
+            expr = f"value - lag(value, 1) {w})"
+        else:
+            raise TypeError(f"sqlgen: stateful op {op} has no SQL oracle")
+        out = self._add(
+            f"SELECT {', '.join(keys + ['t'])}, CAST({expr} AS DOUBLE) AS value FROM {d}"
+        )
+        return out, keys
+
+    def _gen_filter(self, e: E.FilterOpExpr) -> tuple[str, list[str]]:
+        # resolve :stat-* placeholders against the filtered expression
+        def resolve(p):
+            if isinstance(p, E.StatPlaceholder):
+                return E.StatExpr(e.expr, p.stat)
+            if isinstance(p, E.BinaryMathExpr):
+                return E.BinaryMathExpr(p.op, resolve(p.lhs), resolve(p.rhs))
+            if isinstance(p, E.UnaryMathExpr):
+                return E.UnaryMathExpr(p.op, resolve(p.expr), p.param)
+            return p
+
+        rel, keys = self._gen(e.expr)
+        prel, pkeys = self._gen(resolve(e.pred))
+        truthy = "value IS NOT NULL AND abs(value) >= 1e-12"
+        if pkeys:
+            keep = self._add(f"SELECT DISTINCT {', '.join(pkeys)} FROM {prel} WHERE {truthy}")
+            out = self._add(
+                f"SELECT r.* FROM {rel} r SEMI JOIN {keep} k USING ({', '.join(pkeys)})"
+            )
+            return out, keys
+        out = self._add(
+            f"SELECT r.* FROM {rel} r WHERE EXISTS (SELECT 1 FROM {prel} WHERE {truthy})"
+        )
+        return out, keys
+
+    def _gen_topk(self, e: E.TopKExpr) -> tuple[str, list[str]]:
+        rel, keys = self._gen(e.expr)
+        ks = ", ".join(keys)
+        stat = _STAT_SQL[e.stat].format(v="value")
+        direction = "ASC NULLS LAST" if e.bottom else "DESC NULLS LAST"
+        tie = ", ".join(f"{k} ASC" for k in keys)
+        ranked = self._add(
+            f"SELECT {ks}, row_number() OVER (ORDER BY {stat} {direction}, {tie}) AS rn "
+            f"FROM {rel} GROUP BY {ks}"
+        )
+        top = self._add(f"SELECT {ks} FROM {ranked} WHERE rn <= {e.k}")
+        kept = self._add(f"SELECT r.* FROM {rel} r SEMI JOIN {top} USING ({ks})")
+        if not e.others:
+            return kept, keys
+        others_agg = _AGG_SQL[e.others].format(v="value")
+        others = self._add(
+            f"SELECT {', '.join([chr(39) + '--others--' + chr(39) + ' AS ' + k for k in keys])}, t, "
+            f"{others_agg} AS value FROM {rel} r ANTI JOIN {top} USING ({ks}) GROUP BY t"
+        )
+        out = self._add(f"SELECT * FROM {kept} UNION ALL SELECT * FROM {others}")
+        return out, keys
+
+    # top-k stat is computed over an aggregate subquery; fix the ORDER BY
+    # aggregate expression formatting above (uses {v} template directly).
+
+
+def _stat_over(stat: str, part: str) -> str:
+    w = f"OVER ({part})"
+    if stat == "last":
+        return f"last_value(value IGNORE NULLS) OVER ({part} ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+    fn = {"avg": "avg", "max": "max", "min": "min", "total": "sum", "count": "count"}[stat]
+    return f"{fn}(value) {w}"
+
+
+def _unary_sql(op: str, v: str, param, step: int) -> str:
+    if op == "abs":
+        return f"abs({v})"
+    if op == "neg":
+        return f"-{v}"
+    if op == "sin":
+        return f"sin({v})"
+    if op == "sqrt":
+        return f"sqrt({v})"
+    if op == "per-step":
+        return f"{v} * {float(step)!r}"
+    if op == "clamp-min":
+        return f"CASE WHEN {v} IS NULL THEN NULL WHEN {v} < {param!r} THEN {param!r} ELSE {v} END"
+    if op == "clamp-max":
+        return f"CASE WHEN {v} IS NULL THEN NULL WHEN {v} > {param!r} THEN {param!r} ELSE {v} END"
+    raise ValueError(op)
+
+
+def _binary_sql(op: str, a: str, b: str) -> str:
+    if op == "add":
+        return f"CASE WHEN {a} IS NULL THEN {b} WHEN {b} IS NULL THEN {a} ELSE {a} + {b} END"
+    if op == "sub":
+        return f"CASE WHEN {a} IS NULL THEN -{b} WHEN {b} IS NULL THEN {a} ELSE {a} - {b} END"
+    if op == "mul":
+        return f"{a} * {b}"
+    if op == "div":
+        return (
+            f"CASE WHEN {a} IS NULL OR {b} IS NULL THEN NULL "
+            f"WHEN {b} = 0 AND {a} = 0 THEN 0.0 WHEN {b} = 0 THEN NULL "
+            f"ELSE {a} / {b} END"
+        )
+    if op == "pow":
+        return f"CASE WHEN {b} = 0 THEN 1.0 ELSE pow({a}, {b}) END"
+    if op in ("gt", "ge", "lt", "le"):
+        sym = {"gt": ">", "ge": ">=", "lt": "<", "le": "<="}[op]
+        return f"CASE WHEN {a} {sym} {b} THEN 1.0 ELSE 0.0 END"
+    if op == "fadd":
+        return f"CASE WHEN {a} IS NULL OR {b} IS NULL THEN NULL ELSE {a} + {b} END"
+    if op == "fsub":
+        return f"CASE WHEN {a} IS NULL OR {b} IS NULL THEN NULL ELSE {a} - {b} END"
+    if op == "fmul":
+        return f"{a} * {b}"
+    if op == "fdiv":
+        return f"CASE WHEN {b} = 0 THEN NULL ELSE {a} / {b} END"
+    if op == "and":
+        ta = f"({a} IS NOT NULL AND abs({a}) >= 1e-12)"
+        tb = f"({b} IS NOT NULL AND abs({b}) >= 1e-12)"
+        return f"CASE WHEN {ta} AND {tb} THEN 1.0 ELSE 0.0 END"
+    if op == "or":
+        ta = f"({a} IS NOT NULL AND abs({a}) >= 1e-12)"
+        tb = f"({b} IS NOT NULL AND abs({b}) >= 1e-12)"
+        return f"CASE WHEN {ta} OR {tb} THEN 1.0 ELSE 0.0 END"
+    raise ValueError(op)
+
+
+def _time_sql(mode: str) -> str:
+    ts = "to_timestamp(t)"
+    table = {
+        "secondOfMinute": "t % 60",
+        "secondOfDay": "t % 86400",
+        "minuteOfHour": "(t % 3600) / 60",
+        "minuteOfDay": "(t % 86400) / 60",
+        "hourOfDay": "(t % 86400) / 3600",
+        "dayOfMonth": f"day({ts})",
+        "dayOfYear": f"dayofyear({ts})",
+        "monthOfYear": f"month({ts})",
+        "yearOfCentury": f"year({ts}) % 100",
+        "yearOfEra": f"year({ts})",
+        "seconds": "t",
+        "minutes": "t / 60",
+        "hours": "t / 3600",
+        "days": "t / 86400",
+        "weeks": "t / 604800",
+    }
+    if mode not in table:
+        raise ValueError(f":time mode {mode} has no SQL oracle")
+    return table[mode]

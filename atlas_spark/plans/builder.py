@@ -1,0 +1,578 @@
+"""Plan builder: expression AST -> Spark DataFrame DAG.
+
+Spark-first equivalents of the reference's evaluation pipeline
+(`atlas-core/.../model/DataExpr.scala` eval, `MathExpr.scala`,
+`StatefulExpr.scala`, `FilterExpr.scala`):
+
+  - scan filters      -> `df.filter` on promoted tag columns (Catalyst
+                         pushes them into the parquet scan)
+  - first aggregation -> `groupBy(t).agg` / `groupBy(keys..., t).agg`
+                         (Spark's partial/final hash agg replaces the
+                         reference's AggregateCollector partial fold)
+  - binary math       -> equi-join on (common group keys, t); constants and
+                         global aggregates broadcast to the grouped side
+  - stateful ops      -> window functions over the dense step grid
+  - top-k             -> rank over per-line summary stats
+
+"no data" is NULL (SURVEY §4.3 #1); frames are kept *sparse* (rows only
+where data exists) until an operator needs gap visibility (binary math,
+stateful windows, generators), at which point the frame is densified
+against the EvalContext grid.  At scale the grid side is tiny
+(n_steps rows) and always broadcast; the series-key side is derived by a
+distinct over the already-aggregated (small) result.
+
+ResultFrame df schema: [<key cols: string>..., t: long, value: double].
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..functions import nanmath
+from ..model import expr as E
+from ..model import query as Q
+from ..sources.datapoints import DatapointSource, sanitize
+from .context import EvalContext
+
+
+@dataclass
+class ResultFrame:
+    df: DataFrame  # [key cols..., t long, value double]
+    keys: tuple[str, ...] | None  # group tag keys; None = per-series (:all)
+    colmap: dict[str, str]  # tag key -> column name
+    static_tags: dict[str, str]  # exact-match tags common to all lines
+    dense: bool = False
+
+    @property
+    def key_cols(self) -> list[str]:
+        if self.keys is None:
+            return list(self.colmap.values())
+        return [self.colmap[k] for k in self.keys]
+
+
+def query_to_column(q: Q.Query, source: DatapointSource):
+    """Compile a Query to a boolean Column over promoted tag columns.
+
+    Falls back to `tags[key]` map access when a key is not promoted and the
+    source carries a `tags` map column.  Missing key -> NULL -> treated as
+    non-match, mirroring `Query.matches` (Query.scala:293-331).
+    """
+
+    def tag(k: str):
+        c = source.tag_col(k)
+        if c is not None:
+            return c
+        if "tags" in source.df.columns:
+            return F.col("tags").getItem(k)
+        return F.lit(None).cast("string")
+
+    def go(q: Q.Query):
+        if isinstance(q, Q.TrueQuery):
+            return F.lit(True)
+        if isinstance(q, Q.FalseQuery):
+            return F.lit(False)
+        if isinstance(q, Q.HasKeyQuery):
+            return tag(q.k).isNotNull()
+        if isinstance(q, Q.EqualQuery):
+            return tag(q.k) == q.v
+        # :lt/:le/:gt/:ge are lexicographic *string* comparisons
+        # (Query.scala:361-403) — promoted columns are strings, no cast.
+        if isinstance(q, Q.LessThanQuery):
+            return tag(q.k) < q.v
+        if isinstance(q, Q.LessThanEqualQuery):
+            return tag(q.k) <= q.v
+        if isinstance(q, Q.GreaterThanQuery):
+            return tag(q.k) > q.v
+        if isinstance(q, Q.GreaterThanEqualQuery):
+            return tag(q.k) >= q.v
+        if isinstance(q, Q.RegexQuery):
+            return tag(q.k).rlike("^" + q.v)
+        if isinstance(q, Q.RegexIgnoreCaseQuery):
+            return tag(q.k).rlike("(?i)^" + q.v)
+        if isinstance(q, Q.InQuery):
+            return tag(q.k).isin(*q.vs)
+        if isinstance(q, Q.AndQuery):
+            return go(q.q1) & go(q.q2)
+        if isinstance(q, Q.OrQuery):
+            return go(q.q1) | go(q.q2)
+        if isinstance(q, Q.NotQuery):
+            # NULL (missing key) must not match the negation result of a
+            # missing-key comparison either — coalesce inner to false first.
+            return ~F.coalesce(go(q.q), F.lit(False))
+        raise TypeError(f"unknown query node {q!r}")
+
+    return F.coalesce(go(q), F.lit(False))
+
+
+_AGG = {
+    "sum": lambda c: F.sum(c),
+    "count": lambda c: F.count(c),
+    "min": lambda c: F.min(c),
+    "max": lambda c: F.max(c),
+}
+
+_STAT_FUNS = {
+    "avg": lambda c: F.avg(c),
+    "max": lambda c: F.max(c),
+    "min": lambda c: F.min(c),
+    "last": lambda c: F.last(c, ignorenulls=True),
+    "total": lambda c: F.sum(c),
+    "count": lambda c: F.count(c),
+}
+
+
+class Evaluator:
+    """Evaluates expression trees against one DatapointSource + EvalContext.
+
+    DataExpr subplans are memoized per canonical string, mirroring the
+    reference's DataExpr dedup across expressions (GraphApi.scala:72-76).
+    """
+
+    def __init__(self, source: DatapointSource, ctx: EvalContext):
+        self.source = source
+        self.ctx = ctx
+        self.spark: SparkSession = source.df.sparkSession
+        self._data_cache: dict[str, ResultFrame] = {}
+
+    # ---------------------------------------------------------- grid helpers
+
+    def grid_df(self, ctx: EvalContext | None = None) -> DataFrame:
+        ctx = ctx or self.ctx
+        return self.spark.range(ctx.n_steps).select(
+            (F.lit(ctx.start) + F.col("id") * ctx.step).cast("long").alias("t")
+        )
+
+    def densify(self, rf: ResultFrame) -> ResultFrame:
+        """Expand to the full [start, end) grid with NULL gaps.
+
+        Grid side is broadcast (n_steps rows); the series-key dimension is a
+        distinct over the aggregated frame.
+        """
+        if rf.dense:
+            return rf
+        grid = F.broadcast(self.grid_df())
+        kc = rf.key_cols
+        if kc:
+            keys = rf.df.select(*kc).distinct()
+            shell = keys.crossJoin(grid)
+            df = shell.join(rf.df, on=kc + ["t"], how="left")
+        else:
+            df = grid.join(rf.df, on="t", how="left")
+        df = df.select(*kc, "t", "value")
+        return replace(rf, df=df, dense=True)
+
+    def _trim(self, df: DataFrame) -> DataFrame:
+        return df.filter((F.col("t") >= self.ctx.start) & (F.col("t") < self.ctx.end))
+
+    # ----------------------------------------------------------------- entry
+
+    def eval(self, e: E.TimeSeriesExpr) -> ResultFrame:
+        if isinstance(e, E.StyleExpr):
+            return self._eval_style(e)
+        return self._eval(e)
+
+    def _eval(self, e: E.TimeSeriesExpr) -> ResultFrame:
+        if isinstance(e, E.DataExpr):
+            key = e.display()
+            if key not in self._data_cache:
+                self._data_cache[key] = self._eval_data(e)
+            return self._data_cache[key]
+        if isinstance(e, E.ConstExpr):
+            return self._generator(F.lit(float(e.v)))
+        if isinstance(e, E.TimeExpr):
+            return self._generator(self._time_col(e.mode))
+        if isinstance(e, E.TimeSpanExpr):
+            return self._eval_time_span(e)
+        if isinstance(e, E.RandomExpr):
+            return self._generator(self._random_col(e.seed))
+        if isinstance(e, E.UnaryMathExpr):
+            rf = self._eval(e.expr)
+            if e.op == "per-step":
+                # rate/sec -> per-interval (MathExpr.scala:437-454)
+                df = rf.df.withColumn("value", F.col("value") * F.lit(float(self.ctx.step)))
+            else:
+                df = rf.df.withColumn("value", nanmath.unary_op(e.op, F.col("value"), e.param))
+            return replace(rf, df=df)
+        if isinstance(e, E.BinaryMathExpr):
+            return self._eval_binary(e)
+        if isinstance(e, E.AggrMathExpr):
+            return self._eval_aggr_math(e)
+        if isinstance(e, E.MathGroupByExpr):
+            return self._eval_math_group_by(e)
+        if isinstance(e, E.AsExpr):
+            return self._eval_as(e)
+        if isinstance(e, E.NamedRewrite):
+            return self._eval(e.evaluated)
+        if isinstance(e, E.StatefulMathExpr):
+            return self._eval_stateful(e)
+        if isinstance(e, E.StatExpr):
+            return self._eval_stat(e)
+        if isinstance(e, E.FilterOpExpr):
+            return self._eval_filter(e)
+        if isinstance(e, E.TopKExpr):
+            return self._eval_topk(e)
+        if isinstance(e, E.ConsolidateExpr):
+            return self._eval_consolidate(e)
+        if isinstance(e, E.StyleExpr):
+            return self._eval_style(e)
+        raise TypeError(f"cannot evaluate {type(e).__name__}")
+
+    # ------------------------------------------------------------ data exprs
+
+    def _eval_data(self, e: E.DataExpr) -> ResultFrame:
+        offset = getattr(e, "offset", 0)
+        ctx = self.ctx.with_offset(offset) if offset else self.ctx
+        df = self.source.df.filter(
+            (F.col("t") >= ctx.start) & (F.col("t") < ctx.end)
+        ).filter(query_to_column(e.query, self.source))
+        if offset:
+            # report shifted data at the unshifted timestamp
+            # (MemoryDatabase.scala:288-297)
+            df = df.withColumn("t", (F.col("t") + offset * self.ctx.step).cast("long"))
+
+        static = e.query.exact_keys()
+
+        if isinstance(e, E.AllExpr):
+            cm = dict(self.source.colmap)
+            return ResultFrame(
+                df.select(*cm.values(), "t", "value"), None, cm, static
+            )
+
+        if isinstance(e, E.GroupByExpr):
+            for k in e.keys:
+                if k not in self.source.colmap:
+                    # every series lacks the key -> empty result
+                    # (DataExpr.scala:108-122)
+                    empty = self.source.df.sparkSession.createDataFrame(
+                        [],
+                        ", ".join(
+                            [f"{sanitize(k)} string" for k in e.keys]
+                            + ["t long", "value double"]
+                        ),
+                    )
+                    return ResultFrame(
+                        empty, e.keys, {k: sanitize(k) for k in e.keys}, static
+                    )
+            cm = {k: self.source.colmap[k] for k in e.keys}
+            cols = list(cm.values())
+            for c in cols:
+                df = df.filter(F.col(c).isNotNull())
+            out = df.groupBy(*cols, "t").agg(_AGG[e.af.fn]("value").alias("value"))
+            return ResultFrame(out, e.keys, cm, static)
+
+        assert isinstance(e, E.AggrExpr)
+        out = df.groupBy("t").agg(_AGG[e.fn]("value").alias("value"))
+        return ResultFrame(out, (), {}, static)
+
+    # ------------------------------------------------------------ generators
+
+    def _generator(self, value_col) -> ResultFrame:
+        df = self.grid_df().withColumn("value", value_col.cast("double"))
+        return ResultFrame(df, (), {}, {}, dense=True)
+
+    def _time_col(self, mode: str):
+        t = F.col("t")
+        ts = F.timestamp_seconds(t)
+        table = {
+            "secondOfMinute": t % 60,
+            "secondOfDay": t % 86400,
+            "minuteOfHour": (t % 3600) / F.lit(60),
+            "minuteOfDay": (t % 86400) / F.lit(60),
+            "hourOfDay": (t % 86400) / F.lit(3600),
+            "dayOfWeek": (F.dayofweek(ts) + 5) % 7,  # ISO: Mon=0..Sun=6? see note
+            "dayOfMonth": F.dayofmonth(ts),
+            "dayOfYear": F.dayofyear(ts),
+            "monthOfYear": F.month(ts),
+            "yearOfCentury": F.year(ts) % 100,
+            "yearOfEra": F.year(ts),
+            "seconds": t,
+            "minutes": t / F.lit(60),
+            "hours": t / F.lit(3600),
+            "days": t / F.lit(86400),
+            "weeks": t / F.lit(604800),
+        }
+        if mode not in table:
+            raise ValueError(f"unknown :time mode {mode}")
+        return table[mode]
+
+    def _random_col(self, seed: int):
+        # deterministic noise: hash of (seed ^ step index) -> [0, 1)
+        # (MathExpr.scala:125-177 uses Hash.lowbias64; we use a 64-bit
+        # xxhash which is equally deterministic across engines)
+        h = F.xxhash64((F.col("t") / self.ctx.step).cast("long") + F.lit(seed))
+        return (F.pmod(h, F.lit(1000000)) / F.lit(1000000.0)).cast("double")
+
+    def _eval_time_span(self, e: E.TimeSpanExpr) -> ResultFrame:
+        from ..util.strings import parse_time_ref
+
+        s = parse_time_ref(e.s, self.ctx)
+        t_end = parse_time_ref(e.e, self.ctx)
+        c = F.when(
+            (F.col("t") >= F.lit(s)) & (F.col("t") <= F.lit(t_end)), F.lit(1.0)
+        ).otherwise(F.lit(0.0))
+        return self._generator(c)
+
+    # ------------------------------------------------------------ binary math
+
+    def _eval_binary(self, e: E.BinaryMathExpr) -> ResultFrame:
+        lhs, rhs = self._eval(e.lhs), self._eval(e.rhs)
+        if lhs.keys is None or rhs.keys is None:
+            raise ValueError(":all results cannot be used in binary math")
+        # Binary ops are defined at every grid point (e.g. NaN :gt 0 -> 0),
+        # so both sides must be dense.
+        lhs, rhs = self.densify(lhs), self.densify(rhs)
+
+        s1, s2 = set(lhs.keys), set(rhs.keys)
+        if s1 <= s2:
+            sup, sub, flipped = rhs, lhs, True
+        elif s2 <= s1:
+            sup, sub, flipped = lhs, rhs, False
+        else:  # unreachable: validated at AST construction
+            raise ValueError("incompatible groupings")
+
+        common = [k for k in sub.keys]
+        sup_df = sup.df.select(
+            *[F.col(sup.colmap[k]).alias(sup.colmap[k]) for k in sup.keys],
+            "t",
+            F.col("value").alias("_v_sup"),
+        )
+        sub_cols = [F.col(sub.colmap[k]).alias(sup.colmap[k]) for k in common]
+        sub_df = sub.df.select(*sub_cols, "t", F.col("value").alias("_v_sub"))
+        if not common:
+            # ungrouped side joins on time only; broadcast it (one row per t)
+            sub_df = F.broadcast(sub_df)
+        join_on = [sup.colmap[k] for k in common] + ["t"]
+        # inner join: lines whose common key has no match on the other side
+        # are dropped (MathExpr.scala:552-575 "case null => Nil")
+        joined = sup_df.join(sub_df, on=join_on, how="inner")
+
+        a = F.col("_v_sub") if flipped else F.col("_v_sup")
+        b = F.col("_v_sup") if flipped else F.col("_v_sub")
+        value = nanmath.binary_op(e.op, a, b)
+        out = joined.select(
+            *[sup.colmap[k] for k in sup.keys], "t", value.alias("value")
+        )
+        static = dict(sub.static_tags)
+        static.update(sup.static_tags)
+        return ResultFrame(out, sup.keys, dict(sup.colmap), static, dense=True)
+
+    # ----------------------------------------------- second-level aggregation
+
+    def _eval_aggr_math(self, e: E.AggrMathExpr) -> ResultFrame:
+        rf = self._eval(e.expr)
+        # pointwise fold of all lines (MathExpr.scala:711-794); null-skipping
+        # aggregate == addNaN fold
+        out = rf.df.groupBy("t").agg(_AGG[e.fn]("value").alias("value"))
+        return ResultFrame(out, (), {}, dict(rf.static_tags), dense=rf.dense)
+
+    def _eval_math_group_by(self, e: E.MathGroupByExpr) -> ResultFrame:
+        rf = self._eval(e.af.expr)
+        cm = {k: rf.colmap[k] for k in e.keys}
+        out = rf.df.groupBy(*cm.values(), "t").agg(
+            _AGG[e.af.fn]("value").alias("value")
+        )
+        return ResultFrame(out, e.keys, cm, dict(rf.static_tags), dense=rf.dense)
+
+    def _eval_as(self, e: E.AsExpr) -> ResultFrame:
+        rf = self._eval(e.expr)
+        if e.orig not in rf.colmap:
+            return rf
+        new_col = sanitize(e.repl)
+        df = rf.df.withColumnRenamed(rf.colmap[e.orig], new_col)
+        cm = {(e.repl if k == e.orig else k): (new_col if k == e.orig else v) for k, v in rf.colmap.items()}
+        keys = rf.keys if rf.keys is None else tuple(e.repl if k == e.orig else k for k in rf.keys)
+        return ResultFrame(df, keys, cm, dict(rf.static_tags), dense=rf.dense)
+
+    # -------------------------------------------------------------- stateful
+
+    def _eval_stateful(self, e: E.StatefulMathExpr) -> ResultFrame:
+        rf = self.densify(self._eval(e.expr))
+        kc = rf.key_cols
+        w = Window.partitionBy(*[F.col(c) for c in kc]) if kc else Window.partitionBy(F.lit(1))
+        w = w.orderBy("t")
+        v = F.col("value")
+        p = e.params
+        op = e.op
+
+        if op == "delay":
+            n = int(p[0])
+            out = F.lag(v, n).over(w)
+        elif op == "rolling-count":
+            n = int(p[0])
+            out = F.sum(nanmath.truthy(v).cast("int")).over(w.rowsBetween(-(n - 1), 0)).cast("double")
+        elif op == "rolling-min":
+            n = int(p[0])
+            out = F.min(v).over(w.rowsBetween(-(int(p[0]) - 1), 0))
+        elif op == "rolling-max":
+            out = F.max(v).over(w.rowsBetween(-(int(p[0]) - 1), 0))
+        elif op == "rolling-mean":
+            n, min_n = int(p[0]), int(p[1])
+            ww = w.rowsBetween(-(n - 1), 0)
+            out = F.when(F.count(v).over(ww) >= min_n, F.avg(v).over(ww))
+        elif op == "rolling-sum":
+            out = F.sum(v).over(w.rowsBetween(-(int(p[0]) - 1), 0))
+        elif op == "trend":
+            n = max(1, int(p[0]) // self.ctx.step)
+            out = F.avg(v).over(w.rowsBetween(-(n - 1), 0))
+        elif op == "integral":
+            out = F.sum(v).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        elif op == "cumulative-max":
+            out = F.max(v).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        elif op == "derivative":
+            out = v - F.lag(v, 1).over(w)
+        elif op in ("des", "sdes"):
+            return self._eval_des(e, rf)
+        else:
+            raise ValueError(f"unknown stateful op {op}")
+
+        df = rf.df.withColumn("value", out.cast("double"))
+        return replace(rf, df=df)
+
+    def _eval_des(self, e: E.StatefulMathExpr, rf: ResultFrame) -> ResultFrame:
+        """Double exponential smoothing via applyInPandas per series
+        (OnlineDes.scala / OnlineSlidingDes.scala recurrences)."""
+        import pandas as pd
+
+        n, alpha, beta = int(e.params[0]), float(e.params[1]), float(e.params[2])
+        sliding = e.op == "sdes"
+        kc = rf.key_cols
+        schema = rf.df.schema
+
+        def des(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("t").reset_index(drop=True)
+            vals = pdf["value"].to_numpy()
+            out = _des_kernel(vals, n, alpha, beta, sliding)
+            pdf["value"] = out
+            return pdf
+
+        if kc:
+            df = rf.df.groupBy(*kc).applyInPandas(des, schema=schema)
+        else:
+            df = rf.df.withColumn("_g", F.lit(1)).groupBy("_g").applyInPandas(
+                lambda pdf: des(pdf.drop(columns=["_g"])), schema=schema
+            )
+        return replace(rf, df=df)
+
+    # ------------------------------------------------------------ filter ops
+
+    def _eval_stat(self, e: E.StatExpr) -> ResultFrame:
+        rf = self._eval(e.expr)
+        kc = rf.key_cols
+        w = Window.partitionBy(*[F.col(c) for c in kc]) if kc else Window.partitionBy(F.lit(1))
+        w = w.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        stat = _STAT_FUNS[e.stat](F.col("value")).over(w)
+        df = rf.df.withColumn("value", stat.cast("double"))
+        return replace(rf, df=df)
+
+    def _resolve_placeholders(self, pred: E.TimeSeriesExpr, base: E.TimeSeriesExpr) -> E.TimeSeriesExpr:
+        """Substitute `:stat-*` placeholders with the stat of the filtered
+        expression (FilterVocabulary.scala:166-226)."""
+        if isinstance(pred, E.StatPlaceholder):
+            return E.StatExpr(base, pred.stat)
+        if isinstance(pred, E.BinaryMathExpr):
+            return E.BinaryMathExpr(
+                pred.op,
+                self._resolve_placeholders(pred.lhs, base),
+                self._resolve_placeholders(pred.rhs, base),
+            )
+        if isinstance(pred, E.UnaryMathExpr):
+            return E.UnaryMathExpr(pred.op, self._resolve_placeholders(pred.expr, base), pred.param)
+        return pred
+
+    def _eval_filter(self, e: E.FilterOpExpr) -> ResultFrame:
+        pred = self._resolve_placeholders(e.pred, e.expr)
+        rf = self._eval(e.expr)
+        pf = self._eval(pred)
+        truthy_rows = pf.df.filter(nanmath.truthy(F.col("value")))
+        if pf.keys:  # keep groups whose pred line is truthy anywhere
+            keep = truthy_rows.select(
+                *[F.col(pf.colmap[k]).alias(rf.colmap[k]) for k in pf.keys]
+            ).distinct()
+            df = rf.df.join(F.broadcast(keep), on=[rf.colmap[k] for k in pf.keys], how="left_semi")
+            return replace(rf, df=df)
+        # ungrouped predicate: keep everything iff any point is truthy
+        df = rf.df.join(
+            F.broadcast(truthy_rows.select(F.lit(1).alias("_keep")).limit(1)), how="cross"
+        ).drop("_keep")
+        return replace(rf, df=df)
+
+    def _eval_topk(self, e: E.TopKExpr) -> ResultFrame:
+        rf = self._eval(e.expr)
+        kc = rf.key_cols
+        if not kc:
+            return rf
+        stats = rf.df.groupBy(*kc).agg(_STAT_FUNS[e.stat](F.col("value")).alias("_stat"))
+        order = [F.col("_stat").asc_nulls_last() if e.bottom else F.col("_stat").desc_nulls_last()]
+        order += [F.col(c).asc() for c in kc]  # deterministic tie-break
+        ranked = stats.withColumn("_rn", F.row_number().over(Window.orderBy(*order)))
+        top = ranked.filter(F.col("_rn") <= e.k).select(*kc)
+        kept = rf.df.join(F.broadcast(top), on=kc, how="left_semi")
+        if not e.others:
+            return replace(rf, df=kept)
+        rest = rf.df.join(F.broadcast(top), on=kc, how="left_anti")
+        others = rest.groupBy("t").agg(_AGG[e.others]("value").alias("value"))
+        others = others.select(
+            *[F.lit("--others--").alias(c) for c in kc], "t", "value"
+        )
+        return replace(rf, df=kept.select(*kc, "t", "value").unionByName(others))
+
+    def _eval_consolidate(self, e: E.ConsolidateExpr) -> ResultFrame:
+        rf = self._eval(e.expr)
+        m = e.multiple
+        new_step = m * self.ctx.step
+        start = self.ctx.start
+        tc = (F.lit(start) + ((F.col("t") - start) - (F.col("t") - start) % new_step)).cast("long")
+        kc = rf.key_cols
+        grouped = rf.df.groupBy(*kc, tc.alias("t"))
+        if e.cf == "avg":
+            # rate-style consolidation: divide by the number of sub-intervals
+            # (ConsolidationFunction.scala:56-80, TimeSeq.scala:189-214)
+            df = grouped.agg((F.sum("value") / F.lit(float(m))).alias("value"))
+        else:
+            df = grouped.agg(_AGG[e.cf]("value").alias("value"))
+        return replace(rf, df=df, dense=False)
+
+    # ----------------------------------------------------------------- style
+
+    def _eval_style(self, e: E.StyleExpr) -> ResultFrame:
+        rf = self._eval(e.expr)
+        s = e.settings_dict()
+        if "sort" in s or "limit" in s:
+            stat = s.get("sort", "max")
+            desc = s.get("order", "desc") != "asc"
+            kc = rf.key_cols
+            if kc:
+                stats = rf.df.groupBy(*kc).agg(_STAT_FUNS.get(stat, F.max)(F.col("value")).alias("_stat"))
+                order = [F.col("_stat").desc_nulls_last() if desc else F.col("_stat").asc_nulls_last()]
+                order += [F.col(c).asc() for c in kc]
+                ranked = stats.withColumn("_rn", F.row_number().over(Window.orderBy(*order)))
+                if "limit" in s:
+                    ranked = ranked.filter(F.col("_rn") <= int(s["limit"]))
+                kept = rf.df.join(F.broadcast(ranked.select(*kc)), on=kc, how="left_semi")
+                rf = replace(rf, df=kept)
+        return rf
+
+
+def _des_kernel(vals, n: int, alpha: float, beta: float, sliding: bool):
+    """DES recurrence (algorithm/OnlineDes.scala): train on the first `n`
+    observations then predict one step ahead."""
+    import numpy as np
+
+    out = np.full(len(vals), np.nan)
+    s = b = np.nan
+    count = 0
+    for i, v in enumerate(vals):
+        if not np.isnan(v):
+            count += 1
+            if count == 1:
+                s, b = v, 0.0
+            else:
+                prev_s = s
+                s = alpha * v + (1 - alpha) * (s + b)
+                b = beta * (s - prev_s) + (1 - beta) * b
+        if count > n:
+            out[i] = s + b
+    return out

@@ -1,0 +1,72 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced with a noop write so the full plan (all columns)
+materializes — `.count()` would let Spark prune the value computation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# representative mix: scan+agg, group-by, grouped join, window/stateful,
+# top-k, dedup, minhash LSH, similarity search, simhash
+HEADLINE = [
+    "data_by_sum",
+    "math_grouped_join",
+    "math_pct",
+    "st_rolling_sum",
+    "f_topk_others",
+    "op_dedup_exact",
+    "op_ngram_jaccard",
+    "op_minhash_candidates",
+    "op_cosine_topk",
+    "op_simhash",
+]
+
+
+def main() -> None:
+    os.environ.setdefault("SPARK_GRAFT_CPUS", CPUS)
+    from atlas_spark.session import get_spark
+    from atlas_spark import registry
+
+    spark = get_spark(app="atlas-spark-bench", cpus=int(CPUS))
+    queries = registry.all_queries()
+
+    # warm the JVM + parquet footer caches with a trivial action
+    spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else SF_DIR,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
