@@ -78,7 +78,7 @@ class DataExpr(TimeSeriesExpr):
 class AllExpr(DataExpr):
     """`q,:all` — every matching series, no aggregation (DataExpr.scala:128-140)."""
 
-    offset: int = 0  # steps
+    offset: int = 0  # seconds
 
     def group_keys(self):
         return None
@@ -93,7 +93,7 @@ class AggrExpr(DataExpr):
     (DataExpr.scala:171-255; ConsolidationFunction.scala:27-119)."""
 
     fn: str = "sum"
-    offset: int = 0  # steps (applied as shifted read window, DataVocabulary.scala:202)
+    offset: int = 0  # seconds (applied as shifted read window, DataVocabulary.scala:202)
     cf: str | None = None  # explicit consolidation fn (:cf-*)
 
     def __post_init__(self):

@@ -135,7 +135,7 @@ class SqlGen:
         if isinstance(e, E.GroupByExpr):
             keys = [sanitize(k) for k in e.keys]
             where = query_where(e.query)
-            off = e.af.offset * c.step
+            off = (e.af.offset // c.step) * c.step  # whole steps, seconds
             tsel = f"t + {off}" if off else "t"
             lo, hi = c.start - off, c.end - off
             agg = _AGG_SQL[e.af.fn].format(v="value")
@@ -149,7 +149,7 @@ class SqlGen:
 
         if isinstance(e, E.AggrExpr):
             where = query_where(e.query)
-            off = e.offset * c.step
+            off = (e.offset // c.step) * c.step  # whole steps, seconds
             tsel = f"t + {off}" if off else "t"
             lo, hi = c.start - off, c.end - off
             agg = _AGG_SQL[e.fn].format(v="value")
@@ -261,7 +261,26 @@ class SqlGen:
             return out, keys
 
         if isinstance(e, E.StyleExpr):
-            return self._gen(e.expr)
+            rel, keys = self._gen(e.expr)
+            s = e.settings_dict()
+            if keys and ("sort" in s or "limit" in s):
+                stat = s.get("sort", "max")
+                if stat not in _STAT_SQL:
+                    stat = "max"
+                direction = "ASC NULLS LAST" if s.get("order") == "asc" else "DESC NULLS LAST"
+                ks = ", ".join(keys)
+                tie = ", ".join(f"{k} ASC" for k in keys)
+                agg = _STAT_SQL[stat].format(v="value")
+                ranked = self._add(
+                    f"SELECT {ks}, row_number() OVER (ORDER BY {agg} {direction}, {tie}) AS rn "
+                    f"FROM {rel} GROUP BY {ks}"
+                )
+                lim = f"WHERE rn <= {int(s['limit'])}" if "limit" in s else ""
+                top = self._add(f"SELECT {ks} FROM {ranked} {lim}")
+                rel = self._add(
+                    f"SELECT r.* FROM {rel} r SEMI JOIN {top} USING ({ks})"
+                )
+            return rel, keys
 
         raise TypeError(f"sqlgen: cannot handle {type(e).__name__}")
 

