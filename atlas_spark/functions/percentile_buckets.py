@@ -1,0 +1,106 @@
+"""Log-linear percentile bucket scheme.
+
+Same shape as the Spectator `PercentileBuckets` histogram used by the
+reference's `:percentiles` operator (`MathExpr.scala:873-1026`): a fixed
+global table of bucket boundaries, dense at small values and exponentially
+spaced with linear subdivision above, so any long value maps to a bucket
+with bounded relative error.  Bucket tags are encoded `D%04X` / `T%04X`
+(timer values in nanoseconds, scaled by 1e-9 after estimation —
+`MathExpr.scala:984-988`).
+
+Table construction: seed buckets 1,2,3; then for each even power of two
+`base = 2^exp` add boundaries `base, base+delta, ...` with `delta = base/3`
+up to `4*base - delta`; terminate with Long.MAX_VALUE.  Estimation
+linearly interpolates within the bucket containing the target rank
+(standard histogram quantile estimation).
+"""
+
+from __future__ import annotations
+
+import bisect
+from functools import lru_cache
+
+LONG_MAX = (1 << 63) - 1
+
+
+def _build_boundaries() -> list[int]:
+    buckets = [1, 2, 3]
+    exp = 2
+    while exp < 64:
+        base = 1 << exp
+        delta = base // 3
+        end = min((base << 2) - delta, LONG_MAX)
+        cur = base
+        while cur < end:
+            buckets.append(cur)
+            cur += delta
+        exp += 2
+    buckets.append(LONG_MAX)
+    # dedupe while preserving order (top levels can clamp to LONG_MAX)
+    out = []
+    for b in buckets:
+        if not out or b > out[-1]:
+            out.append(b)
+    return out
+
+
+BOUNDARIES: list[int] = _build_boundaries()
+N_BUCKETS = len(BOUNDARIES)
+
+
+def index_of(v: int) -> int:
+    """Bucket index for a long value: number of boundaries strictly below
+    v, i.e. bucket i covers (BOUNDARIES[i-1], BOUNDARIES[i]]."""
+    if v <= 0:
+        return 0
+    return bisect.bisect_left(BOUNDARIES, v)
+
+
+def bucket_value(i: int) -> int:
+    return BOUNDARIES[min(i, N_BUCKETS - 1)]
+
+
+def tag_for(v: int, timer: bool = False) -> str:
+    return ("T" if timer else "D") + format(index_of(v), "04X")
+
+
+def percentiles(counts: dict[int, float], pcts: list[float]) -> list[float]:
+    """Reference estimator (python, used by tests): walk non-empty buckets
+    accumulating mass; linear interpolation inside the crossing bucket."""
+    total = sum(c for c in counts.values() if c > 0)
+    out = [float("nan")] * len(pcts)
+    if total <= 0:
+        return out
+    order = sorted(i for i, c in counts.items() if c > 0)
+    targets = sorted(range(len(pcts)), key=lambda k: pcts[k])
+    ti = 0
+    prev_p = 0.0
+    prev_b = 0.0
+    cum = 0.0
+    for i in order:
+        cum += counts[i]
+        next_p = 100.0 * cum / total
+        next_b = float(bucket_value(i))
+        while ti < len(targets) and prev_p <= pcts[targets[ti]] <= next_p:
+            p = pcts[targets[ti]]
+            f = 0.0 if next_p == prev_p else (p - prev_p) / (next_p - prev_p)
+            out[targets[ti]] = f * (next_b - prev_b) + prev_b
+            ti += 1
+        prev_p, prev_b = next_p, next_b
+    return out
+
+
+def pct_label(p: float) -> str:
+    """Percentile output tag, space-padded so decimals align
+    (MathExpr.scala:1012-1019)."""
+    if p < 10.0:
+        return f"  {p:.1f}" if p == int(p) else f"  {p}"
+    if p < 100.0:
+        return f" {p:.1f}" if p == int(p) else f" {p}"
+    return f"{p:.1f}" if p == int(p) else f"{p}"
+
+
+@lru_cache(maxsize=1)
+def boundaries_sql_array() -> str:
+    """DuckDB list literal of the bucket boundaries."""
+    return "[" + ", ".join(str(b) for b in BOUNDARIES) + "]"

@@ -373,6 +373,109 @@ class NamedRewrite(TimeSeriesExpr):
         return NamedRewrite(self.name, self.display_str, self.evaluated.rewrite_queries(f))
 
 
+@dataclass(frozen=True)
+class PercentilesExpr(TimeSeriesExpr):
+    """`q,(,pcts,),:percentiles` — estimate percentiles from bucket-counter
+    series grouped on the `percentile` tag (MathExpr.scala:873-1026).
+
+    `expr` must be a GroupByExpr whose keys contain `percentile`; output is
+    grouped by (eval keys + `percentile` label of the estimate).  Timer
+    buckets (`T####`) are scaled 1e-9 to seconds (MathExpr.scala:984-988).
+    """
+
+    expr: GroupByExpr = None  # type: ignore[assignment]
+    pcts: tuple[float, ...] = ()
+
+    def __post_init__(self):
+        if "percentile" not in self.expr.keys:
+            raise ValueError(":percentiles requires grouping on the percentile key")
+        for p in self.pcts:
+            if not 0.0 <= p <= 100.0:
+                raise ValueError(f"invalid percentile {p}")
+
+    def eval_keys(self) -> tuple[str, ...]:
+        return tuple(k for k in self.expr.keys if k != "percentile")
+
+    def group_keys(self):
+        return self.eval_keys() + ("percentile",)
+
+    def children(self):
+        return [self.expr]
+
+    def display(self):
+        base = self.expr.af.display()
+        ks = self.eval_keys()
+        if ks:
+            base += f",(,{','.join(ks)},),:by"
+        ps = ",".join(_fmt_num(p) for p in self.pcts)
+        return f"{base},(,{ps},),:percentiles"
+
+    def rewrite_queries(self, f):
+        return PercentilesExpr(self.expr.rewrite_queries(f), self.pcts)
+
+
+@dataclass(frozen=True)
+class SampleCountExpr(TimeSeriesExpr):
+    """`q,min,max,:sample-count` — count of samples recorded between two
+    bucket boundaries (MathVocabulary.scala:1361)."""
+
+    expr: GroupByExpr = None  # type: ignore[assignment]
+    lo: float = 0.0
+    hi: float = float("inf")
+
+    def eval_keys(self) -> tuple[str, ...]:
+        return tuple(k for k in self.expr.keys if k != "percentile")
+
+    def group_keys(self):
+        return self.eval_keys()
+
+    def children(self):
+        return [self.expr]
+
+    def display(self):
+        base = self.expr.af.display()
+        ks = self.eval_keys()
+        if ks:
+            base += f",(,{','.join(ks)},),:by"
+        return f"{base},{_fmt_num(self.lo)},{_fmt_num(self.hi)},:sample-count"
+
+    def rewrite_queries(self, f):
+        return SampleCountExpr(self.expr.rewrite_queries(f), self.lo, self.hi)
+
+
+@dataclass(frozen=True)
+class ApproxDistinctExpr(TimeSeriesExpr):
+    """`q,:approx-distinct` — HLL-style distinct estimate from max-rho
+    register series tagged `distinct=R##` (MathExpr.scala:1053-1181).
+
+    `expr` groups on `distinct` (possibly under a `:cumulative-max`
+    wrapper for the cumulative variant); registers merge across publishers
+    by max (the inner aggregation), then the estimator collapses the
+    register dimension per interval.
+    """
+
+    expr: TimeSeriesExpr = None  # type: ignore[assignment]
+
+    def __post_init__(self):
+        if "distinct" not in (self.expr.group_keys() or ()):
+            raise ValueError(":approx-distinct requires grouping on the distinct key")
+
+    def eval_keys(self) -> tuple[str, ...]:
+        return tuple(k for k in self.expr.group_keys() if k != "distinct")
+
+    def group_keys(self):
+        return self.eval_keys()
+
+    def children(self):
+        return [self.expr]
+
+    def display(self):
+        return f"{self.expr.display()},:approx-distinct"
+
+    def rewrite_queries(self, f):
+        return ApproxDistinctExpr(self.expr.rewrite_queries(f))
+
+
 # ---------------------------------------------------------------------------
 # stateful expressions (StatefulExpr.scala, algorithm/*)
 

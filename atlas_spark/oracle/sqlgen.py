@@ -226,6 +226,15 @@ class SqlGen:
         if isinstance(e, E.NamedRewrite):
             return self._gen(e.evaluated)
 
+        if isinstance(e, E.ApproxDistinctExpr):
+            return self._gen_approx_distinct(e)
+
+        if isinstance(e, E.PercentilesExpr):
+            return self._gen_percentiles(e)
+
+        if isinstance(e, E.SampleCountExpr):
+            return self._gen_sample_count(e)
+
         if isinstance(e, E.StatefulMathExpr):
             return self._gen_stateful(e)
 
@@ -339,6 +348,91 @@ class SqlGen:
             f"SELECT {', '.join(keys + ['t'])}, CAST({expr} AS DOUBLE) AS value FROM {d}"
         )
         return out, keys
+
+    def _pct_indexed_sql(self, e) -> tuple[str, list[str]]:
+        from ..functions.percentile_buckets import boundaries_sql_array
+
+        rel, keys = self._gen(e.expr)
+        ek = [k for k in keys if k != "k_percentile"]
+        arr = boundaries_sql_array()
+        idx = "CAST('0x' || substr(k_percentile, 2, 4) AS INTEGER)"
+        prepped = self._add(
+            f"SELECT {', '.join(ek + ['t'])}, {idx} AS idx, "
+            f"substr(k_percentile, 1, 1) = 'T' AS timer, "
+            f"list_extract({arr}, {idx} + 1) AS bval, value "
+            f"FROM {rel} WHERE k_percentile IS NOT NULL AND value IS NOT NULL AND value > 0"
+        )
+        return prepped, ek
+
+    def _gen_percentiles(self, e: E.PercentilesExpr) -> tuple[str, list[str]]:
+        from ..functions.percentile_buckets import pct_label
+
+        prepped, ek = self._pct_indexed_sql(e)
+        part = ", ".join(ek + ["t"])
+        win = self._add(
+            f"SELECT *, "
+            f"sum(value) OVER (PARTITION BY {part} ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, "
+            f"sum(value) OVER (PARTITION BY {part}) AS total, "
+            f"COALESCE(lag(bval) OVER (PARTITION BY {part} ORDER BY idx), 0.0) AS prev_b "
+            f"FROM {prepped}"
+        )
+        pvals = ", ".join(
+            f"({float(p)!r}, '{pct_label(p)}')" for p in sorted(set(e.pcts))
+        )
+        pcts = self._add(f"SELECT * FROM (VALUES {pvals}) AS pv(p, plabel)")
+        est = (
+            "prev_b + (CASE WHEN next_p = prev_p THEN 0.0 "
+            "ELSE (p - prev_p) / (next_p - prev_p) END) * (CAST(bval AS DOUBLE) - prev_b)"
+        )
+        crossed = self._add(
+            f"SELECT {', '.join(ek + ['t'])}, p, plabel, idx, timer, prev_b, CAST(bval AS DOUBLE) AS bval, "
+            f"100.0 * (cum - value) / total AS prev_p, 100.0 * cum / total AS next_p "
+            f"FROM {win} CROSS JOIN {pcts} "
+            f"WHERE 100.0 * (cum - value) / total <= p AND p <= 100.0 * cum / total "
+            f"QUALIFY row_number() OVER (PARTITION BY {part}, p ORDER BY idx) = 1"
+        )
+        out = self._add(
+            f"SELECT {', '.join(ek + ['plabel AS k_percentile', 't'])}, "
+            f"CAST(CASE WHEN timer THEN ({est}) * 1e-9 ELSE {est} END AS DOUBLE) AS value "
+            f"FROM {crossed}"
+        )
+        return out, ek + ["k_percentile"]
+
+    def _gen_approx_distinct(self, e: E.ApproxDistinctExpr) -> tuple[str, list[str]]:
+        from ..functions.distinct_sketch import ALPHA, M
+
+        rel, keys = self._gen(e.expr)
+        ek = [k for k in keys if k != "k_distinct"]
+        cols = ", ".join(ek + ["t"])
+        agg = self._add(
+            f"SELECT {cols}, sum(pow(2.0, -value)) AS sp, count(*) AS n "
+            f"FROM {rel} WHERE k_distinct IS NOT NULL AND value IS NOT NULL AND value > 0 "
+            f"GROUP BY {cols}"
+        )
+        e_raw = f"({ALPHA * M * M!r} / (sp + ({M} - n)))"
+        est = (
+            f"CASE WHEN {e_raw} <= {2.5 * M} AND ({M} - n) > 0 "
+            f"THEN {M} * ln({float(M)!r} / ({M} - n)) ELSE {e_raw} END"
+        )
+        out = self._add(
+            f"SELECT {cols}, CAST({est} AS DOUBLE) AS value FROM {agg}"
+        )
+        return out, ek
+
+    def _gen_sample_count(self, e: E.SampleCountExpr) -> tuple[str, list[str]]:
+        import math as _math
+
+        from ..functions.percentile_buckets import index_of
+
+        prepped, ek = self._pct_indexed_sql(e)
+        lo_idx = index_of(_math.ceil(e.lo)) if e.lo > 0 else 0
+        hi_idx = index_of(_math.ceil(e.hi)) if _math.isfinite(e.hi) else 1 << 30
+        cols = ", ".join(ek + ["t"])
+        out = self._add(
+            f"SELECT {cols}, sum(value) AS value FROM {prepped} "
+            f"WHERE idx >= {lo_idx} AND idx < {hi_idx} GROUP BY {cols}"
+        )
+        return out, ek
 
     def _gen_filter(self, e: E.FilterOpExpr) -> tuple[str, list[str]]:
         # resolve :stat-* placeholders against the filtered expression

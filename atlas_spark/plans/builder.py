@@ -206,6 +206,12 @@ class Evaluator:
             return self._eval_as(e)
         if isinstance(e, E.NamedRewrite):
             return self._eval(e.evaluated)
+        if isinstance(e, E.ApproxDistinctExpr):
+            return self._eval_approx_distinct(e)
+        if isinstance(e, E.PercentilesExpr):
+            return self._eval_percentiles(e)
+        if isinstance(e, E.SampleCountExpr):
+            return self._eval_sample_count(e)
         if isinstance(e, E.StatefulMathExpr):
             return self._eval_stateful(e)
         if isinstance(e, E.StatExpr):
@@ -458,6 +464,115 @@ class Evaluator:
                 lambda pdf: des(pdf.drop(columns=["_g"])), schema=schema
             )
         return replace(rf, df=df)
+
+    # ------------------------------------------------------- sketch operators
+
+    def _pct_indexed(self, e) -> tuple[DataFrame, list[str]]:
+        """Common prep for bucket-counter estimators: decode the hex bucket
+        index and attach the bucket boundary value (broadcast array lookup,
+        stays in codegen)."""
+        from ..functions.percentile_buckets import BOUNDARIES, N_BUCKETS
+
+        inner = self._eval(e.expr)
+        pcol = inner.colmap["percentile"]
+        ek_cols = [inner.colmap[k] for k in e.eval_keys()]
+        df = inner.df.filter(F.col(pcol).isNotNull())
+        # counts: non-finite -> 0 (MathExpr.scala:992-998); zero rows carry
+        # no mass, drop them
+        df = df.filter(F.col("value").isNotNull() & (F.col("value") > 0))
+        idx = F.conv(F.substring(F.col(pcol), 2, 4), 16, 10).cast("int")
+        barr = F.array(*[F.lit(float(b)) for b in BOUNDARIES])
+        df = (
+            df.withColumn("_idx", F.least(idx, F.lit(N_BUCKETS - 1)))
+            .withColumn("_timer", F.substring(F.col(pcol), 1, 1) == "T")
+            .withColumn("_bval", F.element_at(barr, F.col("_idx") + 1))
+        )
+        return df, ek_cols
+
+    def _eval_percentiles(self, e: E.PercentilesExpr) -> ResultFrame:
+        """Histogram percentile estimation entirely with window functions —
+        rank walk + linear interpolation inside the crossing bucket
+        (MathExpr.scala:992-1010), no Python in the loop."""
+        from ..functions.percentile_buckets import pct_label
+
+        df, ek_cols = self._pct_indexed(e)
+        part = [F.col(c) for c in ek_cols] + [F.col("t")]
+        w_ord = Window.partitionBy(*part).orderBy("_idx")
+        wall = Window.partitionBy(*part)
+        df = (
+            df.withColumn("_cum", F.sum("value").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)))
+            .withColumn("_total", F.sum("value").over(wall))
+            .withColumn("_prev_b", F.coalesce(F.lag("_bval", 1).over(w_ord), F.lit(0.0)))
+        )
+        df = df.withColumn("_prev_p", 100.0 * (F.col("_cum") - F.col("value")) / F.col("_total"))
+        df = df.withColumn("_next_p", 100.0 * F.col("_cum") / F.col("_total"))
+
+        pcts = sorted(set(e.pcts))
+        spark = df.sparkSession
+        pdf = F.broadcast(
+            spark.createDataFrame(
+                [(float(p), pct_label(p)) for p in pcts], "p double, _plabel string"
+            )
+        )
+        j = df.crossJoin(pdf).filter(
+            (F.col("_prev_p") <= F.col("p")) & (F.col("p") <= F.col("_next_p"))
+        )
+        # first crossing bucket wins (while-loop order in the reference)
+        rn = F.row_number().over(
+            Window.partitionBy(*part, F.col("p")).orderBy("_idx")
+        )
+        j = j.withColumn("_rn", rn).filter(F.col("_rn") == 1)
+        frac = F.when(
+            F.col("_next_p") == F.col("_prev_p"), F.lit(0.0)
+        ).otherwise((F.col("p") - F.col("_prev_p")) / (F.col("_next_p") - F.col("_prev_p")))
+        est = F.col("_prev_b") + frac * (F.col("_bval") - F.col("_prev_b"))
+        est = F.when(F.col("_timer"), est * 1e-9).otherwise(est)
+        out = j.select(
+            *ek_cols, F.col("_plabel").alias("k_percentile"), "t", est.alias("value")
+        )
+        cm = {k: self.source.colmap.get(k, sanitize(k)) for k in e.eval_keys()}
+        cm["percentile"] = "k_percentile"
+        return ResultFrame(out, e.group_keys(), cm, e.expr.query.exact_keys())
+
+    def _eval_approx_distinct(self, e: E.ApproxDistinctExpr) -> ResultFrame:
+        """HLL estimator over max-rho registers, one hash-agg per interval
+        (MathExpr.scala:1053-1181; estimator formula in
+        functions/distinct_sketch.py) — all JVM-side."""
+        from ..functions.distinct_sketch import ALPHA, M
+
+        inner = self._eval(e.expr)
+        dcol = inner.colmap["distinct"]
+        ek_cols = [inner.colmap[k] for k in e.eval_keys()]
+        df = inner.df.filter(
+            F.col(dcol).isNotNull() & F.col("value").isNotNull() & (F.col("value") > 0)
+        )
+        agg = df.groupBy(*ek_cols, "t").agg(
+            F.sum(F.pow(F.lit(2.0), -F.col("value"))).alias("_sp"),
+            F.count("*").alias("_n"),
+        )
+        sum_pow = F.col("_sp") + (F.lit(M) - F.col("_n"))
+        zeros = F.lit(M) - F.col("_n")
+        e_raw = F.lit(ALPHA * M * M) / sum_pow
+        est = F.when(
+            (e_raw <= 2.5 * M) & (zeros > 0), F.lit(M) * F.log(F.lit(float(M)) / zeros)
+        ).otherwise(e_raw)
+        out = agg.select(*ek_cols, "t", est.alias("value"))
+        cm = {k: inner.colmap[k] for k in e.eval_keys()}
+        return ResultFrame(out, e.eval_keys(), cm, dict(inner.static_tags))
+
+    def _eval_sample_count(self, e: E.SampleCountExpr) -> ResultFrame:
+        """Sum of counts for buckets whose range lies within [lo, hi)
+        (MathVocabulary.scala:1361-1404)."""
+        from ..functions.percentile_buckets import index_of
+        import math as _math
+
+        df, ek_cols = self._pct_indexed(e)
+        lo_idx = index_of(_math.ceil(e.lo)) if e.lo > 0 else 0
+        hi_idx = index_of(_math.ceil(e.hi)) if _math.isfinite(e.hi) else 1 << 30
+        df = df.filter((F.col("_idx") >= lo_idx) & (F.col("_idx") < hi_idx))
+        out = df.groupBy(*ek_cols, "t").agg(F.sum("value").alias("value"))
+        cm = {k: self.source.colmap.get(k, sanitize(k)) for k in e.eval_keys()}
+        return ResultFrame(out, e.eval_keys(), cm, e.expr.query.exact_keys())
 
     # ------------------------------------------------------------ filter ops
 

@@ -98,3 +98,131 @@ def events_datapoints(spark: SparkSession, sf_dir: str, step: int = DEFAULT_STEP
 # Eval window covering the events testdata (2024-01-01 .. 2024-01-31 UTC).
 EVENTS_START = 1704067200
 EVENTS_END = EVENTS_START + 30 * 86400
+
+PCT_STEP = 86400  # coarser step so bucket counts have meaningful mass
+
+
+def events_cte(step: int = DEFAULT_STEP) -> str:
+    """DuckDB relation equivalent to `events_datapoints` (oracle input)."""
+    return f"""
+  SELECT event_type AS k_name,
+         'u' || CAST(user_id % 8 AS VARCHAR) AS k_bucket,
+         (epoch_ns(ts) // 1000000000 // {step}) * {step} AS t,
+         sum(value) AS value
+  FROM events
+  GROUP BY 1, 2, 3
+"""
+
+
+def percentile_datapoints(
+    spark: SparkSession, sf_dir: str, step: int = PCT_STEP
+) -> DatapointSource:
+    """Spectator-style bucket-counter series derived from events: each
+    event's value maps to a log-linear bucket (see
+    `functions.percentile_buckets`); one series per (event_type, bucket)
+    holding the per-step count.  Input fixture for `:percentiles`,
+    `:median`, `:sample-count` (FIXTURES.md F3)."""
+    from ..functions.percentile_buckets import BOUNDARIES
+    from ..session import configure_existing
+
+    configure_existing(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ns = 1_000_000_000
+    amount = F.greatest(F.lit(1), F.ceil(F.col("value") * 10).cast("long"))
+    barr = F.array(*[F.lit(b) for b in BOUNDARIES])
+    idx = F.size(F.filter(barr, lambda b: b < amount))
+    dp = (
+        ev.select(
+            F.col("event_type").alias("k_name"),
+            F.format_string("D%04X", idx).alias("k_percentile"),
+            F.expr(f"ts div {ns} div {step} * {step}").alias("t"),
+        )
+        .groupBy("k_name", "k_percentile", "t")
+        .agg(F.count("*").cast("double").alias("value"))
+    )
+    return DatapointSource(
+        df=dp,
+        step=step,
+        colmap={"name": "k_name", "percentile": "k_percentile"},
+        sql_cte=percentile_cte(step),
+    )
+
+
+def distinct_datapoints(
+    spark: SparkSession, sf_dir: str, step: int = PCT_STEP
+) -> DatapointSource:
+    """Max-rho register series for `:approx-distinct` (FIXTURES.md F5).
+
+    Hashing is md5-of-user_id (identical hex in Spark and DuckDB, so the
+    oracle sees bit-identical registers): first hex byte -> register
+    index (mod 64), next 8 hex chars -> 32-bit value whose
+    leading-zero count + 1 is rho.
+    """
+    from ..session import configure_existing
+
+    configure_existing(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ns = 1_000_000_000
+    h = F.md5(F.col("user_id").cast("string"))
+    reg = (F.conv(F.substring(h, 1, 2), 16, 10).cast("int") % 64).alias("_reg")
+    sub = F.substring(h, 3, 8)
+    z = F.length(F.regexp_extract(sub, "^(0*)", 1))
+    first = F.substring(sub, z + 1, 1)
+    extra = (
+        F.when(first == "1", 3)
+        .when(first.isin("2", "3"), 2)
+        .when(first.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    rho = F.when(z == 8, F.lit(33)).otherwise(4 * z + extra + 1)
+    dp = (
+        ev.select(
+            F.col("event_type").alias("k_name"),
+            F.format_string("R%02X", reg).alias("k_distinct"),
+            F.expr(f"ts div {ns} div {step} * {step}").alias("t"),
+            rho.cast("double").alias("rho"),
+        )
+        .groupBy("k_name", "k_distinct", "t")
+        .agg(F.max("rho").alias("value"))
+    )
+    return DatapointSource(
+        df=dp,
+        step=step,
+        colmap={"name": "k_name", "distinct": "k_distinct"},
+        sql_cte=distinct_cte(step),
+    )
+
+
+def distinct_cte(step: int = PCT_STEP) -> str:
+    return f"""
+  SELECT event_type AS k_name,
+         printf('R%02X', CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2) AS INTEGER) % 64) AS k_distinct,
+         (epoch_ns(ts) // 1000000000 // {step}) * {step} AS t,
+         max(CASE
+           WHEN len(regexp_extract(substr(md5(CAST(user_id AS VARCHAR)), 3, 8), '^(0*)', 1)) = 8 THEN 33.0
+           ELSE 4 * len(regexp_extract(substr(md5(CAST(user_id AS VARCHAR)), 3, 8), '^(0*)', 1))
+                + (CASE substr(substr(md5(CAST(user_id AS VARCHAR)), 3, 8), len(regexp_extract(substr(md5(CAST(user_id AS VARCHAR)), 3, 8), '^(0*)', 1)) + 1, 1)
+                     WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+                     WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+                     ELSE 0 END)
+                + 1.0
+         END) AS value
+  FROM events
+  GROUP BY 1, 2, 3
+"""
+
+
+def percentile_cte(step: int = PCT_STEP) -> str:
+    from ..functions.percentile_buckets import boundaries_sql_array
+
+    arr = boundaries_sql_array()
+    amount = "greatest(1, CAST(ceil(value * 10) AS BIGINT))"
+    idx = f"len(list_filter({arr}, b -> b < {amount}))"
+    return f"""
+  SELECT event_type AS k_name,
+         printf('D%04X', {idx}) AS k_percentile,
+         (epoch_ns(ts) // 1000000000 // {step}) * {step} AS t,
+         CAST(count(*) AS DOUBLE) AS value
+  FROM events
+  GROUP BY 1, 2, 3
+"""

@@ -550,6 +550,71 @@ w("named-rewrite", _match(STR, TS, ANY), _named_rewrite)
 macro("avg", ":dup,:dup,:sum,:swap,:count,:div,avg,:named-rewrite")
 macro("pct", ":dup,:dup,:sum,:div,100,:const,:mul,pct,:named-rewrite")
 
+
+def _to_pct_group(v) -> E.GroupByExpr:
+    """Rewrite the input to group on the percentile tag
+    (MathVocabulary.scala:1267-1315)."""
+    if isinstance(v, Q.Query):
+        v = E.AggrExpr(v, "sum")
+    if isinstance(v, E.AggrExpr):
+        return E.GroupByExpr(v.query, v, ("percentile",))
+    if isinstance(v, E.GroupByExpr):
+        keys = v.keys if "percentile" in v.keys else v.keys + ("percentile",)
+        return E.GroupByExpr(v.query, v.af, keys)
+    raise AslError(":percentiles requires a data aggregation input")
+
+
+def _percentiles(c: Context) -> None:
+    pcts = tuple(float(x) for x in string_list(c.pop()))
+    c.push(E.PercentilesExpr(_to_pct_group(c.pop()), pcts))
+
+
+w(
+    "percentiles",
+    lambda s: len(s) >= 2 and isinstance(s[-1], list),
+    _percentiles,
+)
+
+macro("median", "(,50,),:percentiles")
+
+
+def _to_distinct_group(v):
+    """Rewrite input to group on the distinct register tag with max merge
+    (MathVocabulary.scala:1317-1360); cumulative-max wrappers are rewritten
+    through (StatefulVocabulary.scala:70-96)."""
+    if isinstance(v, E.StatefulMathExpr) and v.op == "cumulative-max":
+        return E.StatefulMathExpr(v.op, _to_distinct_group(v.expr), v.params)
+    if isinstance(v, Q.Query):
+        v = E.AggrExpr(v, "max")
+    if isinstance(v, E.AggrExpr):
+        return E.GroupByExpr(v.query, E.AggrExpr(v.query, "max", v.offset, v.cf), ("distinct",))
+    if isinstance(v, E.GroupByExpr):
+        keys = v.keys if "distinct" in v.keys else v.keys + ("distinct",)
+        return E.GroupByExpr(v.query, E.AggrExpr(v.query, "max", v.af.offset, v.af.cf), keys)
+    raise AslError(":approx-distinct requires a data aggregation input")
+
+
+def _approx_distinct(c: Context) -> None:
+    c.push(E.ApproxDistinctExpr(_to_distinct_group(c.pop())))
+
+
+w("approx-distinct", _match(ANY), _approx_distinct)
+
+macro(
+    "approx-distinct-cumulative",
+    ":dup,:cumulative-max,:approx-distinct,approx-distinct-cumulative,:named-rewrite",
+)
+
+
+def _sample_count(c: Context) -> None:
+    hi_tok, lo_tok = c.pop(), c.pop()
+    hi = float("inf") if hi_tok in ("Infinity", "inf") else float(hi_tok)
+    lo = float(lo_tok)
+    c.push(E.SampleCountExpr(_to_pct_group(c.pop()), lo, hi))
+
+
+w("sample-count", _match(STR, STR), _sample_count)
+
 # ------------------------------------------------------------- stateful
 
 

