@@ -212,6 +212,63 @@ def distinct_cte(step: int = PCT_STEP) -> str:
 """
 
 
+def dist_datapoints(
+    spark: SparkSession, sf_dir: str, step: int = DEFAULT_STEP
+) -> DatapointSource:
+    """Spectator timer/distribution statistic series (FIXTURES.md F4): per
+    (event_type, step) four series tagged
+    statistic in {count, totalAmount, totalOfSquares, max} with
+    self-consistent values, input for the dist-* macros."""
+    from ..session import configure_existing
+
+    configure_existing(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ns = 1_000_000_000
+    base = (
+        ev.select(
+            F.col("event_type").alias("k_name"),
+            F.expr(f"ts div {ns} div {step} * {step}").alias("t"),
+            "value",
+        )
+        .groupBy("k_name", "t")
+        .agg(
+            F.count("*").cast("double").alias("_cnt"),
+            F.sum("value").alias("_sum"),
+            F.sum(F.col("value") * F.col("value")).alias("_sumsq"),
+            F.max("value").alias("_max"),
+        )
+    )
+    dp = base.selectExpr(
+        "k_name",
+        "t",
+        "stack(4, 'count', _cnt, 'totalAmount', _sum, 'totalOfSquares', _sumsq, 'max', _max) AS (k_statistic, value)",
+    )
+    return DatapointSource(
+        df=dp,
+        step=step,
+        colmap={"name": "k_name", "statistic": "k_statistic"},
+        sql_cte=dist_cte(step),
+    )
+
+
+def dist_cte(step: int = DEFAULT_STEP) -> str:
+    base = f"""
+    SELECT event_type AS k_name,
+           (epoch_ns(ts) // 1000000000 // {step}) * {step} AS t,
+           CAST(count(*) AS DOUBLE) AS cnt,
+           sum(value) AS s,
+           sum(value * value) AS sq,
+           max(value) AS mx
+    FROM events GROUP BY 1, 2
+"""
+    return f"""
+  SELECT k_name, 'count' AS k_statistic, t, cnt AS value FROM ({base})
+  UNION ALL SELECT k_name, 'totalAmount', t, s FROM ({base})
+  UNION ALL SELECT k_name, 'totalOfSquares', t, sq FROM ({base})
+  UNION ALL SELECT k_name, 'max', t, mx FROM ({base})
+"""
+
+
 def percentile_cte(step: int = PCT_STEP) -> str:
     from ..functions.percentile_buckets import boundaries_sql_array
 

@@ -546,9 +546,31 @@ def _named_rewrite(c: Context) -> None:
 
 w("named-rewrite", _match(STR, TS, ANY), _named_rewrite)
 
-# macros with display preservation (MathVocabulary.scala:92-171)
+# macros with display preservation (MathVocabulary.scala:92-275).  The
+# stack programs mirror the reference macro definitions (they are the
+# public ASL expansion of these operators).
 macro("avg", ":dup,:dup,:sum,:swap,:count,:div,avg,:named-rewrite")
 macro("pct", ":dup,:dup,:sum,:div,100,:const,:mul,pct,:named-rewrite")
+macro(
+    "stddev",
+    ":dup,0,:fadd,:dup,:count,:over,:dup,:mul,:sum,:mul,:over,:sum,:dup,:mul,"
+    ":sub,:swap,:count,:dup,:mul,:div,:sqrt,stddev,:named-rewrite",
+)
+macro(
+    "dist-avg",
+    ":dup,statistic,(,totalTime,totalAmount,),:in,:sum,"
+    "statistic,count,:eq,:sum,:div,:swap,:cq,dist-avg,:named-rewrite",
+)
+macro(
+    "dist-max",
+    ":dup,statistic,max,:eq,:max,:swap,:cq,dist-max,:named-rewrite",
+)
+macro(
+    "dist-stddev",
+    ":dup,statistic,count,:eq,:sum,statistic,totalOfSquares,:eq,:sum,:mul,"
+    "statistic,(,totalAmount,totalTime,),:in,:sum,:dup,:mul,:sub,"
+    "statistic,count,:eq,:sum,:dup,:mul,:div,:sqrt,:swap,:cq,dist-stddev,:named-rewrite",
+)
 
 
 def _to_pct_group(v) -> E.GroupByExpr:

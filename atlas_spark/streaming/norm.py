@@ -1,0 +1,105 @@
+"""Ingest normalization — counter->rate, gauge dedup, rolling sum.
+
+Mirror of the reference's publish-path normalization
+(`atlas-core/.../norm/NormalizationCache.scala:57-108`):
+
+  - counters ("rate" dsType): publishers send cumulative counts; the
+    stored value is the per-second rate `delta / delta_t`
+    (`RateValueFunction.scala`); negative deltas (counter reset) clamp
+    to 0
+  - gauges: duplicate publishes in one step keep the max
+  - sums: multiple deltas in one step add
+
+Batch versions are plain window/group expressions.  The streaming
+counter->rate keeps (last_ts, last_value) per series via
+`applyInPandasWithState` — state scales with the number of live
+series, partitioned across executors by the series key.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame, Window
+
+RATE_SCHEMA = T.StructType(
+    [
+        T.StructField("series", T.StringType()),
+        T.StructField("t", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_t", T.LongType()),
+        T.StructField("last_v", T.DoubleType()),
+    ]
+)
+
+
+def counter_to_rate_batch(df: DataFrame, series_cols: list[str]) -> DataFrame:
+    """Batch counter->rate: per-series ordered delta / dt, resets clamp to 0.
+
+    Input: [series_cols..., t (epoch sec), value (cumulative count)].
+    """
+    w = Window.partitionBy(*series_cols).orderBy("t")
+    prev_v = F.lag("value").over(w)
+    prev_t = F.lag("t").over(w)
+    rate = F.when(
+        prev_v.isNull() | prev_t.isNull(), F.lit(None).cast("double")
+    ).otherwise(
+        F.greatest(F.col("value") - prev_v, F.lit(0.0)) / (F.col("t") - prev_t)
+    )
+    return df.withColumn("value", rate).filter(F.col("value").isNotNull())
+
+
+def gauge_dedup_batch(df: DataFrame, series_cols: list[str], step: int) -> DataFrame:
+    """Gauge normalization: duplicate publishes within a step keep the max
+    (`AggrDatapoint.scala:195-222` GaugeSumAggregator dedup)."""
+    tcell = (F.col("t") - F.col("t") % step).alias("t")
+    return df.groupBy(*series_cols, tcell).agg(F.max("value").alias("value"))
+
+
+def sum_rollup_batch(df: DataFrame, series_cols: list[str], step: int) -> DataFrame:
+    """Sum normalization: deltas within a step add."""
+    tcell = (F.col("t") - F.col("t") % step).alias("t")
+    return df.groupBy(*series_cols, tcell).agg(F.sum("value").alias("value"))
+
+
+def counter_to_rate_stream(df: DataFrame, timeout_s: int = 3600) -> DataFrame:
+    """Streaming counter->rate with per-series state.
+
+    Input stream schema: [series string, t long, value double] (cumulative).
+    Output: [series, t, value (rate/sec)].  State = last (t, value) pair per
+    series; series idle past `timeout_s` are expired (heartbeat expiry in
+    NormalizationCache).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs: Iterator["pd.DataFrame"], state) -> Iterator["pd.DataFrame"]:
+        rows = pd.concat(list(pdfs)).sort_values("t")
+        if state.exists:
+            last_t, last_v = state.get
+        else:
+            last_t, last_v = None, None
+        out_t, out_v = [], []
+        for t, v in zip(rows["t"], rows["value"]):
+            if last_t is not None and t > last_t:
+                delta = max(v - last_v, 0.0)
+                out_t.append(t)
+                out_v.append(delta / (t - last_t))
+            last_t, last_v = int(t), float(v)
+        state.update((last_t, last_v))
+        yield pd.DataFrame({"series": key[0], "t": out_t, "value": out_v})
+
+    return df.groupBy("series").applyInPandasWithState(
+        update,
+        outputStructType=RATE_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,180 @@
+"""Streaming evaluator tests — TimeGrouped/watermark semantics and
+counter->rate normalization state.
+
+Uses a file stream fed chunk-by-chunk with `processAllAvailable()`
+between chunks so watermark advancement is deterministic.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pyspark.sql.functions as F
+import pytest
+
+from atlas_spark.streaming.evaluator import StreamingEvaluator
+from atlas_spark.streaming.norm import counter_to_rate_batch, gauge_dedup_batch
+
+STEP = 3600
+
+
+@pytest.fixture()
+def stream_dirs():
+    d_in = tempfile.mkdtemp(prefix="atlas_stream_in_")
+    d_ck = tempfile.mkdtemp(prefix="atlas_stream_ck_")
+    yield d_in, d_ck
+    shutil.rmtree(d_in, ignore_errors=True)
+    shutil.rmtree(d_ck, ignore_errors=True)
+
+
+def _dp_rows(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select(
+        F.col("event_type").alias("k_name"),
+        F.timestamp_seconds(F.expr("ts div 1000000000")).alias("ts"),
+        "value",
+    )
+
+
+def test_stream_matches_batch(spark, stream_dirs):
+    d_in, d_ck = stream_dirs
+    sf_dir = "/root/testdata/sf0.001"
+    dp = _dp_rows(spark, sf_dir).orderBy("ts")
+    pdf = dp.toPandas()
+    n = len(pdf)
+    chunks = [pdf.iloc[: n // 3], pdf.iloc[n // 3 : 2 * n // 3], pdf.iloc[2 * n // 3 :]]
+
+    sev = StreamingEvaluator(
+        spark, ":true,:sum,(,name,),:by", STEP, {"name": "k_name"}, num_buffers=2
+    )
+    stream = (
+        spark.readStream.schema("k_name string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d_in)
+    )
+    spark.createDataFrame(chunks[0]).coalesce(1).write.mode("append").parquet(d_in)
+    q = sev.start(stream)
+    try:
+        q.processAllAvailable()
+        for c in chunks[1:]:
+            spark.createDataFrame(c).coalesce(1).write.mode("append").parquet(d_in)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert len(sev.results) > 0
+    # batch truth: per (name, step) sums
+    truth = {
+        (r["k_name"], r["t"]): r["value"]
+        for r in dp.select(
+            "k_name",
+            (F.unix_timestamp("ts") - F.unix_timestamp("ts") % STEP).alias("t"),
+            "value",
+        )
+        .groupBy("k_name", "t")
+        .agg(F.sum("value").alias("value"))
+        .collect()
+    }
+    for row in sev.results:
+        key = (row["name"], row["t"])
+        assert key in truth
+        assert abs(row["value"] - truth[key]) < 1e-6, key
+    # no duplicate emissions per (name, t)
+    seen = [(r["name"], r["t"]) for r in sev.results]
+    assert len(seen) == len(set(seen))
+
+
+def test_late_data_dropped(spark, stream_dirs):
+    """Rows older than the watermark (numBuffers*step) are dropped, like
+    TimeGrouped droppedOld."""
+    import pandas as pd
+
+    d_in, d_ck = stream_dirs
+    base = 1704067200
+    mk = lambda ts_s, v: {"k_name": "a", "ts": pd.Timestamp(ts_s, unit="s"), "value": v}  # noqa: E731
+
+    sev = StreamingEvaluator(
+        spark, "name,a,:eq,:sum", STEP, {"name": "k_name"}, num_buffers=1
+    )
+    stream = (
+        spark.readStream.schema("k_name string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d_in)
+    )
+    # chunk 1: hours 0..4 -> watermark ends up at hour 4 - 1h
+    c1 = pd.DataFrame([mk(base + h * STEP + 60, 1.0) for h in range(5)])
+    spark.createDataFrame(c1).coalesce(1).write.mode("append").parquet(d_in)
+    q = sev.start(stream, query_name="late_test")
+    try:
+        q.processAllAvailable()
+        finalized = {r["t"]: r["value"] for r in sev.results}
+        assert finalized, "expected finalized intervals after chunk 1"
+        # chunk 2: late row into hour 0 (far beyond watermark) + fresh row hour 5
+        c2 = pd.DataFrame([mk(base + 120, 99.0), mk(base + 5 * STEP + 60, 1.0)])
+        spark.createDataFrame(c2).coalesce(1).write.mode("append").parquet(d_in)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    after = {r["t"]: r["value"] for r in sev.results}
+    # hour-0 value unchanged (late row dropped), no duplicate emission
+    assert after[base] == finalized[base] == 1.0
+    ts = [r["t"] for r in sev.results]
+    assert len(ts) == len(set(ts))
+
+
+def test_counter_to_rate_batch(spark):
+    rows = [("s1", 0, 0.0), ("s1", 60, 120.0), ("s1", 120, 300.0), ("s1", 180, 100.0)]
+    df = spark.createDataFrame(rows, "series string, t long, value double")
+    out = {
+        r["t"]: r["value"]
+        for r in counter_to_rate_batch(df, ["series"]).collect()
+    }
+    assert out == {60: 2.0, 120: 3.0, 180: 0.0}  # reset clamps to 0
+
+
+def test_gauge_dedup_batch(spark):
+    rows = [("g", 30, 5.0), ("g", 45, 9.0), ("g", 70, 2.0)]
+    df = spark.createDataFrame(rows, "series string, t long, value double")
+    out = {r["t"]: r["value"] for r in gauge_dedup_batch(df, ["series"], 60).collect()}
+    assert out == {0: 9.0, 60: 2.0}
+
+
+def test_counter_to_rate_stream(spark, stream_dirs):
+    """State carries across micro-batches: delta across the chunk boundary
+    is computed from the last value of the previous chunk."""
+    import pandas as pd
+
+    from atlas_spark.streaming.norm import counter_to_rate_stream
+
+    d_in, d_ck = stream_dirs
+    c1 = pd.DataFrame({"series": ["s"] * 3, "t": [0, 60, 120], "value": [0.0, 60.0, 180.0]})
+    c2 = pd.DataFrame({"series": ["s"] * 2, "t": [180, 240], "value": [300.0, 240.0]})
+
+    stream = (
+        spark.readStream.schema("series string, t long, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d_in)
+    )
+    rates = counter_to_rate_stream(stream)
+    collected = []
+
+    def sink(batch_df, _bid):
+        collected.extend(batch_df.collect())
+
+    spark.createDataFrame(c1).coalesce(1).write.mode("append").parquet(d_in)
+    q = (
+        rates.writeStream.outputMode("append")
+        .option("checkpointLocation", d_ck)
+        .foreachBatch(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(c2).coalesce(1).write.mode("append").parquet(d_in)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = {r["t"]: r["value"] for r in collected}
+    # 180: (300-180)/60 = 2.0 uses state from chunk 1; 240: reset -> 0
+    assert out == {60: 1.0, 120: 2.0, 180: 2.0, 240: 0.0}
