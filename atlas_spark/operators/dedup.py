@@ -41,83 +41,35 @@ GROUP BY sha256(text)
 
 
 def ngram_shingles(df: DataFrame, n: int = 3) -> DataFrame:
-    """Word n-gram shingle set per doc (input for Jaccard / MinHash)."""
+    """Word n-gram shingle set per doc, hashed to 64-bit ids (input for
+    Jaccard / MinHash).  Hashing keeps shuffle keys and set-intersection
+    elements fixed-width."""
     words = F.split(F.col("text"), " ")
     idx = F.sequence(F.lit(0), F.size(words) - n)
-    shingle = lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))  # noqa: E731
     return df.select(
         "doc_id",
         F.array_distinct(
-            F.transform(idx, lambda i: F.concat_ws("", F.slice(words, i + 1, n)))
+            F.transform(
+                idx,
+                lambda i: F.xxhash64(F.concat_ws("\x1f", F.slice(words, i + 1, n))),
+            )
         ).alias("shingles"),
     )
 
 
-def ngram_jaccard_pairs(
-    spark: SparkSession, sf_dir: str, n: int = 3, threshold: float = 0.5
-) -> DataFrame:
-    """Near-duplicate pairs by exact n-gram Jaccard.
+def _minhash_bands(sh: DataFrame, num_hashes: int = 32, bands: int = 16) -> DataFrame:
+    """doc -> (band, bucket) rows: minhash signature -> banded for LSH.
 
-    Candidate generation: explode shingles and join on shingle (docs
-    sharing at least one shingle), then exact Jaccard on the candidate
-    pairs.  At scale the shingle join replaces the quadratic cross join;
-    frequent-shingle skew is bounded by dropping shingles appearing in more
-    than `max_df` docs (standard LSH trick).
-    """
-    docs = load_documents(spark, sf_dir)
-    sh = ngram_shingles(docs, n).withColumn("n_sh", F.size("shingles"))
-    ex = sh.select("doc_id", "n_sh", F.explode("shingles").alias("s"))
-    # bound worst-case skew: drop shingles present in >1% of docs (min 100)
-    total = docs.count()
-    max_df = max(100, total // 100)
-    freq = ex.groupBy("s").agg(F.count("*").alias("df")).filter(F.col("df") <= max_df)
-    ex = ex.join(F.broadcast(freq.select("s")), on="s")
-    pairs = (
-        ex.alias("a")
-        .join(ex.alias("b"), on="s")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.col("a.n_sh").alias("n_a"),
-            F.col("b.n_sh").alias("n_b"),
-        )
-        .agg(F.count("*").alias("inter"))
-        .withColumn(
-            "jaccard",
-            F.round(F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
-    return pairs
-
-
-def minhash_lsh_candidates(
-    spark: SparkSession, sf_dir: str, n: int = 3, num_hashes: int = 32, bands: int = 8
-) -> DataFrame:
-    """MinHash + LSH banding candidate pairs.
-
-    shingle -> 64-bit hash -> per-permutation min  -> band signature ->
-    bucket join.  All JVM-side (`xxhash64` + higher-order array functions);
-    no Python in the loop.
+    Shingles are exploded once and all `num_hashes` permutation minima are
+    computed in a single hash-aggregate (narrow agg expressions in
+    whole-stage codegen) — far cheaper than per-row nested array folds.
     """
     rows_per_band = num_hashes // bands
-    docs = load_documents(spark, sf_dir)
-    sh = ngram_shingles(docs, n)
-    # minhash signature: for seed i, min over shingles of xxhash64(s, i)
-    sig = sh.select(
-        "doc_id",
-        F.array(
-            *[
-                F.array_min(
-                    F.transform(F.col("shingles"), lambda s: F.xxhash64(s, F.lit(i)))
-                ).alias(f"h{i}")
-                for i in range(num_hashes)
-            ]
-        ).alias("sig"),
+    feats = sh.select("doc_id", F.explode("shingles").alias("s"))
+    sig = feats.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
     )
-    bands_df = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -125,13 +77,10 @@ def minhash_lsh_candidates(
                     F.struct(
                         F.lit(b).alias("band"),
                         F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col("sig")[b * rows_per_band + r].cast("string")
-                                    for r in range(rows_per_band)
-                                ],
-                            )
+                            *[
+                                F.col(f"h{b * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ]
                         ).alias("bucket"),
                     )
                     for b in range(bands)
@@ -139,16 +88,62 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
-    cand = (
-        bands_df.alias("a")
-        .join(bands_df.alias("b"), on=["band", "bucket"])
+
+
+def _band_candidates(bands_df: DataFrame) -> DataFrame:
+    b = bands_df.select("doc_id", "band", "bucket")
+    return (
+        b.alias("a")
+        .join(b.alias("b"), on=["band", "bucket"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
-        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
-    return cand
+
+
+def minhash_lsh_candidates(
+    spark: SparkSession, sf_dir: str, n: int = 3, num_hashes: int = 32, bands: int = 16
+) -> DataFrame:
+    """MinHash + LSH banding candidate pairs.
+
+    shingle-hash -> per-permutation min -> band signature -> bucket join.
+    Docs only meet inside a bucket, never all-pairs; the band join
+    shuffles fixed-width longs.  16 bands x 2 rows catches Jaccard>=0.5
+    pairs with P~0.99.
+    """
+    docs = load_documents(spark, sf_dir)
+    return _band_candidates(_minhash_bands(ngram_shingles(docs, n), num_hashes, bands))
+
+
+def ngram_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Near-duplicate pairs: MinHash-LSH candidates + exact n-gram Jaccard
+    verification on the candidate pairs only.
+
+    The standard scalable shape: candidate generation is sub-quadratic
+    (band-bucket join), verification is an exact `array_intersect` over
+    hashed shingle arrays for candidates only.  A shingle-explode
+    self-join would pay k^2 rows for any shingle shared by k docs; here
+    bucket membership is signature-bounded.
+    """
+    docs = load_documents(spark, sf_dir)
+    sh = ngram_shingles(docs, n)
+    cand = _band_candidates(_minhash_bands(sh, 32, 16))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    return (
+        cand.join(a, on="id_a")
+        .join(b, on="id_b")
+        .withColumn(
+            "jaccard",
+            F.round(inter / (F.size("sh_a") + F.size("sh_b") - inter), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
 
 
 def simhash(spark: SparkSession, sf_dir: str, bits: int = 64) -> DataFrame:
@@ -158,25 +153,26 @@ def simhash(spark: SparkSession, sf_dir: str, bits: int = 64) -> DataFrame:
     as array ops; the per-bit fold stays in codegen.
     """
     docs = load_documents(spark, sf_dir)
-    words = F.array_distinct(F.split(F.col("text"), " "))
-    hashed = F.transform(words, lambda w: F.xxhash64(w))
-    # bit i of the simhash = sign of sum over features of (bit i ? 1 : -1);
-    # bit positions are compile-time literals so the whole fold stays in
-    # codegen (one aggregate per bit over the word-hash array)
-    def bit_vote(i: int):
-        def merge(acc, h):
-            return acc + F.when(
-                F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1)
-
-        return F.aggregate(hashed, F.lit(0), merge)
-
+    # explode distinct word features once, then a single hash-aggregate
+    # computing all 64 bit votes (sum of +/-1 per bit) — one shuffle keyed
+    # on doc_id, 64 narrow agg expressions in whole-stage codegen
+    feats = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("w"),
+    ).select("doc_id", F.xxhash64("w").alias("h"))
+    votes = feats.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(bits)
+        ]
+    )
     sim = F.lit(0).cast("long")
     for i in range(bits):
-        vote = bit_vote(i)
         sim = sim.bitwiseOR(
-            F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-                F.lit(0).cast("long")
-            )
+            F.when(
+                F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+            ).otherwise(F.lit(0).cast("long"))
         )
-    return docs.select("doc_id", sim.alias("simhash"))
+    return votes.select("doc_id", sim.alias("simhash"))

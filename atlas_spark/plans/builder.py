@@ -104,7 +104,10 @@ def query_to_column(q: Q.Query, source: DatapointSource):
             return ~F.coalesce(go(q.q), F.lit(False))
         raise TypeError(f"unknown query node {q!r}")
 
-    return F.coalesce(go(q), F.lit(False))
+    # No outer coalesce: SQL filter semantics already drop NULL results, and
+    # a coalesce wrapper would block predicate pushdown into the scan
+    # (PushedFilters would show nothing).  NOT is handled above.
+    return go(q)
 
 
 _AGG = {
@@ -234,9 +237,9 @@ class Evaluator:
             off = e.af.offset
         offset = off // self.ctx.step  # whole steps
         ctx = self.ctx.with_offset(offset) if offset else self.ctx
-        df = self.source.df.filter(
-            (F.col("t") >= ctx.start) & (F.col("t") < ctx.end)
-        ).filter(query_to_column(e.query, self.source))
+        df = self.source.ranged_df(ctx.start, ctx.end).filter(
+            query_to_column(e.query, self.source)
+        )
         if offset:
             # report shifted data at the unshifted timestamp
             # (MemoryDatabase.scala:288-297)

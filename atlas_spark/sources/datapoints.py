@@ -43,6 +43,12 @@ class DatapointSource:
     step: int
     colmap: dict[str, str]  # tag key -> column name in df
     sql_cte: str  # DuckDB SQL producing the same relation (same col names)
+    # Optional time-range scan builder: (lo_sec, hi_sec) -> DataFrame with
+    # the range predicate applied to the RAW timestamp column *before* any
+    # rollup, so Parquet row-group stats prune the scan.  Without it the
+    # evaluator filters the derived `t` column post-projection, which
+    # cannot use scan statistics.
+    ranged: "object" = None
 
     @property
     def tag_keys(self) -> tuple[str, ...]:
@@ -51,6 +57,11 @@ class DatapointSource:
     def tag_col(self, key: str) -> F.Column | None:
         c = self.colmap.get(key)
         return F.col(c) if c is not None else None
+
+    def ranged_df(self, lo: int, hi: int) -> DataFrame:
+        if self.ranged is not None:
+            return self.ranged(lo, hi)
+        return self.df.filter((F.col("t") >= lo) & (F.col("t") < hi))
 
 
 def events_datapoints(spark: SparkSession, sf_dir: str, step: int = DEFAULT_STEP) -> DatapointSource:
@@ -68,30 +79,29 @@ def events_datapoints(spark: SparkSession, sf_dir: str, step: int = DEFAULT_STEP
     configure_existing(spark)
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     ns = 1_000_000_000
-    dp = (
-        ev.select(
-            F.col("event_type").alias("k_name"),
-            F.concat(F.lit("u"), (F.col("user_id") % 8).cast("string")).alias("k_bucket"),
-            # exact integer arithmetic on epoch-nanos (no double rounding)
-            F.expr(f"ts div {ns} div {step} * {step}").alias("t"),
-            F.col("value"),
+
+    def build(ev_df: DataFrame) -> DataFrame:
+        return (
+            ev_df.select(
+                F.col("event_type").alias("k_name"),
+                F.concat(F.lit("u"), (F.col("user_id") % 8).cast("string")).alias("k_bucket"),
+                # exact integer arithmetic on epoch-nanos (no double rounding)
+                F.expr(f"ts div {ns} div {step} * {step}").alias("t"),
+                F.col("value"),
+            )
+            .groupBy("k_name", "k_bucket", "t")
+            .agg(F.sum("value").alias("value"))
         )
-        .groupBy("k_name", "k_bucket", "t")
-        .agg(F.sum("value").alias("value"))
-    )
-    cte = f"""
-  SELECT event_type AS k_name,
-         'u' || CAST(user_id % 8 AS VARCHAR) AS k_bucket,
-         (epoch_ns(ts) // 1000000000 // {step}) * {step} AS t,
-         sum(value) AS value
-  FROM events
-  GROUP BY 1, 2, 3
-"""
+
     return DatapointSource(
-        df=dp,
+        df=build(ev),
         step=step,
         colmap={"name": "k_name", "bucket": "k_bucket"},
-        sql_cte=cte,
+        sql_cte=events_cte(step),
+        # raw-ts bounds reach the parquet scan (row-group pruning)
+        ranged=lambda lo, hi: build(
+            ev.filter((F.col("ts") >= lo * ns) & (F.col("ts") < hi * ns))
+        ),
     )
 
 
@@ -131,20 +141,26 @@ def percentile_datapoints(
     amount = F.greatest(F.lit(1), F.ceil(F.col("value") * 10).cast("long"))
     barr = F.array(*[F.lit(b) for b in BOUNDARIES])
     idx = F.size(F.filter(barr, lambda b: b < amount))
-    dp = (
-        ev.select(
-            F.col("event_type").alias("k_name"),
-            F.format_string("D%04X", idx).alias("k_percentile"),
-            F.expr(f"ts div {ns} div {step} * {step}").alias("t"),
+
+    def build(ev_df):
+        return (
+            ev_df.select(
+                F.col("event_type").alias("k_name"),
+                F.format_string("D%04X", idx).alias("k_percentile"),
+                F.expr(f"ts div {ns} div {step} * {step}").alias("t"),
+            )
+            .groupBy("k_name", "k_percentile", "t")
+            .agg(F.count("*").cast("double").alias("value"))
         )
-        .groupBy("k_name", "k_percentile", "t")
-        .agg(F.count("*").cast("double").alias("value"))
-    )
+
     return DatapointSource(
-        df=dp,
+        df=build(ev),
         step=step,
         colmap={"name": "k_name", "percentile": "k_percentile"},
         sql_cte=percentile_cte(step),
+        ranged=lambda lo, hi: build(
+            ev.filter((F.col("ts") >= lo * ns) & (F.col("ts") < hi * ns))
+        ),
     )
 
 
@@ -175,21 +191,26 @@ def distinct_datapoints(
         .otherwise(0)
     )
     rho = F.when(z == 8, F.lit(33)).otherwise(4 * z + extra + 1)
-    dp = (
-        ev.select(
-            F.col("event_type").alias("k_name"),
-            F.format_string("R%02X", reg).alias("k_distinct"),
-            F.expr(f"ts div {ns} div {step} * {step}").alias("t"),
-            rho.cast("double").alias("rho"),
+    def build(ev_df):
+        return (
+            ev_df.select(
+                F.col("event_type").alias("k_name"),
+                F.format_string("R%02X", reg).alias("k_distinct"),
+                F.expr(f"ts div {ns} div {step} * {step}").alias("t"),
+                rho.cast("double").alias("rho"),
+            )
+            .groupBy("k_name", "k_distinct", "t")
+            .agg(F.max("rho").alias("value"))
         )
-        .groupBy("k_name", "k_distinct", "t")
-        .agg(F.max("rho").alias("value"))
-    )
+
     return DatapointSource(
-        df=dp,
+        df=build(ev),
         step=step,
         colmap={"name": "k_name", "distinct": "k_distinct"},
         sql_cte=distinct_cte(step),
+        ranged=lambda lo, hi: build(
+            ev.filter((F.col("ts") >= lo * ns) & (F.col("ts") < hi * ns))
+        ),
     )
 
 
@@ -224,30 +245,35 @@ def dist_datapoints(
     configure_existing(spark)
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     ns = 1_000_000_000
-    base = (
-        ev.select(
-            F.col("event_type").alias("k_name"),
-            F.expr(f"ts div {ns} div {step} * {step}").alias("t"),
-            "value",
+    def build(ev_df):
+        base = (
+            ev_df.select(
+                F.col("event_type").alias("k_name"),
+                F.expr(f"ts div {ns} div {step} * {step}").alias("t"),
+                "value",
+            )
+            .groupBy("k_name", "t")
+            .agg(
+                F.count("*").cast("double").alias("_cnt"),
+                F.sum("value").alias("_sum"),
+                F.sum(F.col("value") * F.col("value")).alias("_sumsq"),
+                F.max("value").alias("_max"),
+            )
         )
-        .groupBy("k_name", "t")
-        .agg(
-            F.count("*").cast("double").alias("_cnt"),
-            F.sum("value").alias("_sum"),
-            F.sum(F.col("value") * F.col("value")).alias("_sumsq"),
-            F.max("value").alias("_max"),
+        return base.selectExpr(
+            "k_name",
+            "t",
+            "stack(4, 'count', _cnt, 'totalAmount', _sum, 'totalOfSquares', _sumsq, 'max', _max) AS (k_statistic, value)",
         )
-    )
-    dp = base.selectExpr(
-        "k_name",
-        "t",
-        "stack(4, 'count', _cnt, 'totalAmount', _sum, 'totalOfSquares', _sumsq, 'max', _max) AS (k_statistic, value)",
-    )
+
     return DatapointSource(
-        df=dp,
+        df=build(ev),
         step=step,
         colmap={"name": "k_name", "statistic": "k_statistic"},
         sql_cte=dist_cte(step),
+        ranged=lambda lo, hi: build(
+            ev.filter((F.col("ts") >= lo * ns) & (F.col("ts") < hi * ns))
+        ),
     )
 
 
