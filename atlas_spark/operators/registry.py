@@ -7,7 +7,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import dedup, multimodal, similarity, text
+from . import dedup, langid, multimodal, relational, similarity, text
 
 
 @dataclass
@@ -29,4 +29,10 @@ SPECS: list[OpSpec] = [
     OpSpec("op_simhash", dedup.simhash, None),
     OpSpec("op_media_features", multimodal.extract_media_features, multimodal.EXTRACT_MEDIA_SQL),
     OpSpec("op_lsh_topk", similarity.lsh_bucketed_topk, None),
+    OpSpec("op_lang_id", langid.lang_id, langid.lang_id_sql()),
+    OpSpec("rel_pricing_summary", relational.pricing_summary, relational.PRICING_SUMMARY_SQL),
+    OpSpec("rel_revenue_by_nation", relational.revenue_by_nation, relational.REVENUE_BY_NATION_SQL),
+    OpSpec("rel_top_customers", relational.top_customers, relational.TOP_CUSTOMERS_SQL),
+    OpSpec("rel_order_priority", relational.order_priority_counts, relational.ORDER_PRIORITY_SQL),
+    OpSpec("rel_part_supplier", relational.part_supplier_stats, relational.PART_SUPPLIER_SQL),
 ]

@@ -573,6 +573,14 @@ macro(
 )
 
 
+# trig macros (MathVocabulary.scala:276-315)
+macro("cos", ":pi,2,:div,:swap,:sub,:sin")
+macro("tan", ":dup,:sin,:swap,:cos,:div")
+macro("cot", ":dup,:cos,:swap,:sin,:div")
+macro("sec", "1,:swap,:cos,:div")
+macro("csc", "1,:swap,:sin,:div")
+
+
 def _to_pct_group(v) -> E.GroupByExpr:
     """Rewrite the input to group on the percentile tag
     (MathVocabulary.scala:1267-1315)."""
@@ -688,6 +696,23 @@ def _des(op: str):
 
 w("des", _match(NUM, NUM, INT, TS), _des("des"))
 w("sdes", _match(NUM, NUM, INT, TS), _des("sdes"))
+
+# DES alerting band signal (StatefulVocabulary.scala:664-763): the stack
+# program is the reference's public macro expansion, verbatim.
+macro(
+    "des-epic-signal",
+    "noise,:sset,minPercent,:sset,maxPercent,:sset,beta,:sset,alpha,:sset,"
+    "trainingSize,:sset,line,:sset,"
+    "pred,line,:get,trainingSize,:get,alpha,:get,beta,:get,:des,:set,"
+    "minPredNoiseBound,pred,:get,noise,:get,:sub,:set,"
+    "minPredPercentBound,pred,:get,1.0,:const,minPercent,:get,:const,:fsub,:fmul,:set,"
+    "maxPredNoiseBound,pred,:get,noise,:get,:add,:set,"
+    "maxPredPercentBound,pred,:get,2.0,:const,1.0,:const,maxPercent,:get,:const,:fsub,:fsub,:fmul,:set,"
+    "line,:get,minPredNoiseBound,:get,:lt,"
+    "line,:get,minPredPercentBound,:get,:lt,:and,"
+    "line,:get,maxPredNoiseBound,:get,:gt,"
+    "line,:get,maxPredPercentBound,:get,:gt,:and,:or",
+)
 
 # preset macros (StatefulVocabulary.scala:53-60)
 for _nm, _ps in (

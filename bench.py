@@ -22,18 +22,26 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 # representative mix: scan+agg, group-by, grouped join, window/stateful,
-# top-k, dedup, minhash LSH, similarity search, simhash
+# top-k, sketches, dedup, minhash LSH, similarity search, simhash,
+# relational joins over the 600k-row fact table
 HEADLINE = [
     "data_by_sum",
     "math_grouped_join",
     "math_pct",
     "st_rolling_sum",
     "f_topk_others",
+    "pct_percentiles",
+    "ad_distinct",
     "op_dedup_exact",
     "op_ngram_jaccard",
     "op_minhash_candidates",
     "op_cosine_topk",
     "op_simhash",
+    "op_lang_id",
+    "rel_pricing_summary",
+    "rel_revenue_by_nation",
+    "rel_top_customers",
+    "rel_order_priority",
 ]
 
 
