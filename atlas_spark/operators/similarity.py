@@ -82,6 +82,63 @@ LIMIT {k}
 """
 
 
+def embedding_near_dup(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.35
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs.
+
+    Exact all-pairs at oracle scale; the scale path swaps the pair source
+    for LSH bucket candidates (`lsh_bucketed_topk` machinery) — the
+    verification expression is identical.  Label equality is reported so
+    dedup quality can be judged against ground truth.
+    """
+    emb = load_embeddings(spark, sf_dir)
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"), F.col("label").alias("l_a")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"), F.col("label").alias("l_b")
+    )
+    sim = _dot(F.col("e_a"), F.col("e_b")) / (
+        F.sqrt(_dot(F.col("e_a"), F.col("e_a"))) * F.sqrt(_dot(F.col("e_b"), F.col("e_b")))
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.round(sim, 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            "cos_sim",
+            (F.col("l_a") == F.col("l_b")).cast("int").alias("same_label"),
+        )
+    )
+
+
+def embedding_near_dup_sql(threshold: float = 0.35, dim: int = 64) -> str:
+    dot = (
+        "list_sum(list_transform(range(1, {d} + 1), "
+        "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+    ).format(d=dim)
+    na = (
+        "sqrt(list_sum(list_transform(range(1, {d} + 1), "
+        "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))"
+    ).format(d=dim)
+    nb = (
+        "sqrt(list_sum(list_transform(range(1, {d} + 1), "
+        "i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))"
+    ).format(d=dim)
+    return f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({dot} / ({na} * {nb}), 6) AS cos_sim,
+       CAST(a.label = b.label AS INTEGER) AS same_label
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND round({dot} / ({na} * {nb}), 6) >= {threshold}
+"""
+
+
 def lsh_bucketed_topk(
     spark: SparkSession, sf_dir: str, query_id: int = 0, k: int = 10, planes: int = 12
 ) -> DataFrame:
