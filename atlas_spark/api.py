@@ -121,9 +121,33 @@ class Engine:
 
         lines: list[GraphLine] = []
         for se in exprs:
-            rf = ev.eval(se)
-            lines.extend(self._collect_lines(se, rf, ctx))
+            for se2, off_label in self._expand_offsets(se):
+                rf = ev.eval(se2)
+                for ln in self._collect_lines(se2, rf, ctx):
+                    if off_label:
+                        ln.tags["atlas.offset"] = off_label
+                        ln.label += f" (offset={off_label})"
+                    lines.append(ln)
         return GraphResult(ctx.start, ctx.end, ctx.step, lines)
+
+    @staticmethod
+    def _expand_offsets(se: E.StyleExpr):
+        """Legacy list-offset: one evaluation per offset in the list
+        (StyleExpr.scala:178-200 perOffset)."""
+        s = se.settings_dict() if isinstance(se, E.StyleExpr) else {}
+        off = s.get("offset", "")
+        if not (off.startswith("(,") and off.endswith(",)")):
+            return [(se, None)]
+        from .stacklang.vocab import apply_offset
+
+        out = []
+        for tok in (t for t in off[2:-2].split(",") if t):
+            d = parse_duration(tok)
+            settings = tuple((k, v) for k, v in se.settings if k != "offset")
+            out.append(
+                (E.StyleExpr(apply_offset(se.expr, d), settings), tok if d else None)
+            )
+        return out
 
     def fetch(self, uri: str) -> DataFrame:
         """Data-only endpoint: returns the result DataFrame(s) unioned with

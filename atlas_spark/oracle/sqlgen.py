@@ -67,6 +67,7 @@ _AGG_SQL = {
     "count": "count({v})",
     "min": "min({v})",
     "max": "max({v})",
+    "avg": "avg({v})",  # :topk-others-avg / :bottomk-others-avg
 }
 
 _STAT_SQL = {
@@ -556,6 +557,7 @@ def _time_sql(mode: str) -> str:
         "minuteOfHour": "(t % 3600) / 60",
         "minuteOfDay": "(t % 86400) / 60",
         "hourOfDay": "(t % 86400) / 3600",
+        "dayOfWeek": f"isodow({ts})",  # ISO Monday=1..Sunday=7
         "dayOfMonth": f"day({ts})",
         "dayOfYear": f"dayofyear({ts})",
         "monthOfYear": f"month({ts})",

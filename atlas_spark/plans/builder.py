@@ -115,6 +115,9 @@ _AGG = {
     "count": lambda c: F.count(c),
     "min": lambda c: F.min(c),
     "max": lambda c: F.max(c),
+    # used by :topk-others-avg / :bottomk-others-avg (AvgAggregator:
+    # null-skipping mean across lines)
+    "avg": lambda c: F.avg(c),
 }
 
 _STAT_FUNS = {
@@ -294,7 +297,9 @@ class Evaluator:
             "minuteOfHour": (t % 3600) / F.lit(60),
             "minuteOfDay": (t % 86400) / F.lit(60),
             "hourOfDay": (t % 86400) / F.lit(3600),
-            "dayOfWeek": (F.dayofweek(ts) + 5) % 7,  # ISO: Mon=0..Sun=6? see note
+            # java.time ChronoField.DAY_OF_WEEK: ISO Monday=1..Sunday=7
+            # (MathExpr.scala:179-237); Spark dayofweek is Sunday=1
+            "dayOfWeek": (F.dayofweek(ts) + 5) % 7 + 1,
             "dayOfMonth": F.dayofmonth(ts),
             "dayOfYear": F.dayofyear(ts),
             "monthOfYear": F.month(ts),

@@ -373,6 +373,24 @@ w(
 )
 
 
+def apply_offset(expr: E.TimeSeriesExpr, seconds: int) -> E.TimeSeriesExpr:
+    """Set the read offset on every data expr of the tree
+    (DataVocabulary.scala:202)."""
+
+    def add_off(x):
+        if isinstance(x, E.AggrExpr):
+            return E.AggrExpr(x.query, x.fn, seconds, x.cf)
+        if isinstance(x, E.AllExpr):
+            return E.AllExpr(x.query, seconds)
+        if isinstance(x, E.GroupByExpr):
+            return E.GroupByExpr(x.query, add_off(x.af), x.keys)
+        if isinstance(x, E.DataExpr):
+            return x
+        return _rewrite_data(x, add_off)
+
+    return add_off(expr)
+
+
 def _offset(c: Context) -> None:
     top = c.pop()
     if isinstance(top, list):
@@ -383,20 +401,7 @@ def _offset(c: Context) -> None:
     d = parse_duration(top)
     v = c.pop()
     expr = v if isinstance(v, E.TimeSeriesExpr) else to_ts_expr(v)
-
-    def add_off(x):
-        if isinstance(x, E.AggrExpr):
-            return E.AggrExpr(x.query, x.fn, d, x.cf)
-        if isinstance(x, E.AllExpr):
-            return E.AllExpr(x.query, d)
-        if isinstance(x, E.GroupByExpr):
-            return E.GroupByExpr(x.query, add_off(x.af), x.keys)
-        if isinstance(x, E.DataExpr):
-            return x
-        # rebuild children generically
-        return _rewrite_data(x, add_off)
-
-    c.push(add_off(expr))
+    c.push(apply_offset(expr, d))
 
 
 def _rewrite_data(x: E.TimeSeriesExpr, f):

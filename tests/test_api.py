@@ -84,6 +84,16 @@ def test_tags_keys_values(engine):
     assert vals == ["click"]
 
 
+def test_graph_multi_offset(engine):
+    g = engine.graph(
+        "/api/v1/graph?q=name,click,:eq,:sum,(,0h,1d,),:offset&s=2024-01-03&e=2024-01-04"
+    )
+    assert len(g.lines) == 2
+    off_tags = sorted(ln.tags.get("atlas.offset", "") for ln in g.lines)
+    assert off_tags == ["", "1d"]
+    assert any("(offset=1d)" in ln.label for ln in g.lines)
+
+
 def test_graph_bad_query(engine):
     with pytest.raises(Exception):
         engine.graph("/api/v1/graph?q=name,:frobnicate")
