@@ -109,6 +109,67 @@ def events_datapoints(spark: SparkSession, sf_dir: str, step: int = DEFAULT_STEP
 EVENTS_START = 1704067200
 EVENTS_END = EVENTS_START + 30 * 86400
 
+# Eval window covering lineitem shipdates (1995-01-01 .. 2002-01-01 UTC).
+LINEITEM_START = 788918400
+LINEITEM_END = 1009843200
+LINEITEM_STEP = 86400
+
+
+def lineitem_datapoints(
+    spark: SparkSession, sf_dir: str, step: int = LINEITEM_STEP
+) -> DatapointSource:
+    """Datapoint view over the lineitem fact table — the volume source for
+    the TSDB core (rows scale with SF: 600k at sf0.1, 6M at sf1).
+
+    Series identity: name = returnflag+linestatus (e.g. "AF"),
+    pbucket = part hash bucket.  Value: SUM of quantity per day cell.
+    """
+    from ..session import configure_existing
+
+    configure_existing(spark)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+    def build(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.concat(F.col("l_returnflag"), F.col("l_linestatus")).alias("k_name"),
+                F.concat(F.lit("p"), (F.col("l_partkey") % 16).cast("string")).alias(
+                    "k_pbucket"
+                ),
+                (
+                    F.unix_timestamp("l_shipdate")
+                    - F.unix_timestamp("l_shipdate") % step
+                ).cast("long").alias("t"),
+                F.col("l_quantity").alias("value"),
+            )
+            .groupBy("k_name", "k_pbucket", "t")
+            .agg(F.sum("value").alias("value"))
+        )
+
+    return DatapointSource(
+        df=build(li),
+        step=step,
+        colmap={"name": "k_name", "pbucket": "k_pbucket"},
+        sql_cte=lineitem_cte(step),
+        ranged=lambda lo, hi: build(
+            li.filter(
+                (F.col("l_shipdate") >= F.timestamp_seconds(F.lit(lo)))
+                & (F.col("l_shipdate") < F.timestamp_seconds(F.lit(hi)))
+            )
+        ),
+    )
+
+
+def lineitem_cte(step: int = LINEITEM_STEP) -> str:
+    return f"""
+  SELECT l_returnflag || l_linestatus AS k_name,
+         'p' || CAST(l_partkey % 16 AS VARCHAR) AS k_pbucket,
+         (CAST(epoch(l_shipdate) AS BIGINT) // {step}) * {step} AS t,
+         sum(l_quantity) AS value
+  FROM lineitem
+  GROUP BY 1, 2, 3
+"""
+
 PCT_STEP = 86400  # coarser step so bucket counts have meaningful mass
 
 

@@ -38,6 +38,10 @@ HEADLINE = [
     "op_cosine_topk",
     "op_simhash",
     "op_lang_id",
+    "li_by_sum",
+    "li_grouped_share",
+    "li_rolling_week",
+    "li_topk",
     "rel_pricing_summary",
     "rel_revenue_by_nation",
     "rel_top_customers",
