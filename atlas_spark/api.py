@@ -105,8 +105,20 @@ class Engine:
         return EvalContext(start, end, step)
 
     def expr(self, q: str) -> list[E.StyleExpr]:
-        """Parse/normalize without evaluating (ExprApi parity)."""
+        """Parse without evaluating (ExprApi parity)."""
         return parse_asl(q, step=self.source.step)
+
+    def normalize(self, q: str) -> list[str]:
+        """Canonical normalized expression strings (ExprApi.scala:305-325):
+        parse, simplify leaf queries to canonical simplified form, emit the
+        canonical display of each expression."""
+        from .model import query as Qm
+
+        out = []
+        for se in parse_asl(q, step=self.source.step):
+            norm = se.rewrite_queries(Qm.simplify)
+            out.append(norm.display())
+        return out
 
     # ---------------------------------------------------------------- graph
 
@@ -230,6 +242,10 @@ class Engine:
             tags.update({k: v for k, v in zip(keys, lk) if v is not None})
             label = _legend(settings.get("legend"), tags) or _default_label(se, tags, keys, lk)
             lines.append(GraphLine(tags, label, by_line[lk]))
+        if not lines and (rf.keys == () or rf.keys is None):
+            # empty aggregate renders a NO_DATA line (TimeSeries.scala:34-54,
+            # MemoryDatabase.scala:277-286)
+            lines.append(GraphLine({"name": "NO_DATA"}, "NO DATA", [None] * n))
         return lines
 
 

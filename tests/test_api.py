@@ -84,6 +84,21 @@ def test_tags_keys_values(engine):
     assert vals == ["click"]
 
 
+def test_normalize(engine):
+    out = engine.normalize(":true,a,b,:eq,:and,:sum")
+    assert out == ["a,b,:eq,:sum"]
+    out = engine.normalize("name,x,:eq,:false,:or,:sum,name,y,:eq,:avg")
+    assert out[0] == "name,x,:eq,:sum"
+    assert out[1] == "name,y,:eq,:avg"
+
+
+def test_graph_no_data_line(engine):
+    g = engine.graph("/api/v1/graph?q=name,missing,:eq,:sum&s=2024-01-02&e=2024-01-03")
+    assert len(g.lines) == 1
+    assert g.lines[0].label == "NO DATA"
+    assert all(v is None for v in g.lines[0].data)
+
+
 def test_graph_multi_offset(engine):
     g = engine.graph(
         "/api/v1/graph?q=name,click,:eq,:sum,(,0h,1d,),:offset&s=2024-01-03&e=2024-01-04"
