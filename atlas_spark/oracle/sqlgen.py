@@ -502,7 +502,8 @@ def _unary_sql(op: str, v: str, param, step: int) -> str:
     if op == "sin":
         return f"sin({v})"
     if op == "sqrt":
-        return f"sqrt({v})"
+        # java Math.sqrt(negative) = NaN; DuckDB sqrt raises instead
+        return f"CASE WHEN {v} < 0 THEN CAST('NaN' AS DOUBLE) ELSE sqrt({v}) END"
     if op == "per-step":
         return f"{v} * {float(step)!r}"
     if op == "clamp-min":
