@@ -29,6 +29,7 @@ SPECS: list[OpSpec] = [
     OpSpec("op_simhash", dedup.simhash, None),
     OpSpec("op_media_features", multimodal.extract_media_features, multimodal.EXTRACT_MEDIA_SQL),
     OpSpec("op_lsh_topk", similarity.lsh_bucketed_topk, None),
+    OpSpec("op_ivf_topk", similarity.ivf_topk, None),
     OpSpec("op_lang_id", langid.lang_id, langid.lang_id_sql()),
     OpSpec("op_emb_near_dup", similarity.embedding_near_dup, similarity.embedding_near_dup_sql()),
     OpSpec("rel_pricing_summary", relational.pricing_summary, relational.PRICING_SUMMARY_SQL),

@@ -139,6 +139,63 @@ WHERE a.vec_id < b.vec_id
 """
 
 
+def ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_id: int = 0,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF (inverted-file) approximate nearest neighbours.
+
+    Classic two-stage ANN: a KMeans coarse quantizer assigns every vector
+    to a cell (the "inverted lists"); a query probes the `n_probe` nearest
+    cells and exact-cosine re-ranks only those candidates.  At 100 TB the
+    cell assignment is a narrow column on the stored table (computed once
+    at ingest), so a query scans |corpus| * n_probe / n_cells vectors.
+
+    Deterministic: fixed KMeans seed + fixed init.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    emb = load_embeddings(spark, sf_dir)
+    vecs = emb.withColumn("features", array_to_vector(F.col("embedding").cast("array<double>")))
+    km = KMeans(k=n_cells, seed=42, initMode="k-means||", maxIter=10)
+    model = km.fit(vecs)
+    assigned = model.transform(vecs).withColumnRenamed("prediction", "cell")
+
+    # query vector + its n_probe nearest cells (centroid table is tiny —
+    # computed driver-side, broadcast as a literal filter)
+    q_row = assigned.filter(F.col("vec_id") == query_id).select("embedding", "features").head()
+    q_emb = q_row["embedding"]
+    import numpy as np
+
+    qv = np.array(q_emb, dtype=float)
+    centers = model.clusterCenters()
+    dists = [float(np.linalg.norm(qv - np.asarray(c))) for c in centers]
+    probe_cells = sorted(range(len(centers)), key=lambda i: dists[i])[:n_probe]
+
+    cands = assigned.filter(F.col("cell").isin(probe_cells)).filter(
+        F.col("vec_id") != query_id
+    )
+    q_lit = F.array(*[F.lit(float(x)) for x in q_emb])
+    sims = cands.select(
+        "vec_id",
+        "cell",
+        F.round(
+            _dot(F.col("embedding"), q_lit)
+            / (
+                F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+                * F.sqrt(_dot(q_lit, q_lit))
+            ),
+            6,
+        ).alias("cos_sim"),
+    )
+    return sims.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()).limit(k)
+
+
 def lsh_bucketed_topk(
     spark: SparkSession, sf_dir: str, query_id: int = 0, k: int = 10, planes: int = 12
 ) -> DataFrame:
