@@ -1,0 +1,59 @@
+"""Plan-build the reference's real-query corpus.
+
+Every URI in the reference's `queries.txt` that parses must also compile
+to a Spark plan against the events datapoint source (analysis only — no
+execution): this catches evaluator gaps on real-world expression shapes
+(style stacking, multi-expression graphs, offsets, :each-generated
+lists, nested group-bys).
+"""
+
+from __future__ import annotations
+
+from urllib.parse import parse_qs, urlparse
+
+import pytest
+
+from atlas_spark.plans.builder import Evaluator
+from atlas_spark.plans.context import EvalContext
+from atlas_spark.sources.datapoints import EVENTS_END, EVENTS_START, events_datapoints
+from atlas_spark.stacklang.vocab import parse
+
+CORPUS = "/root/reference/atlas-core/src/test/resources/queries.txt"
+KNOWN_UNSUPPORTED = (":percentiles", ":des-epic-viz")
+CTX = EvalContext(EVENTS_START, EVENTS_END, 3600)
+
+
+def _corpus_queries():
+    out = []
+    for line in open(CORPUS):
+        q = parse_qs(urlparse(line.strip()).query).get("q", [None])[0]
+        if q:
+            out.append(q)
+    return out
+
+
+def test_corpus_plan_build(spark, sf_dir):
+    src = events_datapoints(spark, sf_dir)
+    parsed = planned = 0
+    failures = []
+    for q in _corpus_queries():
+        try:
+            exprs = parse(q)
+        except Exception as ex:
+            if not any(k in str(ex) for k in KNOWN_UNSUPPORTED):
+                failures.append((q, f"parse: {ex}"))
+            continue
+        parsed += 1
+        try:
+            ev = Evaluator(src, CTX)
+            for se in exprs:
+                rf = ev.eval(se)
+                rf.df.schema  # force analysis
+            planned += 1
+        except Exception as ex:
+            failures.append((q[:110], f"plan: {type(ex).__name__}: {str(ex)[:90]}"))
+    assert parsed >= 360
+    msg = "\n".join(f"{q}\n  -> {e}" for q, e in failures[:10])
+    assert planned / parsed >= 0.97, (
+        f"planned {planned}/{parsed}; first failures:\n{msg}"
+    )
