@@ -1,0 +1,91 @@
+"""Distributed stateful streaming: per-key state store semantics.
+
+Streams finalized intervals in two chunks and checks the stateful output
+equals the batch computation, including state carry across batches and
+NaN ticks through gaps.
+"""
+
+from __future__ import annotations
+
+import math
+import shutil
+import tempfile
+
+import pandas as pd
+import pytest
+
+from atlas_spark.streaming.stateful import stateful_stream
+
+STEP = 60
+
+
+@pytest.fixture()
+def stream_dir():
+    d = tempfile.mkdtemp(prefix="atlas_stateful_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _run(spark, stream_dir, op, params, chunks):
+    stream = (
+        spark.readStream.schema("series string, t long, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    out = stateful_stream(stream, op, params, STEP)
+    collected = []
+
+    def sink(batch_df, _bid):
+        collected.extend(batch_df.collect())
+
+    spark.createDataFrame(chunks[0]).coalesce(1).write.mode("append").parquet(stream_dir)
+    q = out.writeStream.outputMode("append").foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+        for c in chunks[1:]:
+            spark.createDataFrame(c).coalesce(1).write.mode("append").parquet(stream_dir)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    return {(r["series"], r["t"]): r["value"] for r in collected}
+
+
+def test_rolling_sum_across_batches(spark, stream_dir):
+    c1 = pd.DataFrame({"series": ["s"] * 3, "t": [0, 60, 120], "value": [1.0, 2.0, 3.0]})
+    c2 = pd.DataFrame({"series": ["s"] * 2, "t": [180, 240], "value": [4.0, 5.0]})
+    out = _run(spark, stream_dir, "rolling-sum", (3,), [c1, c2])
+    assert out[("s", 0)] == 1.0
+    assert out[("s", 60)] == 3.0
+    assert out[("s", 120)] == 6.0
+    assert out[("s", 180)] == 9.0  # 2+3+4: buffer carried across the batch boundary
+    assert out[("s", 240)] == 12.0
+
+
+def test_gap_nan_ticks(spark, stream_dir):
+    """A missing interval ticks the buffer with NaN: rolling window over
+    the step grid, not over observed rows."""
+    c1 = pd.DataFrame({"series": ["s"] * 2, "t": [0, 60], "value": [5.0, 5.0]})
+    c2 = pd.DataFrame({"series": ["s"], "t": [240], "value": [7.0]})  # gap of 2 steps
+    out = _run(spark, stream_dir, "rolling-sum", (3,), [c1, c2])
+    # window at t=240 covers steps 120(NaN),180(NaN),240 -> 7.0
+    assert out[("s", 240)] == 7.0
+
+
+def test_delay_and_integral(spark, stream_dir):
+    c1 = pd.DataFrame({"series": ["a"] * 4, "t": [0, 60, 120, 180], "value": [1.0, 2.0, 3.0, 4.0]})
+    out = _run(spark, stream_dir, "delay", (2,), [c1])
+    assert out[("a", 120)] == 1.0 and out[("a", 180)] == 2.0
+    assert out[("a", 0)] is None
+
+
+def test_two_series_independent_state(spark, stream_dir):
+    c1 = pd.DataFrame(
+        {
+            "series": ["a", "b", "a", "b"],
+            "t": [0, 0, 60, 60],
+            "value": [1.0, 10.0, 2.0, 20.0],
+        }
+    )
+    out = _run(spark, stream_dir, "cumulative-max", (), [c1])
+    assert out[("a", 60)] == 2.0
+    assert out[("b", 60)] == 20.0
