@@ -85,6 +85,62 @@ def extract_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(extract, schema=MEDIA_SCHEMA)
 
 
+CHUNK_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("chunk_idx", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("digest", T.StringType()),
+    ]
+)
+
+
+def frame_sample(spark: SparkSession, sf_dir: str, chunk: int = 64) -> DataFrame:
+    """Frame-sampling shape: each binary payload fans out to N fixed-size
+    chunk rows ("frames") with per-chunk features — the 1->N row shape of
+    video frame extraction, via Arrow-batched `mapInPandas`.
+
+    The decode itself is the deterministic FakeDecoder (no codec libs in
+    this environment); the Spark-side plumbing (schema, batching, fan-out)
+    is real and oracle-checked.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    media = media_table(spark, sf_dir)
+
+    def explode_chunks(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "chunk_idx": [], "n_bytes": [], "digest": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                for i in range(0, max(len(b), 1), chunk):
+                    piece = b[i : i + chunk]
+                    out["doc_id"].append(doc_id)
+                    out["chunk_idx"].append(i // chunk)
+                    out["n_bytes"].append(len(piece))
+                    out["digest"].append(hashlib.sha256(piece).hexdigest())
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(explode_chunks, schema=CHUNK_SCHEMA)
+
+
+# documents text is ascii (single-byte chars), so char slicing == byte
+# slicing and the SQL oracle can reproduce the chunking exactly
+FRAME_SAMPLE_SQL = """
+WITH n AS (
+  SELECT doc_id, text, CAST(ceil(greatest(len(text), 1) / 64.0) AS BIGINT) AS n_chunks
+  FROM documents
+)
+SELECT doc_id,
+       i AS chunk_idx,
+       CAST(len(substr(text, 1 + i * 64, 64)) AS BIGINT) AS n_bytes,
+       sha256(substr(text, 1 + CAST(i AS INTEGER) * 64, 64)) AS digest
+FROM n, unnest(range(n_chunks)) AS u(i)
+"""
+
+
 EXTRACT_MEDIA_SQL = """
 SELECT doc_id,
        CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
