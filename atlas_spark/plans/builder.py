@@ -240,9 +240,13 @@ class Evaluator:
             off = e.af.offset
         offset = off // self.ctx.step  # whole steps
         ctx = self.ctx.with_offset(offset) if offset else self.ctx
-        df = self.source.ranged_df(ctx.start, ctx.end).filter(
-            query_to_column(e.query, self.source)
-        )
+        fn = e.af.fn if isinstance(e, E.GroupByExpr) else getattr(e, "fn", None)
+        if fn == "sum" and self.source.raw_ranged is not None and not isinstance(e, E.AllExpr):
+            # sum-of-sums == sum: skip the per-series ingest rollup shuffle
+            base = self.source.raw_ranged(ctx.start, ctx.end)
+        else:
+            base = self.source.ranged_df(ctx.start, ctx.end)
+        df = base.filter(query_to_column(e.query, self.source))
         if offset:
             # report shifted data at the unshifted timestamp
             # (MemoryDatabase.scala:288-297)

@@ -49,6 +49,11 @@ class DatapointSource:
     # evaluator filters the derived `t` column post-projection, which
     # cannot use scan statistics.
     ranged: "object" = None
+    # Optional pre-rollup rows (same columns, one row per raw datapoint).
+    # Only valid when the ingest rollup is SUM: `:sum` aggregations then
+    # fold raw rows directly (sum-of-sums == sum), removing one full
+    # shuffle + hash aggregate from the most common query shape.
+    raw_ranged: "object" = None
 
     @property
     def tag_keys(self) -> tuple[str, ...]:
@@ -80,18 +85,22 @@ def events_datapoints(spark: SparkSession, sf_dir: str, step: int = DEFAULT_STEP
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     ns = 1_000_000_000
 
-    def build(ev_df: DataFrame) -> DataFrame:
-        return (
-            ev_df.select(
-                F.col("event_type").alias("k_name"),
-                F.concat(F.lit("u"), (F.col("user_id") % 8).cast("string")).alias("k_bucket"),
-                # exact integer arithmetic on epoch-nanos (no double rounding)
-                F.expr(f"ts div {ns} div {step} * {step}").alias("t"),
-                F.col("value"),
-            )
-            .groupBy("k_name", "k_bucket", "t")
-            .agg(F.sum("value").alias("value"))
+    def project(ev_df: DataFrame) -> DataFrame:
+        return ev_df.select(
+            F.col("event_type").alias("k_name"),
+            F.concat(F.lit("u"), (F.col("user_id") % 8).cast("string")).alias("k_bucket"),
+            # exact integer arithmetic on epoch-nanos (no double rounding)
+            F.expr(f"ts div {ns} div {step} * {step}").alias("t"),
+            F.col("value"),
         )
+
+    def build(ev_df: DataFrame) -> DataFrame:
+        return project(ev_df).groupBy("k_name", "k_bucket", "t").agg(
+            F.sum("value").alias("value")
+        )
+
+    def _range(lo: int, hi: int) -> DataFrame:
+        return ev.filter((F.col("ts") >= lo * ns) & (F.col("ts") < hi * ns))
 
     return DatapointSource(
         df=build(ev),
@@ -99,9 +108,8 @@ def events_datapoints(spark: SparkSession, sf_dir: str, step: int = DEFAULT_STEP
         colmap={"name": "k_name", "bucket": "k_bucket"},
         sql_cte=events_cte(step),
         # raw-ts bounds reach the parquet scan (row-group pruning)
-        ranged=lambda lo, hi: build(
-            ev.filter((F.col("ts") >= lo * ns) & (F.col("ts") < hi * ns))
-        ),
+        ranged=lambda lo, hi: build(_range(lo, hi)),
+        raw_ranged=lambda lo, hi: project(_range(lo, hi)),
     )
 
 
@@ -129,21 +137,28 @@ def lineitem_datapoints(
     configure_existing(spark)
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
 
+    def project(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.concat(F.col("l_returnflag"), F.col("l_linestatus")).alias("k_name"),
+            F.concat(F.lit("p"), (F.col("l_partkey") % 16).cast("string")).alias(
+                "k_pbucket"
+            ),
+            (
+                F.unix_timestamp("l_shipdate")
+                - F.unix_timestamp("l_shipdate") % step
+            ).cast("long").alias("t"),
+            F.col("l_quantity").alias("value"),
+        )
+
     def build(df: DataFrame) -> DataFrame:
-        return (
-            df.select(
-                F.concat(F.col("l_returnflag"), F.col("l_linestatus")).alias("k_name"),
-                F.concat(F.lit("p"), (F.col("l_partkey") % 16).cast("string")).alias(
-                    "k_pbucket"
-                ),
-                (
-                    F.unix_timestamp("l_shipdate")
-                    - F.unix_timestamp("l_shipdate") % step
-                ).cast("long").alias("t"),
-                F.col("l_quantity").alias("value"),
-            )
-            .groupBy("k_name", "k_pbucket", "t")
-            .agg(F.sum("value").alias("value"))
+        return project(df).groupBy("k_name", "k_pbucket", "t").agg(
+            F.sum("value").alias("value")
+        )
+
+    def _range(lo: int, hi: int) -> DataFrame:
+        return li.filter(
+            (F.col("l_shipdate") >= F.timestamp_seconds(F.lit(lo)))
+            & (F.col("l_shipdate") < F.timestamp_seconds(F.lit(hi)))
         )
 
     return DatapointSource(
@@ -151,12 +166,8 @@ def lineitem_datapoints(
         step=step,
         colmap={"name": "k_name", "pbucket": "k_pbucket"},
         sql_cte=lineitem_cte(step),
-        ranged=lambda lo, hi: build(
-            li.filter(
-                (F.col("l_shipdate") >= F.timestamp_seconds(F.lit(lo)))
-                & (F.col("l_shipdate") < F.timestamp_seconds(F.lit(hi)))
-            )
-        ),
+        ranged=lambda lo, hi: build(_range(lo, hi)),
+        raw_ranged=lambda lo, hi: project(_range(lo, hi)),
     )
 
 
