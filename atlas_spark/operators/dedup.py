@@ -128,7 +128,9 @@ def ngram_jaccard_pairs(
     bucket membership is signature-bounded.
     """
     docs = load_documents(spark, sf_dir)
-    sh = ngram_shingles(docs, n)
+    # the shingle frame feeds candidate generation AND both verify joins;
+    # cache it so the three consumers share one computation
+    sh = ngram_shingles(docs, n).persist()
     cand = _band_candidates(_minhash_bands(sh, 32, 16))
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))

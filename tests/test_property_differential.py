@@ -120,18 +120,20 @@ def test_random_expr_differential(seed, spark, duck_events, ev_source):
     rng = random.Random(7_000 + seed)
     expr = rand_expr(rng)
 
+    from atlas_spark.registry import ROUND_EPS
+
     ev = Evaluator(ev_source, CTX)
     rf = ev.eval(expr)
     import pyspark.sql.functions as F
 
     sdf = rf.df.filter(F.col("value").isNotNull()).select(
-        *rf.key_cols, "t", F.round(F.col("value"), 6).alias("value")
+        *rf.key_cols, "t", F.round(F.col("value") + F.lit(ROUND_EPS), 6).alias("value")
     )
     s_rows = [tuple(r) for r in sdf.collect()]
 
     gen = SqlGen(events_cte(), CTX)
     sql = gen.generate(expr, drop_nulls=True)
-    sql = f"SELECT * REPLACE (round(value, 6) AS value) FROM ({sql})"
+    sql = f"SELECT * REPLACE (round(value + {ROUND_EPS!r}, 6) AS value) FROM ({sql})"
     d_rows = duck_events.execute(sql).fetchall()
 
     def norm(rows):
