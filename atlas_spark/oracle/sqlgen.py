@@ -294,11 +294,18 @@ class SqlGen:
 
         raise TypeError(f"sqlgen: cannot handle {type(e).__name__}")
 
+    _STRICT_OPS = frozenset({"mul", "div", "fmul", "fdiv", "fadd", "fsub"})
+
     def _gen_binary(self, e: E.BinaryMathExpr) -> tuple[str, list[str]]:
         r1, k1 = self._gen(e.lhs)
         r2, k2 = self._gen(e.rhs)
-        d1 = self._densify(r1, k1)
-        d2 = self._densify(r2, k2)
+        if e.op in self._STRICT_OPS:
+            # missing input -> missing output: sparse inner join suffices
+            # (mirrors the plan builder's strict-op shortcut)
+            d1, d2 = r1, r2
+        else:
+            d1 = self._densify(r1, k1)
+            d2 = self._densify(r2, k2)
         if set(k1) <= set(k2):
             sup_rel, sup_keys, sub_rel, sub_keys, flipped = d2, k2, d1, k1, True
         else:

@@ -338,13 +338,20 @@ class Evaluator:
 
     # ------------------------------------------------------------ binary math
 
+    # strict-null ops: a missing input always yields a missing output, so
+    # evaluating them on the dense grid only manufactures rows that the
+    # final null-drop discards — sparse inner join is equivalent and
+    # skips the densification shuffles entirely
+    _STRICT_OPS = frozenset({"mul", "div", "fmul", "fdiv", "fadd", "fsub"})
+
     def _eval_binary(self, e: E.BinaryMathExpr) -> ResultFrame:
         lhs, rhs = self._eval(e.lhs), self._eval(e.rhs)
         if lhs.keys is None or rhs.keys is None:
             raise ValueError(":all results cannot be used in binary math")
-        # Binary ops are defined at every grid point (e.g. NaN :gt 0 -> 0),
-        # so both sides must be dense.
-        lhs, rhs = self.densify(lhs), self.densify(rhs)
+        if e.op not in self._STRICT_OPS:
+            # non-strict ops are defined at every grid point (NaN :gt 0 -> 0,
+            # NaN :add x -> x), so both sides must be dense
+            lhs, rhs = self.densify(lhs), self.densify(rhs)
 
         s1, s2 = set(lhs.keys), set(rhs.keys)
         if s1 <= s2:
@@ -378,7 +385,8 @@ class Evaluator:
         )
         static = dict(sub.static_tags)
         static.update(sup.static_tags)
-        return ResultFrame(out, sup.keys, dict(sup.colmap), static, dense=True)
+        dense = e.op not in self._STRICT_OPS
+        return ResultFrame(out, sup.keys, dict(sup.colmap), static, dense=dense)
 
     # ----------------------------------------------- second-level aggregation
 
