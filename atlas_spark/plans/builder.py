@@ -471,10 +471,13 @@ class Evaluator:
         schema = rf.df.schema
 
         def des(pdf: pd.DataFrame) -> pd.DataFrame:
+            import numpy as np
+
             pdf = pdf.sort_values("t").reset_index(drop=True)
-            vals = pdf["value"].to_numpy()
+            vals = pdf["value"].to_numpy(dtype=float)
             out = _des_kernel(vals, n, alpha, beta, sliding)
-            pdf["value"] = out
+            # NaN -> null: "no data" is null in the engine (SURVEY §4.3 #1)
+            pdf["value"] = [None if np.isnan(x) else float(x) for x in out]
             return pdf
 
         if kc:
@@ -694,23 +697,57 @@ class Evaluator:
         return rf
 
 
+class _Des:
+    """Faithful port of the reference recurrence (OnlineDes.scala:28-52):
+    emits the *previous* smoothed value once `training` non-NaN samples
+    have been seen; NaN inputs do not advance the sample count."""
+
+    def __init__(self, training: int, alpha: float, beta: float):
+        self.training = training
+        self.alpha = alpha
+        self.beta = beta
+        self.reset()
+
+    def reset(self):
+        self.current = 0
+        self.sp = float("nan")
+        self.bp = 0.0
+
+    def next(self, v: float) -> float:
+        import math
+
+        ret = self.sp if self.current >= self.training else float("nan")
+        if not math.isnan(v):
+            if self.current == 0:
+                self.sp, self.bp = v, 0.0
+            else:
+                sn = self.alpha * v + (1 - self.alpha) * (self.sp + self.bp)
+                self.bp = self.beta * (sn - self.sp) + (1 - self.beta) * self.bp
+                self.sp = sn
+            self.current += 1
+        return ret
+
+
 def _des_kernel(vals, n: int, alpha: float, beta: float, sliding: bool):
-    """DES recurrence (algorithm/OnlineDes.scala): train on the first `n`
-    observations then predict one step ahead."""
+    """DES / sliding DES over one series.  Sliding (OnlineSlidingDes.scala):
+    two DES instances fed every value; the active one is reset and swapped
+    every `n` samples, bounding the training-history dependence."""
     import numpy as np
 
     out = np.full(len(vals), np.nan)
-    s = b = np.nan
-    count = 0
+    if not sliding:
+        d = _Des(n, alpha, beta)
+        for i, v in enumerate(vals):
+            out[i] = d.next(v)
+        return out
+    d1, d2 = _Des(n, alpha, beta), _Des(n, alpha, beta)
+    use_one = True
+    cs = 0
     for i, v in enumerate(vals):
-        if not np.isnan(v):
-            count += 1
-            if count == 1:
-                s, b = v, 0.0
-            else:
-                prev_s = s
-                s = alpha * v + (1 - alpha) * (s + b)
-                b = beta * (s - prev_s) + (1 - beta) * b
-        if count > n:
-            out[i] = s + b
+        cs += 1
+        v1, v2 = d1.next(v), d2.next(v)
+        out[i] = v1 if use_one else v2
+        if cs % n == 0:
+            (d1 if use_one else d2).reset()
+            use_one = not use_one
     return out
