@@ -342,8 +342,13 @@ class SqlGen:
             win = f"{w} ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW)"
             expr = f"CASE WHEN count(value) {win} >= {mn} THEN avg(value) {win} END"
         elif op == "trend":
+            # sum / window size with fill warm-up (OnlineTrend.scala:33-49)
             n = max(1, int(p[0]) // self.ctx.step)
-            expr = f"avg(value) {w} ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW)"
+            win = f"{w} ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW)"
+            expr = (
+                f"CASE WHEN count(*) {win} >= {n} AND count(value) {win} > 0 "
+                f"THEN sum(value) {win} / {float(n)!r} END"
+            )
         elif op == "integral":
             expr = f"sum(value) {w} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
         elif op == "cumulative-max":

@@ -444,8 +444,14 @@ class Evaluator:
         elif op == "rolling-sum":
             out = F.sum(v).over(w.rowsBetween(-(int(p[0]) - 1), 0))
         elif op == "trend":
+            # moving SUM divided by the window SIZE (not the non-NaN count),
+            # NaN until the window has fully filled (OnlineTrend.scala:33-49)
             n = max(1, int(p[0]) // self.ctx.step)
-            out = F.avg(v).over(w.rowsBetween(-(n - 1), 0))
+            ww = w.rowsBetween(-(n - 1), 0)
+            out = F.when(
+                (F.count("*").over(ww) >= n) & (F.count(v).over(ww) > 0),
+                F.sum(v).over(ww) / F.lit(float(n)),
+            )
         elif op == "integral":
             out = F.sum(v).over(w.rowsBetween(Window.unboundedPreceding, 0))
         elif op == "cumulative-max":

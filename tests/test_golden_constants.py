@@ -141,6 +141,16 @@ def test_golden_topk(constants_source):
     assert names == {"10", "9", "8"}
 
 
+def test_golden_trend(constants_source):
+    """Trend of a constant: NaN during window fill, then the constant
+    (sum/window-size semantics, OnlineTrend.scala:33-49)."""
+    rf = eval_asl(constants_source, "name,4,:eq,:sum,5m,:trend")
+    rows = sorted(rf.df.collect(), key=lambda r: r["t"])
+    vals = [r["value"] for r in rows]
+    assert all(v is None or math.isnan(v) for v in vals[:4])
+    assert all(v is not None and abs(v - 4.0) < 1e-9 for v in vals[4:])
+
+
 def test_golden_stateful_integral(constants_source):
     rf = eval_asl(constants_source, "name,2,:eq,:sum,:integral")
     rows = sorted(rf.df.collect(), key=lambda r: r["t"])
