@@ -72,13 +72,16 @@ def rand_leaf(rng: random.Random) -> E.TimeSeriesExpr:
 
 
 def rand_expr(rng: random.Random, depth: int = 0) -> E.TimeSeriesExpr:
-    if depth >= 2 or rng.random() < 0.35:
+    if depth >= 2 or rng.random() < 0.3:
         return rand_leaf(rng)
     roll = rng.random()
-    if roll < 0.3:
+    if roll < 0.22:
         op = rng.choice(["abs", "neg", "sqrt"])
         return E.UnaryMathExpr(op, rand_expr(rng, depth + 1))
-    if roll < 0.6:
+    if roll < 0.28:
+        op = rng.choice(["clamp-min", "clamp-max"])
+        return E.UnaryMathExpr(op, rand_expr(rng, depth + 1), param=float(rng.randint(0, 200)))
+    if roll < 0.52:
         op = rng.choice(["add", "sub", "mul", "div", "fadd", "gt", "le", "and", "or"])
         for _ in range(8):
             lhs, rhs = rand_expr(rng, depth + 1), rand_expr(rng, depth + 1)
@@ -87,15 +90,29 @@ def rand_expr(rng: random.Random, depth: int = 0) -> E.TimeSeriesExpr:
             except ValueError:
                 continue  # incompatible groupings; redraw
         return rand_leaf(rng)
-    if roll < 0.75:
+    if roll < 0.64:
         op = rng.choice(
             ["delay", "rolling-sum", "rolling-max", "derivative", "integral", "cumulative-max"]
         )
         params = (rng.randint(1, 6),) if op in ("delay", "rolling-sum", "rolling-max") else ()
         return E.StatefulMathExpr(op, rand_expr(rng, depth + 1), params)
-    if roll < 0.9:
+    if roll < 0.72:
         inner = rand_expr(rng, depth + 1)
         return E.AggrMathExpr(rng.choice(["sum", "max", "count"]), inner)
+    if roll < 0.78:
+        return E.StatExpr(rand_expr(rng, depth + 1), rng.choice(["avg", "max", "min", "last", "total", "count"]))
+    if roll < 0.84:
+        return E.ConsolidateExpr(
+            rand_expr(rng, depth + 1), rng.choice(["sum", "avg", "min", "max"]), rng.choice([2, 4, 6])
+        )
+    if roll < 0.9:
+        inner = rand_leaf(rng)
+        if inner.group_keys():
+            pred = E.BinaryMathExpr(
+                "gt", E.StatPlaceholder(rng.choice(["avg", "max"])), E.ConstExpr(float(rng.randint(0, 100)))
+            )
+            return E.FilterOpExpr(inner, pred)
+        return inner
     inner = rand_leaf(rng)
     if inner.group_keys():
         return E.TopKExpr(inner, rng.choice(["avg", "total", "max"]), rng.randint(1, 4))
