@@ -21,7 +21,7 @@ from __future__ import annotations
 import math
 from dataclasses import dataclass, field
 
-from .query import Query, TrueQuery
+from .query import Query
 
 # ---------------------------------------------------------------------------
 # base

@@ -158,7 +158,7 @@ def ivf_topk(
     Deterministic: fixed KMeans seed + fixed init.
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     emb = load_embeddings(spark, sf_dir)
     vecs = emb.withColumn("features", array_to_vector(F.col("embedding").cast("array<double>")))
