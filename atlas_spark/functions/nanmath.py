@@ -71,10 +71,18 @@ def binary_op(op: str, a: Column, b: Column) -> Column:
     if op == "fmul":
         return a * b
     if op == "fdiv":
-        # IEEE: x/0 = Inf, 0/0 = NaN; Spark a/0 yields null for doubles? no —
-        # Spark double division by zero yields null only for ints; for doubles
-        # it returns Infinity. Keep raw division.
-        return a / b
+        # Reference FDivide is raw IEEE v1/v2 (MathExpr.scala:686-692), but
+        # Spark's Divide returns NULL for a zero divisor regardless of type
+        # (non-ANSI), so the zero-divisor cases need explicit handling:
+        # x/0 = ±Infinity by the sign of x; 0/0 = NaN (NULL in our encoding).
+        inf = F.lit(float("inf"))
+        return (
+            F.when(a.isNull() | b.isNull(), F.lit(None).cast("double"))
+            .when((b == 0.0) & (a > 0.0), inf)
+            .when((b == 0.0) & (a < 0.0), -inf)
+            .when(b == 0.0, F.lit(None).cast("double"))
+            .otherwise(a / b)
+        )
     if op == "and":
         return (truthy(a) & truthy(b)).cast("double")
     if op == "or":

@@ -23,25 +23,28 @@ from functools import lru_cache
 LONG_MAX = (1 << 63) - 1
 
 
+def _to_java_long(v: int) -> int:
+    """Wrap an unbounded int to Java 64-bit signed overflow semantics."""
+    return ((v + (1 << 63)) % (1 << 64)) - (1 << 63)
+
+
 def _build_boundaries() -> list[int]:
     buckets = [1, 2, 3]
     exp = 2
     while exp < 64:
         base = 1 << exp
         delta = base // 3
-        end = min((base << 2) - delta, LONG_MAX)
+        # Java: `(current << 2) - delta` overflows at exp=62 (2^64 - delta
+        # wraps negative), so that level contributes NO buckets — the table
+        # has exactly 276 entries, matching Spectator's encoding.
+        end = _to_java_long((base << 2) - delta)
         cur = base
         while cur < end:
             buckets.append(cur)
             cur += delta
         exp += 2
     buckets.append(LONG_MAX)
-    # dedupe while preserving order (top levels can clamp to LONG_MAX)
-    out = []
-    for b in buckets:
-        if not out or b > out[-1]:
-            out.append(b)
-    return out
+    return buckets
 
 
 BOUNDARIES: list[int] = _build_boundaries()
@@ -65,8 +68,11 @@ def tag_for(v: int, timer: bool = False) -> str:
 
 
 def percentiles(counts: dict[int, float], pcts: list[float]) -> list[float]:
-    """Reference estimator (python, used by tests): walk non-empty buckets
-    accumulating mass; linear interpolation inside the crossing bucket."""
+    """Reference estimator (python, used by tests): Spectator's
+    `PercentileBuckets.percentiles` walks EVERY bucket, so the interpolation
+    lower bound at the crossing bucket `i` is always ``BOUNDARIES[i-1]``
+    (0 for i==0) — even when the intervening buckets are empty.  Empty
+    buckets advance the boundary but not the cumulative mass."""
     total = sum(c for c in counts.values() if c > 0)
     out = [float("nan")] * len(pcts)
     if total <= 0:
@@ -75,9 +81,9 @@ def percentiles(counts: dict[int, float], pcts: list[float]) -> list[float]:
     targets = sorted(range(len(pcts)), key=lambda k: pcts[k])
     ti = 0
     prev_p = 0.0
-    prev_b = 0.0
     cum = 0.0
     for i in order:
+        prev_b = float(BOUNDARIES[i - 1]) if i > 0 else 0.0
         cum += counts[i]
         next_p = 100.0 * cum / total
         next_b = float(bucket_value(i))
@@ -86,7 +92,7 @@ def percentiles(counts: dict[int, float], pcts: list[float]) -> list[float]:
             f = 0.0 if next_p == prev_p else (p - prev_p) / (next_p - prev_p)
             out[targets[ti]] = f * (next_b - prev_b) + prev_b
             ti += 1
-        prev_p, prev_b = next_p, next_b
+        prev_p = next_p
     return out
 
 

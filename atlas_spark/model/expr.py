@@ -707,6 +707,89 @@ def _fmt_num(v: float | None) -> str:
     return repr(v)
 
 
+def _merge_keys(ks1: tuple[str, ...], ks2: tuple[str, ...]) -> tuple[str, ...]:
+    """Existing keys first, new keys appended if absent
+    (MathVocabulary.scala:575-578 mergeKeys)."""
+    have = set(ks1)
+    return ks1 + tuple(k for k in ks2 if k not in have)
+
+
+def _group_leaves(expr: TimeSeriesExpr, keys: tuple[str, ...]) -> TimeSeriesExpr:
+    """Bottom-up shallow group-by rewrite used for ungrouped macro bodies
+    (MathExpr.scala NamedRewrite.groupBy applyGroupBy): every aggregate
+    leaf becomes a group-by on `keys`, every math aggregate a regroup."""
+    kids = expr.children()
+    if isinstance(expr, AggrExpr):
+        return GroupByExpr(expr.query, expr, keys)
+    if isinstance(expr, AggrMathExpr):
+        inner = _group_leaves(expr.expr, keys)
+        return MathGroupByExpr(AggrMathExpr(expr.fn, inner), keys)
+    if not kids:
+        return expr
+    return _rebuild(expr, [_group_leaves(c, keys) for c in kids])
+
+
+def _rebuild(expr: TimeSeriesExpr, kids: list[TimeSeriesExpr]) -> TimeSeriesExpr:
+    """Reconstruct a node with replaced children (structural recursion)."""
+    if isinstance(expr, UnaryMathExpr):
+        return UnaryMathExpr(expr.op, kids[0], expr.param)
+    if isinstance(expr, BinaryMathExpr):
+        return BinaryMathExpr(expr.op, kids[0], kids[1])
+    if isinstance(expr, StatefulMathExpr):
+        return StatefulMathExpr(expr.op, kids[0], expr.params)
+    if isinstance(expr, AsExpr):
+        return AsExpr(kids[0], expr.orig, expr.repl)
+    if isinstance(expr, StatExpr):
+        return StatExpr(kids[0], expr.stat)
+    if isinstance(expr, FilterOpExpr):
+        return FilterOpExpr(kids[0], kids[1])
+    if isinstance(expr, TopKExpr):
+        return TopKExpr(kids[0], expr.stat, expr.k, expr.bottom, expr.others)
+    if isinstance(expr, ConsolidateExpr):
+        return ConsolidateExpr(kids[0], expr.cf, expr.multiple)
+    if isinstance(expr, StyleExpr):
+        return StyleExpr(kids[0], expr.settings)
+    if isinstance(expr, PercentilesExpr):
+        return PercentilesExpr(kids[0], expr.pcts)
+    if isinstance(expr, SampleCountExpr):
+        return SampleCountExpr(kids[0], expr.lo, expr.hi)
+    if isinstance(expr, ApproxDistinctExpr):
+        return ApproxDistinctExpr(kids[0])
+    if isinstance(expr, NamedRewrite):
+        return NamedRewrite(expr.name, expr.display_str, kids[0])
+    raise TypeError(f"cannot rebuild {type(expr).__name__}")
+
+
+def add_common_keys(expr: TimeSeriesExpr, keys: tuple[str, ...]) -> TimeSeriesExpr:
+    """`:cg` common group by (MathVocabulary.scala:556-609 addCommonKeys):
+    recursively add `keys` to every grouping in the tree — aggregate leaves
+    become group-bys, existing group-bys merge the keys, math aggregates
+    regroup their (recursively rewritten) input."""
+    if isinstance(expr, NamedRewrite):
+        ev = expr.evaluated
+        if ev.group_keys():
+            return NamedRewrite(expr.name, expr.display_str, add_common_keys(ev, keys))
+        grouped = _group_leaves(ev, keys)
+        disp = f"{expr.display_str},(,{','.join(keys)},),:by"
+        return NamedRewrite(expr.name, disp, grouped)
+    if isinstance(expr, AggrExpr):
+        return GroupByExpr(expr.query, expr, keys)
+    if isinstance(expr, GroupByExpr):
+        return GroupByExpr(expr.query, expr.af, _merge_keys(expr.keys, keys))
+    if isinstance(expr, MathGroupByExpr):
+        af = expr.af
+        new_af = AggrMathExpr(af.fn, add_common_keys(af.expr, keys))
+        return MathGroupByExpr(new_af, _merge_keys(expr.keys, keys))
+    if isinstance(expr, AggrMathExpr):
+        return MathGroupByExpr(
+            AggrMathExpr(expr.fn, add_common_keys(expr.expr, keys)), keys
+        )
+    kids = expr.children()
+    if not kids:
+        return expr
+    return _rebuild(expr, [add_common_keys(c, keys) for c in kids])
+
+
 def macro_avg(q: Query) -> TimeSeriesExpr:
     """`q,:avg` -> sum/count with display preservation (MathVocabulary.scala:92-108)."""
     ev = BinaryMathExpr("div", AggrExpr(q, "sum"), AggrExpr(q, "count"))

@@ -378,7 +378,7 @@ class SqlGen:
         return prepped, ek
 
     def _gen_percentiles(self, e: E.PercentilesExpr) -> tuple[str, list[str]]:
-        from ..functions.percentile_buckets import pct_label
+        from ..functions.percentile_buckets import boundaries_sql_array, pct_label
 
         prepped, ek = self._pct_indexed_sql(e)
         part = ", ".join(ek + ["t"])
@@ -386,7 +386,7 @@ class SqlGen:
             f"SELECT *, "
             f"sum(value) OVER (PARTITION BY {part} ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, "
             f"sum(value) OVER (PARTITION BY {part}) AS total, "
-            f"COALESCE(lag(bval) OVER (PARTITION BY {part} ORDER BY idx), 0.0) AS prev_b "
+            f"CASE WHEN idx = 0 THEN 0.0 ELSE CAST(list_extract({boundaries_sql_array()}, idx) AS DOUBLE) END AS prev_b "
             f"FROM {prepped}"
         )
         pvals = ", ".join(
@@ -550,7 +550,13 @@ def _binary_sql(op: str, a: str, b: str) -> str:
     if op == "fmul":
         return f"{a} * {b}"
     if op == "fdiv":
-        return f"CASE WHEN {b} = 0 THEN NULL ELSE {a} / {b} END"
+        # raw IEEE: x/0 = ±Infinity by sign of x, 0/0 = NaN (NULL encoding)
+        return (
+            f"CASE WHEN {a} IS NULL OR {b} IS NULL THEN NULL "
+            f"WHEN {b} = 0 AND {a} > 0 THEN CAST('Infinity' AS DOUBLE) "
+            f"WHEN {b} = 0 AND {a} < 0 THEN CAST('-Infinity' AS DOUBLE) "
+            f"WHEN {b} = 0 THEN NULL ELSE {a} / {b} END"
+        )
     if op == "and":
         ta = f"({a} IS NOT NULL AND abs({a}) >= 1e-12)"
         tb = f"({b} IS NOT NULL AND abs({b}) >= 1e-12)"

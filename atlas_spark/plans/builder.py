@@ -522,16 +522,24 @@ class Evaluator:
         """Histogram percentile estimation entirely with window functions —
         rank walk + linear interpolation inside the crossing bucket
         (MathExpr.scala:992-1010), no Python in the loop."""
-        from ..functions.percentile_buckets import pct_label
+        from ..functions.percentile_buckets import BOUNDARIES, pct_label
 
         df, ek_cols = self._pct_indexed(e)
+        barr = F.array(*[F.lit(float(b)) for b in BOUNDARIES])
         part = [F.col(c) for c in ek_cols] + [F.col("t")]
         w_ord = Window.partitionBy(*part).orderBy("_idx")
         wall = Window.partitionBy(*part)
+        # Lower bound for interpolation is the PREVIOUS BOUNDARY by bucket
+        # index (Spectator walks every bucket, so empty buckets still advance
+        # the boundary) — NOT the previous non-empty row.  element_at is
+        # 1-based: element_at(barr, _idx) == BOUNDARIES[_idx - 1].
+        prev_b = F.when(F.col("_idx") == 0, F.lit(0.0)).otherwise(
+            F.element_at(barr, F.col("_idx"))
+        )
         df = (
             df.withColumn("_cum", F.sum("value").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)))
             .withColumn("_total", F.sum("value").over(wall))
-            .withColumn("_prev_b", F.coalesce(F.lag("_bval", 1).over(w_ord), F.lit(0.0)))
+            .withColumn("_prev_b", prev_b)
         )
         df = df.withColumn("_prev_p", 100.0 * (F.col("_cum") - F.col("value")) / F.col("_total"))
         df = df.withColumn("_next_p", 100.0 * F.col("_cum") / F.col("_total"))

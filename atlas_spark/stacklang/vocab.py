@@ -498,18 +498,16 @@ for _fn in ("sum", "count", "min", "max"):
 
 
 def _cg(c: Context) -> None:
-    """Common group by: apply `(,keys,),:by` to every expr on the stack
-    (MathVocabulary.scala:558-609)."""
+    """Common group by: recursively add the keys to every grouping in the
+    TOP expression's tree (MathVocabulary.scala:556-609) — aggregate
+    leaves become group-bys, existing group-bys merge keys."""
     keys = tuple(string_list(c.pop()))
-    new_stack = []
-    for v in c.stack:
-        if isinstance(v, E.AggrExpr):
-            new_stack.append(E.GroupByExpr(v.query, v, keys))
-        elif isinstance(v, E.TimeSeriesExpr):
-            new_stack.append(E.MathGroupByExpr(E.AggrMathExpr("sum", v), keys))
-        else:
-            new_stack.append(v)
-    c.stack[:] = new_stack
+    v = c.pop()
+    if isinstance(v, Q.Query):
+        v = E.AggrExpr(v, "sum")
+    if not isinstance(v, E.TimeSeriesExpr):
+        raise AslError(":cg requires a time-series expression input")
+    c.push(E.add_common_keys(v, keys))
 
 
 w("cg", _match(LST), _cg)
@@ -588,14 +586,17 @@ macro("csc", "1,:swap,:sin,:div")
 
 def _to_pct_group(v) -> E.GroupByExpr:
     """Rewrite the input to group on the percentile tag
-    (MathVocabulary.scala:1267-1315)."""
+    (MathVocabulary.scala:1277-1291).  Bucket counters must be SUMMED, so
+    any aggregate is converted via `toSum` — plain Sum with only the query
+    and offset preserved (cf dropped) — and the percentile key is
+    PREPENDED to an existing group-by's keys."""
     if isinstance(v, Q.Query):
         v = E.AggrExpr(v, "sum")
     if isinstance(v, E.AggrExpr):
-        return E.GroupByExpr(v.query, v, ("percentile",))
+        return E.GroupByExpr(v.query, E.AggrExpr(v.query, "sum", v.offset), ("percentile",))
     if isinstance(v, E.GroupByExpr):
-        keys = v.keys if "percentile" in v.keys else v.keys + ("percentile",)
-        return E.GroupByExpr(v.query, v.af, keys)
+        keys = v.keys if "percentile" in v.keys else ("percentile",) + v.keys
+        return E.GroupByExpr(v.query, E.AggrExpr(v.query, "sum", v.af.offset), keys)
     raise AslError(":percentiles requires a data aggregation input")
 
 

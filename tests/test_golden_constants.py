@@ -81,6 +81,10 @@ GOLDENS = [
     # (TimeSeriesExprSuite.scala:190)
     (":true,(,name,),:by,:stddev", math.sqrt(10.0)),
     (":true,:sum,:true,:count,:fdiv", 5.0),
+    # raw IEEE division (MathExpr.scala FDivide): x/0 = ±Inf, 0/0 = NaN
+    ("name,4,:eq,:sum,name,0,:eq,:sum,:fdiv", math.inf),
+    ("name,4,:eq,:sum,:neg,name,0,:eq,:sum,:fdiv", -math.inf),
+    ("name,0,:eq,:sum,name,0,:eq,:sum,:fdiv", None),
     ("name,1,:eq,:sum,name,2,:eq,:sum,:fadd", 3.0),
     ("name,42,:eq,:sum,name,2,:eq,:sum,:add", 2.0),  # NaN + 2 = 2
     ("name,42,:eq,:sum,name,2,:eq,:sum,:fadd", None),  # strict: NaN
@@ -113,7 +117,10 @@ def test_golden(constants_source, asl, expected):
         return
     assert non_null, "expected values, got empty/all-null result"
     for v in non_null:
-        assert abs(v - expected) < 1e-9, f"{asl}: {v} != {expected}"
+        if math.isinf(expected):
+            assert v == expected, f"{asl}: {v} != {expected}"
+        else:
+            assert abs(v - expected) < 1e-9, f"{asl}: {v} != {expected}"
 
 
 def test_golden_group_by_lines(constants_source):

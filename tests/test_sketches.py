@@ -28,6 +28,23 @@ def test_bucket_table_shape():
     assert BOUNDARIES[:14] == [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14]
 
 
+def test_bucket_table_spectator_length():
+    """Spectator's table has exactly 276 entries: Java's `(current << 2) -
+    delta` overflows at exp=62 so that level contributes no buckets."""
+    assert len(BOUNDARIES) == 276
+
+
+def test_percentiles_concentrated_bucket():
+    """All mass in one bucket: the estimate must interpolate INSIDE that
+    bucket — lower bound is the previous boundary by index, even though
+    every other bucket is empty (Spectator walks the full table)."""
+    i = index_of(100)
+    lo, hi = BOUNDARIES[i - 1], BOUNDARIES[i]
+    (est,) = percentiles({i: 10.0}, [50.0])
+    assert lo < est <= hi, f"p50 {est} outside bucket ({lo}, {hi}]"
+    assert est == lo + 0.5 * (hi - lo)
+
+
 def test_index_of_roundtrip():
     for v in [1, 2, 3, 4, 15, 16, 100, 1000, 10**6, 10**12]:
         i = index_of(v)

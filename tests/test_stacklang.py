@@ -115,3 +115,51 @@ def test_cq_rewrites_leaves():
     for de in se.expr.data_exprs():
         ek = de.query.exact_keys()
         assert ek.get("app") == "foo"
+
+
+def test_cg_rewrites_aggregate_leaves():
+    """:cg is a tree rewrite (MathVocabulary.scala:556-609): aggregate
+    leaves under binary math become group-bys on the common keys."""
+    (se,) = parse("name,a,:eq,:sum,name,b,:eq,:sum,:div,(,k,),:cg")
+    div = se.expr
+    assert isinstance(div, E.BinaryMathExpr)
+    assert isinstance(div.lhs, E.GroupByExpr) and div.lhs.keys == ("k",)
+    assert isinstance(div.rhs, E.GroupByExpr) and div.rhs.keys == ("k",)
+    assert div.group_keys() == ("k",)
+
+
+def test_cg_merges_existing_group_by():
+    (se,) = parse("name,a,:eq,:sum,(,name,),:by,(,k,name,),:cg")
+    gb = se.expr
+    assert isinstance(gb, E.GroupByExpr)
+    assert gb.keys == ("name", "k")  # existing first, new appended
+
+
+def test_cg_on_math_aggregate_regroups():
+    # math-level :sum over a grouped input, then :cg regroups inner + outer
+    (se,) = parse("name,a,:eq,:sum,(,name,),:by,:sum,(,k,),:cg")
+    mg = se.expr
+    assert isinstance(mg, E.MathGroupByExpr)
+    assert mg.keys == ("k",)
+    inner = mg.af.expr
+    assert isinstance(inner, E.GroupByExpr) and "k" in inner.keys
+
+
+def test_cg_on_avg_macro():
+    # ungrouped :avg macro -> both sum and count leaves become group-bys
+    (se,) = parse("name,a,:eq,:avg,(,k,),:cg")
+    nr = se.expr
+    assert isinstance(nr, E.NamedRewrite)
+    assert nr.group_keys() == ("k",)
+    for de in nr.data_exprs():
+        pass  # leaves reachable; grouping validated via group_keys
+    div = nr.evaluated
+    assert isinstance(div.lhs, E.GroupByExpr) and div.lhs.keys == ("k",)
+
+
+def test_cg_only_rewrites_top_of_stack():
+    out = parse("name,a,:eq,:sum,name,b,:eq,:sum,(,k,),:cg")
+    assert len(out) == 2
+    first, second = out[0].expr, out[1].expr
+    assert isinstance(first, E.AggrExpr)  # untouched
+    assert isinstance(second, E.GroupByExpr) and second.keys == ("k",)
