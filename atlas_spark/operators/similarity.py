@@ -235,6 +235,55 @@ WHERE a.vec_id < b.vec_id
 """
 
 
+def _ivf_index_path(sf_dir: str, n_cells: int) -> str:
+    import hashlib
+    import os
+
+    slug = hashlib.sha256(f"{os.path.abspath(sf_dir)}|{n_cells}".encode()).hexdigest()[:16]
+    return os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), "spark-warehouse", f"ivf_{slug}")
+
+
+def ivf_build_index(spark: SparkSession, sf_dir: str, n_cells: int = 16) -> str:
+    """INGEST-TIME step: fit the coarse quantizer once per corpus and
+    materialize (a) the embeddings table widened with its `cell` column
+    ("inverted lists") and (b) the tiny centroid table.  At 100 TB this is
+    the write path — the cell is a narrow column on the stored table;
+    queries never run KMeans.  Deterministic: fixed seed + init.
+    """
+    import os
+
+    path = _ivf_index_path(sf_dir, n_cells)
+    if os.path.exists(os.path.join(path, "assignments", "_SUCCESS")) and os.path.exists(
+        os.path.join(path, "centroids", "_SUCCESS")
+    ):
+        return path
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_embeddings(spark, sf_dir)
+    vecs = emb.withColumn(
+        "features", array_to_vector(F.col("embedding").cast("array<double>"))
+    )
+    km = KMeans(k=n_cells, seed=42, initMode="k-means||", maxIter=10)
+    model = km.fit(vecs)
+    assigned = (
+        model.transform(vecs)
+        .withColumnRenamed("prediction", "cell")
+        .select("vec_id", "embedding", "label", "cell")
+    )
+    # partition the inverted lists BY cell: a probe reads only its cells'
+    # directories (partition pruning), not row-group filters over the corpus
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(path, "assignments")
+    )
+    centers = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    spark.createDataFrame(centers, "cell int, centroid array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    return path
+
+
 def ivf_topk(
     spark: SparkSession,
     sf_dir: str,
@@ -245,33 +294,33 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF (inverted-file) approximate nearest neighbours.
 
-    Classic two-stage ANN: a KMeans coarse quantizer assigns every vector
-    to a cell (the "inverted lists"); a query probes the `n_probe` nearest
-    cells and exact-cosine re-ranks only those candidates.  At 100 TB the
-    cell assignment is a narrow column on the stored table (computed once
-    at ingest), so a query scans |corpus| * n_probe / n_cells vectors.
-
-    Deterministic: fixed KMeans seed + fixed init.
+    Query path only: read the stored cell assignments (ingest-time column,
+    see `ivf_build_index`), pick the `n_probe` cells nearest the query
+    vector from the centroid table (tiny — collected driver-side), filter
+    the inverted lists to those cells, exact-cosine re-rank.  The query
+    plan contains no KMeans stage and scans ~|corpus| * n_probe / n_cells
+    vectors with the cell filter pushed to the parquet scan.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    import os
 
-    emb = load_embeddings(spark, sf_dir)
-    vecs = emb.withColumn("features", array_to_vector(F.col("embedding").cast("array<double>")))
-    km = KMeans(k=n_cells, seed=42, initMode="k-means||", maxIter=10)
-    model = km.fit(vecs)
-    assigned = model.transform(vecs).withColumnRenamed("prediction", "cell")
-
-    # query vector + its n_probe nearest cells (centroid table is tiny —
-    # computed driver-side, broadcast as a literal filter)
-    q_row = assigned.filter(F.col("vec_id") == query_id).select("embedding", "features").head()
-    q_emb = q_row["embedding"]
     import numpy as np
 
+    path = ivf_build_index(spark, sf_dir, n_cells)
+    assigned = spark.read.parquet(os.path.join(path, "assignments"))
+    # query-vector lookup against the base table (vec_id pushdown), not the
+    # cell-partitioned index (which would touch every partition directory)
+    q_row = (
+        load_embeddings(spark, sf_dir)
+        .filter(F.col("vec_id") == query_id)
+        .select("embedding")
+        .head()
+    )
+    q_emb = list(q_row["embedding"])
+    centers = spark.read.parquet(os.path.join(path, "centroids")).collect()
+
     qv = np.array(q_emb, dtype=float)
-    centers = model.clusterCenters()
-    dists = [float(np.linalg.norm(qv - np.asarray(c))) for c in centers]
-    probe_cells = sorted(range(len(centers)), key=lambda i: dists[i])[:n_probe]
+    dists = {r["cell"]: float(np.linalg.norm(qv - np.asarray(r["centroid"]))) for r in centers}
+    probe_cells = sorted(dists, key=lambda c: dists[c])[:n_probe]
 
     cands = assigned.filter(F.col("cell").isin(probe_cells)).filter(
         F.col("vec_id") != query_id
