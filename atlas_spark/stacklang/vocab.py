@@ -720,6 +720,20 @@ macro(
     "line,:get,maxPredPercentBound,:get,:gt,:and,:or",
 )
 
+# legacy epic-expression visualization (StyleVocabulary.scala:124,605-636):
+# the signal as a translucent vspan plus the raw line and the four
+# prediction bounds, each pulled from the variables that
+# :des-epic-signal leaves in the context
+macro(
+    "des-epic-viz",
+    ":des-epic-signal,vspan,:ls,40,:alpha,triggered,:legend,"
+    "line,:get,line,:legend,"
+    "minPredNoiseBound,:get,minPredNoiseBound,:legend,"
+    "minPredPercentBound,:get,minPredPercentBound,:legend,"
+    "maxPredNoiseBound,:get,maxPredNoiseBound,:legend,"
+    "maxPredPercentBound,:get,maxPredPercentBound,:legend",
+)
+
 # preset macros (StatefulVocabulary.scala:53-60)
 for _nm, _ps in (
     ("des-simple", "10,0.1,0.5,:des"),

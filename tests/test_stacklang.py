@@ -16,7 +16,7 @@ from atlas_spark.stacklang.interpreter import AslError, split_and_trim
 from atlas_spark.stacklang.vocab import default_interpreter, parse
 
 CORPUS = "/root/reference/atlas-core/src/test/resources/queries.txt"
-KNOWN_UNSUPPORTED = (":percentiles", ":des-epic-viz")
+KNOWN_UNSUPPORTED: tuple[str, ...] = ()
 
 
 def test_tokenize():
@@ -61,7 +61,7 @@ def test_corpus_coverage():
             if not any(k in str(ex) for k in KNOWN_UNSUPPORTED):
                 raise AssertionError(f"unexpected parse failure for {q!r}: {ex}")
     assert total >= 300
-    assert ok / total >= 0.98
+    assert ok == total, f"corpus coverage {ok}/{total}"
 
 
 def test_stack_ops():
