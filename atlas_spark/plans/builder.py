@@ -662,17 +662,30 @@ class Evaluator:
         stats = rf.df.groupBy(*kc).agg(_STAT_FUNS[e.stat](F.col("value")).alias("_stat"))
         order = [F.col("_stat").asc_nulls_last() if e.bottom else F.col("_stat").desc_nulls_last()]
         order += [F.col(c).asc() for c in kc]  # deterministic tie-break
-        ranked = stats.withColumn("_rn", F.row_number().over(Window.orderBy(*order)))
-        top = ranked.filter(F.col("_rn") <= e.k).select(*kc)
-        kept = rf.df.join(F.broadcast(top), on=kc, how="left_semi")
+        # orderBy().limit() compiles to TakeOrderedAndProject — partial
+        # per-partition top-k then a k-row merge, never a global
+        # single-partition window sort
+        top = stats.orderBy(*order).limit(e.k).select(*kc)
         if not e.others:
+            kept = rf.df.join(F.broadcast(top), on=kc, how="left_semi")
             return replace(rf, df=kept)
-        rest = rf.df.join(F.broadcast(top), on=kc, how="left_anti")
-        others = rest.groupBy("t").agg(_AGG[e.others]("value").alias("value"))
-        others = others.select(
-            *[F.lit("--others--").alias(c) for c in kc], "t", "value"
+        # single pass for the -others- variants: mark top keys with one
+        # broadcast join, fold everything else into the --others-- line in
+        # the same aggregation (a kept series is a single row per (keys, t),
+        # so the agg fn is identity on it) — the upstream is scanned once
+        marked = rf.df.join(
+            F.broadcast(top.withColumn("_in", F.lit(1))), on=kc, how="left"
         )
-        return replace(rf, df=kept.select(*kc, "t", "value").unionByName(others))
+        out_keys = [
+            F.when(F.col("_in") == 1, F.col(c)).otherwise(F.lit("--others--")).alias(c)
+            for c in kc
+        ]
+        df = (
+            marked.select(*out_keys, "t", "value")
+            .groupBy(*kc, "t")
+            .agg(_AGG[e.others]("value").alias("value"))
+        )
+        return replace(rf, df=df)
 
     def _eval_consolidate(self, e: E.ConsolidateExpr) -> ResultFrame:
         rf = self._eval(e.expr)
@@ -695,7 +708,10 @@ class Evaluator:
     def _eval_style(self, e: E.StyleExpr) -> ResultFrame:
         rf = self._eval(e.expr)
         s = e.settings_dict()
-        if "sort" in s or "limit" in s:
+        if "limit" in s:
+            # :sort/:order without :limit only affects presentation order
+            # (row order is not part of the result set); :limit selects the
+            # first N keys under that order via TakeOrderedAndProject
             stat = s.get("sort", "max")
             desc = s.get("order", "desc") != "asc"
             kc = rf.key_cols
@@ -703,10 +719,8 @@ class Evaluator:
                 stats = rf.df.groupBy(*kc).agg(_STAT_FUNS.get(stat, F.max)(F.col("value")).alias("_stat"))
                 order = [F.col("_stat").desc_nulls_last() if desc else F.col("_stat").asc_nulls_last()]
                 order += [F.col(c).asc() for c in kc]
-                ranked = stats.withColumn("_rn", F.row_number().over(Window.orderBy(*order)))
-                if "limit" in s:
-                    ranked = ranked.filter(F.col("_rn") <= int(s["limit"]))
-                kept = rf.df.join(F.broadcast(ranked.select(*kc)), on=kc, how="left_semi")
+                top = stats.orderBy(*order).limit(int(s["limit"])).select(*kc)
+                kept = rf.df.join(F.broadcast(top), on=kc, how="left_semi")
                 rf = replace(rf, df=kept)
         return rf
 
