@@ -23,16 +23,134 @@ Spark, mirroring TimeGrouped's `droppedOld` behavior
 
 from __future__ import annotations
 
+import shutil
+import tempfile
 from dataclasses import dataclass
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from ..functions import nanmath
 from ..model import expr as E
-from ..plans.builder import Evaluator
+from ..plans.builder import Evaluator, query_to_column
 from ..plans.context import EvalContext
 from ..sources.datapoints import DatapointSource
 from ..stacklang.vocab import parse as parse_asl
+from .stateful import stateful_stream
+
+_SERIES_SEP = "\x1f"
+_NO_KEY = "__all__"
+
+# ops executable in the executor-side state store (stateful.py kernel)
+_STATE_OPS = frozenset(
+    {
+        "delay", "rolling-count", "rolling-min", "rolling-max",
+        "rolling-sum", "rolling-mean", "derivative", "integral",
+        "cumulative-max",
+    }
+)
+
+
+@dataclass(frozen=True)
+class _StatePlan:
+    """Decomposition of an ASL tree into the state-store streaming shape:
+    data aggregation -> stateless pre ops -> at most one stateful op ->
+    stateless post ops."""
+
+    query: object
+    fn: str
+    keys: tuple[str, ...]
+    pre: tuple  # innermost-first stateless (kind, ...) steps below the stateful op
+    stateful: tuple | None  # (op, params)
+    post: tuple  # innermost-first stateless steps above the stateful op
+
+
+def _peel_stateless(e: E.TimeSeriesExpr):
+    """Strip a chain of stateless per-point wrappers, returning (inner,
+    steps innermost-first).  Supported: unary math and binary math with a
+    constant side — everything that needs no cross-series join."""
+    steps: list[tuple] = []
+    while True:
+        if isinstance(e, E.NamedRewrite):
+            e = e.evaluated
+        elif isinstance(e, E.UnaryMathExpr):
+            steps.append(("unary", e.op, e.param))
+            e = e.expr
+        elif isinstance(e, E.BinaryMathExpr) and isinstance(e.rhs, E.ConstExpr):
+            steps.append(("binary_r", e.op, e.rhs.v))
+            e = e.lhs
+        elif isinstance(e, E.BinaryMathExpr) and isinstance(e.lhs, E.ConstExpr):
+            steps.append(("binary_l", e.op, e.lhs.v))
+            e = e.rhs
+        else:
+            return e, tuple(reversed(steps))
+
+
+def _decompose_state_plan(expr: E.TimeSeriesExpr) -> _StatePlan | None:
+    """Match the tree against the state-store shape; None -> caller falls
+    back to the driver-buffer path (DES, :trend, multi-op chains, joins)."""
+    e, post = _peel_stateless(expr)
+    stateful = None
+    if isinstance(e, E.StatefulMathExpr):
+        if e.op not in _STATE_OPS:
+            return None
+        stateful = (e.op, e.params)
+        e = e.expr
+    e, pre = _peel_stateless(e)
+    if isinstance(e, E.StatefulMathExpr):
+        return None  # more than one stateful op -> fallback
+    if isinstance(e, E.GroupByExpr):
+        if e.af.offset:
+            return None
+        return _StatePlan(e.query, e.af.fn, tuple(e.keys), pre, stateful, post)
+    if isinstance(e, E.AggrExpr):
+        if e.offset:
+            return None
+        return _StatePlan(e.query, e.fn, (), pre, stateful, post)
+    return None
+
+
+def _stateless_col(steps: tuple, col, step: int):
+    """Apply peeled stateless steps (innermost-first) to a value column."""
+    for kind, op, param in steps:
+        if kind == "unary":
+            if op == "per-step":
+                col = col * F.lit(float(step))
+            else:
+                col = nanmath.unary_op(op, col, param)
+        elif kind == "binary_r":
+            col = nanmath.binary_op(op, col, F.lit(float(param)))
+        else:
+            col = nanmath.binary_op(op, F.lit(float(param)), col)
+    return col
+
+
+class _ChainedQueries:
+    """Handle over the chained finalize -> stateful streaming stages.
+
+    `processAllAvailable` drains the stages in topological order (twice:
+    stage 2 may only see stage 1's output after stage 1 flushed its spool
+    files); `stop` tears down in reverse and removes the spool dirs.
+    """
+
+    def __init__(self, queries, tmp_dirs):
+        self.queries = queries
+        self._tmp_dirs = tmp_dirs
+
+    def processAllAvailable(self):  # noqa: N802 (mirrors StreamingQuery API)
+        for _ in range(2):
+            for q in self.queries:
+                q.processAllAvailable()
+
+    def stop(self):
+        for q in reversed(self.queries):
+            q.stop()
+        for d in self._tmp_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+
+    @property
+    def isActive(self):  # noqa: N802
+        return any(q.isActive for q in self.queries)
 
 
 def _max_lookback_steps(e: E.TimeSeriesExpr) -> int:
@@ -76,33 +194,141 @@ class StreamingEvaluator:
         if len(exprs) != 1:
             raise ValueError("streaming evaluator takes a single expression")
         self.expr = exprs[0]
+        ev = self.expr
+        while isinstance(ev, E.StyleExpr):
+            ev = ev.expr
+        self.state_plan = _decompose_state_plan(ev)
         self.lookback = min(_max_lookback_steps(self.expr), self.max_lookback)
         self._buffer = None  # rolling pandas buffer of finalized dp rows
         self.results: list[dict] = []
         self.intervals_seen: set[int] = set()
+        self._tmp_dirs: list[str] = []
 
     # ---------------------------------------------------------------- query
 
     def start(self, stream: DataFrame, query_name: str = "atlas_stream"):
-        """Wire the streaming DAG: step window + watermark + partial agg,
-        then per-batch final evaluation."""
+        """Wire the streaming DAG.
+
+        Expressions matching the state-store shape (data agg -> stateless
+        math -> at most one windowed/rolling op -> stateless math) run
+        fully distributed: watermarked step-window aggregation, then the
+        stateful kernel in `applyInPandasWithState` keyed by series — state
+        lives in the executor state store, never in driver memory.  DES and
+        other non-matching shapes fall back to the driver-buffer path.
+        """
+        if self.state_plan is not None:
+            return self._start_state_store(stream, query_name)
+        return self._start_buffered(stream, query_name)
+
+    def _windowed(self, stream: DataFrame, plan: _StatePlan | None) -> DataFrame:
+        """Watermarked tumbling-window aggregation of finalized intervals.
+
+        With a state plan the query predicate filters the raw stream and
+        the plan's aggregate fn runs directly (map-side partial agg);
+        missing group keys drop rows (DataExpr.scala:108-122).
+        """
         cols = list(self.key_cols.values())
         watermark = f"{self.num_buffers * self.step} seconds"
-        windowed = (
-            stream.withWatermark("ts", watermark)
+        if plan is None:
+            agg_fn = F.sum
+            group_cols = cols
+            filtered = stream
+        else:
+            agg_fn = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}[plan.fn]
+            group_cols = [self.key_cols[k] for k in plan.keys]
+            src = DatapointSource(
+                df=stream, step=self.step, colmap=dict(self.key_cols), sql_cte=""
+            )
+            filtered = stream.filter(query_to_column(plan.query, src))
+            for c in group_cols:
+                filtered = filtered.filter(F.col(c).isNotNull())
+        return (
+            filtered.withWatermark("ts", watermark)
             .groupBy(
                 F.window("ts", f"{self.step} seconds").alias("w"),
-                *[F.col(c) for c in cols],
+                *[F.col(c) for c in group_cols],
             )
-            .agg(F.sum("value").alias("value"))
+            .agg(agg_fn("value").alias("value"))
             .select(
                 F.unix_timestamp(F.col("w.start")).cast("long").alias("t"),
-                *cols,
+                *group_cols,
                 "value",
             )
         )
+
+    def _start_state_store(self, stream: DataFrame, query_name: str):
+        """Two chained streaming stages with a parquet spool between them
+        (the Kafka/Delta bronze->silver topology): Spark does not allow
+        applyInPandasWithState downstream of a streaming aggregation in one
+        query, so finalized intervals are spooled and re-streamed."""
+        plan = self.state_plan
+        finalized = self._windowed(stream, plan)
+        pre_value = _stateless_col(plan.pre, F.col("value"), self.step)
+        key_cols = [self.key_cols[k] for k in plan.keys]
+        series = (
+            F.concat_ws(_SERIES_SEP, *[F.col(c) for c in key_cols])
+            if key_cols
+            else F.lit(_NO_KEY)
+        )
+        staged = finalized.select(
+            series.alias("series"), "t", pre_value.cast("double").alias("value")
+        )
+
+        if plan.stateful is None:
+            q = (
+                staged.writeStream.outputMode("append")
+                .queryName(query_name)
+                .foreachBatch(self._collect_batch)
+                .start()
+            )
+            return _ChainedQueries([q], [])
+
+        spool = tempfile.mkdtemp(prefix="atlas_spool_")
+        ck1 = tempfile.mkdtemp(prefix="atlas_ck1_")
+        self._tmp_dirs += [spool, ck1]
+        q1 = (
+            staged.writeStream.outputMode("append")
+            .queryName(f"{query_name}_finalize")
+            .option("checkpointLocation", ck1)
+            .format("parquet")
+            .option("path", spool)
+            .start()
+        )
+        respooled = self.spark.readStream.schema("series string, t long, value double").parquet(spool)
+        op, params = plan.stateful
+        stated = stateful_stream(respooled, op, params, self.step)
+        q2 = (
+            stated.writeStream.outputMode("append")
+            .queryName(f"{query_name}_stateful")
+            .foreachBatch(self._collect_batch)
+            .start()
+        )
+        return _ChainedQueries([q1, q2], self._tmp_dirs)
+
+    def _collect_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """Sink for the state-store path: unpack the series key and apply
+        the post-stateful stateless steps.  Rows arrive exactly once
+        (append mode downstream of the watermark)."""
+        plan = self.state_plan
+        post_value = _stateless_col(plan.post, F.col("value"), self.step)
+        out = batch_df.withColumn("value", post_value.cast("double"))
+        keys = list(plan.keys)
+        rows = out.collect()
+        for r in rows:
+            row = {"t": r["t"], "value": r["value"]}
+            if keys:
+                parts = (r["series"] or "").split(_SERIES_SEP)
+                for k, v in zip(keys, parts):
+                    row[k] = v
+            self.results.append(row)
+
+    def _start_buffered(self, stream: DataFrame, query_name: str):
+        """Driver-buffer fallback (DES/:trend/joins): per-batch re-eval of
+        the full expression over a bounded lookback of finalized
+        intervals.  State is bounded by lookback * series, driver-side."""
         return (
-            windowed.writeStream.outputMode("append")
+            self._windowed(stream, None)
+            .writeStream.outputMode("append")
             .queryName(query_name)
             .foreachBatch(self._on_batch)
             .start()

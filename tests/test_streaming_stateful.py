@@ -78,6 +78,72 @@ def test_delay_and_integral(spark, stream_dir):
     assert out[("a", 0)] is None
 
 
+def test_full_expression_path_matches_batch(spark, stream_dir):
+    """End-to-end state-store route: ASL with data agg + stateless math +
+    rolling op streamed in chunks equals the batch evaluation, with the
+    stateful kernel running in applyInPandasWithState (no driver buffer)."""
+    import pyspark.sql.functions as F
+
+    from atlas_spark.plans.builder import Evaluator
+    from atlas_spark.plans.context import EvalContext
+    from atlas_spark.sources.datapoints import DatapointSource
+    from atlas_spark.stacklang.vocab import parse as parse_asl
+    from atlas_spark.streaming.evaluator import StreamingEvaluator
+
+    asl = ":true,:sum,(,name,),:by,3,:rolling-sum,2,:mul"
+    step = 60
+    base = 1704067200
+    rows = []
+    for h in range(8):
+        for name, v in (("a", float(h + 1)), ("b", 2.0 * (h + 1))):
+            rows.append({"k_name": name, "ts": pd.Timestamp(base + h * step + 5, unit="s"), "value": v})
+    pdf = pd.DataFrame(rows)
+    chunks = [pdf.iloc[:6], pdf.iloc[6:12], pdf.iloc[12:]]
+
+    sev = StreamingEvaluator(spark, asl, step, {"name": "k_name"}, num_buffers=2)
+    assert sev.state_plan is not None and sev.state_plan.stateful[0] == "rolling-sum"
+    stream = (
+        spark.readStream.schema("k_name string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    spark.createDataFrame(chunks[0]).coalesce(1).write.mode("append").parquet(stream_dir)
+    q = sev.start(stream)
+    try:
+        q.processAllAvailable()
+        for c in chunks[1:]:
+            spark.createDataFrame(c).coalesce(1).write.mode("append").parquet(stream_dir)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # batch truth over the same rows
+    dp = spark.createDataFrame(pdf).select(
+        "k_name",
+        (F.unix_timestamp("ts") - F.unix_timestamp("ts") % step).cast("long").alias("t"),
+        "value",
+    )
+    src = DatapointSource(df=dp, step=step, colmap={"name": "k_name"}, sql_cte="")
+    ctx = EvalContext(base, base + 8 * step, step)
+    rf = Evaluator(src, ctx).eval(parse_asl(asl, step=step)[0])
+    truth = {(r["k_name"], r["t"]): r["value"] for r in rf.df.collect()}
+
+    got = {(r["name"], r["t"]): r["value"] for r in sev.results}
+    assert got, "no streaming results"
+    for key, v in got.items():
+        assert key in truth, key
+        tv = truth[key]
+        if v is None or tv is None:
+            assert v == tv, key
+        else:
+            assert abs(v - tv) < 1e-9, (key, v, tv)
+    # every batch-finalized interval that the stream finalized must be present
+    finalized_ts = {t for (_, t) in got}
+    for (name, t), tv in truth.items():
+        if t in finalized_ts:
+            assert (name, t) in got
+
+
 def test_two_series_independent_state(spark, stream_dir):
     c1 = pd.DataFrame(
         {
