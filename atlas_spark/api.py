@@ -128,7 +128,11 @@ class Engine:
         if "q" not in qs:
             raise ValueError("missing q parameter")
         ctx = self._ctx_from_params(qs)
-        exprs = parse_asl(qs["q"][0], step=ctx.step)
+        # tz param -> interpreter variable; first zone wins for expression
+        # semantics (Grapher.scala:169-171; extra zones are axis-rendering
+        # only, a chart concern out of scope here)
+        tz = qs.get("tz", ["UTC"])[0]
+        exprs = parse_asl(qs["q"][0], step=ctx.step, vars={"tz": tz})
         ev = Evaluator(self.source, ctx)
 
         lines: list[GraphLine] = []

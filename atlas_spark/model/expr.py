@@ -185,10 +185,15 @@ class TimeExpr(TimeSeriesExpr):
 
 @dataclass(frozen=True)
 class TimeSpanExpr(TimeSeriesExpr):
-    """`s,e,:time-span` — 1.0 within [s,e] else 0.0 (MathExpr.scala:239-308)."""
+    """`s,e,:time-span` — 1.0 within [s,e] else 0.0 (MathExpr.scala:239-308).
+
+    `zone` comes from the `tz` interpreter variable (graph param) and
+    applies to absolute date strings without an explicit offset
+    (MathVocabulary.scala:508-527)."""
 
     s: str
     e: str
+    zone: str = "UTC"
 
     def display(self):
         return f"{self.s},{self.e},:time-span"

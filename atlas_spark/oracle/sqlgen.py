@@ -179,9 +179,9 @@ class SqlGen:
             return rel, []
 
         if isinstance(e, E.TimeSpanExpr):
-            from ..util.strings import parse_time_ref
+            from ..util.strings import time_range
 
-            s, t_end = parse_time_ref(e.s, c), parse_time_ref(e.e, c)
+            s, t_end = time_range(e.s, e.e, c, zone=e.zone)
             g = self._grid()
             rel = self._add(
                 f"SELECT t, CASE WHEN t >= {s} AND t <= {t_end} THEN 1.0 ELSE 0.0 END AS value FROM {g}"

@@ -327,10 +327,9 @@ class Evaluator:
         return (F.pmod(h, F.lit(1000000)) / F.lit(1000000.0)).cast("double")
 
     def _eval_time_span(self, e: E.TimeSpanExpr) -> ResultFrame:
-        from ..util.strings import parse_time_ref
+        from ..util.strings import time_range
 
-        s = parse_time_ref(e.s, self.ctx)
-        t_end = parse_time_ref(e.e, self.ctx)
+        s, t_end = time_range(e.s, e.e, self.ctx, zone=e.zone)
         c = F.when(
             (F.col("t") >= F.lit(s)) & (F.col("t") <= F.lit(t_end)), F.lit(1.0)
         ).otherwise(F.lit(0.0))

@@ -520,8 +520,10 @@ w("time", _match(STR), lambda c: c.push(E.TimeExpr(c.pop())))
 
 
 def _time_span(c: Context) -> None:
+    """Zone from the `tz` interpreter variable, UTC default
+    (MathVocabulary.scala:508-527)."""
     e_tok, s_tok = c.pop(), c.pop()
-    c.push(E.TimeSpanExpr(s_tok, e_tok))
+    c.push(E.TimeSpanExpr(s_tok, e_tok, str(c.vars.get("tz", "UTC"))))
 
 
 w("time-span", _match(STR, STR), _time_span)

@@ -1,67 +1,252 @@
-"""Duration / time-reference parsing.
+"""Duration / date parsing.
 
-Subset of the reference's `Strings.parseDuration` / `parseDate` grammar
-(`atlas-core/.../util/Strings.scala`): ISO-ish durations (`30s`, `5m`,
-`3h`, `2d`, `1w`), relative refs (`now`, `s`, `e`, `epoch`, `e-3h`), and
-epoch-seconds integers.
+Faithful port of the reference grammar (`atlas-core/.../util/Strings.scala`
+and `IsoDateTimeParser.scala`):
+
+  - durations: "at" form `<n><unit>` with units ns us/μs ms s m h d w
+    (7 days) month (30 days) y (365 days) and word aliases
+    (Strings.scala:560-589), or ISO-8601 `PnDTnHnMnS` — all FIXED-LENGTH
+    `Duration`s, never calendar periods, so relative offsets are
+    zone-independent (Strings.scala:510-518 applyDateOffset).
+  - dates (Strings.scala:488-507 parseDate): `<ref><+|-><duration>`
+    relative form, bare named refs, unix epoch numbers with automatic
+    unit by magnitude (Strings.scala:520-532: seconds up to 2^31-1, then
+    millis/micros/nanos with year-2400 cutoffs), unix with offset, and
+    ISO date/time strings where the zone applies only when not explicit
+    in the string (IsoDateTimeParser.scala:28-90).
+  - time ranges (MathExpr.scala TimeSpan.parseDates / Strings.timeRange):
+    start/end may reference each other (`s`/`e`) exactly once, plus the
+    graph range refs `gs`/`ge`; self/mutual references are errors.
+
+Engine determinism note: the reference resolves `now` (and unknown refs)
+to the wall clock; this engine resolves `now` to the evaluation context
+end so oracle-checked results are reproducible.
+
+Sub-second precision: durations keep microsecond resolution (`ns`
+truncates to µs); results are epoch SECONDS, matching the engine's step
+grid.
 """
 
 from __future__ import annotations
 
+import datetime as dt
 import re
 
-_UNITS = {
-    "s": 1,
-    "m": 60,
-    "h": 3600,
-    "d": 86400,
-    "w": 604800,
+_AT_PERIOD = re.compile(r"^(\d+)([a-zμ]+)$")
+_ISO_PERIOD = re.compile(
+    r"^P(?:(\d+)D)?(?:T(?:(\d+)H)?(?:(\d+)M)?(?:(\d+(?:\.\d+)?)S)?)?$"
+)
+_RELATIVE = re.compile(r"^([a-z]+)([\-+])([^\-+]+)$")
+_NAMED = re.compile(r"^([a-z]+)$")
+_UNIX = re.compile(r"^([0-9]+)$")
+_UNIX_OP = re.compile(r"^([0-9]+)([\-+])([^\-+]+)$")
+
+_SECONDS_CUTOFF = (1 << 31) - 1
+_MILLIS_CUTOFF = int(
+    dt.datetime(2400, 1, 1, tzinfo=dt.timezone.utc).timestamp() * 1000
+)
+_MICROS_CUTOFF = _MILLIS_CUTOFF * 1000
+
+# "at" duration units -> seconds factor (fractional for sub-second)
+_AT_UNITS: dict[str, float] = {
+    "ns": 1e-9,
+    "us": 1e-6, "μs": 1e-6,
+    "ms": 1e-3,
+    "s": 1, "second": 1, "seconds": 1,
+    "m": 60, "min": 60, "minute": 60, "minutes": 60,
+    "h": 3600, "hour": 3600, "hours": 3600,
+    "d": 86400, "day": 86400, "days": 86400,
+    "w": 604800, "wk": 604800, "week": 604800, "weeks": 604800,
+    "month": 2592000, "months": 2592000,  # 30 days
+    "y": 31536000, "year": 31536000, "years": 31536000,  # 365 days
 }
 
-_DUR_RE = re.compile(r"^(\d+)(s|m|h|d|w)$")
+
+def parse_duration_td(s: str) -> dt.timedelta:
+    """Duration string -> timedelta (Strings.scala:550-589)."""
+    s = s.strip()
+    m = _AT_PERIOD.match(s)
+    if m and m.group(2) in _AT_UNITS:
+        return dt.timedelta(seconds=int(m.group(1)) * _AT_UNITS[m.group(2)])
+    m = _ISO_PERIOD.match(s)
+    if m and any(m.groups()):
+        d, h, mi, sec = m.groups()
+        return dt.timedelta(
+            days=int(d or 0),
+            hours=int(h or 0),
+            minutes=int(mi or 0),
+            seconds=float(sec or 0),
+        )
+    raise ValueError(f"invalid period {s!r}")
 
 
 def parse_duration(s: str) -> int:
-    """Duration string -> seconds."""
+    """Duration string -> whole seconds (engine step-grid resolution);
+    bare digits are seconds."""
     s = s.strip()
-    m = _DUR_RE.match(s)
-    if m:
-        return int(m.group(1)) * _UNITS[m.group(2)]
-    # ISO-8601 subset: PT30M, PT1H, P1D
-    m = re.match(r"^P(?:(\d+)D)?(?:T(?:(\d+)H)?(?:(\d+)M)?(?:(\d+)S)?)?$", s)
-    if m and any(m.groups()):
-        d, h, mi, sec = (int(g) if g else 0 for g in m.groups())
-        return d * 86400 + h * 3600 + mi * 60 + sec
     if s.isdigit():
         return int(s)
-    raise ValueError(f"cannot parse duration: {s!r}")
+    return int(parse_duration_td(s).total_seconds())
 
 
-def parse_time_ref(s: str, ctx) -> int:
-    """Time reference -> epoch seconds, resolved against an EvalContext."""
-    s = s.strip()
-    if s in ("now", "e"):
-        return ctx.end
-    if s in ("s", "gs", "ge"):
-        return ctx.start if s in ("s", "gs") else ctx.end
-    if s == "epoch":
-        return 0
-    m = re.match(r"^(now|e|s)([+-])(.+)$", s)
+def is_relative_date(s: str, custom_ref: bool = False) -> bool:
+    """Strings.scala:461-471."""
+    m = _RELATIVE.match(s)
+    if not m:
+        return False
+    return not custom_ref or m.group(1) not in ("now", "epoch")
+
+
+def extract_reference_point(s: str) -> str | None:
+    """Strings.scala:477-480."""
+    m = _RELATIVE.match(s)
     if m:
-        base = parse_time_ref(m.group(1), ctx)
-        d = parse_duration(m.group(3))
-        return base + d if m.group(2) == "+" else base - d
-    if re.match(r"^\d+$", s):
-        v = int(s)
-        # values that look like epoch millis are normalized to seconds
-        return v // 1000 if v > 10_000_000_000 else v
-    # ISO date/time
-    import datetime as dt
+        return m.group(1)
+    m = _NAMED.match(s)
+    if m:
+        return m.group(1)
+    return None
 
-    for fmt in ("%Y-%m-%dT%H:%M:%S", "%Y-%m-%dT%H:%M", "%Y-%m-%d"):
+
+def _zoneinfo(zone: str) -> dt.tzinfo:
+    if zone in ("UTC", "Z", "utc"):
+        return dt.timezone.utc
+    m = re.match(r"^([+-])(\d{2}):?(\d{2})$", zone)
+    if m:
+        sign = 1 if m.group(1) == "+" else -1
+        return dt.timezone(
+            sign * dt.timedelta(hours=int(m.group(2)), minutes=int(m.group(3)))
+        )
+    from zoneinfo import ZoneInfo
+
+    return ZoneInfo(zone)
+
+
+_ISO_ZONE_TAIL = re.compile(r"^(.*?)(Z|[+-]\d{2}(?::?\d{2})?(?::?\d{2})?)$")
+
+
+def _parse_iso(s: str, tzinfo: dt.tzinfo) -> dt.datetime:
+    """IsoDateTimeParser.parse: normalize partial forms, explicit zone in
+    the string wins over the default zone."""
+    explicit = None
+    body = s
+    m = _ISO_ZONE_TAIL.match(s)
+    if m and ("T" in m.group(1) or m.group(2) == "Z" or len(m.group(1)) == 10):
+        body, z = m.group(1), m.group(2)
+        if z == "Z":
+            explicit = dt.timezone.utc
+        else:
+            zm = re.match(r"^([+-])(\d{2}):?(\d{2})?:?(\d{2})?$", z)
+            sign = 1 if zm.group(1) == "+" else -1
+            explicit = dt.timezone(
+                sign
+                * dt.timedelta(
+                    hours=int(zm.group(2)),
+                    minutes=int(zm.group(3) or 0),
+                    seconds=int(zm.group(4) or 0),
+                )
+            )
+    for fmt in (
+        "%Y-%m-%dT%H:%M:%S.%f",
+        "%Y-%m-%dT%H:%M:%S",
+        "%Y-%m-%dT%H:%M",
+        "%Y-%m-%d",
+    ):
         try:
-            d = dt.datetime.strptime(s, fmt).replace(tzinfo=dt.timezone.utc)
-            return int(d.timestamp())
+            naive = dt.datetime.strptime(body, fmt)
         except ValueError:
             continue
-    raise ValueError(f"cannot parse time reference: {s!r}")
+        return naive.replace(tzinfo=explicit or tzinfo)
+    raise ValueError(f"invalid date {s!r}")
+
+
+def _of_epoch(v: int, tzinfo: dt.tzinfo) -> dt.datetime:
+    """Automatic epoch unit by magnitude (Strings.scala:520-532)."""
+    if v <= _SECONDS_CUTOFF:
+        sec = float(v)
+    elif v <= _MILLIS_CUTOFF:
+        sec = v / 1e3
+    elif v <= _MICROS_CUTOFF:
+        sec = v / 1e6
+    else:
+        sec = v / 1e9
+    return dt.datetime.fromtimestamp(sec, tz=tzinfo)
+
+
+def parse_date(
+    s: str,
+    zone: str = "UTC",
+    refs: dict[str, dt.datetime] | None = None,
+    now: dt.datetime | None = None,
+) -> dt.datetime:
+    """Strings.parseDate -> aware datetime."""
+    s = s.strip()
+    refs = refs or {}
+    tzinfo = _zoneinfo(zone)
+
+    def ref(name: str) -> dt.datetime:
+        if name in refs:
+            return refs[name]
+        if name == "epoch":
+            return dt.datetime.fromtimestamp(0, tz=dt.timezone.utc)
+        return now or dt.datetime.now(tz=dt.timezone.utc)
+
+    m = _RELATIVE.match(s)
+    if m:
+        base, op, p = ref(m.group(1)), m.group(2), m.group(3)
+        d = parse_duration_td(p)
+        return base - d if op == "-" else base + d
+    if _NAMED.match(s):
+        return ref(s)
+    if _UNIX.match(s):
+        return _of_epoch(int(s), tzinfo)
+    m = _UNIX_OP.match(s)
+    if m:
+        base = _of_epoch(int(m.group(1)), tzinfo)
+        d = parse_duration_td(m.group(3))
+        return base - d if m.group(2) == "-" else base + d
+    return _parse_iso(s, tzinfo)
+
+
+def _epoch_s(d: dt.datetime) -> int:
+    return int(d.timestamp())
+
+
+def parse_time_ref(s: str, ctx, zone: str = "UTC") -> int:
+    """Back-compat single-ref resolution against an EvalContext: graph
+    range refs map to the context window, `now` to the context end."""
+    start = dt.datetime.fromtimestamp(ctx.start, tz=dt.timezone.utc)
+    end = dt.datetime.fromtimestamp(ctx.end, tz=dt.timezone.utc)
+    refs = {"gs": start, "ge": end, "s": start, "e": end, "now": end}
+    return _epoch_s(parse_date(s, zone, refs, now=end))
+
+
+def time_range(s: str, e: str, ctx, zone: str = "UTC") -> tuple[int, int]:
+    """TimeSpan.parseDates (MathExpr.scala:239-282): `s`/`e` cross-refs
+    resolve against each other, `gs`/`ge` against the graph range; self
+    and mutual references are errors."""
+    sref = extract_reference_point(s)
+    eref = extract_reference_point(e)
+    if sref == "e" and eref == "s":
+        raise ValueError("start and end time are relative to each other")
+    if sref == "s":
+        raise ValueError("start time is relative to itself")
+    if eref == "e":
+        raise ValueError("end time is relative to itself")
+
+    gs = dt.datetime.fromtimestamp(ctx.start, tz=dt.timezone.utc)
+    ge = dt.datetime.fromtimestamp(ctx.end, tz=dt.timezone.utc)
+    refs = {"gs": gs, "ge": ge, "now": ge}
+
+    if sref == "e":
+        end = parse_date(e, zone, refs, now=ge)
+        start = parse_date(s, zone, {**refs, "e": end}, now=ge)
+    elif eref == "s":
+        start = parse_date(s, zone, refs, now=ge)
+        end = parse_date(e, zone, {**refs, "s": start}, now=ge)
+    else:
+        start = parse_date(s, zone, refs, now=ge)
+        end = parse_date(e, zone, refs, now=ge)
+    if _epoch_s(start) > _epoch_s(end):
+        raise ValueError("start must be <= end")
+    return _epoch_s(start), _epoch_s(end)

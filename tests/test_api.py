@@ -32,6 +32,18 @@ def test_graph_group_by_legend(engine):
         assert ln.tags["name"] == ln.label
 
 
+def test_graph_tz_time_span(engine):
+    """tz param shifts absolute time-span boundaries: 2024-01-02 in
+    US/Pacific begins at 08:00 UTC (Grapher.scala:169-171)."""
+    base = "/api/v1/graph?q=2024-01-02,2024-01-03,:time-span&s=2024-01-02&e=2024-01-03"
+    utc = engine.graph(base)
+    pac = engine.graph(base + "&tz=US/Pacific")
+    # UTC: inside the span from the first interval; Pacific: first 8 hours out
+    assert utc.lines[0].data[0] == 1.0
+    assert pac.lines[0].data[:8] == [0.0] * 8
+    assert pac.lines[0].data[8] == 1.0
+
+
 def test_graph_multi_expr(engine):
     g = engine.graph(
         "/api/v1/graph?q=name,click,:eq,:sum,name,view,:eq,:sum&s=2024-01-02&e=2024-01-03"

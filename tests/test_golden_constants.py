@@ -166,9 +166,20 @@ def test_golden_stateful_integral(constants_source):
 
 
 def test_golden_time_span(constants_source):
-    rf = eval_asl(constants_source, "e-30m,e,:time-span")
+    # span end references the graph range (ge); `e` as the span's own end
+    # would be a self-reference error (MathExpr.scala TimeSpan.parseDates)
+    rf = eval_asl(constants_source, "ge-30m,ge,:time-span")
     rows = sorted(rf.df.collect(), key=lambda r: r["t"])
     assert len(rows) == N_STEPS
     flips = [r["value"] for r in rows]
     assert flips[0] == 0.0 and flips[-1] == 1.0
     assert sorted(set(flips)) == [0.0, 1.0]
+
+
+def test_golden_time_span_self_reference_errors(constants_source):
+    import pytest
+
+    with pytest.raises(ValueError, match="relative to itself"):
+        eval_asl(constants_source, "e-30m,e,:time-span")
+    with pytest.raises(ValueError, match="relative to each other"):
+        eval_asl(constants_source, "e-30m,s+30m,:time-span")
