@@ -200,27 +200,86 @@ class Engine:
 
     # ----------------------------------------------------------------- tags
 
-    def tags(self, q=None, key: str | None = None) -> DataFrame:
-        """Tag discovery (TagsApi parity): distinct keys, or distinct values
-        of one key, over series matching the optional Query `q`."""
+    def tags(
+        self,
+        q=None,
+        key: str | None = None,
+        offset: str = "",
+        limit: int | None = None,
+        verbose: bool = False,
+    ) -> DataFrame:
+        """Tag discovery (TagsApi.scala:87-176 parity).
+
+        Modes: keys (no `key`, not verbose), values of one key, or verbose
+        (key, value, count) tags where count is the number of distinct
+        matching series.  `offset` resumes AFTER the given value ("k,v"
+        form in verbose mode), `limit` caps the page; use
+        `tags_next_offset` on the collected page to get the resume token.
+        """
         from .plans.builder import query_to_column
 
         df = self.source.df
         if q is not None:
             df = df.filter(query_to_column(q, self.source))
+        series_cols = sorted(self.source.colmap.values())
+
+        def page(frame: DataFrame, order: list[str]) -> DataFrame:
+            out = frame.orderBy(*order)
+            return out.limit(limit) if limit is not None else out
+
+        if verbose:
+            keys = [key] if key is not None else sorted(self.source.colmap)
+            parts = []
+            for k in keys:
+                col = self.source.colmap.get(k)
+                if col is None:
+                    continue
+                parts.append(
+                    df.where(F.col(col).isNotNull())
+                    .groupBy(F.col(col).alias("value"))
+                    .agg(F.count_distinct(*[F.col(c) for c in series_cols]).alias("count"))
+                    .select(F.lit(k).alias("key"), "value", "count")
+                )
+            if not parts:
+                return self.spark.createDataFrame([], "key string, value string, count long")
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            if offset:
+                ok, _, ov = offset.partition(",")
+                out = out.filter(
+                    (F.col("key") > ok) | ((F.col("key") == ok) & (F.col("value") > ov))
+                )
+            return page(out, ["key", "value"])
         if key is not None:
             col = self.source.colmap.get(key)
             if col is None:
                 return self.spark.createDataFrame([], "value string")
-            return (
+            vals = (
                 df.select(F.col(col).alias("value"))
                 .where(F.col(col).isNotNull())
                 .distinct()
-                .orderBy("value")
             )
-        return self.spark.createDataFrame(
+            if offset:
+                vals = vals.filter(F.col("value") > offset)
+            return page(vals, ["value"])
+        keys_df = self.spark.createDataFrame(
             [(k,) for k in sorted(self.source.colmap)], "key string"
         )
+        if offset:
+            keys_df = keys_df.filter(F.col("key") > offset)
+        return page(keys_df, ["key"])
+
+    @staticmethod
+    def tags_next_offset(rows, limit: int | None, verbose: bool = False) -> str | None:
+        """Resume token for the next page (TagsApi.scala offsetString/
+        offsetTag): None when the page was not full."""
+        if limit is None or len(rows) < limit:
+            return None
+        last = rows[-1]
+        if verbose:
+            return f"{last['key']},{last['value']}"
+        return last["value"] if "value" in last else last["key"]
 
     # ------------------------------------------------------------ internals
 

@@ -96,6 +96,37 @@ def test_tags_keys_values(engine):
     assert vals == ["click"]
 
 
+def test_tags_pagination(engine):
+    """Resume-from-offset walks the full value list in limit-sized pages
+    (TagsApi.scala:71-113)."""
+    full = [r["value"] for r in engine.tags(key="name").collect()]
+    assert len(full) == 5
+    pages, offset = [], ""
+    while True:
+        rows = engine.tags(key="name", offset=offset, limit=2).collect()
+        pages.extend(r["value"] for r in rows)
+        offset = engine.tags_next_offset(rows, 2)
+        if offset is None:
+            break
+    assert pages == full
+    # a full final page yields one extra empty fetch, not an infinite loop
+    rows = engine.tags(key="name", offset=full[-1], limit=2).collect()
+    assert rows == []
+
+
+def test_tags_verbose_counts(engine):
+    rows = engine.tags(key="name", verbose=True).collect()
+    assert {r["key"] for r in rows} == {"name"}
+    counts = {r["value"]: r["count"] for r in rows}
+    assert set(counts) == {"click", "error", "purchase", "signup", "view"}
+    assert all(c > 0 for c in counts.values())
+    # verbose without key spans all tag keys, ordered (key, value)
+    allrows = engine.tags(verbose=True, limit=3).collect()
+    assert [(r["key"]) for r in allrows] == ["bucket"] * 3
+    nxt = engine.tags_next_offset(allrows, 3, verbose=True)
+    assert nxt.startswith("bucket,")
+
+
 def test_normalize(engine):
     out = engine.normalize(":true,a,b,:eq,:and,:sum")
     assert out == ["a,b,:eq,:sum"]

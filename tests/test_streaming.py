@@ -123,6 +123,83 @@ def test_late_data_dropped(spark, stream_dirs):
     assert len(ts) == len(set(ts))
 
 
+def _tags(d):
+    return d
+
+
+def test_publish_validation_rules(spark):
+    from atlas_spark.streaming.validation import validate_publish
+
+    rows = [
+        ({"name": "ok.metric", "app": "www"}, 1.0),
+        ({"app": "www"}, 2.0),  # missing name
+        ({"name": "x"}, 3.0),  # name too short
+        ({"name": "ok", "k": "v"}, 4.0),  # key too short
+        ({"name": "ok", "bad key": "v"}, 5.0),  # invalid characters (space)
+        ({"name": "ok", "app": "a b"}, 6.0),  # invalid characters in value
+        ({"name": "ok", "atlas.custom": "v"}, 7.0),  # reserved prefix
+        ({"name": "ok", "nf.app": "www", "atlas.dstype": "rate"}, 8.0),  # allowed reserved
+        ({"name": "ok", **{f"u{i:02d}": "v" for i in range(21)}}, 9.0),  # >20 user tags
+    ]
+    df = spark.createDataFrame(rows, "tags map<string,string>, value double")
+    valid, rejected = validate_publish(df)
+    ok_vals = sorted(r["value"] for r in valid.collect())
+    assert ok_vals == [1.0, 8.0]
+    reasons = {r["value"]: r["rejection"] for r in rejected.collect()}
+    assert "missing key 'name'" in reasons[2.0]
+    assert "length" in reasons[3.0]
+    assert "length" in reasons[4.0]
+    assert "invalid characters in key" in reasons[5.0]
+    assert "invalid characters in value" in reasons[6.0]
+    assert "reserved prefix 'atlas.'" in reasons[7.0]
+    assert "too many user tags" in reasons[9.0]
+
+
+def test_publish_validation_streaming_counts(spark, stream_dirs):
+    """Streaming ingest drops invalid datapoints and counts them by
+    reason (PublishApi failure accounting)."""
+    import pandas as pd
+
+    from atlas_spark.streaming.validation import validate_publish
+
+    d_in, d_ck = stream_dirs
+    pdf = pd.DataFrame(
+        {
+            "tags": [
+                {"name": "ok.metric", "app": "www"},
+                {"app": "www"},
+                {"name": "ok.metric", "bad key": "v"},
+                {"name": "ok.metric2"},
+            ],
+            "value": [1.0, 2.0, 3.0, 4.0],
+        }
+    )
+    spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(d_in)
+    stream = spark.readStream.schema("tags map<string,string>, value double").parquet(d_in)
+    valid, rejected = validate_publish(stream)
+    got_valid, got_counts = [], {}
+
+    def sink_valid(b, _):
+        got_valid.extend(b.collect())
+
+    def sink_rejected(b, _):
+        for r in b.groupBy("rejection").count().collect():
+            got_counts[r["rejection"]] = got_counts.get(r["rejection"], 0) + r["count"]
+
+    q1 = valid.writeStream.outputMode("append").foreachBatch(sink_valid).start()
+    q2 = rejected.writeStream.outputMode("append").foreachBatch(sink_rejected).start()
+    try:
+        q1.processAllAvailable()
+        q2.processAllAvailable()
+    finally:
+        q1.stop()
+        q2.stop()
+    assert sorted(r["value"] for r in got_valid) == [1.0, 4.0]
+    assert sum(got_counts.values()) == 2
+    assert any("missing key" in k for k in got_counts)
+    assert any("invalid characters" in k for k in got_counts)
+
+
 def test_counter_to_rate_batch(spark):
     rows = [("s1", 0, 0.0), ("s1", 60, 120.0), ("s1", 120, 300.0), ("s1", 180, 100.0)]
     df = spark.createDataFrame(rows, "series string, t long, value double")
