@@ -544,28 +544,34 @@ class Evaluator:
         df = df.withColumn("_next_p", 100.0 * F.col("_cum") / F.col("_total"))
 
         pcts = sorted(set(e.pcts))
-        spark = df.sparkSession
-        pdf = F.broadcast(
-            spark.createDataFrame(
-                [(float(p), pct_label(p)) for p in pcts], "p double, _plabel string"
+        # First crossing bucket per percentile (while-loop order in the
+        # reference) via min_by over the bucket index — one hash aggregate
+        # that REUSES the window stage's (keys, t) partitioning, instead of
+        # a broadcast crossjoin with the pct list + a second exchange and
+        # sort for a row_number rank.  The pct list is a plan-time literal.
+        aggs = [F.first("_timer").alias("_timer")]
+        for i, p in enumerate(pcts):
+            crossing = (F.col("_prev_p") <= p) & (F.lit(float(p)) <= F.col("_next_p"))
+            aggs.append(
+                F.min_by(
+                    F.struct("_prev_p", "_next_p", "_prev_b", "_bval"),
+                    F.when(crossing, F.col("_idx")),
+                ).alias(f"_c{i}")
             )
+        g = df.groupBy(*part).agg(*aggs)
+        stack_args: list = [F.lit(len(pcts))]
+        for i, p in enumerate(pcts):
+            stack_args += [F.lit(pct_label(p)), F.lit(float(p)), F.col(f"_c{i}")]
+        g = g.select(
+            *ek_cols, "t", "_timer", F.stack(*stack_args).alias("k_percentile", "_p", "_c")
         )
-        j = df.crossJoin(pdf).filter(
-            (F.col("_prev_p") <= F.col("p")) & (F.col("p") <= F.col("_next_p"))
-        )
-        # first crossing bucket wins (while-loop order in the reference)
-        rn = F.row_number().over(
-            Window.partitionBy(*part, F.col("p")).orderBy("_idx")
-        )
-        j = j.withColumn("_rn", rn).filter(F.col("_rn") == 1)
+        c = F.col("_c")
         frac = F.when(
-            F.col("_next_p") == F.col("_prev_p"), F.lit(0.0)
-        ).otherwise((F.col("p") - F.col("_prev_p")) / (F.col("_next_p") - F.col("_prev_p")))
-        est = F.col("_prev_b") + frac * (F.col("_bval") - F.col("_prev_b"))
+            c["_next_p"] == c["_prev_p"], F.lit(0.0)
+        ).otherwise((F.col("_p") - c["_prev_p"]) / (c["_next_p"] - c["_prev_p"]))
+        est = c["_prev_b"] + frac * (c["_bval"] - c["_prev_b"])
         est = F.when(F.col("_timer"), est * 1e-9).otherwise(est)
-        out = j.select(
-            *ek_cols, F.col("_plabel").alias("k_percentile"), "t", est.alias("value")
-        )
+        out = g.select(*ek_cols, "k_percentile", "t", est.alias("value"))
         cm = {k: self.source.colmap.get(k, sanitize(k)) for k in e.eval_keys()}
         cm["percentile"] = "k_percentile"
         return ResultFrame(out, e.group_keys(), cm, e.expr.query.exact_keys())
