@@ -359,11 +359,17 @@ class AsExpr(TimeSeriesExpr):
 @dataclass(frozen=True)
 class NamedRewrite(TimeSeriesExpr):
     """Macro display preservation (MathExpr.scala:1202-1340): `evaluated` is
-    what runs; `display_str` is what prints (e.g. `:avg`)."""
+    what runs; `display_str` is what prints (e.g. `:avg`).
+
+    `groupby_rewrite`, when set, overrides how `:cg` groups the macro body
+    (MathExpr.scala NamedRewrite.groupBy with a custom rewrite fn — used
+    by CustomVocabulary averages): called with (display query, keys) and
+    returns the grouped evaluated tree."""
 
     name: str
     display_str: str
     evaluated: TimeSeriesExpr
+    groupby_rewrite: object | None = field(default=None, compare=False)
 
     def group_keys(self):
         return self.evaluated.group_keys()
@@ -721,8 +727,18 @@ def _merge_keys(ks1: tuple[str, ...], ks2: tuple[str, ...]) -> tuple[str, ...]:
 
 def _group_leaves(expr: TimeSeriesExpr, keys: tuple[str, ...]) -> TimeSeriesExpr:
     """Bottom-up shallow group-by rewrite used for ungrouped macro bodies
-    (MathExpr.scala NamedRewrite.groupBy applyGroupBy): every aggregate
-    leaf becomes a group-by on `keys`, every math aggregate a regroup."""
+    and ungrouped `:by` (MathVocabulary.scala:368-374): every aggregate
+    leaf becomes a group-by on `keys`, every math aggregate a regroup,
+    and NamedRewrites group via their custom rewrite when they carry one
+    (NamedRewrite.groupBy)."""
+    if isinstance(expr, NamedRewrite):
+        grouped = (
+            expr.groupby_rewrite(keys)
+            if expr.groupby_rewrite is not None
+            else _group_leaves(expr.evaluated, keys)
+        )
+        disp = f"{expr.display_str},(,{','.join(keys)},),:by"
+        return NamedRewrite(expr.name, disp, grouped, groupby_rewrite=expr.groupby_rewrite)
     kids = expr.children()
     if isinstance(expr, AggrExpr):
         return GroupByExpr(expr.query, expr, keys)
@@ -761,8 +777,16 @@ def _rebuild(expr: TimeSeriesExpr, kids: list[TimeSeriesExpr]) -> TimeSeriesExpr
     if isinstance(expr, ApproxDistinctExpr):
         return ApproxDistinctExpr(kids[0])
     if isinstance(expr, NamedRewrite):
-        return NamedRewrite(expr.name, expr.display_str, kids[0])
+        return NamedRewrite(
+            expr.name, expr.display_str, kids[0], groupby_rewrite=expr.groupby_rewrite
+        )
     raise TypeError(f"cannot rebuild {type(expr).__name__}")
+
+
+def group_ungrouped(expr: TimeSeriesExpr, keys: tuple[str, ...]) -> TimeSeriesExpr:
+    """Ungrouped `(,keys,),:by` across math operations
+    (MathVocabulary.scala:368-374)."""
+    return _group_leaves(expr, keys)
 
 
 def add_common_keys(expr: TimeSeriesExpr, keys: tuple[str, ...]) -> TimeSeriesExpr:
@@ -773,10 +797,11 @@ def add_common_keys(expr: TimeSeriesExpr, keys: tuple[str, ...]) -> TimeSeriesEx
     if isinstance(expr, NamedRewrite):
         ev = expr.evaluated
         if ev.group_keys():
-            return NamedRewrite(expr.name, expr.display_str, add_common_keys(ev, keys))
-        grouped = _group_leaves(ev, keys)
-        disp = f"{expr.display_str},(,{','.join(keys)},),:by"
-        return NamedRewrite(expr.name, disp, grouped)
+            return NamedRewrite(
+                expr.name, expr.display_str, add_common_keys(ev, keys),
+                groupby_rewrite=expr.groupby_rewrite,
+            )
+        return _group_leaves(expr, keys)
     if isinstance(expr, AggrExpr):
         return GroupByExpr(expr.query, expr, keys)
     if isinstance(expr, GroupByExpr):

@@ -219,10 +219,15 @@ TRUE = TrueQuery()
 FALSE = FalseQuery()
 
 
-def simplify(q: Query) -> Query:
-    """Constant folding (Query.scala:218-240)."""
+def simplify(q: Query, ignore: bool = False) -> Query:
+    """Constant folding (Query.scala:218-256).
+
+    With `ignore=True` a `:true` inside an OR is treated as "ignore this
+    clause" and dropped rather than collapsing the OR to true — used when
+    rewriting away query clauses (e.g. CustomVocabulary common-query
+    extraction)."""
     if isinstance(q, AndQuery):
-        q1, q2 = simplify(q.q1), simplify(q.q2)
+        q1, q2 = simplify(q.q1, ignore), simplify(q.q2, ignore)
         if isinstance(q1, FalseQuery) or isinstance(q2, FalseQuery):
             return FALSE
         if isinstance(q1, TrueQuery):
@@ -231,16 +236,20 @@ def simplify(q: Query) -> Query:
             return q1
         return AndQuery(q1, q2)
     if isinstance(q, OrQuery):
-        q1, q2 = simplify(q.q1), simplify(q.q2)
+        q1, q2 = simplify(q.q1, ignore), simplify(q.q2, ignore)
         if isinstance(q1, TrueQuery) or isinstance(q2, TrueQuery):
-            return TRUE
+            if not ignore:
+                return TRUE
+            if isinstance(q1, TrueQuery) and isinstance(q2, TrueQuery):
+                return TRUE
+            return q2 if isinstance(q1, TrueQuery) else q1
         if isinstance(q1, FalseQuery):
             return q2
         if isinstance(q2, FalseQuery):
             return q1
         return OrQuery(q1, q2)
     if isinstance(q, NotQuery):
-        inner = simplify(q.q)
+        inner = simplify(q.q, ignore)
         if isinstance(inner, TrueQuery):
             return FALSE
         if isinstance(inner, FalseQuery):

@@ -350,6 +350,10 @@ w("max", _match(QRY), _data_aggr("max"))
 
 
 def _by(c: Context) -> None:
+    """Data group by (DataVocabulary) + the math overloads
+    (MathVocabulary.scala:345-375): explicit math aggregate regroup,
+    implicit :sum regroup of a grouped result, and the ungrouped case
+    that rewrites aggregate leaves / NamedRewrites across math ops."""
     keys = tuple(string_list(c.pop()))
     v = c.pop()
     if isinstance(v, Q.Query):
@@ -358,8 +362,12 @@ def _by(c: Context) -> None:
         v = E.AggrExpr(v, "sum")
     if isinstance(v, E.AggrExpr):
         c.push(E.GroupByExpr(v.query, v, keys))
-    elif isinstance(v, E.AggrMathExpr):
+    elif isinstance(v, E.AggrMathExpr) and v.expr.group_keys():
         c.push(E.MathGroupByExpr(v, keys))
+    elif isinstance(v, E.TimeSeriesExpr) and v.group_keys():
+        c.push(E.MathGroupByExpr(E.AggrMathExpr("sum", v), keys))
+    elif isinstance(v, E.TimeSeriesExpr):
+        c.push(E.group_ungrouped(v, keys))
     else:
         raise AslError(":by requires an aggregation function")
 
@@ -368,7 +376,7 @@ w(
     "by",
     lambda s: len(s) >= 2
     and isinstance(s[-1], list)
-    and isinstance(s[-2], (E.AggrExpr, E.AggrMathExpr, Q.Query)),
+    and isinstance(s[-2], (E.TimeSeriesExpr, Q.Query)),
     _by,
 )
 
@@ -897,6 +905,12 @@ def parse(program: str, step: int = 3600, vars: dict | None = None) -> list[E.Ti
     from .interpreter import split_and_trim
 
     interp.execute_program(split_and_trim(program), ctx)
+    return coerce_stack(ctx)
+
+
+def coerce_stack(ctx: Context) -> list[E.StyleExpr]:
+    """Coerce a result stack to presentation expressions the way the graph
+    API does (frozen items first, bottom-first plot order)."""
     items = ctx.frozen + ctx.stack
     out = []
     for v in items:
