@@ -45,7 +45,11 @@ def ngram_shingles(df: DataFrame, n: int = 3) -> DataFrame:
     Jaccard / MinHash).  Hashing keeps shuffle keys and set-intersection
     elements fixed-width."""
     words = F.split(F.col("text"), " ")
-    idx = F.sequence(F.lit(0), F.size(words) - n)
+    # guard: Spark sequence(0, k) with k<0 generates DESCENDING indexes —
+    # docs shorter than n words must produce an empty shingle set
+    idx = F.when(
+        F.size(words) >= n, F.sequence(F.lit(0), F.size(words) - n)
+    ).otherwise(F.array().cast("array<int>"))
     return df.select(
         "doc_id",
         F.array_distinct(
@@ -147,21 +151,59 @@ def ngram_jaccard_pairs(
     )
 
 
+# Exact all-pairs oracle (DuckDB): shared-shingle join -> jaccard.  The
+# engine result must EQUAL this because the MinHash banding is tuned for
+# recall 1.0 at the oracle scales (verified 25/25 at sf0.01, 256/256 at
+# sf0.1) and verification is exact.  The oracle shingles are raw strings
+# while the engine intersects 64-bit shingle hashes — identical sets
+# barring xxhash64 collisions within one document pair (~1e-15 at these
+# set sizes).
+NGRAM_JACCARD_SQL = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+             i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])) AS shingles
+  FROM documents
+),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sz AS (SELECT doc_id, len(shingles) AS n FROM sh)
+SELECT p.id_a, p.id_b,
+       round(CAST(p.shared AS DOUBLE) / (sa.n + sb.n - p.shared), 6) AS jaccard
+FROM pairs p
+JOIN sz sa ON p.id_a = sa.doc_id
+JOIN sz sb ON p.id_b = sb.doc_id
+WHERE round(CAST(p.shared AS DOUBLE) / (sa.n + sb.n - p.shared), 6) >= 0.5
+"""
 
-def simhash(spark: SparkSession, sf_dir: str, bits: int = 64) -> DataFrame:
-    """64-bit SimHash per document over word features.
+
+def simhash(spark: SparkSession, sf_dir: str, bits: int = 60) -> DataFrame:
+    """SimHash per document over word features.
 
     Classic Charikar sketch: sign-sum of per-feature hash bits.  Vectorized
     as array ops; the per-bit fold stays in codegen.
+
+    The feature hash is the top 60 bits of md5 (`conv(substr(md5, 1, 15))`)
+    rather than xxhash64 so the DuckDB oracle computes the IDENTICAL
+    sketch (`SIMHASH_SQL`); xxhash64 would be marginally cheaper but is
+    not available to the oracle.
     """
     docs = load_documents(spark, sf_dir)
     # explode distinct word features once, then a single hash-aggregate
-    # computing all 64 bit votes (sum of +/-1 per bit) — one shuffle keyed
-    # on doc_id, 64 narrow agg expressions in whole-stage codegen
+    # computing all bit votes (sum of +/-1 per bit) — one shuffle keyed
+    # on doc_id, narrow agg expressions in whole-stage codegen
     feats = docs.select(
         "doc_id",
         F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("w"),
-    ).select("doc_id", F.xxhash64("w").alias("h"))
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10).cast("long").alias("h"),
+    )
     votes = feats.groupBy("doc_id").agg(
         *[
             F.sum(
@@ -178,3 +220,25 @@ def simhash(spark: SparkSession, sf_dir: str, bits: int = 64) -> DataFrame:
             ).otherwise(F.lit(0).cast("long"))
         )
     return votes.select("doc_id", sim.alias("simhash"))
+
+
+def _simhash_sql(bits: int = 60) -> str:
+    """DuckDB oracle computing the identical md5-derived sketch."""
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(bits)
+    )
+    fold = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN (1::BIGINT << {i}) ELSE 0 END)" for i in range(bits)
+    )
+    return f"""
+WITH f AS (
+  SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h
+  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w FROM documents)
+),
+v AS (SELECT doc_id, {votes} FROM f GROUP BY doc_id)
+SELECT doc_id, CAST({fold} AS BIGINT) AS simhash FROM v
+"""
+
+
+SIMHASH_SQL = _simhash_sql()
