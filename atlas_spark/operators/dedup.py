@@ -40,10 +40,17 @@ GROUP BY sha256(text)
 """
 
 
+def _h60(col) -> "F.Column":
+    """60-bit hash = top 15 hex digits of md5 — the engine-portable hash
+    (DuckDB computes the identical value, so sketches built from it have
+    full value-level oracles; see SIMHASH_SQL / MINHASH_CANDIDATES_SQL)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def ngram_shingles(df: DataFrame, n: int = 3) -> DataFrame:
-    """Word n-gram shingle set per doc, hashed to 64-bit ids (input for
-    Jaccard / MinHash).  Hashing keeps shuffle keys and set-intersection
-    elements fixed-width."""
+    """Word n-gram shingle set per doc, hashed to fixed-width 60-bit ids
+    (input for Jaccard / MinHash).  Hashing keeps shuffle keys and
+    set-intersection elements fixed-width."""
     words = F.split(F.col("text"), " ")
     # guard: Spark sequence(0, k) with k<0 generates DESCENDING indexes —
     # docs shorter than n words must produce an empty shingle set
@@ -55,7 +62,7 @@ def ngram_shingles(df: DataFrame, n: int = 3) -> DataFrame:
         F.array_distinct(
             F.transform(
                 idx,
-                lambda i: F.xxhash64(F.concat_ws("\x1f", F.slice(words, i + 1, n))),
+                lambda i: _h60(F.concat_ws("\x1f", F.slice(words, i + 1, n))),
             )
         ).alias("shingles"),
     )
@@ -71,7 +78,12 @@ def _minhash_bands(sh: DataFrame, num_hashes: int = 32, bands: int = 16) -> Data
     rows_per_band = num_hashes // bands
     feats = sh.select("doc_id", F.explode("shingles").alias("s"))
     sig = feats.groupBy("doc_id").agg(
-        *[F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
+        *[
+            F.min(
+                _h60(F.concat_ws(":", F.col("s").cast("string"), F.lit(str(i))))
+            ).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
     )
     return sig.select(
         "doc_id",
@@ -80,11 +92,14 @@ def _minhash_bands(sh: DataFrame, num_hashes: int = 32, bands: int = 16) -> Data
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.col(f"h{b * rows_per_band + r}")
-                                for r in range(rows_per_band)
-                            ]
+                        _h60(
+                            F.concat_ws(
+                                ":",
+                                *[
+                                    F.col(f"h{b * rows_per_band + r}").cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
                         ).alias("bucket"),
                     )
                     for b in range(bands)
@@ -117,6 +132,48 @@ def minhash_lsh_candidates(
     """
     docs = load_documents(spark, sf_dir)
     return _band_candidates(_minhash_bands(ngram_shingles(docs, n), num_hashes, bands))
+
+
+def _minhash_candidates_sql(n: int = 3, num_hashes: int = 32, bands: int = 16) -> str:
+    """DuckDB oracle reproducing the identical md5-derived MinHash banding."""
+    rows_per_band = num_hashes // bands
+    h60 = "('0x' || substr(md5({v}), 1, 15))::BIGINT"
+    shingle = (
+        "string_split(text, ' ')[i] || chr(31) || string_split(text, ' ')[i+1]"
+        " || chr(31) || string_split(text, ' ')[i+2]"
+    )
+    mins = ", ".join(
+        "min(" + h60.format(v=f"CAST(s AS VARCHAR) || ':{i}'") + f") AS h{i}"
+        for i in range(num_hashes)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + h60.format(
+            v=" || ':' || ".join(
+                f"CAST(h{b * rows_per_band + r} AS VARCHAR)"
+                for r in range(rows_per_band)
+            )
+        )
+        + " AS bucket FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+             i -> {h60.format(v=shingle)})) AS shingles
+  FROM documents
+),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+sig AS (SELECT doc_id, {mins} FROM ex GROUP BY doc_id),
+bb AS ({band_rows})
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+
+MINHASH_CANDIDATES_SQL = _minhash_candidates_sql()
 
 
 def ngram_jaccard_pairs(

@@ -25,11 +25,11 @@ SPECS: list[OpSpec] = [
     OpSpec("op_doc_fingerprint", text.doc_fingerprint, text.DOC_FINGERPRINT_SQL),
     OpSpec("op_cosine_topk", similarity.cosine_topk, similarity.cosine_topk_sql()),
     OpSpec("op_ngram_jaccard", dedup.ngram_jaccard_pairs, dedup.NGRAM_JACCARD_SQL),
-    OpSpec("op_minhash_candidates", dedup.minhash_lsh_candidates, None),
+    OpSpec("op_minhash_candidates", dedup.minhash_lsh_candidates, dedup.MINHASH_CANDIDATES_SQL),
     OpSpec("op_simhash", dedup.simhash, dedup.SIMHASH_SQL),
     OpSpec("op_media_features", multimodal.extract_media_features, multimodal.EXTRACT_MEDIA_SQL),
     OpSpec("op_frame_sample", multimodal.frame_sample, multimodal.FRAME_SAMPLE_SQL),
-    OpSpec("op_lsh_topk", similarity.lsh_bucketed_topk, None),
+    OpSpec("op_lsh_topk", similarity.lsh_bucketed_topk, similarity.LSH_TOPK_SQL),
     OpSpec("op_ivf_topk", similarity.ivf_topk, None),
     OpSpec("op_lang_id", langid.lang_id, langid.lang_id_sql()),
     OpSpec("op_emb_near_dup", similarity.embedding_near_dup, similarity.embedding_near_dup_sql()),

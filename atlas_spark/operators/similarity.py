@@ -235,6 +235,44 @@ WHERE a.vec_id < b.vec_id
 """
 
 
+def _lsh_topk_sql(query_id: int = 0, k: int = 10, planes: int = 6, dim: int = 64) -> str:
+    """DuckDB oracle computing the identical md5-derived LSH buckets +
+    exact cosine rerank (mirrors `lsh_bucketed_topk`)."""
+    def weight(p: int) -> str:
+        h = f"('0x' || substr(md5(CAST(i - 1 AS VARCHAR) || ':{p}'), 1, 15))::BIGINT"
+        return f"(CAST({h} % 2000 AS DOUBLE) - 1000) / 1000.0"
+
+    bits = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(range(1, {dim} + 1), "
+        f"i -> CAST(embedding[i] AS DOUBLE) * {weight(p)})) > 0 THEN {2**p} ELSE 0 END)"
+        for p in range(planes)
+    )
+    dot = (
+        f"list_sum(list_transform(range(1, {dim} + 1), "
+        f"i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))"
+    )
+    na = (
+        f"sqrt(list_sum(list_transform(range(1, {dim} + 1), "
+        f"i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))"
+    )
+    nq = (
+        f"sqrt(list_sum(list_transform(range(1, {dim} + 1), "
+        f"i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))))"
+    )
+    return f"""
+WITH b AS (SELECT vec_id, embedding, {bits} AS bucket FROM embeddings),
+q AS (SELECT bucket AS qb, embedding AS qe FROM b WHERE vec_id = {query_id})
+SELECT a.vec_id, round({dot} / ({na} * {nq}), 6) AS cos_sim
+FROM b a, q
+WHERE a.bucket = q.qb AND a.vec_id != {query_id}
+ORDER BY cos_sim DESC, a.vec_id ASC
+LIMIT {k}
+"""
+
+
+LSH_TOPK_SQL = _lsh_topk_sql()
+
+
 def _ivf_index_path(sf_dir: str, n_cells: int) -> str:
     import hashlib
     import os
@@ -342,17 +380,33 @@ def ivf_topk(
 
 
 def lsh_bucketed_topk(
-    spark: SparkSession, sf_dir: str, query_id: int = 0, k: int = 10, planes: int = 12
+    spark: SparkSession, sf_dir: str, query_id: int = 0, k: int = 10, planes: int = 6
 ) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH.
 
-    Bucket key = sign bits of `planes` pseudo-random hyperplanes (seeded
-    from the dimension index via xxhash64 — fully deterministic, no stored
-    model).  Candidates = vectors sharing the query's bucket; exact cosine
-    re-rank inside the bucket.  At 100 TB the bucket join replaces the full
-    scan per query.
+    Bucket key = sign bits of `planes` pseudo-random hyperplanes (weights
+    derived from md5 of "dim:plane" — fully deterministic, no stored
+    model, and computable identically by the DuckDB oracle,
+    `LSH_TOPK_SQL`).  Candidates = vectors sharing the query's bucket;
+    exact cosine re-rank inside the bucket.  At 100 TB the bucket join
+    replaces the full scan per query.
     """
     emb = load_embeddings(spark, sf_dir)
+
+    def plane_weight(i, p: int):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", i.cast("string"), F.lit(str(p)))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        return (F.pmod(h, F.lit(2000)) - 1000).cast("double") / 1000.0
+
+    def _mk_weight_fn(p: int):
+        # closure factory: a default-arg lambda would break Spark's
+        # higher-order-function arity detection
+        return lambda x, i: x.cast("double") * plane_weight(i, p)
 
     def bucket_col(vec):
         bits = [
@@ -361,13 +415,7 @@ def lsh_bucketed_topk(
                     F.zip_with(
                         vec,
                         F.sequence(F.lit(0), F.size(vec) - 1),
-                        lambda x, i: x.cast("double")
-                        * (
-                            (
-                                F.pmod(F.xxhash64(i, F.lit(p)), F.lit(2000)) - 1000
-                            ).cast("double")
-                            / 1000.0
-                        ),
+                        _mk_weight_fn(p),
                     ),
                     F.lit(0.0),
                     lambda acc, x: acc + x,

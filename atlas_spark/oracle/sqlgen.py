@@ -88,6 +88,7 @@ class SqlGen:
         self.ctx = ctx
         self._ctes: list[tuple[str, str]] = []
         self._n = 0
+        self._recursive = False
 
     def _add(self, sql: str) -> str:
         self._n += 1
@@ -101,11 +102,13 @@ class SqlGen:
         """Full SQL statement for the expression result."""
         self._ctes = [("dp", self.dp_cte)]
         self._n = 0
+        self._recursive = False
         rel, keys = self._gen(e)
         cols = ", ".join(list(keys) + ["t", "value"])
         where = "WHERE value IS NOT NULL" if drop_nulls else ""
         ctes = ",\n".join(f"{n} AS ({s})" for n, s in self._ctes)
-        return f"WITH {ctes}\nSELECT {cols} FROM {rel} {where}"
+        kw = "WITH RECURSIVE" if self._recursive else "WITH"
+        return f"{kw} {ctes}\nSELECT {cols} FROM {rel} {where}"
 
     # ------------------------------------------------------------- internals
 
@@ -176,6 +179,16 @@ class SqlGen:
             g = self._grid()
             expr = _time_sql(e.mode)
             rel = self._add(f"SELECT t, CAST({expr} AS DOUBLE) AS value FROM {g}")
+            return rel, []
+
+        if isinstance(e, E.RandomExpr):
+            # identical md5-derived noise as the engine (builder._random_col)
+            g = self._grid()
+            idx = f"CAST(t // {c.step} + {e.seed} AS VARCHAR)"
+            h = f"('0x' || substr(md5({idx}), 1, 15))::BIGINT"
+            rel = self._add(
+                f"SELECT t, CAST(({h} % 1000000 + 1000000) % 1000000 / 1000000.0 AS DOUBLE) AS value FROM {g}"
+            )
             return rel, []
 
         if isinstance(e, E.TimeSpanExpr):
@@ -355,12 +368,96 @@ class SqlGen:
             expr = f"max(value) {w} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
         elif op == "derivative":
             expr = f"value - lag(value, 1) {w})"
+        elif op in ("des", "sdes"):
+            return self._gen_des(
+                d, keys, int(p[0]), float(p[1]), float(p[2]), sliding=(op == "sdes")
+            ), keys
         else:
             raise TypeError(f"sqlgen: stateful op {op} has no SQL oracle")
         out = self._add(
             f"SELECT {', '.join(keys + ['t'])}, CAST({expr} AS DOUBLE) AS value FROM {d}"
         )
         return out, keys
+
+    @staticmethod
+    def _des_update(cur: str, sp: str, bp: str, alpha: float, beta: float):
+        """SQL fragments for one OnlineDes state transition given the value
+        column `v` (NULL = NaN; NaN inputs do not advance the state)."""
+        sn = f"({alpha!r} * v + {1 - alpha!r} * ({sp} + {bp}))"
+        new_cur = f"CASE WHEN v IS NULL THEN {cur} ELSE {cur} + 1 END"
+        new_sp = (
+            f"CASE WHEN v IS NULL THEN {sp} WHEN {cur} = 0 THEN v ELSE {sn} END"
+        )
+        new_bp = (
+            f"CASE WHEN v IS NULL THEN {bp} WHEN {cur} = 0 THEN CAST(0.0 AS DOUBLE) "
+            f"ELSE {beta!r} * ({sn} - {sp}) + {1 - beta!r} * {bp} END"
+        )
+        return new_cur, new_sp, new_bp
+
+    def _gen_des(
+        self, d: str, keys: list[str], n: int, alpha: float, beta: float, sliding: bool
+    ) -> str:
+        """DES / sliding DES as a recursive CTE carrying the OnlineDes
+        state (count, smoothed, trend) per series per step — the exact
+        recurrence of `plans/builder._Des` (OnlineDes.scala:28-52;
+        sliding: two staggered instances, OnlineSlidingDes.scala)."""
+        self._recursive = True
+        c = self.ctx
+        n_steps = (c.end - c.start) // c.step
+        kl = ", ".join(keys)
+        kd = ", ".join(f"d.{k}" for k in keys)
+        on = " AND ".join([f"d.{k} = g.{k}" for k in keys] + ["g.i = d.i"])
+        grid = self._add(
+            f"SELECT {kl + ', ' if keys else ''}CAST((t - {c.start}) / {c.step} AS BIGINT) AS i, "
+            f"t, value AS v FROM {d}"
+        )
+        self._n += 1
+        name = f"des_{self._n}"
+        null_d = "CAST(NULL AS DOUBLE)"
+        u_cur, u_sp, u_bp = self._des_update("d.cur", "d.sp", "d.bp", alpha, beta)
+        if not sliding:
+            anchor = (
+                f"SELECT DISTINCT {kl + ', ' if keys else ''}0 AS i, 0 AS cur, "
+                f"{null_d} AS sp, CAST(0.0 AS DOUBLE) AS bp FROM {grid} WHERE i = 0"
+            )
+            step = (
+                f"SELECT {kd + ', ' if keys else ''}d.i + 1 AS i, "
+                f"{u_cur} AS cur, {u_sp} AS sp, {u_bp} AS bp "
+                f"FROM {name} d JOIN {grid} g ON {on} WHERE d.i + 1 < {n_steps}"
+            )
+            self._ctes.append((name, f"{anchor} UNION ALL {step}"))
+            ret = f"CASE WHEN s.cur >= {n} THEN s.sp END"
+        else:
+            u2_cur, u2_sp, u2_bp = self._des_update("d.cur2", "d.sp2", "d.bp2", alpha, beta)
+            swap = f"(d.i + 1) % {n} = 0"  # reset active instance, then swap
+            anchor = (
+                f"SELECT DISTINCT {kl + ', ' if keys else ''}0 AS i, "
+                f"0 AS cur, {null_d} AS sp, CAST(0.0 AS DOUBLE) AS bp, "
+                f"0 AS cur2, {null_d} AS sp2, CAST(0.0 AS DOUBLE) AS bp2, TRUE AS use1 "
+                f"FROM {grid} WHERE i = 0"
+            )
+            step = (
+                f"SELECT {kd + ', ' if keys else ''}d.i + 1 AS i, "
+                f"CASE WHEN {swap} AND d.use1 THEN 0 ELSE {u_cur} END AS cur, "
+                f"CASE WHEN {swap} AND d.use1 THEN {null_d} ELSE {u_sp} END AS sp, "
+                f"CASE WHEN {swap} AND d.use1 THEN CAST(0.0 AS DOUBLE) ELSE {u_bp} END AS bp, "
+                f"CASE WHEN {swap} AND NOT d.use1 THEN 0 ELSE {u2_cur} END AS cur2, "
+                f"CASE WHEN {swap} AND NOT d.use1 THEN {null_d} ELSE {u2_sp} END AS sp2, "
+                f"CASE WHEN {swap} AND NOT d.use1 THEN CAST(0.0 AS DOUBLE) ELSE {u2_bp} END AS bp2, "
+                f"CASE WHEN {swap} THEN NOT d.use1 ELSE d.use1 END AS use1 "
+                f"FROM {name} d JOIN {grid} g ON {on} WHERE d.i + 1 < {n_steps}"
+            )
+            self._ctes.append((name, f"{anchor} UNION ALL {step}"))
+            ret = (
+                f"CASE WHEN s.use1 THEN (CASE WHEN s.cur >= {n} THEN s.sp END) "
+                f"ELSE (CASE WHEN s.cur2 >= {n} THEN s.sp2 END) END"
+            )
+        on_out = " AND ".join([f"s.{k} = g.{k}" for k in keys] + ["s.i = g.i"])
+        kg = ", ".join(f"g.{k}" for k in keys)
+        return self._add(
+            f"SELECT {kg + ', ' if keys else ''}g.t, CAST({ret} AS DOUBLE) AS value "
+            f"FROM {grid} g JOIN {name} s ON {on_out}"
+        )
 
     def _pct_indexed_sql(self, e) -> tuple[str, list[str]]:
         from ..functions.percentile_buckets import boundaries_sql_array

@@ -320,10 +320,12 @@ class Evaluator:
         return table[mode]
 
     def _random_col(self, seed: int):
-        # deterministic noise: hash of (seed ^ step index) -> [0, 1)
-        # (MathExpr.scala:125-177 uses Hash.lowbias64; we use a 64-bit
-        # xxhash which is equally deterministic across engines)
-        h = F.xxhash64((F.col("t") / self.ctx.step).cast("long") + F.lit(seed))
+        # deterministic noise: hash of (seed + step index) -> [0, 1)
+        # (MathExpr.scala:125-177 uses Hash.lowbias64; we use the top 60
+        # bits of md5, which DuckDB computes identically — so :random has
+        # a full value-level oracle, unlike an engine-specific hash)
+        idx = ((F.col("t") / self.ctx.step).cast("long") + F.lit(seed)).cast("string")
+        h = F.conv(F.substring(F.md5(idx), 1, 15), 16, 10).cast("long")
         return (F.pmod(h, F.lit(1000000)) / F.lit(1000000.0)).cast("double")
 
     def _eval_time_span(self, e: E.TimeSpanExpr) -> ResultFrame:
