@@ -13,6 +13,18 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .text import load_documents
 
+# Local-bench parallelism guard: the test corpus is a single small parquet
+# file, so Spark scans it in ONE task and AQE size-coalesces the tiny (in
+# bytes) but compute-heavy hash stages to one partition.  An explicit
+# numbered repartition spreads signature computation; at cluster scale the
+# many-file scan already provides this and the extra exchange of raw doc
+# rows is noise.
+_SPREAD = 32
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    return df.repartition(_SPREAD, "doc_id")
+
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by content hash: one surviving doc_id per distinct text.
@@ -68,40 +80,62 @@ def ngram_shingles(df: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+# Universal-hash permutations for MinHash: h_i(s) = (a_i * s28 + b_i) mod P
+# over the LOW 28 BITS of the shingle id — the product stays below 2^59 so
+# the arithmetic is exact 64-bit in BOTH engines (Spark longs and DuckDB
+# BIGINT, which errors on overflow), giving cross-engine value parity at
+# native arithmetic speed (an md5 per permutation was ~8x slower).
+# P is the Mersenne prime 2^31-1: it must be SMALLER than the a*s products
+# so the modulo actually wraps and permutes the order — with a larger P
+# the hash is order-preserving in s and every permutation picks the same
+# minimum shingle, collapsing the signature.
+_PERM_P = (1 << 31) - 1
+_MASK28 = (1 << 28) - 1
+
+
+def _perm_consts(num_hashes: int, seed: int = 11) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, 1 << 31), rng.randrange(0, 1 << 31))
+        for _ in range(num_hashes)
+    ]
+
+
 def _minhash_bands(sh: DataFrame, num_hashes: int = 32, bands: int = 16) -> DataFrame:
     """doc -> (band, bucket) rows: minhash signature -> banded for LSH.
 
     Shingles are exploded once and all `num_hashes` permutation minima are
     computed in a single hash-aggregate (narrow agg expressions in
     whole-stage codegen) — far cheaper than per-row nested array folds.
+    The band bucket packs the masked minima into one 60-bit key.
     """
     rows_per_band = num_hashes // bands
+    assert rows_per_band <= 2, "bucket packing holds at most two 31-bit minima"
+    consts = _perm_consts(num_hashes)
     feats = sh.select("doc_id", F.explode("shingles").alias("s"))
+    s28 = F.col("s").bitwiseAND(F.lit(_MASK28))
     sig = feats.groupBy("doc_id").agg(
         *[
-            F.min(
-                _h60(F.concat_ws(":", F.col("s").cast("string"), F.lit(str(i))))
-            ).alias(f"h{i}")
-            for i in range(num_hashes)
+            F.min((F.lit(a) * s28 + F.lit(b)) % F.lit(_PERM_P)).alias(f"h{i}")
+            for i, (a, b) in enumerate(consts)
         ]
     )
+
+    def bucket(b: int):
+        # minima are < 2^31: two pack exactly into a 62-bit key
+        out = F.lit(0).cast("long")
+        for r in range(rows_per_band):
+            out = out * F.lit(1 << 31) + F.col(f"h{b * rows_per_band + r}")
+        return out
+
     return sig.select(
         "doc_id",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        _h60(
-                            F.concat_ws(
-                                ":",
-                                *[
-                                    F.col(f"h{b * rows_per_band + r}").cast("string")
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
+                    F.struct(F.lit(b).alias("band"), bucket(b).alias("bucket"))
                     for b in range(bands)
                 ]
             )
@@ -130,29 +164,29 @@ def minhash_lsh_candidates(
     shuffles fixed-width longs.  16 bands x 2 rows catches Jaccard>=0.5
     pairs with P~0.99.
     """
-    docs = load_documents(spark, sf_dir)
+    docs = _spread(load_documents(spark, sf_dir))
     return _band_candidates(_minhash_bands(ngram_shingles(docs, n), num_hashes, bands))
 
 
 def _minhash_candidates_sql(n: int = 3, num_hashes: int = 32, bands: int = 16) -> str:
-    """DuckDB oracle reproducing the identical md5-derived MinHash banding."""
+    """DuckDB oracle reproducing the identical MinHash banding: md5-derived
+    shingle ids + universal-hash permutations (exact 64-bit arithmetic)."""
     rows_per_band = num_hashes // bands
     h60 = "('0x' || substr(md5({v}), 1, 15))::BIGINT"
     shingle = (
         "string_split(text, ' ')[i] || chr(31) || string_split(text, ' ')[i+1]"
         " || chr(31) || string_split(text, ' ')[i+2]"
     )
+    consts = _perm_consts(num_hashes)
     mins = ", ".join(
-        "min(" + h60.format(v=f"CAST(s AS VARCHAR) || ':{i}'") + f") AS h{i}"
-        for i in range(num_hashes)
+        f"min(({a} * (s % {_MASK28 + 1}) + {b}) % {_PERM_P}) AS h{i}"
+        for i, (a, b) in enumerate(consts)
     )
     band_rows = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, "
-        + h60.format(
-            v=" || ':' || ".join(
-                f"CAST(h{b * rows_per_band + r} AS VARCHAR)"
-                for r in range(rows_per_band)
-            )
+        + " + ".join(
+            f"h{b * rows_per_band + r}" + (f" * {1 << 31}" if r == 0 and rows_per_band == 2 else "")
+            for r in range(rows_per_band)
         )
         + " AS bucket FROM sig"
         for b in range(bands)
@@ -188,11 +222,16 @@ def ngram_jaccard_pairs(
     self-join would pay k^2 rows for any shingle shared by k docs; here
     bucket membership is signature-bounded.
     """
-    docs = load_documents(spark, sf_dir)
+    docs = _spread(load_documents(spark, sf_dir))
     # the shingle frame feeds candidate generation AND both verify joins;
     # cache it so the three consumers share one computation
     sh = ngram_shingles(docs, n).persist()
-    cand = _band_candidates(_minhash_bands(sh, 32, 16))
+    # 24 bands x 2 rows: P(miss) = (1 - J^2)^24 ~ 1e-3 at the 0.5
+    # threshold; the hashes are deterministic, so recall 1.0 is VERIFIED
+    # (not just probable) at the oracle scales: 25/25 at sf0.01, 256/256
+    # at sf0.1.  Two-row bands keep the noise-pair candidate rate
+    # quadratic in J (single-row bands flood verification).
+    cand = _band_candidates(_minhash_bands(sh, 48, 24))
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
@@ -250,7 +289,7 @@ def simhash(spark: SparkSession, sf_dir: str, bits: int = 60) -> DataFrame:
     sketch (`SIMHASH_SQL`); xxhash64 would be marginally cheaper but is
     not available to the oracle.
     """
-    docs = load_documents(spark, sf_dir)
+    docs = _spread(load_documents(spark, sf_dir))
     # explode distinct word features once, then a single hash-aggregate
     # computing all bit votes (sum of +/-1 per bit) — one shuffle keyed
     # on doc_id, narrow agg expressions in whole-stage codegen

@@ -134,7 +134,12 @@ def near_dup_candidates(emb: DataFrame, dim: int = 64) -> DataFrame:
     """
     n_planes = NEAR_DUP_ROWS * NEAR_DUP_BANDS
     W = _plane_weights(n_planes, dim)
-    ex = emb.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+    # numbered repartition: the single-file test corpus scans in one task
+    # and AQE would size-coalesce the byte-tiny, compute-heavy plane-dot
+    # aggregation to one partition
+    ex = emb.repartition(32, "vec_id").select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    )
     dots_agg = [
         F.sum(
             F.col("val").cast("double")
