@@ -90,11 +90,16 @@ def rand_expr(rng: random.Random, depth: int = 0) -> E.TimeSeriesExpr:
             except ValueError:
                 continue  # incompatible groupings; redraw
         return rand_leaf(rng)
-    if roll < 0.64:
+    if roll < 0.6:
         op = rng.choice(
             ["delay", "rolling-sum", "rolling-max", "derivative", "integral", "cumulative-max"]
         )
         params = (rng.randint(1, 6),) if op in ("delay", "rolling-sum", "rolling-max") else ()
+        return E.StatefulMathExpr(op, rand_expr(rng, depth + 1), params)
+    if roll < 0.64:
+        # DES recurrence vs the recursive-CTE oracle
+        op = rng.choice(["des", "sdes"])
+        params = (rng.randint(2, 8), rng.choice([0.1, 0.3]), rng.choice([0.02, 0.5]))
         return E.StatefulMathExpr(op, rand_expr(rng, depth + 1), params)
     if roll < 0.72:
         inner = rand_expr(rng, depth + 1)
@@ -105,7 +110,7 @@ def rand_expr(rng: random.Random, depth: int = 0) -> E.TimeSeriesExpr:
         return E.ConsolidateExpr(
             rand_expr(rng, depth + 1), rng.choice(["sum", "avg", "min", "max"]), rng.choice([2, 4, 6])
         )
-    if roll < 0.9:
+    if roll < 0.88:
         inner = rand_leaf(rng)
         if inner.group_keys():
             pred = E.BinaryMathExpr(
@@ -113,9 +118,21 @@ def rand_expr(rng: random.Random, depth: int = 0) -> E.TimeSeriesExpr:
             )
             return E.FilterOpExpr(inner, pred)
         return inner
+    if roll < 0.94:
+        # :cg common group-by tree rewrite over arbitrary subtrees
+        inner = rand_expr(rng, depth + 1)
+        keys = rng.choice([("name",), ("bucket",)])
+        try:
+            return E.add_common_keys(inner, keys)
+        except (ValueError, TypeError):
+            return inner
     inner = rand_leaf(rng)
     if inner.group_keys():
-        return E.TopKExpr(inner, rng.choice(["avg", "total", "max"]), rng.randint(1, 4))
+        others = rng.choice([None, "sum", "max", "avg", "min"])
+        return E.TopKExpr(
+            inner, rng.choice(["avg", "total", "max"]), rng.randint(1, 4),
+            bottom=rng.random() < 0.3, others=others,
+        )
     return inner
 
 
