@@ -46,7 +46,7 @@ _STATE_OPS = frozenset(
     {
         "delay", "rolling-count", "rolling-min", "rolling-max",
         "rolling-sum", "rolling-mean", "derivative", "integral",
-        "cumulative-max",
+        "cumulative-max", "trend",
     }
 )
 
@@ -86,15 +86,19 @@ def _peel_stateless(e: E.TimeSeriesExpr):
             return e, tuple(reversed(steps))
 
 
-def _decompose_state_plan(expr: E.TimeSeriesExpr) -> _StatePlan | None:
+def _decompose_state_plan(expr: E.TimeSeriesExpr, step: int) -> _StatePlan | None:
     """Match the tree against the state-store shape; None -> caller falls
-    back to the driver-buffer path (DES, :trend, multi-op chains, joins)."""
+    back to the driver-buffer path (DES, multi-op chains, joins)."""
     e, post = _peel_stateless(expr)
     stateful = None
     if isinstance(e, E.StatefulMathExpr):
         if e.op not in _STATE_OPS:
             return None
-        stateful = (e.op, e.params)
+        params = e.params
+        if e.op == "trend":
+            # duration seconds -> whole steps for the kernel window
+            params = (max(1, int(params[0]) // step),)
+        stateful = (e.op, params)
         e = e.expr
     e, pre = _peel_stateless(e)
     if isinstance(e, E.StatefulMathExpr):
@@ -197,7 +201,7 @@ class StreamingEvaluator:
         ev = self.expr
         while isinstance(ev, E.StyleExpr):
             ev = ev.expr
-        self.state_plan = _decompose_state_plan(ev)
+        self.state_plan = _decompose_state_plan(ev, self.step)
         self.lookback = min(_max_lookback_steps(self.expr), self.max_lookback)
         self._buffer = None  # rolling pandas buffer of finalized dp rows
         self.results: list[dict] = []

@@ -69,6 +69,16 @@ def _apply_op(op: str, params: tuple, buf: list[float], acc: float) -> tuple[flo
         n = int(params[0])
         cnt = sum(1 for x in buf[-n:] if not math.isnan(x) and abs(x) >= 1e-12)
         return float(cnt), acc
+    if op == "trend":
+        # sum / window-size with fill warm-up (OnlineTrend.scala:33-49):
+        # NaN until the buffer holds a full window; params[0] is the
+        # window in STEPS (normalized by the caller)
+        n = int(params[0])
+        if len(buf) < n:
+            return math.nan, acc
+        w = buf[-n:]
+        finite = [x for x in w if not math.isnan(x)]
+        return (sum(finite) / n if finite else math.nan), acc
     if op == "integral":
         if not math.isnan(v):
             acc = v if math.isnan(acc) else acc + v

@@ -144,6 +144,18 @@ def test_full_expression_path_matches_batch(spark, stream_dir):
             assert (name, t) in got
 
 
+def test_trend_state_kernel(spark, stream_dir):
+    """:trend through the state store: NaN until a full window, then
+    sum/window-size; params are already step-normalized."""
+    c1 = pd.DataFrame({"series": ["s"] * 3, "t": [0, 60, 120], "value": [3.0, 6.0, 9.0]})
+    c2 = pd.DataFrame({"series": ["s"] * 2, "t": [180, 240], "value": [12.0, 15.0]})
+    out = _run(spark, stream_dir, "trend", (3,), [c1, c2])
+    assert out[("s", 0)] is None and out[("s", 60)] is None  # warm-up
+    assert out[("s", 120)] == 6.0  # (3+6+9)/3
+    assert out[("s", 180)] == 9.0  # crosses the batch boundary
+    assert out[("s", 240)] == 12.0
+
+
 def test_two_series_independent_state(spark, stream_dir):
     c1 = pd.DataFrame(
         {
