@@ -15,7 +15,7 @@ distributed before any collect.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Any
 from urllib.parse import parse_qs, urlparse
 
@@ -35,6 +35,7 @@ class GraphLine:
     tags: dict[str, str]
     label: str
     data: list[float | None]  # one value per step, None = no data
+    settings: dict[str, str] = field(default_factory=dict)  # style words
 
 
 @dataclass
@@ -145,6 +146,13 @@ class Engine:
                         ln.label += f" (offset={off_label})"
                     lines.append(ln)
         return GraphResult(ctx.start, ctx.end, ctx.step, lines)
+
+    def graph_png(self, uri: str, width: int = 700, height: int = 300) -> bytes:
+        """format=png rendering — a minimal dependency-free chart (see
+        atlas_spark/chart.py; not atlas-chart pixel parity)."""
+        from .chart import render_png
+
+        return render_png(self.graph(uri), width, height)
 
     @staticmethod
     def _expand_offsets(se: E.StyleExpr):
@@ -304,11 +312,11 @@ class Engine:
             tags = dict(rf.static_tags)
             tags.update({k: v for k, v in zip(keys, lk) if v is not None})
             label = _legend(settings.get("legend"), tags) or _default_label(se, tags, keys, lk)
-            lines.append(GraphLine(tags, label, by_line[lk]))
+            lines.append(GraphLine(tags, label, by_line[lk], dict(settings)))
         if not lines and (rf.keys == () or rf.keys is None):
             # empty aggregate renders a NO_DATA line (TimeSeries.scala:34-54,
             # MemoryDatabase.scala:277-286)
-            lines.append(GraphLine({"name": "NO_DATA"}, "NO DATA", [None] * n))
+            lines.append(GraphLine({"name": "NO_DATA"}, "NO DATA", [None] * n, dict(settings)))
         return lines
 
 

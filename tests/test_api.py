@@ -127,6 +127,32 @@ def test_tags_verbose_counts(engine):
     assert nxt.startswith("bucket,")
 
 
+def test_graph_png(engine):
+    """format=png: a real PNG with plotted pixels (minimal renderer, not
+    atlas-chart parity)."""
+    import struct
+    import zlib
+
+    png = engine.graph_png(
+        "/api/v1/graph?q=:true,:sum,(,name,),:by&s=2024-01-02&e=2024-01-03",
+        width=320,
+        height=160,
+    )
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    w, h = struct.unpack(">II", png[16:24])
+    assert (w, h) == (320, 160)
+    # decode scanlines and confirm non-background pixels exist (lines drawn)
+    idat = png[png.index(b"IDAT") + 4 :]
+    raw = zlib.decompress(idat[: idat.index(b"IEND") - 8])
+    non_bg = sum(
+        1
+        for y in range(h)
+        for x in range(w)
+        if raw[y * (w * 3 + 1) + 1 + x * 3 : y * (w * 3 + 1) + 4 + x * 3] not in (b"\xff\xff\xff",)
+    )
+    assert non_bg > 500
+
+
 def test_normalize(engine):
     out = engine.normalize(":true,a,b,:eq,:and,:sum")
     assert out == ["a,b,:eq,:sum"]
