@@ -103,6 +103,9 @@ class SqlGen:
         self._ctes = [("dp", self.dp_cte)]
         self._n = 0
         self._recursive = False
+        # relations known to have zero LINES (standalone :stat-*); densify
+        # must not manufacture a grid line for them (FilterExpr.scala:69-87)
+        self._empty: set[str] = set()
         rel, keys = self._gen(e)
         cols = ", ".join(list(keys) + ["t", "value"])
         where = "WHERE value IS NOT NULL" if drop_nulls else ""
@@ -119,6 +122,8 @@ class SqlGen:
         )
 
     def _densify(self, rel: str, keys: list[str]) -> str:
+        if rel in self._empty:
+            return rel  # zero lines stay zero lines
         g = self._grid()
         if keys:
             ks = ", ".join(keys)
@@ -175,6 +180,15 @@ class SqlGen:
             rel = self._add(f"SELECT t, CAST({e.v!r} AS DOUBLE) AS value FROM {g}")
             return rel, []
 
+        if isinstance(e, E.StatPlaceholder):
+            # standalone :stat-* -> empty result set (FilterExpr.scala:69-87)
+            rel = self._add(
+                "SELECT CAST(NULL AS BIGINT) AS t, CAST(NULL AS DOUBLE) AS value "
+                "WHERE false"
+            )
+            self._empty.add(rel)
+            return rel, []
+
         if isinstance(e, E.TimeExpr):
             g = self._grid()
             expr = _time_sql(e.mode)
@@ -207,6 +221,8 @@ class SqlGen:
             out = self._add(
                 f"SELECT {', '.join(keys + ['t'])}, CAST({expr} AS DOUBLE) AS value FROM {rel}"
             )
+            if rel in self._empty:
+                self._empty.add(out)
             return out, keys
 
         if isinstance(e, E.BinaryMathExpr):
@@ -216,6 +232,8 @@ class SqlGen:
             rel, _ = self._gen(e.expr)
             agg = _AGG_SQL[e.fn].format(v="value")
             out = self._add(f"SELECT t, {agg} AS value FROM {rel} GROUP BY t")
+            if rel in self._empty:
+                self._empty.add(out)
             return out, []
 
         if isinstance(e, E.MathGroupByExpr):
@@ -333,6 +351,8 @@ class SqlGen:
             f"SELECT {cols}, CAST({expr} AS DOUBLE) AS value "
             f"FROM {sup_rel} a JOIN {sub_rel} b ON {on}"
         )
+        if r1 in self._empty or r2 in self._empty:
+            self._empty.add(out)
         return out, sup_keys
 
     def _gen_stateful(self, e: E.StatefulMathExpr) -> tuple[str, list[str]]:
@@ -670,9 +690,9 @@ def _time_sql(mode: str) -> str:
     table = {
         "secondOfMinute": "t % 60",
         "secondOfDay": "t % 86400",
-        "minuteOfHour": "(t % 3600) / 60",
-        "minuteOfDay": "(t % 86400) / 60",
-        "hourOfDay": "(t % 86400) / 3600",
+        "minuteOfHour": "floor((t % 3600) / 60)",
+        "minuteOfDay": "floor((t % 86400) / 60)",
+        "hourOfDay": "floor((t % 86400) / 3600)",
         "dayOfWeek": f"isodow({ts})",  # ISO Monday=1..Sunday=7
         "dayOfMonth": f"day({ts})",
         "dayOfYear": f"dayofyear({ts})",
@@ -684,6 +704,21 @@ def _time_sql(mode: str) -> str:
         "hours": "t / 3600",
         "days": "t / 86400",
         "weeks": "t / 604800",
+        # ChronoField.valueOf fallthrough names (MathExpr.scala:197)
+        "HOUR_OF_DAY": "floor((t % 86400) / 3600)",
+        "MINUTE_OF_HOUR": "floor((t % 3600) / 60)",
+        "MINUTE_OF_DAY": "floor((t % 86400) / 60)",
+        "SECOND_OF_MINUTE": "t % 60",
+        "SECOND_OF_DAY": "t % 86400",
+        "CLOCK_HOUR_OF_DAY": "(floor((t % 86400) / 3600) + 23) % 24 + 1",
+        "AMPM_OF_DAY": "floor((t % 86400) / 43200)",
+        "DAY_OF_WEEK": f"isodow({ts})",
+        "DAY_OF_MONTH": f"day({ts})",
+        "DAY_OF_YEAR": f"dayofyear({ts})",
+        "EPOCH_DAY": "floor(t / 86400)",
+        "MONTH_OF_YEAR": f"month({ts})",
+        "YEAR": f"year({ts})",
+        "INSTANT_SECONDS": "t",
     }
     if mode not in table:
         raise ValueError(f":time mode {mode} has no SQL oracle")

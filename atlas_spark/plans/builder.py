@@ -45,6 +45,10 @@ class ResultFrame:
     colmap: dict[str, str]  # tag key -> column name
     static_tags: dict[str, str]  # exact-match tags common to all lines
     dense: bool = False
+    # zero LINES (standalone :stat-*, FilterExpr.scala:69-87), as opposed to
+    # an empty ungrouped aggregate which is one NO_DATA line of NaNs
+    # (DataExpr.scala:150-153); densify must not manufacture a line here
+    no_lines: bool = False
 
     @property
     def key_cols(self) -> list[str]:
@@ -159,6 +163,8 @@ class Evaluator:
         """
         if rf.dense:
             return rf
+        if rf.no_lines:
+            return replace(rf, dense=True)
         grid = F.broadcast(self.grid_df())
         kc = rf.key_cols
         if kc:
@@ -222,6 +228,13 @@ class Evaluator:
             return self._eval_stateful(e)
         if isinstance(e, E.StatExpr):
             return self._eval_stat(e)
+        if isinstance(e, E.StatPlaceholder):
+            # standalone `:stat-*` outside a :filter predicate evaluates to
+            # an empty result set (FilterExpr.scala:69-87 StatExpr.eval ->
+            # ResultSet(this, Nil)); downstream binary math over the empty
+            # side stays empty, matching the reference pairing
+            df = self.grid_df().withColumn("value", F.lit(0.0)).where(F.lit(False))
+            return ResultFrame(df, (), {}, {}, no_lines=True)
         if isinstance(e, E.FilterOpExpr):
             return self._eval_filter(e)
         if isinstance(e, E.TopKExpr):
@@ -295,17 +308,21 @@ class Evaluator:
     def _time_col(self, mode: str):
         t = F.col("t")
         ts = F.timestamp_seconds(t)
+        # calendar fields are integer ZonedDateTime.get(chronoField) values
+        # (MathExpr.scala:213-215), hence the floors; only the "seconds".."weeks"
+        # modes are fractional sinceEpoch divisions (MathExpr.scala:200-211)
+        iso_dow = (F.dayofweek(ts) + 5) % 7 + 1  # Spark Sunday=1 -> ISO Monday=1
+        dom, doy = F.dayofmonth(ts), F.dayofyear(ts)
+        hour = F.floor((t % 86400) / F.lit(3600))
         table = {
             "secondOfMinute": t % 60,
             "secondOfDay": t % 86400,
-            "minuteOfHour": (t % 3600) / F.lit(60),
-            "minuteOfDay": (t % 86400) / F.lit(60),
-            "hourOfDay": (t % 86400) / F.lit(3600),
-            # java.time ChronoField.DAY_OF_WEEK: ISO Monday=1..Sunday=7
-            # (MathExpr.scala:179-237); Spark dayofweek is Sunday=1
-            "dayOfWeek": (F.dayofweek(ts) + 5) % 7 + 1,
-            "dayOfMonth": F.dayofmonth(ts),
-            "dayOfYear": F.dayofyear(ts),
+            "minuteOfHour": F.floor((t % 3600) / F.lit(60)),
+            "minuteOfDay": F.floor((t % 86400) / F.lit(60)),
+            "hourOfDay": hour,
+            "dayOfWeek": iso_dow,
+            "dayOfMonth": dom,
+            "dayOfYear": doy,
             "monthOfYear": F.month(ts),
             "yearOfCentury": F.year(ts) % 100,
             "yearOfEra": F.year(ts),
@@ -315,9 +332,47 @@ class Evaluator:
             "days": t / F.lit(86400),
             "weeks": t / F.lit(604800),
         }
-        if mode not in table:
+        if mode in table:
+            return table[mode]
+        # any other mode is ChronoField.valueOf(s) (MathExpr.scala:197),
+        # evaluated on the UTC calendar; grid t is whole seconds so the
+        # sub-second fields are exact zeros
+        h12 = F.floor((t % 43200) / F.lit(3600))
+        chrono = {
+            "NANO_OF_SECOND": F.lit(0),
+            "NANO_OF_DAY": (t % 86400) * F.lit(1_000_000_000),
+            "MICRO_OF_SECOND": F.lit(0),
+            "MICRO_OF_DAY": (t % 86400) * F.lit(1_000_000),
+            "MILLI_OF_SECOND": F.lit(0),
+            "MILLI_OF_DAY": (t % 86400) * F.lit(1000),
+            "SECOND_OF_MINUTE": t % 60,
+            "SECOND_OF_DAY": t % 86400,
+            "MINUTE_OF_HOUR": F.floor((t % 3600) / F.lit(60)),
+            "MINUTE_OF_DAY": F.floor((t % 86400) / F.lit(60)),
+            "HOUR_OF_AMPM": h12,
+            "CLOCK_HOUR_OF_AMPM": (h12 + 11) % 12 + 1,
+            "HOUR_OF_DAY": hour,
+            "CLOCK_HOUR_OF_DAY": (hour + 23) % 24 + 1,
+            "AMPM_OF_DAY": F.floor((t % 86400) / F.lit(43200)),
+            "DAY_OF_WEEK": iso_dow,
+            "ALIGNED_DAY_OF_WEEK_IN_MONTH": (dom - 1) % 7 + 1,
+            "ALIGNED_DAY_OF_WEEK_IN_YEAR": (doy - 1) % 7 + 1,
+            "DAY_OF_MONTH": dom,
+            "DAY_OF_YEAR": doy,
+            "EPOCH_DAY": F.floor(t / F.lit(86400)),
+            "ALIGNED_WEEK_OF_MONTH": F.floor((dom - 1) / F.lit(7)) + 1,
+            "ALIGNED_WEEK_OF_YEAR": F.floor((doy - 1) / F.lit(7)) + 1,
+            "MONTH_OF_YEAR": F.month(ts),
+            "PROLEPTIC_MONTH": F.year(ts) * 12 + F.month(ts) - 1,
+            "YEAR_OF_ERA": F.year(ts),
+            "YEAR": F.year(ts),
+            "ERA": F.lit(1),
+            "INSTANT_SECONDS": t,
+            "OFFSET_SECONDS": F.lit(0),
+        }
+        if mode not in chrono:
             raise ValueError(f"unknown :time mode {mode}")
-        return table[mode]
+        return chrono[mode]
 
     def _random_col(self, seed: int):
         # deterministic noise: hash of (seed + step index) -> [0, 1)
@@ -387,7 +442,10 @@ class Evaluator:
         static = dict(sub.static_tags)
         static.update(sup.static_tags)
         dense = e.op not in self._STRICT_OPS
-        return ResultFrame(out, sup.keys, dict(sup.colmap), static, dense=dense)
+        return ResultFrame(
+            out, sup.keys, dict(sup.colmap), static, dense=dense,
+            no_lines=lhs.no_lines or rhs.no_lines,
+        )
 
     # ----------------------------------------------- second-level aggregation
 
@@ -396,7 +454,9 @@ class Evaluator:
         # pointwise fold of all lines (MathExpr.scala:711-794); null-skipping
         # aggregate == addNaN fold
         out = rf.df.groupBy("t").agg(_AGG[e.fn]("value").alias("value"))
-        return ResultFrame(out, (), {}, dict(rf.static_tags), dense=rf.dense)
+        return ResultFrame(
+            out, (), {}, dict(rf.static_tags), dense=rf.dense, no_lines=rf.no_lines
+        )
 
     def _eval_math_group_by(self, e: E.MathGroupByExpr) -> ResultFrame:
         rf = self._eval(e.af.expr)

@@ -19,7 +19,6 @@ from atlas_spark.sources.datapoints import EVENTS_END, EVENTS_START, events_data
 from atlas_spark.stacklang.vocab import parse
 
 CORPUS = "/root/reference/atlas-core/src/test/resources/queries.txt"
-KNOWN_UNSUPPORTED = (":percentiles", ":des-epic-viz")
 CTX = EvalContext(EVENTS_START, EVENTS_END, 3600)
 
 
@@ -36,12 +35,13 @@ def test_corpus_plan_build(spark, sf_dir):
     src = events_datapoints(spark, sf_dir)
     parsed = planned = 0
     failures = []
+    total = 0
     for q in _corpus_queries():
+        total += 1
         try:
             exprs = parse(q)
         except Exception as ex:
-            if not any(k in str(ex) for k in KNOWN_UNSUPPORTED):
-                failures.append((q, f"parse: {ex}"))
+            failures.append((q, f"parse: {ex}"))
             continue
         parsed += 1
         try:
@@ -52,8 +52,6 @@ def test_corpus_plan_build(spark, sf_dir):
             planned += 1
         except Exception as ex:
             failures.append((q[:110], f"plan: {type(ex).__name__}: {str(ex)[:90]}"))
-    assert parsed >= 360
     msg = "\n".join(f"{q}\n  -> {e}" for q, e in failures[:10])
-    assert planned / parsed >= 0.97, (
-        f"planned {planned}/{parsed}; first failures:\n{msg}"
-    )
+    assert parsed == total, f"parsed {parsed}/{total}; failures:\n{msg}"
+    assert planned == parsed, f"planned {planned}/{parsed}; failures:\n{msg}"
