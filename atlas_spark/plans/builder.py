@@ -29,6 +29,7 @@ from __future__ import annotations
 from dataclasses import dataclass, replace
 
 import pyspark.sql.functions as F
+import pyspark.sql.types as T
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions import nanmath
@@ -535,7 +536,11 @@ class Evaluator:
         n, alpha, beta = int(e.params[0]), float(e.params[1]), float(e.params[2])
         sliding = e.op == "sdes"
         kc = rf.key_cols
-        schema = rf.df.schema
+        # warm-up rows are null even when the input column is non-nullable
+        # (e.g. a :const generator), so relax nullability for the Arrow batch
+        schema = T.StructType(
+            [T.StructField(f.name, f.dataType, True) for f in rf.df.schema.fields]
+        )
 
         def des(pdf: pd.DataFrame) -> pd.DataFrame:
             import numpy as np

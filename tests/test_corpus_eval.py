@@ -55,3 +55,31 @@ def test_corpus_plan_build(spark, sf_dir):
     msg = "\n".join(f"{q}\n  -> {e}" for q, e in failures[:10])
     assert parsed == total, f"parsed {parsed}/{total}; failures:\n{msg}"
     assert planned == parsed, f"planned {planned}/{parsed}; failures:\n{msg}"
+
+
+def test_corpus_execute(spark):
+    """Execute (not just analyze) every corpus query at sf0.001.
+
+    Catches runtime-only failures that analysis can't: Arrow schema
+    nullability in the DES kernel, codegen errors, UDF crashes.  Queries
+    run concurrently — Spark schedules jobs from multiple threads onto
+    the shared local executor, so the sweep is wall-clock bounded by the
+    slowest chain, not the sum.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    src = events_datapoints(spark, "/root/testdata/sf0.001")
+
+    def run(q):
+        try:
+            ev = Evaluator(src, CTX)
+            for se in parse(q):
+                ev.eval(se).df.count()
+            return None
+        except Exception as ex:  # noqa: BLE001
+            return (q[:110], f"{type(ex).__name__}: {str(ex)[:120]}")
+
+    with ThreadPoolExecutor(max_workers=8) as px:
+        failures = [f for f in px.map(run, _corpus_queries()) if f]
+    msg = "\n".join(f"{q}\n  -> {e}" for q, e in failures[:10])
+    assert not failures, f"{len(failures)} corpus queries failed to execute:\n{msg}"
