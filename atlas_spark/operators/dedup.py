@@ -59,25 +59,29 @@ def _h60(col) -> "F.Column":
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
-def ngram_shingles(df: DataFrame, n: int = 3) -> DataFrame:
-    """Word n-gram shingle set per doc, hashed to fixed-width 60-bit ids
-    (input for Jaccard / MinHash).  Hashing keeps shuffle keys and
-    set-intersection elements fixed-width."""
+def ngram_shingles(df: DataFrame, n: int = 3, hash_fn=None) -> DataFrame:
+    """Word n-gram shingle set per doc, hashed to fixed-width ids (input
+    for Jaccard / MinHash).  Hashing keeps shuffle keys and
+    set-intersection elements fixed-width.
+
+    `hash_fn` defaults to the engine-portable 60-bit md5 (`_h60`) so
+    sketches built from the ids have value-level DuckDB oracles.  Callers
+    whose oracle does not depend on the hash VALUES (e.g. exact Jaccard
+    verification, which only needs set identity) should pass
+    `F.xxhash64` — ~3x cheaper per shingle."""
+    h = hash_fn or _h60
     words = F.split(F.col("text"), " ")
     # guard: Spark sequence(0, k) with k<0 generates DESCENDING indexes —
     # docs shorter than n words must produce an empty shingle set
     idx = F.when(
         F.size(words) >= n, F.sequence(F.lit(0), F.size(words) - n)
     ).otherwise(F.array().cast("array<int>"))
-    return df.select(
-        "doc_id",
-        F.array_distinct(
-            F.transform(
-                idx,
-                lambda i: _h60(F.concat_ws("\x1f", F.slice(words, i + 1, n))),
-            )
-        ).alias("shingles"),
+    # distinct the shingle STRINGS before hashing: repeated shingles within
+    # a doc are common and the hash is the expensive part
+    strs = F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws("\x1f", F.slice(words, i + 1, n)))
     )
+    return df.select("doc_id", F.transform(strs, lambda s: h(s)).alias("shingles"))
 
 
 # Universal-hash permutations for MinHash: h_i(s) = (a_i * s28 + b_i) mod P
@@ -224,8 +228,10 @@ def ngram_jaccard_pairs(
     """
     docs = _spread(load_documents(spark, sf_dir))
     # the shingle frame feeds candidate generation AND both verify joins;
-    # cache it so the three consumers share one computation
-    sh = ngram_shingles(docs, n).persist()
+    # cache it so the three consumers share one computation.  xxhash64
+    # shingle ids: the oracle verifies raw-string shingle SETS, so hash
+    # values never cross engines and the cheap hash is safe
+    sh = ngram_shingles(docs, n, hash_fn=F.xxhash64).persist()
     # 24 bands x 2 rows: P(miss) = (1 - J^2)^24 ~ 1e-3 at the 0.5
     # threshold; the hashes are deterministic, so recall 1.0 is VERIFIED
     # (not just probable) at the oracle scales: 25/25 at sf0.01, 256/256
