@@ -46,7 +46,7 @@ _STATE_OPS = frozenset(
     {
         "delay", "rolling-count", "rolling-min", "rolling-max",
         "rolling-sum", "rolling-mean", "derivative", "integral",
-        "cumulative-max", "trend",
+        "cumulative-max", "trend", "des", "sdes",
     }
 )
 
@@ -88,7 +88,7 @@ def _peel_stateless(e: E.TimeSeriesExpr):
 
 def _decompose_state_plan(expr: E.TimeSeriesExpr, step: int) -> _StatePlan | None:
     """Match the tree against the state-store shape; None -> caller falls
-    back to the driver-buffer path (DES, multi-op chains, joins)."""
+    back to the driver-buffer path (multi-op chains, joins)."""
     e, post = _peel_stateless(expr)
     stateful = None
     if isinstance(e, E.StatefulMathExpr):
@@ -217,8 +217,10 @@ class StreamingEvaluator:
         math -> at most one windowed/rolling op -> stateless math) run
         fully distributed: watermarked step-window aggregation, then the
         stateful kernel in `applyInPandasWithState` keyed by series — state
-        lives in the executor state store, never in driver memory.  DES and
-        other non-matching shapes fall back to the driver-buffer path.
+        lives in the executor state store, never in driver memory.  This
+        covers every §2.4 op including DES; only non-matching shapes
+        (multi-op chains, cross-line joins) fall back to the driver-buffer
+        path.
         """
         if self.state_plan is not None:
             return self._start_state_store(stream, query_name)

@@ -12,8 +12,11 @@ the last seen interval and the new one with NaN before applying the new
 value.
 
 Supported ops: delay, rolling-count/min/max/sum/mean, derivative,
-integral, cumulative-max (the window-function ops; DES uses the same
-shape with its own recurrence).
+integral, cumulative-max, des, sdes.  DES carries its recurrence state
+((sample count, smoothed, trend) per instance — two instances plus the
+swap counters for sliding DES) in the same state row as the rolling
+buffer, so the streaming evaluator never needs a driver-side history
+buffer for it.
 """
 
 from __future__ import annotations
@@ -32,14 +35,38 @@ OUT_SCHEMA = T.StructType(
     ]
 )
 
-# state: last processed step + the rolling buffer of recent values
+# state: last processed step + the rolling buffer of recent values + the
+# DES recurrence registers [cur1, sp1, bp1, cur2, sp2, bp2, use_one, cs]
+# (only the first triple is live for plain :des)
 STATE_SCHEMA = T.StructType(
     [
         T.StructField("last_t", T.LongType()),
         T.StructField("buf", T.ArrayType(T.DoubleType())),
         T.StructField("acc", T.DoubleType()),  # integral / cumulative-max
+        T.StructField("des", T.ArrayType(T.DoubleType())),
     ]
 )
+
+_DES_INIT = [0.0, float("nan"), 0.0, 0.0, float("nan"), 0.0, 1.0, 0.0]
+
+
+def _des_next(st: list[float], i: int, v: float, training: int, alpha: float, beta: float) -> float:
+    """Advance one DES instance living at st[i:i+3] = [current, sp, bp]
+    (OnlineDes.scala:28-52 via builder._Des): emits the previous smoothed
+    value once `training` non-NaN samples were seen; NaN inputs do not
+    advance the count."""
+    import math
+
+    ret = st[i + 1] if st[i] >= training else math.nan
+    if not math.isnan(v):
+        if st[i] == 0:
+            st[i + 1], st[i + 2] = v, 0.0
+        else:
+            sn = alpha * v + (1 - alpha) * (st[i + 1] + st[i + 2])
+            st[i + 2] = beta * (sn - st[i + 1]) + (1 - beta) * st[i + 2]
+            st[i + 1] = sn
+        st[i] += 1
+    return ret
 
 
 def _apply_op(op: str, params: tuple, buf: list[float], acc: float) -> tuple[float, float]:
@@ -105,30 +132,57 @@ def stateful_stream(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    keep = max(int(params[0]) + 1 if params else 2, 2)
+    is_des = op in ("des", "sdes")
+    keep = 2 if is_des else max(int(params[0]) + 1 if params else 2, 2)
+    if is_des:
+        n, alpha, beta = int(params[0]), float(params[1]), float(params[2])
+
+    def des_step(des: list[float], v: float) -> float:
+        if op == "des":
+            return _des_next(des, 0, v, n, alpha, beta)
+        # sliding (OnlineSlidingDes.scala via builder._des_kernel): two
+        # instances fed every value; the active one is reset and swapped
+        # every n samples
+        des[7] += 1
+        v1 = _des_next(des, 0, v, n, alpha, beta)
+        v2 = _des_next(des, 3, v, n, alpha, beta)
+        use_one = des[6] >= 1.0
+        out = v1 if use_one else v2
+        if des[7] % n == 0:
+            i = 0 if use_one else 3
+            des[i], des[i + 1], des[i + 2] = 0.0, math.nan, 0.0
+            des[6] = 0.0 if use_one else 1.0
+        return out
 
     def update(key, pdfs: Iterator["pd.DataFrame"], state) -> Iterator["pd.DataFrame"]:
         rows = pd.concat(list(pdfs)).sort_values("t")
         if state.exists:
-            last_t, buf, acc = state.get
-            buf = list(buf)
+            last_t, buf, acc, des = state.get
+            buf, des = list(buf), list(des)
         else:
-            last_t, buf, acc = None, [], math.nan
+            last_t, buf, acc, des = None, [], math.nan, list(_DES_INIT)
         out_t, out_v = [], []
         for t, v in zip(rows["t"], rows["value"]):
             t = int(t)
+            vv = float(v) if v is not None else math.nan
             if last_t is not None:
                 # NaN-tick the gap steps (StatefulExpr.scala:313-321)
                 for _ in range(max(0, (t - last_t) // step - 1)):
-                    buf.append(math.nan)
-                    buf = buf[-keep:]
-            buf.append(float(v) if v is not None else math.nan)
-            buf = buf[-keep:]
-            out, acc = _apply_op(op, params, buf, acc)
+                    if is_des:
+                        des_step(des, math.nan)
+                    else:
+                        buf.append(math.nan)
+                        buf = buf[-keep:]
+            if is_des:
+                out = des_step(des, vv)
+            else:
+                buf.append(vv)
+                buf = buf[-keep:]
+                out, acc = _apply_op(op, params, buf, acc)
             out_t.append(t)
             out_v.append(None if (out is None or math.isnan(out)) else out)
             last_t = t
-        state.update((last_t, buf, float(acc)))
+        state.update((last_t, buf, float(acc), des))
         yield pd.DataFrame({"series": key[0], "t": out_t, "value": out_v})
 
     return finalized.groupBy("series").applyInPandasWithState(

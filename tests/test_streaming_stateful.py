@@ -167,3 +167,117 @@ def test_two_series_independent_state(spark, stream_dir):
     out = _run(spark, stream_dir, "cumulative-max", (), [c1])
     assert out[("a", 60)] == 2.0
     assert out[("b", 60)] == 20.0
+
+
+def test_des_state_kernel(spark, stream_dir):
+    """:des through the state store: recurrence state (count, smoothed,
+    trend) carried across batch boundaries; warm-up emits null; gap steps
+    tick the recurrence with NaN (which does not advance the count)."""
+    from atlas_spark.plans.builder import _des_kernel
+
+    n, a, b = 3, 0.2, 0.1
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0]
+    ts = [i * STEP for i in range(len(vals))]
+    c1 = pd.DataFrame({"series": ["s"] * 4, "t": ts[:4], "value": vals[:4]})
+    c2 = pd.DataFrame({"series": ["s"] * 3, "t": ts[4:], "value": vals[4:]})
+    out = _run(spark, stream_dir, "des", (n, a, b), [c1, c2])
+    truth = _des_kernel(vals, n, a, b, sliding=False)
+    for i, t in enumerate(ts):
+        got = out[("s", t)]
+        if math.isnan(truth[i]):
+            assert got is None, (t, got)
+        else:
+            assert got is not None and abs(got - truth[i]) < 1e-12, (t, got, truth[i])
+
+
+def test_sdes_state_kernel(spark, stream_dir):
+    """Sliding DES: both instances plus the swap counters live in state;
+    the swap cadence survives the batch boundary."""
+    from atlas_spark.plans.builder import _des_kernel
+
+    n, a, b = 2, 0.3, 0.2
+    vals = [2.0, 4.0, 6.0, 8.0, 10.0, 12.0, 14.0, 16.0]
+    ts = [i * STEP for i in range(len(vals))]
+    c1 = pd.DataFrame({"series": ["s"] * 3, "t": ts[:3], "value": vals[:3]})
+    c2 = pd.DataFrame({"series": ["s"] * 5, "t": ts[3:], "value": vals[3:]})
+    out = _run(spark, stream_dir, "sdes", (n, a, b), [c1, c2])
+    truth = _des_kernel(vals, n, a, b, sliding=True)
+    for i, t in enumerate(ts):
+        got = out[("s", t)]
+        if math.isnan(truth[i]):
+            assert got is None, (t, got)
+        else:
+            assert got is not None and abs(got - truth[i]) < 1e-12, (t, got, truth[i])
+
+
+def test_des_gap_does_not_advance_count(spark, stream_dir):
+    """NaN gap steps tick the recurrence but do not advance the training
+    count — output stays null until `n` REAL samples arrived."""
+    n = 3
+    c1 = pd.DataFrame({"series": ["s"] * 2, "t": [0, 60], "value": [1.0, 2.0]})
+    c2 = pd.DataFrame({"series": ["s"] * 2, "t": [240, 300], "value": [3.0, 4.0]})
+    out = _run(spark, stream_dir, "des", (n, 0.2, 0.1), [c1, c2])
+    # t=240 is the 3rd real sample; training completes AFTER it, so the
+    # first non-null emit is t=300
+    assert out[("s", 0)] is None and out[("s", 60)] is None
+    assert out[("s", 240)] is None
+    assert out[("s", 300)] is not None
+
+
+def test_des_full_expression_path(spark, stream_dir):
+    """ASL :des through StreamingEvaluator routes to the state store (no
+    driver buffer) and matches batch evaluation."""
+    import pyspark.sql.functions as F
+
+    from atlas_spark.plans.builder import Evaluator
+    from atlas_spark.plans.context import EvalContext
+    from atlas_spark.sources.datapoints import DatapointSource
+    from atlas_spark.stacklang.vocab import parse as parse_asl
+    from atlas_spark.streaming.evaluator import StreamingEvaluator
+
+    asl = ":true,:sum,(,name,),:by,3,0.2,0.1,:des"
+    step = 60
+    base = 1704067200
+    rows = []
+    for h in range(8):
+        for name, v in (("a", float(h + 1)), ("b", 2.0 * (h + 1))):
+            rows.append({"k_name": name, "ts": pd.Timestamp(base + h * step + 5, unit="s"), "value": v})
+    pdf = pd.DataFrame(rows)
+    chunks = [pdf.iloc[:6], pdf.iloc[6:12], pdf.iloc[12:]]
+
+    sev = StreamingEvaluator(spark, asl, step, {"name": "k_name"}, num_buffers=2)
+    assert sev.state_plan is not None and sev.state_plan.stateful[0] == "des"
+    stream = (
+        spark.readStream.schema("k_name string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    spark.createDataFrame(chunks[0]).coalesce(1).write.mode("append").parquet(stream_dir)
+    q = sev.start(stream)
+    try:
+        q.processAllAvailable()
+        for c in chunks[1:]:
+            spark.createDataFrame(c).coalesce(1).write.mode("append").parquet(stream_dir)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    dp = spark.createDataFrame(pdf).select(
+        "k_name",
+        (F.unix_timestamp("ts") - F.unix_timestamp("ts") % step).cast("long").alias("t"),
+        "value",
+    )
+    src = DatapointSource(df=dp, step=step, colmap={"name": "k_name"}, sql_cte="")
+    ctx = EvalContext(base, base + 8 * step, step)
+    rf = Evaluator(src, ctx).eval(parse_asl(asl, step=step)[0])
+    truth = {(r["k_name"], r["t"]): r["value"] for r in rf.df.collect()}
+
+    got = {(r["name"], r["t"]): r["value"] for r in sev.results}
+    assert got, "no streaming results"
+    for key, v in got.items():
+        assert key in truth, key
+        tv = truth[key]
+        if v is None or tv is None:
+            assert v == tv, (key, v, tv)
+        else:
+            assert abs(v - tv) < 1e-9, (key, v, tv)
