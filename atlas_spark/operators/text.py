@@ -92,3 +92,56 @@ DOC_FINGERPRINT_SQL = """
 SELECT doc_id, sha256(text) AS sha, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
 FROM documents
 """
+
+
+def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end pretraining cleaning pass: exact-dup survivorship plus
+    quality gates, emitting keep/reject-with-reason per document.
+
+    The canonical composition a training-data pipeline runs before
+    tokenization: (1) exact dedup keeps each content group's lowest
+    doc_id (one shuffle keyed on the 256-bit content hash — uniform, no
+    skew); (2) word-shape gates drop boilerplate/garbage.  Reasons use
+    first-failure precedence so the output is deterministic.  Everything
+    is whole-stage-codegen projections + one hash-partitioned window.
+    """
+    from pyspark.sql import Window
+
+    docs = load_documents(spark, sf_dir)
+    n_words = F.size(F.split(F.col("text"), " "))
+    awl = (F.length("text") - (n_words - 1)) / n_words
+    sha = F.sha2(F.col("text").cast("binary"), 256)
+    survivor = F.min("doc_id").over(Window.partitionBy(sha))
+    reason = (
+        F.when(F.col("doc_id") != survivor, F.lit("duplicate"))
+        .when(n_words < 16, F.lit("too_short"))
+        .when((awl < 4.0) | (awl > 5.0), F.lit("word_shape"))
+        .otherwise(F.lit("ok"))
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        reason.alias("reason"),
+        (reason == "ok").cast("long").alias("keep"),
+    )
+
+
+CORPUS_CLEAN_SQL = """
+WITH scored AS (
+  SELECT doc_id, lang,
+         len(string_split(text, ' ')) AS n_words,
+         (len(text) - (len(string_split(text, ' ')) - 1))
+             / len(string_split(text, ' ')) AS awl,
+         min(doc_id) OVER (PARTITION BY sha256(text)) AS survivor
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN doc_id != survivor THEN 'duplicate'
+            WHEN n_words < 16 THEN 'too_short'
+            WHEN awl < 4.0 OR awl > 5.0 THEN 'word_shape'
+            ELSE 'ok' END AS reason,
+       CAST(CASE WHEN doc_id = survivor AND n_words >= 16
+                  AND awl >= 4.0 AND awl <= 5.0
+            THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM scored
+"""
