@@ -32,6 +32,9 @@ def configure_existing(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable configs to a session we didn't create (the
     driver passes its own session to `__spark_entry__.entry`)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # right-size shuffles for the local bench footprint; AQE coalesces
+    # further at runtime (a cluster deployment overrides via spark-submit)
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
