@@ -29,7 +29,7 @@ from atlas_spark.sources.datapoints import (
 )
 
 CTX = EvalContext(EVENTS_START, EVENTS_END, 3600)
-N_SAMPLES = 14
+N_SAMPLES = 24
 KEYS = ("name", "bucket")
 NAMES = ("click", "view", "error", "signup", "purchase", "zzz")
 BUCKETS = tuple(f"u{i}" for i in range(8)) + ("u42",)
@@ -59,15 +59,33 @@ def rand_query(rng: random.Random, depth: int = 0) -> Q.Query:
     return Q.TRUE
 
 
+# every :time mode with an oracle translation, camelCase and the
+# ChronoField.valueOf fallthrough spellings
+TIME_MODES = (
+    "secondOfMinute", "secondOfDay", "minuteOfHour", "minuteOfDay",
+    "hourOfDay", "dayOfWeek", "dayOfMonth", "dayOfYear", "monthOfYear",
+    "days", "hours", "HOUR_OF_DAY", "MINUTE_OF_DAY", "CLOCK_HOUR_OF_DAY",
+    "AMPM_OF_DAY", "DAY_OF_WEEK", "EPOCH_DAY", "SECOND_OF_DAY",
+)
+
+
 def rand_leaf(rng: random.Random) -> E.TimeSeriesExpr:
     q = rand_query(rng)
     fn = rng.choice(["sum", "count", "min", "max"])
     roll = rng.random()
     if roll < 0.4:
         return E.AggrExpr(q, fn)
-    if roll < 0.85:
+    if roll < 0.8:
         keys = rng.choice([("name",), ("bucket",), ("name", "bucket")])
         return E.GroupByExpr(q, E.AggrExpr(q, fn), keys)
+    if roll < 0.88:
+        return E.TimeExpr(rng.choice(TIME_MODES))
+    if roll < 0.92:
+        return E.RandomExpr(rng.randint(0, 99)) if rng.random() < 0.5 else E.RandomExpr(0)
+    if roll < 0.95:
+        # standalone :stat-* = zero lines; exercises empty-result
+        # propagation through whatever math wraps this leaf
+        return E.StatPlaceholder(rng.choice(["avg", "max", "min", "total"]))
     return E.ConstExpr(float(rng.randint(-5, 100)))
 
 
