@@ -20,6 +20,7 @@ class OpSpec:
 SPECS: list[OpSpec] = [
     OpSpec("op_dedup_exact", dedup.dedup_exact, dedup.DEDUP_EXACT_SQL),
     OpSpec("op_token_count", text.token_count, text.TOKEN_COUNT_SQL),
+    OpSpec("op_token_count_bpe", text.token_count_bpe, text.TOKEN_COUNT_BPE_SQL),
     OpSpec("op_quality_score", text.quality_score, text.QUALITY_SCORE_SQL),
     OpSpec("op_lang_source_stats", text.lang_source_stats, text.LANG_SOURCE_STATS_SQL),
     OpSpec("op_doc_fingerprint", text.doc_fingerprint, text.DOC_FINGERPRINT_SQL),

@@ -145,3 +145,35 @@ SELECT doc_id, lang,
             THEN 1 ELSE 0 END AS BIGINT) AS keep
 FROM scored
 """
+
+
+# BPE-ish pre-tokenization pattern (ASCII classes so Spark's Java regex
+# and DuckDB's RE2 agree byte-for-byte): letter runs, digit runs, and
+# single non-alphanumeric marks — the GPT-2 pre-tokenizer shape without
+# the unicode category classes
+_BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-word-ish token count per document (BPE pre-tokenizer regex) and
+    fertility vs whitespace words.
+
+    A training-data budgeting primitive: regex runs in the JVM
+    (whole-stage codegen), one narrow projection, no shuffle."""
+    docs = load_documents(spark, sf_dir)
+    n_tok = F.size(F.regexp_extract_all("text", F.lit(_BPE_PATTERN), 0))
+    n_words = F.size(F.split(F.col("text"), " "))
+    return docs.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens_bpe"),
+        F.round(n_tok / n_words, 6).alias("fertility"),
+    )
+
+
+TOKEN_COUNT_BPE_SQL = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS BIGINT) AS n_tokens_bpe,
+       round(len(regexp_extract_all(text, '{_BPE_PATTERN}'))
+             / len(string_split(text, ' ')), 6) AS fertility
+FROM documents
+"""

@@ -1,0 +1,53 @@
+"""Text-operator unit tests on constructed inputs.
+
+The synthetic documents table is pure lowercase words, so the BPE-ish
+tokenizer degenerates to whitespace counting there (the oracle still
+value-checks it, but the digit/punctuation branches never fire).  These
+tests feed punctuation-rich texts through BOTH engines so the regex
+equivalence is exercised where it matters.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pyspark.sql.functions as F
+
+from atlas_spark.operators.text import _BPE_PATTERN
+
+TEXTS = [
+    "Hello, world! it's 42 degrees (7.5% up)",
+    "a1b2c3 --- x__y 100,000.99",
+    "no punctuation just words",
+    "!!!",
+    "mixedCASE Words AND 99bottles",
+]
+
+
+def test_bpe_pattern_cross_engine(spark):
+    sdf = spark.createDataFrame([(t,) for t in TEXTS], ["text"])
+    got = [
+        r["n"]
+        for r in sdf.select(
+            F.size(F.regexp_extract_all("text", F.lit(_BPE_PATTERN), 0)).alias("n")
+        ).collect()
+    ]
+    con = duckdb.connect()
+    want = [
+        con.execute(
+            "SELECT len(regexp_extract_all(?, ?))", [t, _BPE_PATTERN]
+        ).fetchone()[0]
+        for t in TEXTS
+    ]
+    assert got == want
+    # the pattern actually splits beyond whitespace on these inputs
+    ws = [len(t.split(" ")) for t in TEXTS]
+    assert any(g != w for g, w in zip(got, ws))
+
+
+def test_bpe_token_classes(spark):
+    """Letter runs, digit runs, and single marks tokenize separately."""
+    sdf = spark.createDataFrame([("ab12!? cd",)], ["text"])
+    toks = sdf.select(
+        F.regexp_extract_all("text", F.lit(_BPE_PATTERN), 0).alias("t")
+    ).collect()[0]["t"]
+    assert toks == ["ab", "12", "!", "?", "cd"]
