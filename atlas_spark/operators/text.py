@@ -30,10 +30,20 @@ FROM documents
 """
 
 
+# a tiny function-word list: enough for a stopword-ratio quality signal
+# without a language model; shared verbatim with the SQL oracle
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
+
+
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Length / word-shape quality features per document."""
+    """Length / word-shape / punctuation / stopword quality features per
+    document — the standard heuristic battery a pretraining filter
+    thresholds on.  All built-in functions, one narrow projection."""
     docs = load_documents(spark, sf_dir)
-    n_words = F.size(F.split(F.col("text"), " "))
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    n_punct = F.size(F.regexp_extract_all("text", F.lit(r"[^A-Za-z0-9 ]"), 0))
+    n_stop = F.size(F.filter(words, lambda w: w.isin(*_STOPWORDS)))
     return docs.select(
         "doc_id",
         F.length("text").cast("long").alias("n_chars_m"),
@@ -42,15 +52,21 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.size(F.split(F.col("text"), " ")) / F.length("text"), 6
         ).alias("word_density"),
+        F.round(n_punct / F.length("text"), 6).alias("punct_ratio"),
+        F.round(n_stop / n_words, 6).alias("stopword_ratio"),
     )
 
 
-QUALITY_SCORE_SQL = """
+_SW_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+QUALITY_SCORE_SQL = f"""
 SELECT doc_id,
        CAST(len(text) AS BIGINT) AS n_chars_m,
        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
        round((len(text) - (len(string_split(text, ' ')) - 1)) / len(string_split(text, ' ')), 6) AS avg_word_len,
-       round(len(string_split(text, ' ')) / len(text), 6) AS word_density
+       round(len(string_split(text, ' ')) / len(text), 6) AS word_density,
+       round(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) / len(text), 6) AS punct_ratio,
+       round(len(list_filter(string_split(text, ' '), w -> w IN ({_SW_SQL}))) / len(string_split(text, ' ')), 6) AS stopword_ratio
 FROM documents
 """
 
