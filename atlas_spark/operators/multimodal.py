@@ -149,3 +149,61 @@ SELECT doc_id,
        CAST(CAST('0x' || substr(sha256(text), 5, 4) AS INTEGER) % 1024 AS BIGINT) AS height
 FROM documents
 """
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("digest", T.StringType()),
+    ]
+)
+
+
+def resize_media(
+    spark: SparkSession, sf_dir: str, width: int = 16, height: int = 8
+) -> DataFrame:
+    """Resize shape: binary in -> binary OUT through the Arrow boundary —
+    the one plumbing direction decode/frame-sample don't cover.
+
+    The "codec" is a deterministic fake (truncate/right-pad the payload to
+    exactly width*height bytes; real deployments plug PIL into
+    `FakeDecoder.resize`), so the batch shape, binary output column, and
+    per-chunk metadata are all real and oracle-checkable.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    target = width * height
+    media = media_table(spark, sf_dir)
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "payload": [], "n_bytes": [], "digest": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)[:target].ljust(target, b"0")
+                out["doc_id"].append(doc_id)
+                out["payload"].append(b)
+                out["n_bytes"].append(len(b))
+                out["digest"].append(hashlib.sha256(b).hexdigest())
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(resize, schema=RESIZED_SCHEMA)
+
+
+def resize_media_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract projection of `resize_media` (the binary payload
+    itself is asserted in unit tests; the oracle checks size + digest)."""
+    return resize_media(spark, sf_dir).select("doc_id", "n_bytes", "digest")
+
+
+# ascii corpus: char ops == byte ops, so rpad/substr reproduce the fake
+# codec exactly
+RESIZE_MEDIA_SQL = """
+SELECT doc_id,
+       CAST(128 AS BIGINT) AS n_bytes,
+       sha256(rpad(substr(text, 1, 128), 128, '0')) AS digest
+FROM documents
+"""

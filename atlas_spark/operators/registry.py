@@ -31,6 +31,7 @@ SPECS: list[OpSpec] = [
     OpSpec("op_simhash", dedup.simhash, dedup.SIMHASH_SQL),
     OpSpec("op_media_features", multimodal.extract_media_features, multimodal.EXTRACT_MEDIA_SQL),
     OpSpec("op_frame_sample", multimodal.frame_sample, multimodal.FRAME_SAMPLE_SQL),
+    OpSpec("op_media_resize", multimodal.resize_media_query, multimodal.RESIZE_MEDIA_SQL),
     OpSpec("op_lsh_topk", similarity.lsh_bucketed_topk, similarity.LSH_TOPK_SQL),
     OpSpec("op_ivf_topk", similarity.ivf_topk, None),
     OpSpec("op_lang_id", langid.lang_id, langid.lang_id_sql()),

@@ -51,3 +51,18 @@ def test_bpe_token_classes(spark):
         F.regexp_extract_all("text", F.lit(_BPE_PATTERN), 0).alias("t")
     ).collect()[0]["t"]
     assert toks == ["ab", "12", "!", "?", "cd"]
+
+
+def test_resize_media_binary_roundtrip(spark, sf_dir):
+    """Binary OUT through Arrow: payload is exactly width*height bytes,
+    truncate/pad is deterministic, digest matches the payload."""
+    import hashlib
+
+    from atlas_spark.operators.multimodal import resize_media
+
+    rows = resize_media(spark, sf_dir, width=4, height=4).limit(20).collect()
+    assert rows
+    for r in rows:
+        b = bytes(r["payload"])
+        assert len(b) == 16 and r["n_bytes"] == 16
+        assert hashlib.sha256(b).hexdigest() == r["digest"]
