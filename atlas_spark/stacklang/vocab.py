@@ -858,7 +858,8 @@ w("s", _match(STR, STR, PRES), _sed)
 
 for _m in ("line", "area", "stack", "vspan", "heatmap"):
     macro(_m, f"{_m},:ls")
-macro("percentile-heatmap", "heatmap,:ls")
+# group by the percentile tag, render as heatmap (StyleVocabulary.scala:108-112)
+macro("percentiles-heatmap", "(,percentile,),:cg,heatmap,:ls")
 
 
 def _strip_style(c: Context) -> None:
