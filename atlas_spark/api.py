@@ -56,16 +56,72 @@ class GraphResult:
             "values": [ln.data for ln in self.lines],
         }
 
-    def to_csv(self) -> str:
+    def to_csv(self, sep: str = ",") -> str:
         header = ["timestamp"] + [ln.label for ln in self.lines]
-        rows = [",".join(header)]
+        rows = [sep.join(header)]
         for i in range((self.end - self.start) // self.step):
             t = self.start + i * self.step
             vals = [
                 "" if ln.data[i] is None else repr(ln.data[i]) for ln in self.lines
             ]
-            rows.append(",".join([str(t)] + vals))
+            rows.append(sep.join([str(t)] + vals))
         return "\n".join(rows)
+
+    def to_txt(self) -> str:
+        """Tab-separated variant (TabSepGraphEngine)."""
+        return self.to_csv(sep="\t")
+
+    def to_stats_json(self) -> dict[str, Any]:
+        """Per-line summary stats instead of raw data
+        (StatsJsonGraphEngine.scala:27-80: start/end/step, legend, metrics,
+        stats objects with count/avg/total/max/min/last)."""
+        stats = []
+        for ln in self.lines:
+            vals = [v for v in ln.data if v is not None]
+            s: dict[str, Any] = {"count": len(vals)}
+            if vals:
+                s.update(
+                    avg=sum(vals) / len(vals),
+                    total=sum(vals),
+                    max=max(vals),
+                    min=min(vals),
+                    last=vals[-1],
+                )
+            stats.append(s)
+        return {
+            "start": self.start * 1000,
+            "end": self.end * 1000,
+            "step": self.step * 1000,
+            "legend": [ln.label for ln in self.lines],
+            "metrics": [ln.tags for ln in self.lines],
+            "stats": stats,
+            "notices": [],
+        }
+
+    def to_v2_json(self) -> list[dict[str, Any]]:
+        """Incremental message-array format (JsonCodec.scala:44-60 shape:
+        graph-metadata first, then plot-metadata, then one timeseries
+        message per line referencing its plot)."""
+        out: list[dict[str, Any]] = [
+            {
+                "type": "graph-metadata",
+                "startTime": self.start * 1000,
+                "endTime": self.end * 1000,
+                "step": self.step * 1000,
+            },
+            {"type": "plot-metadata", "id": 0},
+        ]
+        for ln in self.lines:
+            out.append(
+                {
+                    "type": "timeseries",
+                    "plot": 0,
+                    "label": ln.label,
+                    "tags": ln.tags,
+                    "data": {"type": "array", "values": ln.data},
+                }
+            )
+        return out
 
 
 class Engine:
@@ -153,6 +209,26 @@ class Engine:
         from .chart import render_png
 
         return render_png(self.graph(uri), width, height)
+
+    def render(self, uri: str):
+        """Dispatch on the `format` query param like the reference's graph
+        engine registry (GraphEngine name -> output): json/std.json,
+        v2.json, stats.json, csv, txt, png."""
+        fmt = parse_qs(urlparse(uri).query).get("format", ["json"])[0]
+        if fmt == "png":
+            return self.graph_png(uri)
+        g = self.graph(uri)
+        if fmt in ("json", "std.json"):
+            return g.to_json()
+        if fmt == "v2.json":
+            return g.to_v2_json()
+        if fmt == "stats.json":
+            return g.to_stats_json()
+        if fmt == "csv":
+            return g.to_csv()
+        if fmt == "txt":
+            return g.to_txt()
+        raise ValueError(f"unknown graph format {fmt!r}")
 
     @staticmethod
     def _expand_offsets(se: E.StyleExpr):

@@ -183,3 +183,24 @@ def test_graph_bad_query(engine):
         engine.graph("/api/v1/graph?q=name,:frobnicate")
     with pytest.raises(ValueError):
         engine.graph("/api/v1/graph?e=2024-01-01&s=2024-01-05&q=42,:const")
+
+
+def test_render_formats(engine):
+    base = "/api/v1/graph?q=name,click,:eq,:sum&s=2024-01-02&e=2024-01-03"
+    j = engine.render(base + "&format=json")
+    assert j["legend"] and j["values"]
+    v2 = engine.render(base + "&format=v2.json")
+    assert v2[0]["type"] == "graph-metadata" and v2[1]["type"] == "plot-metadata"
+    assert v2[2]["type"] == "timeseries" and v2[2]["data"]["values"]
+    st = engine.render(base + "&format=stats.json")
+    s = st["stats"][0]
+    vals = [v for v in j["values"][0] if v is not None]
+    assert s["count"] == len(vals)
+    assert abs(s["total"] - sum(vals)) < 1e-9
+    assert s["max"] == max(vals) and s["min"] == min(vals) and s["last"] == vals[-1]
+    txt = engine.render(base + "&format=txt")
+    assert "\t" in txt.splitlines()[0]
+    csv = engine.render(base + "&format=csv")
+    assert csv.splitlines()[0].startswith("timestamp,")
+    png = engine.render(base + "&format=png")
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
