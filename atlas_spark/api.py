@@ -177,6 +177,109 @@ class Engine:
             out.append(norm.display())
         return out
 
+    def queries(self, q: str) -> list[str]:
+        """Distinct data queries used by an expression, sorted
+        (ExprApi.scala:184-206 /api/v1/expr/queries) — for UIs exploring
+        the tag space behind a graph expression."""
+        seen: set[str] = set()
+
+        def collect(qq):
+            seen.add(qq.display())
+            return qq
+
+        for se in parse_asl(q, step=self.source.step):
+            se.rewrite_queries(collect)
+        return sorted(seen)
+
+    def strip(self, q: str, keys: set[str]) -> list[str]:
+        """Strip query clauses mentioning any key in `keys`
+        (ExprApi.scala:208-238 /api/v1/expr/strip): the clause becomes
+        :true and is then simplified away with OR-ignore semantics."""
+        from .model import query as Qm
+
+        def strip_q(qq: Qm.Query) -> Qm.Query:
+            if isinstance(qq, Qm.AndQuery):
+                return Qm.AndQuery(strip_q(qq.q1), strip_q(qq.q2))
+            if isinstance(qq, Qm.OrQuery):
+                return Qm.OrQuery(strip_q(qq.q1), strip_q(qq.q2))
+            if isinstance(qq, Qm.NotQuery):
+                return Qm.NotQuery(strip_q(qq.q))
+            if isinstance(qq, Qm.KeyQuery) and qq.k in keys:
+                return Qm.TRUE
+            return qq
+
+        out = []
+        for se in parse_asl(q, step=self.source.step):
+            out.append(
+                se.rewrite_queries(
+                    lambda qq: Qm.simplify(strip_q(qq), ignore=True)
+                ).display()
+            )
+        return out
+
+    def complete(self, q: str) -> list[str]:
+        """Candidate next words for the program's current stack
+        (ExprApi.scala:160-182 /api/v1/expr/complete): a word is offered
+        when one of its overloads matches AND actually executes."""
+        from .stacklang.interpreter import Context, split_and_trim
+        from .stacklang.vocab import WORDS, default_interpreter
+
+        interp = default_interpreter(self.source.step)
+        base = Context(interp)
+        interp.execute_program(split_and_trim(q), base)
+        names = []
+        for name in sorted({w.name for w in WORDS}):
+            trial = Context(
+                interp, stack=list(base.stack), vars=dict(base.vars),
+                frozen=list(base.frozen), initial_vars=dict(base.initial_vars),
+            )
+            try:
+                interp.execute_word(name, trial)
+                names.append(name)
+            except Exception:  # noqa: BLE001 — non-matching overloads
+                continue
+        return names
+
+    def debug(self, q: str) -> list[dict]:
+        """Token-by-token execution trace (ExprApi.scala:137-152
+        /api/v1/expr/debug): remaining program + stack display after each
+        step, exprs rendered via their canonical display."""
+        from .model import query as Qm
+        from .stacklang.interpreter import Context, split_and_trim
+        from .stacklang.vocab import default_interpreter
+
+        def disp(v) -> str:
+            if isinstance(v, (E.TimeSeriesExpr, Qm.Query)):
+                return v.display()
+            return str(v)
+
+        interp = default_interpreter(self.source.step)
+        ctx = Context(interp)
+        tokens = split_and_trim(q)
+        steps = []
+        i = 0
+        while i < len(tokens):
+            t = tokens[i]
+            if t == "(":
+                lst, i = interp._collect_list(tokens, i + 1)
+                ctx.push(lst)
+            elif t.startswith(":"):
+                interp.execute_word(t[1:], ctx)
+                i += 1
+            else:
+                ctx.push(t)
+                i += 1
+            steps.append(
+                {
+                    "program": list(tokens[i:]),
+                    "context": {
+                        "stack": [disp(x) for x in reversed(ctx.stack)],
+                        "variables": {k: disp(v) for k, v in ctx.vars.items()},
+                    },
+                }
+            )
+        return steps
+
     # ---------------------------------------------------------------- graph
 
     def graph(self, uri: str) -> GraphResult:

@@ -204,3 +204,35 @@ def test_render_formats(engine):
     assert csv.splitlines()[0].startswith("timestamp,")
     png = engine.render(base + "&format=png")
     assert png[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_expr_queries_endpoint(engine):
+    qs = engine.queries(
+        "name,click,:eq,:sum,name,view,:eq,:max,:add,name,click,:eq,:count"
+    )
+    assert qs == sorted({"name,click,:eq", "name,view,:eq"})
+
+
+def test_expr_strip_endpoint(engine):
+    out = engine.strip("name,click,:eq,bucket,u1,:eq,:and,:sum", {"bucket"})
+    assert out == ["name,click,:eq,:sum"]
+    # stripping the only clause leaves :true
+    out2 = engine.strip("bucket,u1,:eq,:sum", {"bucket"})
+    assert out2 == [":true,:sum"]
+
+
+def test_expr_complete_endpoint(engine):
+    words = engine.complete("name,click,:eq")
+    assert "sum" in words and "count" in words and "not" in words
+    empty = engine.complete("")
+    assert "true" in empty  # nullary words always apply
+    assert "dup" not in empty  # empty stack: nothing to dup
+
+
+def test_expr_debug_endpoint(engine):
+    steps = engine.debug("name,click,:eq,:sum")
+    assert len(steps) == 4
+    assert steps[0]["context"]["stack"] == ["name"]
+    assert steps[2]["context"]["stack"] == ["name,click,:eq"]
+    assert steps[3]["context"]["stack"] == ["name,click,:eq,:sum"]
+    assert steps[3]["program"] == []
