@@ -103,3 +103,58 @@ def counter_to_rate_stream(df: DataFrame, timeout_s: int = 3600) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------- publish payload
+
+# PublishPayloads.scala:95-137 wire shape: common tags merged under each
+# metric's tags (metric wins), legacy "start" (timestamp) and "values"
+# (value) accepted
+PUBLISH_PAYLOAD_SCHEMA = T.StructType(
+    [
+        T.StructField("tags", T.MapType(T.StringType(), T.StringType())),
+        T.StructField(
+            "metrics",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("tags", T.MapType(T.StringType(), T.StringType())),
+                        T.StructField("timestamp", T.LongType()),
+                        T.StructField("start", T.LongType()),
+                        T.StructField("value", T.DoubleType()),
+                        T.StructField("values", T.DoubleType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+
+def decode_publish_payloads(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Decode publish-API JSON payloads to datapoint rows, JVM-side.
+
+    Works identically on batch frames and streams (`from_json` + explode
+    are pure projections — no UDF, no driver parsing).  Output columns:
+    tags map, timestamp (ms), value.  Pair with
+    `validation.validate_publish` for the reject-with-reason split.
+    """
+    p = F.from_json(F.col(payload_col), PUBLISH_PAYLOAD_SCHEMA)
+    m = F.explode(p["metrics"]).alias("m")
+    base = df.select(p["tags"].alias("_common"), m)
+    mtags = F.coalesce(
+        F.col("m.tags"), F.from_json(F.lit("{}"), "map<string,string>")
+    )
+    common = F.coalesce(
+        F.col("_common"), F.from_json(F.lit("{}"), "map<string,string>")
+    )
+    # metric tags win on key collision; map_filter avoids the duplicate-key
+    # policy conf entirely
+    merged = F.map_concat(
+        F.map_filter(common, lambda k, _: ~F.map_contains_key(mtags, k)), mtags
+    )
+    return base.select(
+        merged.alias("tags"),
+        F.coalesce(F.col("m.timestamp"), F.col("m.start")).alias("timestamp"),
+        F.coalesce(F.col("m.value"), F.col("m.values")).alias("value"),
+    )

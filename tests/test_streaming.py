@@ -255,3 +255,44 @@ def test_counter_to_rate_stream(spark, stream_dirs):
     out = {r["t"]: r["value"] for r in collected}
     # 180: (300-180)/60 = 2.0 uses state from chunk 1; 240: reset -> 0
     assert out == {60: 1.0, 120: 2.0, 180: 2.0, 240: 0.0}
+
+
+def test_decode_publish_payloads(spark):
+    """Wire decode: common tags merged (metric wins), legacy start/values
+    accepted, then the validation split drops the bad datapoint."""
+    import json
+
+    from atlas_spark.streaming.norm import decode_publish_payloads
+    from atlas_spark.streaming.validation import validate_publish
+
+    payloads = [
+        json.dumps(
+            {
+                "tags": {"app": "www", "name": "common"},
+                "metrics": [
+                    {"tags": {"name": "cpu"}, "timestamp": 1000, "value": 1.5},
+                    {"tags": {"name": "mem"}, "start": 2000, "values": 2.5},
+                ],
+            }
+        ),
+        json.dumps(
+            {
+                "metrics": [
+                    # no name tag -> rejected by HasKeyRule
+                    {"tags": {"app": "db"}, "timestamp": 3000, "value": 3.0},
+                ]
+            }
+        ),
+    ]
+    df = spark.createDataFrame([(p,) for p in payloads], ["payload"])
+    rows = decode_publish_payloads(df).collect()
+    assert len(rows) == 3
+    by_name = {r["tags"].get("name"): r for r in rows}
+    assert by_name["cpu"]["tags"] == {"app": "www", "name": "cpu"}  # metric wins
+    assert by_name["cpu"]["timestamp"] == 1000 and by_name["cpu"]["value"] == 1.5
+    assert by_name["mem"]["timestamp"] == 2000 and by_name["mem"]["value"] == 2.5
+
+    valid, rejected = validate_publish(decode_publish_payloads(df))
+    assert valid.count() == 2
+    rej = rejected.collect()
+    assert len(rej) == 1 and "name" in rej[0]["rejection"]
