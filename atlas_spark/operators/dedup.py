@@ -107,18 +107,44 @@ def _perm_consts(num_hashes: int, seed: int = 11) -> list[tuple[int, int]]:
     ]
 
 
-def _minhash_bands(sh: DataFrame, num_hashes: int = 32, bands: int = 16) -> DataFrame:
-    """doc -> (band, bucket) rows: minhash signature -> banded for LSH.
+def _md5_feats(df: DataFrame, n: int = 3) -> DataFrame:
+    """Exploded (doc_id, s) md5 shingle ids, computing the md5 once per
+    DISTINCT shingle string corpus-wide.
 
-    Shingles are exploded once and all `num_hashes` permutation minima are
-    computed in a single hash-aggregate (narrow agg expressions in
-    whole-stage codegen) — far cheaper than per-row nested array folds.
-    The band bucket packs the masked minima into one 60-bit key.
+    The md5+conv is the expensive part of the sketch and real corpora
+    reuse shingles heavily (~10x on the test corpus), so hash the global
+    vocabulary and join it back: the vocab side is tiny relative to
+    occurrences and broadcasts; at cluster scale it degrades gracefully
+    to a string-keyed shuffle join that still beats per-occurrence md5.
+    """
+    words = F.split(F.col("text"), " ")
+    idx = F.when(
+        F.size(words) >= n, F.sequence(F.lit(0), F.size(words) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    strs = df.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(idx, lambda i: F.concat_ws("\x1f", F.slice(words, i + 1, n)))
+            )
+        ).alias("w"),
+    )
+    vocab = strs.select("w").distinct().select("w", _h60(F.col("w")).alias("s"))
+    return strs.join(vocab, "w").select("doc_id", "s")
+
+
+def _minhash_bands(feats: DataFrame, num_hashes: int = 32, bands: int = 16) -> DataFrame:
+    """exploded (doc_id, s) -> (band, bucket) rows: minhash signature ->
+    banded for LSH.
+
+    All `num_hashes` permutation minima are computed in a single
+    hash-aggregate (narrow agg expressions in whole-stage codegen) — far
+    cheaper than per-row nested array folds.  The band bucket packs the
+    masked minima into one 60-bit key.
     """
     rows_per_band = num_hashes // bands
     assert rows_per_band <= 2, "bucket packing holds at most two 31-bit minima"
     consts = _perm_consts(num_hashes)
-    feats = sh.select("doc_id", F.explode("shingles").alias("s"))
     s28 = F.col("s").bitwiseAND(F.lit(_MASK28))
     sig = feats.groupBy("doc_id").agg(
         *[
@@ -169,7 +195,7 @@ def minhash_lsh_candidates(
     pairs with P~0.99.
     """
     docs = _spread(load_documents(spark, sf_dir))
-    return _band_candidates(_minhash_bands(ngram_shingles(docs, n), num_hashes, bands))
+    return _band_candidates(_minhash_bands(_md5_feats(docs, n), num_hashes, bands))
 
 
 def _minhash_candidates_sql(n: int = 3, num_hashes: int = 32, bands: int = 16) -> str:
@@ -237,7 +263,9 @@ def ngram_jaccard_pairs(
     # (not just probable) at the oracle scales: 25/25 at sf0.01, 256/256
     # at sf0.1.  Two-row bands keep the noise-pair candidate rate
     # quadratic in J (single-row bands flood verification).
-    cand = _band_candidates(_minhash_bands(sh, 48, 24))
+    cand = _band_candidates(
+        _minhash_bands(sh.select("doc_id", F.explode("shingles").alias("s")), 48, 24)
+    )
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
