@@ -326,14 +326,15 @@ def simhash(spark: SparkSession, sf_dir: str, bits: int = 60) -> DataFrame:
     docs = _spread(load_documents(spark, sf_dir))
     # explode distinct word features once, then a single hash-aggregate
     # computing all bit votes (sum of +/-1 per bit) — one shuffle keyed
-    # on doc_id, narrow agg expressions in whole-stage codegen
-    feats = docs.select(
+    # on doc_id, narrow agg expressions in whole-stage codegen.  The md5
+    # runs once per DISTINCT word corpus-wide (same vocabulary-join trick
+    # as _md5_feats — word reuse dwarfs the broadcast join cost).
+    strs = docs.select(
         "doc_id",
         F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("w"),
-    ).select(
-        "doc_id",
-        F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10).cast("long").alias("h"),
     )
+    vocab = strs.select("w").distinct().select("w", _h60(F.col("w")).alias("h"))
+    feats = strs.join(vocab, "w").select("doc_id", "h")
     votes = feats.groupBy("doc_id").agg(
         *[
             F.sum(
