@@ -125,3 +125,11 @@ def test_ivf_topk_has_no_fit_stage(spark, sf_dir, queries):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_vocab_join_broadcasts(spark, sf_dir, queries):
+    """The shingle-vocabulary hash join (md5 once per distinct shingle)
+    must broadcast the tiny vocab side at test scale — a shuffle join
+    here would erase the point of hashing the vocabulary once."""
+    plan = _plan(queries["op_minhash_candidates"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
