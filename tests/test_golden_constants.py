@@ -183,3 +183,73 @@ def test_golden_time_span_self_reference_errors(constants_source):
         eval_asl(constants_source, "e-30m,e,:time-span")
     with pytest.raises(ValueError, match="relative to each other"):
         eval_asl(constants_source, "e-30m,s+30m,:time-span")
+
+
+def test_chrono_time_fields_vs_python_datetime(spark):
+    """Third-implementation golden: every ChronoField :time mode evaluated
+    by the plan builder must equal an independent python-datetime port of
+    java.time semantics (the DuckDB oracle alone can't catch a bug shared
+    by both SQL translations).  Instants cover midnight (CLOCK_HOUR 24),
+    noon (AMPM flip), year boundary, and a leap day."""
+    import datetime as dt
+
+    from atlas_spark.plans.builder import Evaluator
+    from atlas_spark.plans.context import EvalContext
+    from atlas_spark.model import expr as E
+    from atlas_spark.sources.datapoints import events_datapoints
+
+    def java_chrono(t: int, mode: str) -> float:
+        d = dt.datetime.fromtimestamp(t, dt.timezone.utc)
+        doy = d.timetuple().tm_yday
+        table = {
+            "SECOND_OF_MINUTE": d.second,
+            "SECOND_OF_DAY": d.hour * 3600 + d.minute * 60 + d.second,
+            "MINUTE_OF_HOUR": d.minute,
+            "MINUTE_OF_DAY": d.hour * 60 + d.minute,
+            "HOUR_OF_AMPM": d.hour % 12,
+            "CLOCK_HOUR_OF_AMPM": (d.hour % 12) or 12,
+            "HOUR_OF_DAY": d.hour,
+            "CLOCK_HOUR_OF_DAY": d.hour or 24,
+            "AMPM_OF_DAY": d.hour // 12,
+            "DAY_OF_WEEK": d.isoweekday(),
+            "ALIGNED_DAY_OF_WEEK_IN_MONTH": (d.day - 1) % 7 + 1,
+            "ALIGNED_DAY_OF_WEEK_IN_YEAR": (doy - 1) % 7 + 1,
+            "DAY_OF_MONTH": d.day,
+            "DAY_OF_YEAR": doy,
+            "EPOCH_DAY": t // 86400,
+            "ALIGNED_WEEK_OF_MONTH": (d.day - 1) // 7 + 1,
+            "ALIGNED_WEEK_OF_YEAR": (doy - 1) // 7 + 1,
+            "MONTH_OF_YEAR": d.month,
+            "PROLEPTIC_MONTH": d.year * 12 + d.month - 1,
+            "YEAR_OF_ERA": d.year,
+            "YEAR": d.year,
+            "ERA": 1,
+            "INSTANT_SECONDS": t,
+            "OFFSET_SECONDS": 0,
+        }
+        return float(table[mode])
+
+    # midnight Jan 1 2024, 11:00, noon, 23:00 Dec 31, leap day 2024-02-29
+    instants = [1704067200, 1704106800, 1704110400, 1704063600, 1709164800]
+    modes = [
+        "SECOND_OF_MINUTE", "SECOND_OF_DAY", "MINUTE_OF_HOUR",
+        "MINUTE_OF_DAY", "HOUR_OF_AMPM", "CLOCK_HOUR_OF_AMPM",
+        "HOUR_OF_DAY", "CLOCK_HOUR_OF_DAY", "AMPM_OF_DAY", "DAY_OF_WEEK",
+        "ALIGNED_DAY_OF_WEEK_IN_MONTH", "ALIGNED_DAY_OF_WEEK_IN_YEAR",
+        "DAY_OF_MONTH", "DAY_OF_YEAR", "EPOCH_DAY",
+        "ALIGNED_WEEK_OF_MONTH", "ALIGNED_WEEK_OF_YEAR", "MONTH_OF_YEAR",
+        "PROLEPTIC_MONTH", "YEAR_OF_ERA", "YEAR", "ERA",
+        "INSTANT_SECONDS", "OFFSET_SECONDS",
+    ]
+    src = events_datapoints(spark, "/root/testdata/sf0.001")
+    for t0 in instants:
+        ctx = EvalContext(t0, t0 + 3600, 3600)  # one-step grid at t0
+        ev = Evaluator(src, ctx)
+        got = {}
+        for mode in modes:
+            rows = ev.eval(E.TimeExpr(mode)).df.collect()
+            assert len(rows) == 1, (mode, rows)
+            got[mode] = rows[0]["value"]
+        for mode in modes:
+            want = java_chrono(t0, mode)
+            assert got[mode] == want, (t0, mode, got[mode], want)

@@ -66,3 +66,21 @@ def test_resize_media_binary_roundtrip(spark, sf_dir):
         b = bytes(r["payload"])
         assert len(b) == 16 and r["n_bytes"] == 16
         assert hashlib.sha256(b).hexdigest() == r["digest"]
+
+
+def test_publish_decoder_edge_shapes(spark):
+    """Decoder robustness: absent metrics, absent common tags, nulls."""
+    import json
+
+    from atlas_spark.streaming.norm import decode_publish_payloads
+
+    payloads = [
+        json.dumps({"tags": {"a": "b"}}),  # no metrics -> no rows
+        json.dumps({"metrics": []}),  # empty metrics -> no rows
+        "not json at all",  # unparseable -> no rows (from_json null)
+        json.dumps({"metrics": [{"timestamp": 5, "value": 1.0}]}),  # no tags
+    ]
+    df = spark.createDataFrame([(p,) for p in payloads], ["payload"])
+    rows = decode_publish_payloads(df).collect()
+    assert len(rows) == 1
+    assert rows[0]["tags"] == {} and rows[0]["timestamp"] == 5
