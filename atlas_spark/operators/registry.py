@@ -40,5 +40,6 @@ SPECS: list[OpSpec] = [
     OpSpec("rel_revenue_by_nation", relational.revenue_by_nation, relational.REVENUE_BY_NATION_SQL),
     OpSpec("rel_top_customers", relational.top_customers, relational.TOP_CUSTOMERS_SQL),
     OpSpec("rel_order_priority", relational.order_priority_counts, relational.ORDER_PRIORITY_SQL),
+    OpSpec("rel_shipping_priority", relational.shipping_priority, relational.SHIPPING_PRIORITY_SQL),
     OpSpec("rel_part_supplier", relational.part_supplier_stats, relational.PART_SUPPLIER_SQL),
 ]
