@@ -193,3 +193,37 @@ SELECT doc_id,
              / len(string_split(text, ' ')), 6) AS fertility
 FROM documents
 """
+
+
+def token_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budget by (lang, source) with corpus share — the input a
+    pretraining sampler turns into mixture weights.
+
+    The per-group rollup is a partial+final agg; the corpus total joins
+    back as a broadcast scalar (never a global window: the grouped frame
+    is small but a one-partition window is a habit that doesn't survive
+    high-cardinality mixes)."""
+    docs = load_documents(spark, sf_dir)
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
+    per = docs.groupBy("lang", "source").agg(F.sum(n_tok).alias("n_tokens"))
+    total = per.agg(F.sum("n_tokens").alias("_total"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "source",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("_total"), 6).alias("share"),
+        )
+    )
+
+
+TOKEN_MIX_SQL = """
+WITH per AS (
+  SELECT lang, source, sum(len(string_split(text, ' '))) AS n_tokens
+  FROM documents GROUP BY lang, source
+)
+SELECT lang, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(n_tokens / (SELECT sum(n_tokens) FROM per), 6) AS share
+FROM per
+"""
