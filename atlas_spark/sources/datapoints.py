@@ -23,11 +23,47 @@ oracle SQL generator so both engines see identical inputs.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from datetime import datetime, timezone
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql.types import LongType
 
 DEFAULT_STEP = 3600  # seconds; events testdata spans 30 days -> 720 steps
+
+_NS = 1_000_000_000
+
+
+def _epoch_sec(df: DataFrame, col: str = "ts") -> Column:
+    """Epoch-seconds long expression for ``col``, adaptive to the driver
+    testdata schema: epoch-nanos BIGINT (legacy, via nanosAsLong),
+    TIMESTAMP, or TIMESTAMP_NTZ (current driver data; UTC wall time —
+    `configure_existing` pins the session zone to UTC so the NTZ->LTZ cast
+    is the identity instant).  Integer arithmetic end-to-end, matching the
+    DuckDB oracle's ``epoch_ns(ts) // 1e9`` floor exactly for the
+    post-1970 test range."""
+    if isinstance(df.schema[col].dataType, LongType):
+        return F.expr(f"{col} div {_NS}")
+    return F.col(col).cast("timestamp").cast("long")
+
+
+def _step_t(df: DataFrame, step: int, col: str = "ts") -> Column:
+    e = _epoch_sec(df, col)
+    return (e - e % F.lit(step)).alias("t")
+
+
+def _ts_range(df: DataFrame, lo: int, hi: int, col: str = "ts") -> DataFrame:
+    """Range-filter on the RAW timestamp column with a literal of the
+    column's own type, so the predicate reaches the parquet scan
+    (row-group min/max pruning) without a cast on the column side."""
+    dt = df.schema[col].dataType
+    if isinstance(dt, LongType):
+        return df.filter((F.col(col) >= lo * _NS) & (F.col(col) < hi * _NS))
+    tname = dt.typeName().upper()  # TIMESTAMP or TIMESTAMP_NTZ
+    def lit(sec: int) -> str:
+        iso = datetime.fromtimestamp(sec, timezone.utc).strftime("%Y-%m-%d %H:%M:%S")
+        return f"{tname} '{iso}'"
+    return df.filter(F.expr(f"{col} >= {lit(lo)} AND {col} < {lit(hi)}"))
 
 
 def sanitize(key: str) -> str:
@@ -75,22 +111,20 @@ def events_datapoints(spark: SparkSession, sf_dir: str, step: int = DEFAULT_STEP
     Series identity: tags ``name`` (= event_type) and ``bucket``
     (= "u" + user_id % 8).  Value: SUM of event values in the step cell.
 
-    `ts` is read as epoch-nanos long (spark.sql.legacy.parquet.nanosAsLong)
-    so the step bucketing is exact integer arithmetic, bit-identical to the
-    DuckDB oracle's ``floor(epoch(ts))`` path.
+    Step bucketing is exact integer arithmetic on epoch seconds
+    (schema-adaptive via `_epoch_sec`), bit-identical to the DuckDB
+    oracle's ``epoch_ns(ts) // 1e9`` path.
     """
     from ..session import configure_existing
 
     configure_existing(spark)
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ns = 1_000_000_000
 
     def project(ev_df: DataFrame) -> DataFrame:
         return ev_df.select(
             F.col("event_type").alias("k_name"),
             F.concat(F.lit("u"), (F.col("user_id") % 8).cast("string")).alias("k_bucket"),
-            # exact integer arithmetic on epoch-nanos (no double rounding)
-            F.expr(f"ts div {ns} div {step} * {step}").alias("t"),
+            _step_t(ev_df, step),
             F.col("value"),
         )
 
@@ -100,7 +134,7 @@ def events_datapoints(spark: SparkSession, sf_dir: str, step: int = DEFAULT_STEP
         )
 
     def _range(lo: int, hi: int) -> DataFrame:
-        return ev.filter((F.col("ts") >= lo * ns) & (F.col("ts") < hi * ns))
+        return _ts_range(ev, lo, hi)
 
     return DatapointSource(
         df=build(ev),
@@ -209,7 +243,6 @@ def percentile_datapoints(
 
     configure_existing(spark)
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ns = 1_000_000_000
     amount = F.greatest(F.lit(1), F.ceil(F.col("value") * 10).cast("long"))
     barr = F.array(*[F.lit(b) for b in BOUNDARIES])
     idx = F.size(F.filter(barr, lambda b: b < amount))
@@ -219,7 +252,7 @@ def percentile_datapoints(
             ev_df.select(
                 F.col("event_type").alias("k_name"),
                 F.format_string("D%04X", idx).alias("k_percentile"),
-                F.expr(f"ts div {ns} div {step} * {step}").alias("t"),
+                _step_t(ev_df, step),
             )
             .groupBy("k_name", "k_percentile", "t")
             .agg(F.count("*").cast("double").alias("value"))
@@ -230,9 +263,7 @@ def percentile_datapoints(
         step=step,
         colmap={"name": "k_name", "percentile": "k_percentile"},
         sql_cte=percentile_cte(step),
-        ranged=lambda lo, hi: build(
-            ev.filter((F.col("ts") >= lo * ns) & (F.col("ts") < hi * ns))
-        ),
+        ranged=lambda lo, hi: build(_ts_range(ev, lo, hi)),
     )
 
 
@@ -250,7 +281,6 @@ def distinct_datapoints(
 
     configure_existing(spark)
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ns = 1_000_000_000
     h = F.md5(F.col("user_id").cast("string"))
     reg = (F.conv(F.substring(h, 1, 2), 16, 10).cast("int") % 64).alias("_reg")
     sub = F.substring(h, 3, 8)
@@ -268,7 +298,7 @@ def distinct_datapoints(
             ev_df.select(
                 F.col("event_type").alias("k_name"),
                 F.format_string("R%02X", reg).alias("k_distinct"),
-                F.expr(f"ts div {ns} div {step} * {step}").alias("t"),
+                _step_t(ev_df, step),
                 rho.cast("double").alias("rho"),
             )
             .groupBy("k_name", "k_distinct", "t")
@@ -280,9 +310,7 @@ def distinct_datapoints(
         step=step,
         colmap={"name": "k_name", "distinct": "k_distinct"},
         sql_cte=distinct_cte(step),
-        ranged=lambda lo, hi: build(
-            ev.filter((F.col("ts") >= lo * ns) & (F.col("ts") < hi * ns))
-        ),
+        ranged=lambda lo, hi: build(_ts_range(ev, lo, hi)),
     )
 
 
@@ -316,12 +344,11 @@ def dist_datapoints(
 
     configure_existing(spark)
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ns = 1_000_000_000
     def build(ev_df):
         base = (
             ev_df.select(
                 F.col("event_type").alias("k_name"),
-                F.expr(f"ts div {ns} div {step} * {step}").alias("t"),
+                _step_t(ev_df, step),
                 "value",
             )
             .groupBy("k_name", "t")
@@ -343,9 +370,7 @@ def dist_datapoints(
         step=step,
         colmap={"name": "k_name", "statistic": "k_statistic"},
         sql_cte=dist_cte(step),
-        ranged=lambda lo, hi: build(
-            ev.filter((F.col("ts") >= lo * ns) & (F.col("ts") < hi * ns))
-        ),
+        ranged=lambda lo, hi: build(_ts_range(ev, lo, hi)),
     )
 
 

@@ -49,6 +49,9 @@ HEADLINE = [
 ]
 
 
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+
 def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_CPUS", CPUS)
     from atlas_spark.session import get_spark
@@ -60,17 +63,26 @@ def main() -> None:
     # warm the JVM + parquet footer caches with a trivial action
     spark.read.parquet(f"{SF_DIR}/events.parquet").count()
 
+    # min-of-n per query so a host-contention spike on one pass doesn't
+    # contaminate the round's number (r2's 46s-vs-34s artifact)
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in HEADLINE:
-        fn = queries[name]
-        t0 = time.perf_counter()
-        try:
-            df = fn(spark, SF_DIR)
-            df.write.format("noop").mode("overwrite").save()
-            times[name] = round(time.perf_counter() - t0, 3)
-        except Exception as ex:  # one bad query must not kill the run
-            errors[name] = f"{type(ex).__name__}: {ex}"[:200]
+    loadavg = []
+    for run in range(max(1, RUNS)):
+        loadavg.append(round(os.getloadavg()[0], 2))
+        for name in HEADLINE:
+            if name in errors:
+                continue
+            fn = queries[name]
+            t0 = time.perf_counter()
+            try:
+                df = fn(spark, SF_DIR)
+                df.write.format("noop").mode("overwrite").save()
+                dt = round(time.perf_counter() - t0, 3)
+                times[name] = min(times.get(name, float("inf")), dt)
+            except Exception as ex:  # one bad query must not kill the run
+                errors[name] = f"{type(ex).__name__}: {ex}"[:200]
+                times.pop(name, None)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -79,6 +91,8 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else SF_DIR,
+        "runs": max(1, RUNS),
+        "loadavg": loadavg,
     }
     if errors:
         out["errors"] = errors

@@ -29,10 +29,12 @@ def stream_dirs():
 
 
 def _dp_rows(spark, sf_dir):
+    from atlas_spark.sources.datapoints import _epoch_sec
+
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return ev.select(
         F.col("event_type").alias("k_name"),
-        F.timestamp_seconds(F.expr("ts div 1000000000")).alias("ts"),
+        F.timestamp_seconds(_epoch_sec(ev)).alias("ts"),
         "value",
     )
 
