@@ -37,6 +37,11 @@ SPECS: list[OpSpec] = [
     OpSpec("op_ivf_topk", similarity.ivf_topk, None),
     OpSpec("op_lang_id", langid.lang_id, langid.lang_id_sql()),
     OpSpec("op_emb_near_dup", similarity.embedding_near_dup, similarity.embedding_near_dup_sql()),
+    OpSpec(
+        "op_emb_near_dup_strict",
+        similarity.embedding_near_dup_strict,
+        similarity.embedding_near_dup_sql(threshold=0.85),
+    ),
     OpSpec("rel_pricing_summary", relational.pricing_summary, relational.PRICING_SUMMARY_SQL),
     OpSpec("rel_revenue_by_nation", relational.revenue_by_nation, relational.REVENUE_BY_NATION_SQL),
     OpSpec("rel_top_customers", relational.top_customers, relational.TOP_CUSTOMERS_SQL),

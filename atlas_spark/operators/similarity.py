@@ -120,7 +120,12 @@ def _band_keys_col(dots: list, rows: int, bands: int):
     return F.array(*keys)
 
 
-def near_dup_candidates(emb: DataFrame, dim: int = 64) -> DataFrame:
+def near_dup_candidates(
+    emb: DataFrame,
+    dim: int = 64,
+    rows: int = NEAR_DUP_ROWS,
+    bands: int = NEAR_DUP_BANDS,
+) -> DataFrame:
     """Candidate pairs (id_a < id_b) sharing at least one LSH band.
 
     Plan shape: posexplode embedding -> one hash-agg computing all plane
@@ -132,7 +137,7 @@ def near_dup_candidates(emb: DataFrame, dim: int = 64) -> DataFrame:
     no extra exchange.  Sub-quadratic whenever the banding prunes; never a
     cartesian.
     """
-    n_planes = NEAR_DUP_ROWS * NEAR_DUP_BANDS
+    n_planes = rows * bands
     W = _plane_weights(n_planes, dim)
     # numbered repartition: the single-file test corpus scans in one task
     # and AQE would size-coalesce the byte-tiny, compute-heavy plane-dot
@@ -150,19 +155,19 @@ def near_dup_candidates(emb: DataFrame, dim: int = 64) -> DataFrame:
     sig = ex.groupBy("vec_id").agg(*dots_agg)
     dots = [F.col(f"d{p}") for p in range(n_planes)]
     keyed = sig.select(
-        "vec_id", _band_keys_col(dots, NEAR_DUP_ROWS, NEAR_DUP_BANDS).alias("karr")
+        "vec_id", _band_keys_col(dots, rows, bands).alias("karr")
     )
-    bands = keyed.select(
+    banded = keyed.select(
         "vec_id", "karr", F.posexplode("karr").alias("band_id", "band_key")
     )
     # explicit co-partitioning on the band key: the shuffled band rows are
     # tiny but each key's bucket produces |bucket|^2 join rows, so letting
     # AQE size-coalesce the exchange would serialize the pair production
-    n_part = 2 ** (NEAR_DUP_ROWS + (NEAR_DUP_BANDS - 1).bit_length())
-    a = bands.select(
+    n_part = min(256, 2 ** (rows + (bands - 1).bit_length()))
+    a = banded.select(
         F.col("vec_id").alias("id_a"), F.col("karr").alias("ka"), "band_id", "band_key"
     ).repartition(n_part, "band_key")
-    b = bands.select(F.col("vec_id").alias("id_b"), F.col("karr").alias("kb"), "band_key")
+    b = banded.select(F.col("vec_id").alias("id_b"), F.col("karr").alias("kb"), "band_key")
     first_match = F.array_position(
         F.zip_with(F.col("ka"), F.col("kb"), lambda x, y: x == y), F.lit(True)
     )
@@ -175,7 +180,11 @@ def near_dup_candidates(emb: DataFrame, dim: int = 64) -> DataFrame:
 
 
 def embedding_near_dup(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.35
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.35,
+    rows: int = NEAR_DUP_ROWS,
+    bands: int = NEAR_DUP_BANDS,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs.
 
@@ -187,7 +196,7 @@ def embedding_near_dup(
     against ground truth.
     """
     emb = load_embeddings(spark, sf_dir)
-    cands = near_dup_candidates(emb)
+    cands = near_dup_candidates(emb, rows=rows, bands=bands)
     # per-vector norm computed ONCE (identical expression to the oracle's
     # sqrt(sum(x^2)) so the float result is bit-equal); verify then needs a
     # single dot per candidate pair
@@ -214,6 +223,32 @@ def embedding_near_dup(
             "cos_sim",
             (F.col("l_a") == F.col("l_b")).cast("int").alias("same_label"),
         )
+    )
+
+
+# Strict-threshold banding (the regime the LSH design is FOR): at >=0.85
+# per-plane agreement is >=0.82, so 8-bit bands keep P(band hit) ~0.2 per
+# band for true pairs (16 bands -> miss ~(0.8)^16 ~ 3%; at the 0.95+
+# similarities of real embedding near-dups, miss < 1e-3) while a random
+# pair (agreement ~0.5) passes a band with P = 2^-8 — candidates shrink
+# ~16x vs all-pairs even on THIS corpus, orders of magnitude on corpora
+# whose random pairs are near-orthogonal.  The driver corpus has no pairs
+# above 0.61, so the registered strict query returns the (correct) empty
+# set; recall in the pruning regime is pinned by
+# tests/test_plans.py::test_strict_near_dup_* on planted duplicates.
+STRICT_NEAR_DUP_ROWS = 8
+STRICT_NEAR_DUP_BANDS = 16
+
+
+def embedding_near_dup_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`embedding_near_dup` at a realistic near-dup threshold (0.85) with
+    banding tight enough to actually prune (8 sign bits x 16 bands)."""
+    return embedding_near_dup(
+        spark,
+        sf_dir,
+        threshold=0.85,
+        rows=STRICT_NEAR_DUP_ROWS,
+        bands=STRICT_NEAR_DUP_BANDS,
     )
 
 

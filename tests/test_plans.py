@@ -160,3 +160,68 @@ def test_minhash_md5_permutation_value_oracle(spark):
     ora = sorted((a, b) for a, b in con.execute(MINHASH_PERM_ORACLE_SQL).fetchall())
     con.close()
     assert eng == ora
+
+
+def test_strict_near_dup_prunes_candidates(spark, sf_dir):
+    """The strict (8x16) banding must generate candidates ≪ n^2/2 — the
+    pruning regime the LSH design argues for (the demo 2x24 banding at
+    threshold 0.35 intentionally trades pruning for recall)."""
+    from atlas_spark.operators.similarity import (
+        STRICT_NEAR_DUP_BANDS,
+        STRICT_NEAR_DUP_ROWS,
+        load_embeddings,
+        near_dup_candidates,
+    )
+
+    emb = load_embeddings(spark, sf_dir)
+    n = emb.count()
+    n_cand = near_dup_candidates(
+        emb, rows=STRICT_NEAR_DUP_ROWS, bands=STRICT_NEAR_DUP_BANDS
+    ).count()
+    all_pairs = n * (n - 1) // 2
+    assert n_cand < all_pairs / 4, (n_cand, all_pairs)
+
+
+def test_strict_near_dup_recall_on_planted_dups(spark):
+    """Plant near-duplicate vectors (small perturbations, cosine >= 0.95)
+    in a random corpus: the strict banding must catch every planted pair
+    (recall 1.0 in the regime it is tuned for) while pruning the random
+    pairs."""
+    import numpy as np
+
+    from atlas_spark.operators.similarity import (
+        STRICT_NEAR_DUP_BANDS,
+        STRICT_NEAR_DUP_ROWS,
+        near_dup_candidates,
+    )
+
+    rng = np.random.RandomState(123)
+    base = rng.standard_normal((200, 64))
+    vecs = {i: base[i] for i in range(200)}
+    planted = []
+    for j in range(20):
+        src = j * 5
+        dup_id = 200 + j
+        noise = rng.standard_normal(64) * 0.05
+        vecs[dup_id] = base[src] + noise
+        a, b = sorted((src, dup_id))
+        cos = float(
+            np.dot(vecs[a], vecs[b])
+            / (np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b]))
+        )
+        assert cos >= 0.95, cos
+        planted.append((a, b))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>",
+    )
+    cands = {
+        (r.id_a, r.id_b)
+        for r in near_dup_candidates(
+            emb, rows=STRICT_NEAR_DUP_ROWS, bands=STRICT_NEAR_DUP_BANDS
+        ).collect()
+    }
+    missed = [p for p in planted if p not in cands]
+    assert not missed, missed
+    n = len(vecs)
+    assert len(cands) < n * (n - 1) // 2 / 4, len(cands)
