@@ -161,9 +161,11 @@ class Engine:
             raise ValueError(f"end ({end}) must be after start ({start})")
         return EvalContext(start, end, step)
 
-    def expr(self, q: str) -> list[E.StyleExpr]:
-        """Parse without evaluating (ExprApi parity)."""
-        return parse_asl(q, step=self.source.step)
+    def expr(self, q: str, features: str = "stable") -> list[E.StyleExpr]:
+        """Parse without evaluating (ExprApi parity).  `features=unstable`
+        (URI param) enables words marked unstable; the default rejects
+        them (Interpreter.scala:44-47)."""
+        return parse_asl(q, step=self.source.step, features=features)
 
     def normalize(self, q: str) -> list[str]:
         """Canonical normalized expression strings (ExprApi.scala:305-325):
@@ -240,10 +242,11 @@ class Engine:
                 continue
         return names
 
-    def debug(self, q: str) -> list[dict]:
+    def debug(self, q: str, features: str = "stable") -> list[dict]:
         """Token-by-token execution trace (ExprApi.scala:137-152
         /api/v1/expr/debug): remaining program + stack display after each
-        step, exprs rendered via their canonical display."""
+        step, exprs rendered via their canonical display.  Unstable words
+        fail the trace unless `features=unstable`."""
         from .model import query as Qm
         from .stacklang.interpreter import Context, split_and_trim
         from .stacklang.vocab import default_interpreter
@@ -254,7 +257,7 @@ class Engine:
             return str(v)
 
         interp = default_interpreter(self.source.step)
-        ctx = Context(interp)
+        ctx = Context(interp, features=features)
         tokens = split_and_trim(q)
         steps = []
         i = 0

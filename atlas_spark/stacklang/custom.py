@@ -104,7 +104,9 @@ def custom_words(config: dict) -> list[Word]:
         def run(c: Context, body=body) -> None:
             c.interpreter.execute_program(split_and_trim(body), c)
 
-        out.append(Word(w["name"], lambda s: True, run))
+        # config words may be marked unstable (TypedMacro.scala:51 `stable`
+        # flag): they then execute only under features=unstable
+        out.append(Word(w["name"], lambda s: True, run, stable=w.get("stable", True)))
     for a in config.get("custom-averages", ()):
         out.append(
             _custom_avg_word(a["name"], _parse_query(a["base-query"]), set(a["keys"]))
@@ -118,12 +120,16 @@ def custom_interpreter(config: dict, step: int = 3600) -> Interpreter:
 
 
 def parse_custom(
-    program: str, config: dict, step: int = 3600, vars: dict | None = None
+    program: str,
+    config: dict,
+    step: int = 3600,
+    vars: dict | None = None,
+    features: str = "stable",
 ) -> list[E.TimeSeriesExpr]:
     """`vocab.parse` against a custom vocabulary."""
     from .vocab import coerce_stack
 
     interp = custom_interpreter(config, step)
-    ctx = Context(interp, vars=dict(vars or {}))
+    ctx = Context(interp, vars=dict(vars or {}), features=features)
     interp.execute_program(split_and_trim(program), ctx)
     return coerce_stack(ctx)

@@ -57,6 +57,10 @@ class Context:
     call_depth: int = 0
     # initial variable bindings (for :get of URI params etc.)
     initial_vars: dict[str, Any] = field(default_factory=dict)
+    # feature set for vocabulary gating (Context.scala:46, Features.java):
+    # "stable" (default) rejects words marked unstable; "unstable" allows
+    # early-adopter words
+    features: str = "stable"
 
     def push(self, v: Any) -> None:
         self.stack.append(v)
@@ -71,11 +75,16 @@ class Context:
 
 @dataclass
 class Word:
-    """One overload of a word: `matcher` inspects the stack top-down."""
+    """One overload of a word: `matcher` inspects the stack top-down.
+
+    `stable=False` marks early-adopter words that execute only when the
+    context enables unstable features (Word.scala:41,
+    Interpreter.scala:44-47)."""
 
     name: str
     matcher: Callable[[list[Any]], bool]
     executor: Callable[[Context], None]
+    stable: bool = True
 
 
 class Interpreter:
@@ -87,8 +96,16 @@ class Interpreter:
 
     # ------------------------------------------------------------------ run
 
-    def execute(self, program: str, vars: dict[str, Any] | None = None) -> list[Any]:
-        ctx = Context(self, vars=dict(vars or {}), initial_vars=dict(vars or {}))
+    def execute(
+        self,
+        program: str,
+        vars: dict[str, Any] | None = None,
+        features: str = "stable",
+    ) -> list[Any]:
+        ctx = Context(
+            self, vars=dict(vars or {}), initial_vars=dict(vars or {}),
+            features=features,
+        )
         self.execute_program(split_and_trim(program), ctx)
         return ctx.stack
 
@@ -136,6 +153,10 @@ class Interpreter:
             raise UnknownWord(f"unknown word ':{name}'")
         for w in overloads:
             if w.matcher(ctx.stack):
+                # stability gate runs on the MATCHED overload, before
+                # execution (Interpreter.scala:44-47)
+                if not w.stable and ctx.features != "unstable":
+                    raise AslError(f"to use :{name} enable unstable features")
                 w.executor(ctx)
                 return
         raise AslError(

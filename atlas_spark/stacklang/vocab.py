@@ -83,11 +83,11 @@ def _steps(tok: str, step: int) -> int:
 WORDS: list[Word] = []
 
 
-def w(name: str, matcher, executor) -> None:
-    WORDS.append(Word(name, matcher, executor))
+def w(name: str, matcher, executor, stable: bool = True) -> None:
+    WORDS.append(Word(name, matcher, executor, stable=stable))
 
 
-def macro(name: str, body: str) -> None:
+def macro(name: str, body: str, stable: bool = True) -> None:
     """Word defined as an ASL program over the existing words."""
 
     def run(ctx: Context) -> None:
@@ -95,7 +95,7 @@ def macro(name: str, body: str) -> None:
 
         ctx.interpreter.execute_program(split_and_trim(body), ctx)
 
-    w(name, lambda s: True, run)
+    w(name, lambda s: True, run, stable=stable)
 
 
 # --------------------------------------------------------------- standard
@@ -898,11 +898,16 @@ def default_interpreter(step: int = 3600) -> Interpreter:
     return Interpreter(WORDS, step=step)
 
 
-def parse(program: str, step: int = 3600, vars: dict | None = None) -> list[E.TimeSeriesExpr]:
+def parse(
+    program: str,
+    step: int = 3600,
+    vars: dict | None = None,
+    features: str = "stable",
+) -> list[E.TimeSeriesExpr]:
     """Execute a program and coerce the result stack to expressions the way
     the graph API does (bottom-first plot order)."""
     interp = default_interpreter(step)
-    ctx = Context(interp, vars=dict(vars or {}))
+    ctx = Context(interp, vars=dict(vars or {}), features=features)
     from .interpreter import split_and_trim
 
     interp.execute_program(split_and_trim(program), ctx)
