@@ -44,6 +44,10 @@ class GraphResult:
     end: int
     step: int
     lines: list[GraphLine]
+    # GraphDef.timezones (Grapher.scala:169-196): first zone drives
+    # expression semantics (the `tz` interpreter var); every zone gets its
+    # own time-axis label row in the PNG rendering
+    timezones: list[str] = field(default_factory=lambda: ["UTC"])
 
     def to_json(self) -> dict[str, Any]:
         """std.json-style payload (one message per line)."""
@@ -51,6 +55,7 @@ class GraphResult:
             "start": self.start * 1000,
             "end": self.end * 1000,
             "step": self.step * 1000,
+            "timezones": list(self.timezones),
             "legend": [ln.label for ln in self.lines],
             "metrics": [ln.tags for ln in self.lines],
             "values": [ln.data for ln in self.lines],
@@ -291,11 +296,12 @@ class Engine:
         if "q" not in qs:
             raise ValueError("missing q parameter")
         ctx = self._ctx_from_params(qs)
-        # tz param -> interpreter variable; first zone wins for expression
-        # semantics (Grapher.scala:169-171; extra zones are axis-rendering
-        # only, a chart concern out of scope here)
-        tz = qs.get("tz", ["UTC"])[0]
-        exprs = parse_asl(qs["q"][0], step=ctx.step, vars={"tz": tz})
+        # repeated tz params -> GraphDef.timezones (Grapher.scala:169-171):
+        # the FIRST zone wins for expression semantics (`tz` interpreter
+        # var, used by :time-span); every zone gets its own time-axis row
+        # in the rendered chart
+        tzs = qs.get("tz", ["UTC"])
+        exprs = parse_asl(qs["q"][0], step=ctx.step, vars={"tz": tzs[0]})
         ev = Evaluator(self.source, ctx)
 
         lines: list[GraphLine] = []
@@ -307,7 +313,7 @@ class Engine:
                         ln.tags["atlas.offset"] = off_label
                         ln.label += f" (offset={off_label})"
                     lines.append(ln)
-        return GraphResult(ctx.start, ctx.end, ctx.step, lines)
+        return GraphResult(ctx.start, ctx.end, ctx.step, lines, timezones=tzs)
 
     def graph_png(self, uri: str, width: int = 700, height: int = 300) -> bytes:
         """format=png rendering — a minimal dependency-free chart (see

@@ -35,6 +35,55 @@ PALETTE = (
 _BG = (255, 255, 255)
 _GRID = (224, 224, 224)
 _AXIS = (96, 96, 96)
+_TEXT = (64, 64, 64)
+
+# 5x7 bitmap glyphs (each row a 5-bit pattern, MSB left) for axis labels:
+# digits, uppercase letters used by zone ids / months, and punctuation.
+_FONT = {
+    "0": (0x0E, 0x11, 0x13, 0x15, 0x19, 0x11, 0x0E),
+    "1": (0x04, 0x0C, 0x04, 0x04, 0x04, 0x04, 0x0E),
+    "2": (0x0E, 0x11, 0x01, 0x02, 0x04, 0x08, 0x1F),
+    "3": (0x1F, 0x02, 0x04, 0x02, 0x01, 0x11, 0x0E),
+    "4": (0x02, 0x06, 0x0A, 0x12, 0x1F, 0x02, 0x02),
+    "5": (0x1F, 0x10, 0x1E, 0x01, 0x01, 0x11, 0x0E),
+    "6": (0x06, 0x08, 0x10, 0x1E, 0x11, 0x11, 0x0E),
+    "7": (0x1F, 0x01, 0x02, 0x04, 0x08, 0x08, 0x08),
+    "8": (0x0E, 0x11, 0x11, 0x0E, 0x11, 0x11, 0x0E),
+    "9": (0x0E, 0x11, 0x11, 0x0F, 0x01, 0x02, 0x0C),
+    ":": (0x00, 0x04, 0x00, 0x00, 0x04, 0x00, 0x00),
+    "-": (0x00, 0x00, 0x00, 0x1F, 0x00, 0x00, 0x00),
+    ".": (0x00, 0x00, 0x00, 0x00, 0x00, 0x04, 0x00),
+    "/": (0x01, 0x01, 0x02, 0x04, 0x08, 0x10, 0x10),
+    "+": (0x00, 0x04, 0x04, 0x1F, 0x04, 0x04, 0x00),
+    "_": (0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x1F),
+    " ": (0, 0, 0, 0, 0, 0, 0),
+    "A": (0x0E, 0x11, 0x11, 0x1F, 0x11, 0x11, 0x11),
+    "B": (0x1E, 0x11, 0x11, 0x1E, 0x11, 0x11, 0x1E),
+    "C": (0x0E, 0x11, 0x10, 0x10, 0x10, 0x11, 0x0E),
+    "D": (0x1E, 0x11, 0x11, 0x11, 0x11, 0x11, 0x1E),
+    "E": (0x1F, 0x10, 0x10, 0x1E, 0x10, 0x10, 0x1F),
+    "F": (0x1F, 0x10, 0x10, 0x1E, 0x10, 0x10, 0x10),
+    "G": (0x0E, 0x11, 0x10, 0x17, 0x11, 0x11, 0x0F),
+    "H": (0x11, 0x11, 0x11, 0x1F, 0x11, 0x11, 0x11),
+    "I": (0x0E, 0x04, 0x04, 0x04, 0x04, 0x04, 0x0E),
+    "J": (0x07, 0x02, 0x02, 0x02, 0x02, 0x12, 0x0C),
+    "K": (0x11, 0x12, 0x14, 0x18, 0x14, 0x12, 0x11),
+    "L": (0x10, 0x10, 0x10, 0x10, 0x10, 0x10, 0x1F),
+    "M": (0x11, 0x1B, 0x15, 0x15, 0x11, 0x11, 0x11),
+    "N": (0x11, 0x19, 0x15, 0x13, 0x11, 0x11, 0x11),
+    "O": (0x0E, 0x11, 0x11, 0x11, 0x11, 0x11, 0x0E),
+    "P": (0x1E, 0x11, 0x11, 0x1E, 0x10, 0x10, 0x10),
+    "Q": (0x0E, 0x11, 0x11, 0x11, 0x15, 0x12, 0x0D),
+    "R": (0x1E, 0x11, 0x11, 0x1E, 0x14, 0x12, 0x11),
+    "S": (0x0F, 0x10, 0x10, 0x0E, 0x01, 0x01, 0x1E),
+    "T": (0x1F, 0x04, 0x04, 0x04, 0x04, 0x04, 0x04),
+    "U": (0x11, 0x11, 0x11, 0x11, 0x11, 0x11, 0x0E),
+    "V": (0x11, 0x11, 0x11, 0x11, 0x11, 0x0A, 0x04),
+    "W": (0x11, 0x11, 0x11, 0x15, 0x15, 0x1B, 0x11),
+    "X": (0x11, 0x11, 0x0A, 0x04, 0x0A, 0x11, 0x11),
+    "Y": (0x11, 0x11, 0x0A, 0x04, 0x04, 0x04, 0x04),
+    "Z": (0x1F, 0x01, 0x02, 0x04, 0x08, 0x10, 0x1F),
+}
 
 
 class Canvas:
@@ -78,6 +127,19 @@ class Canvas:
                 err += dx
                 y0 += sy
 
+    def text(self, x: int, y: int, s: str, rgb=_TEXT) -> None:
+        """Render `s` with the built-in 5x7 font, top-left at (x, y)."""
+        cx = x
+        for ch in s.upper():
+            glyph = _FONT.get(ch)
+            if glyph is None:
+                glyph = _FONT[" "]
+            for r, rowbits in enumerate(glyph):
+                for c in range(5):
+                    if rowbits & (1 << (4 - c)):
+                        self.put(cx + c, y + r, rgb)
+            cx += 6
+
     def to_png(self) -> bytes:
         raw = b"".join(
             b"\x00" + bytes(self.px[y * self.w * 3 : (y + 1) * self.w * 3])
@@ -118,16 +180,120 @@ def _parse_color(s: str | None, default):
     return default, 1.0
 
 
+def _pct_bucket_range(tags: dict) -> tuple[float, float] | None:
+    """Value range of a percentile-bucket line (Heatmap.scala:237-259): the
+    `percentile` tag (D/T hex label) maps to (BOUNDARIES[i-1], BOUNDARIES[i]].
+    Timer buckets (T....) are in nanoseconds -> seconds."""
+    label = (tags or {}).get("percentile")
+    if not label or len(label) != 5 or label[0] not in "DT":
+        return None
+    from .functions.percentile_buckets import BOUNDARIES
+
+    try:
+        i = int(label[1:], 16)
+    except ValueError:
+        return None
+    if not 0 <= i < len(BOUNDARIES):
+        return None
+    lo = float(BOUNDARIES[i - 1]) if i > 0 else 0.0
+    hi = float(BOUNDARIES[i])
+    if label[0] == "T":
+        lo, hi = lo / 1e9, hi / 1e9
+    return lo, hi
+
+
+def _render_heatmap(cv, hm_lines, n_steps, tx, ty, lo, hi, pad_t, plot_h, n_cells=25):
+    """Heatmap cell counts per (time step, y cell) following
+    Heatmap.scala:182-210: percentile-bucket lines spread their count over
+    the y-cells overlapping the bucket's value range, weighted by overlap;
+    plain lines count 1 in the cell containing their value.  Color is a
+    red->yellow intensity ramp over count/maxCount (gradient palette)."""
+    cell_edges = [lo + (hi - lo) * c / n_cells for c in range(n_cells + 1)]
+    counts = [[0.0] * n_cells for _ in range(n_steps)]
+    for ln in hm_lines:
+        rng = _pct_bucket_range(getattr(ln, "tags", {}))
+        for i, v in enumerate(ln.data[:n_steps]):
+            if v is None or not math.isfinite(v):
+                continue
+            if rng is not None:
+                mn, mx = rng
+                if v <= 0.0 or mx <= mn:
+                    continue
+                for c in range(n_cells):
+                    c_lo, c_hi = cell_edges[c], cell_edges[c + 1]
+                    if c_hi < mn or c_lo > mx:
+                        continue
+                    w = (min(mx, c_hi) - max(mn, c_lo)) / (mx - mn)
+                    counts[i][c] += v * w
+            else:
+                if lo <= v <= hi:
+                    c = min(n_cells - 1, int((v - lo) / (hi - lo) * n_cells))
+                    counts[i][c] += 1.0
+    max_count = max((c for row in counts for c in row), default=0.0)
+    if max_count <= 0.0:
+        return
+    for i in range(n_steps):
+        x0 = tx(i)
+        x1 = tx(i + 1) - 1 if i + 1 < n_steps else x0 + max(1, tx(1) - tx(0))
+        for c in range(n_cells):
+            cnt = counts[i][c]
+            if cnt <= 0.0:
+                continue
+            frac = cnt / max_count
+            # red gradient: low count = pale, high = saturated
+            color = (0xF0, int(0xE0 * (1 - frac)), int(0xD0 * (1 - frac)))
+            y_hi = ty(cell_edges[c])  # larger y = lower value
+            y_lo = ty(cell_edges[c + 1])
+            for x in range(x0, max(x0 + 1, x1)):
+                cv.vline(x, max(pad_t, y_lo), min(pad_t + plot_h - 1, y_hi), color)
+
+
+def _fmt_value(v: float) -> str:
+    if v == 0:
+        return "0"
+    a = abs(v)
+    for div, suf in ((1e9, "G"), (1e6, "M"), (1e3, "K")):
+        if a >= div:
+            return f"{v / div:.1f}{suf}"
+    if a >= 1:
+        return f"{v:.1f}"
+    return f"{v:.2g}"
+
+
 def render_png(result, width: int = 700, height: int = 300) -> bytes:
-    """Render a GraphResult (api.GraphResult) to PNG bytes."""
-    pad_l, pad_r, pad_t, pad_b = 48, 8, 8, 20
+    """Render a GraphResult (api.GraphResult) to PNG bytes.
+
+    One time-axis label row is drawn per entry in `result.timezones`
+    (GraphDef.timezones, Grapher.scala:169-196): tick instants are
+    identical across rows; the labels show each zone's local time, with
+    the zone id at the left of its row."""
+    from datetime import datetime, timezone as _tz
+    from zoneinfo import ZoneInfo
+
+    tzs = list(getattr(result, "timezones", None) or ["UTC"])
+    zone_row_h = 11
+    pad_l, pad_r, pad_t = 48, 8, 8
+    pad_b = 9 + zone_row_h * len(tzs)
     plot_w = width - pad_l - pad_r
     plot_h = height - pad_t - pad_b
     cv = Canvas(width, height)
 
-    finite = [
-        v for ln in result.lines for v in ln.data if v is not None and math.isfinite(v)
+    hm_lines = [
+        ln for ln in result.lines if (getattr(ln, "settings", {}) or {}).get("ls") == "heatmap"
     ]
+    ts_lines = [ln for ln in result.lines if ln not in hm_lines]
+
+    if hm_lines and all(_pct_bucket_range(ln.tags) for ln in hm_lines):
+        # percentile heatmap: y axis spans the bucket ranges present
+        ranges = [_pct_bucket_range(ln.tags) for ln in hm_lines]
+        finite = [b for r in ranges for b in r]
+    else:
+        finite = [
+            v
+            for ln in result.lines
+            for v in ln.data
+            if v is not None and math.isfinite(v)
+        ]
     lo = min([0.0] + finite) if finite else 0.0
     hi = max([1.0] + finite) if finite else 1.0
     if hi == lo:
@@ -140,20 +306,44 @@ def render_png(result, width: int = 700, height: int = 300) -> bytes:
     def tx(i: int) -> int:
         return pad_l + int(round(i / max(1, n_steps - 1) * (plot_w - 1)))
 
-    # grid: 5 horizontal ticks, vertical tick per ~6 hours of steps
+    # grid + y tick labels: 5 horizontal ticks
     for g in range(5):
         y = pad_t + int(g * (plot_h - 1) / 4)
         cv.hline(y, pad_l, pad_l + plot_w - 1, _GRID)
-    for i in range(0, n_steps, max(1, n_steps // 8)):
+        val = hi - (hi - lo) * g / 4
+        cv.text(2, y - 3, _fmt_value(val)[:7])
+    tick_is = list(range(0, n_steps, max(1, n_steps // 8)))
+    for i in tick_is:
         cv.vline(tx(i), pad_t, pad_t + plot_h - 1, _GRID)
 
     # axes
     cv.vline(pad_l - 1, pad_t, pad_t + plot_h, _AXIS)
     cv.hline(pad_t + plot_h, pad_l - 1, pad_l + plot_w - 1, _AXIS)
 
+    # per-zone time tick labels (one row per zone, same tick instants)
+    for zi, zone in enumerate(tzs):
+        try:
+            z = ZoneInfo(zone)
+        except Exception:  # noqa: BLE001 — invalid zone falls back to UTC
+            z = _tz.utc
+        row_y = pad_t + plot_h + 3 + zi * zone_row_h
+        for i in tick_is:
+            t = result.start + i * result.step
+            local = datetime.fromtimestamp(t, tz=z)
+            label = local.strftime("%H:%M")
+            x = tx(i) - 14
+            if x + 30 <= width:
+                cv.text(max(pad_l - 14, x), row_y, label)
+        if len(tzs) > 1:
+            # zone id marker in the left margin of its row
+            cv.text(2, row_y, zone.rsplit("/", 1)[-1][:7])
+
     zero_y = ty(0.0) if lo <= 0.0 <= hi else None
 
-    for idx, ln in enumerate(result.lines):
+    if hm_lines:
+        _render_heatmap(cv, hm_lines, n_steps, tx, ty, lo, hi, pad_t, plot_h)
+
+    for idx, ln in enumerate(ts_lines):
         settings = getattr(ln, "settings", {}) or {}
         color, alpha = _parse_color(settings.get("color"), PALETTE[idx % len(PALETTE)])
         if "alpha" in settings:

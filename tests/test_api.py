@@ -236,3 +236,59 @@ def test_expr_debug_endpoint(engine):
     assert steps[2]["context"]["stack"] == ["name,click,:eq"]
     assert steps[3]["context"]["stack"] == ["name,click,:eq,:sum"]
     assert steps[3]["program"] == []
+
+
+def test_graph_multi_tz(engine):
+    """Repeated tz params: first zone drives expression semantics (the
+    `tz` interpreter var), all zones land in GraphResult.timezones and get
+    their own axis row in the PNG (Grapher.scala:169-196,
+    GraphDef.timezones)."""
+    base = "/api/v1/graph?q=2024-01-02,2024-01-03,:time-span&s=2024-01-02&e=2024-01-03"
+    g = engine.graph(base + "&tz=US/Pacific&tz=UTC")
+    assert g.timezones == ["US/Pacific", "UTC"]
+    # expression semantics follow the FIRST zone (Pacific): first 8 h out
+    assert g.lines[0].data[:8] == [0.0] * 8
+    assert g.lines[0].data[8] == 1.0
+    assert g.to_json()["timezones"] == ["US/Pacific", "UTC"]
+
+    # two-zone PNG is taller in its axis region than a one-zone PNG and
+    # renders different tick labels; structural check: both parse as PNG
+    # and differ in content
+    png1 = engine.graph_png(base + "&tz=US/Pacific", width=320, height=160)
+    png2 = engine.graph_png(base + "&tz=US/Pacific&tz=UTC", width=320, height=160)
+    assert png1[:8] == b"\x89PNG\r\n\x1a\n" and png2[:8] == png1[:8]
+    assert png1 != png2
+
+
+def test_graph_png_heatmap(engine):
+    """:percentiles-heatmap renders heatmap cells: the PNG must contain
+    gradient-colored pixels (red channel ramp) that neither the palette
+    lines nor the grid produce."""
+    import struct
+    import zlib
+
+    from atlas_spark.api import Engine
+    from atlas_spark.sources.datapoints import percentile_datapoints
+
+    pct_engine = Engine(
+        engine.spark, source=percentile_datapoints(engine.spark, "/root/testdata/sf0.01")
+    )
+    png = pct_engine.graph_png(
+        "/api/v1/graph?q=name,click,:eq,:sum,:percentiles-heatmap"
+        "&s=2024-01-02&e=2024-01-03",
+        width=320,
+        height=160,
+    )
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    w, h = struct.unpack(">II", png[16:24])
+    idat = png[png.index(b"IDAT") + 4 :]
+    raw = zlib.decompress(idat[: idat.index(b"IEND") - 8])
+    heat_px = 0
+    for y in range(h):
+        row = raw[y * (w * 3 + 1) + 1 : (y + 1) * (w * 3 + 1)]
+        for x in range(w):
+            r, g, b = row[x * 3 : x * 3 + 3]
+            # heatmap ramp: r=0xF0 with g==scaled, b==scaled (g/b < 0xE0)
+            if r == 0xF0 and g < 0xE0 and b < 0xD1 and (g or b):
+                heat_px += 1
+    assert heat_px > 50, heat_px
