@@ -394,6 +394,67 @@ class Engine:
             out = out.unionByName(o)
         return out
 
+    def fetch_sse(self, uri: str, chunk_steps: int = 60):
+        """SSE-shaped chunked fetch (FetchRequestSource.scala:55-115): the
+        time range is partitioned into chunks of `chunk_steps` steps; each
+        chunk re-runs the batch planner over a window extended backwards by
+        the expression's stateful lookback, so rolling/DES values at chunk
+        boundaries equal the one-shot evaluation (EvalFlow state carry).
+
+        Yields message dicts in stream order: one graph-metadata message,
+        then per chunk one `timeseries` message per line, then a close
+        message.  Driver memory per chunk is bounded by lines x
+        chunk_steps, never the full range.  Unbounded-state ops
+        (:integral, :cumulative-max, :des) replay at most 512 steps of
+        history per chunk — exact for ranges up to that horizon.
+        """
+        from .streaming.evaluator import _max_lookback_steps
+
+        parsed = urlparse(uri)
+        qs = parse_qs(parsed.query)
+        ctx = self._ctx_from_params(qs)
+        exprs = parse_asl(qs["q"][0], step=ctx.step)
+        yield {
+            "type": "graph-metadata",
+            "startTime": ctx.start * 1000,
+            "endTime": ctx.end * 1000,
+            "step": ctx.step * 1000,
+        }
+        lookback = min(
+            max(_max_lookback_steps(se.expr if isinstance(se, E.StyleExpr) else se) for se in exprs),
+            512,
+        )
+        chunk = chunk_steps * ctx.step
+        t0 = ctx.start
+        while t0 < ctx.end:
+            t1 = min(t0 + chunk, ctx.end)
+            # evaluate with backward-extended context, emit only this
+            # chunk's intervals (state warm-up replays the lookback);
+            # never before the request start — stateful ops start cold
+            # there in the one-shot evaluation too
+            ectx = EvalContext(max(ctx.start, t0 - lookback * ctx.step), t1, ctx.step)
+            ev = Evaluator(self.source, ectx)
+            for i, se in enumerate(exprs):
+                for se2, _off in self._expand_offsets(se):
+                    rf = ev.eval(se2)
+                    for ln in self._collect_lines(se2, rf, ectx):
+                        skip = (t0 - ectx.start) // ctx.step
+                        yield {
+                            "type": "timeseries",
+                            "id": str(i),
+                            "tags": ln.tags,
+                            "label": ln.label,
+                            "start": t0 * 1000,
+                            "end": t1 * 1000,
+                            "step": ctx.step * 1000,
+                            "data": {
+                                "type": "array",
+                                "values": ln.data[skip : skip + (t1 - t0) // ctx.step],
+                            },
+                        }
+            t0 = t1
+        yield {"type": "close"}
+
     # ----------------------------------------------------------------- tags
 
     def tags(

@@ -292,3 +292,30 @@ def test_graph_png_heatmap(engine):
             if r == 0xF0 and g < 0xE0 and b < 0xD1 and (g or b):
                 heat_px += 1
     assert heat_px > 50, heat_px
+
+
+def test_fetch_sse_chunked_stateful(engine):
+    """Chunked SSE fetch carries stateful-op state across chunk
+    boundaries: a :rolling-sum evaluated in 6-step chunks must equal the
+    one-shot graph evaluation (FetchRequestSource EvalFlow semantics)."""
+    uri = (
+        "/api/v1/fetch?q=name,click,:eq,:sum,3,:rolling-sum"
+        "&s=2024-01-02&e=2024-01-03"
+    )
+    one_shot = engine.graph(uri.replace("/fetch", "/graph"))
+    truth = one_shot.lines[0].data
+
+    msgs = list(engine.fetch_sse(uri, chunk_steps=6))
+    assert msgs[0]["type"] == "graph-metadata"
+    assert msgs[-1]["type"] == "close"
+    ts = [m for m in msgs if m["type"] == "timeseries"]
+    assert len(ts) == 4  # 24 steps / 6 per chunk
+    stitched = []
+    for m in ts:
+        stitched.extend(m["data"]["values"])
+    assert len(stitched) == len(truth)
+    for a, b in zip(stitched, truth):
+        if a is None or b is None:
+            assert a == b
+        else:
+            assert abs(a - b) < 1e-9
