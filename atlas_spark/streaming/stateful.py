@@ -117,20 +117,22 @@ def _apply_op(op: str, params: tuple, buf: list[float], acc: float) -> tuple[flo
     raise ValueError(f"unsupported streaming stateful op {op}")
 
 
-def stateful_stream(
-    finalized: DataFrame, op: str, params: tuple, step: int
-) -> DataFrame:
-    """Apply a stateful operator over a stream of finalized intervals.
+def _advance(
+    op: str,
+    params: tuple,
+    step: int,
+    state: tuple,
+    ts: "list[int]",
+    vs: "list[float]",
+) -> tuple[list[int], list[object], tuple]:
+    """Advance the per-series kernel over sorted (t, value) rows.
 
-    Input: streaming DataFrame [series string, t long (step aligned),
-    value double] in append mode (one row per finalized interval).
-    Output: [series, t, value] with the operator applied, state carried
-    across micro-batches and NaN-ticked through gaps.
+    `state` is (last_t, buf, acc, des) — the same row layout as
+    STATE_SCHEMA — and the returned tuple is the successor state.  Shared
+    by both streaming kernels (`applyInPandasWithState` and
+    `transformWithStateInPandas`) so semantics cannot drift.
     """
     import math
-
-    import pandas as pd
-    from pyspark.sql.streaming.state import GroupStateTimeout
 
     is_des = op in ("des", "sdes")
     keep = 2 if is_des else max(int(params[0]) + 1 if params else 2, 2)
@@ -154,35 +156,59 @@ def stateful_stream(
             des[6] = 0.0 if use_one else 1.0
         return out
 
+    last_t, buf, acc, des = state
+    buf, des = list(buf), list(des)
+    out_t: list[int] = []
+    out_v: list[object] = []
+    for t, v in zip(ts, vs):
+        t = int(t)
+        vv = float(v) if v is not None else math.nan
+        if last_t is not None:
+            # NaN-tick the gap steps (StatefulExpr.scala:313-321)
+            for _ in range(max(0, (t - last_t) // step - 1)):
+                if is_des:
+                    des_step(des, math.nan)
+                else:
+                    buf.append(math.nan)
+                    buf = buf[-keep:]
+        if is_des:
+            out = des_step(des, vv)
+        else:
+            buf.append(vv)
+            buf = buf[-keep:]
+            out, acc = _apply_op(op, params, buf, acc)
+        out_t.append(t)
+        out_v.append(None if (out is None or math.isnan(out)) else out)
+        last_t = t
+    return out_t, out_v, (last_t, buf, float(acc), des)
+
+
+def stateful_stream(
+    finalized: DataFrame, op: str, params: tuple, step: int
+) -> DataFrame:
+    """Apply a stateful operator over a stream of finalized intervals.
+
+    Input: streaming DataFrame [series string, t long (step aligned),
+    value double] in append mode (one row per finalized interval).
+    Output: [series, t, value] with the operator applied, state carried
+    across micro-batches and NaN-ticked through gaps.
+    """
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
     def update(key, pdfs: Iterator["pd.DataFrame"], state) -> Iterator["pd.DataFrame"]:
         rows = pd.concat(list(pdfs)).sort_values("t")
         if state.exists:
-            last_t, buf, acc, des = state.get
-            buf, des = list(buf), list(des)
+            st = state.get
+            st = (st[0], list(st[1]), st[2], list(st[3]))
         else:
-            last_t, buf, acc, des = None, [], math.nan, list(_DES_INIT)
-        out_t, out_v = [], []
-        for t, v in zip(rows["t"], rows["value"]):
-            t = int(t)
-            vv = float(v) if v is not None else math.nan
-            if last_t is not None:
-                # NaN-tick the gap steps (StatefulExpr.scala:313-321)
-                for _ in range(max(0, (t - last_t) // step - 1)):
-                    if is_des:
-                        des_step(des, math.nan)
-                    else:
-                        buf.append(math.nan)
-                        buf = buf[-keep:]
-            if is_des:
-                out = des_step(des, vv)
-            else:
-                buf.append(vv)
-                buf = buf[-keep:]
-                out, acc = _apply_op(op, params, buf, acc)
-            out_t.append(t)
-            out_v.append(None if (out is None or math.isnan(out)) else out)
-            last_t = t
-        state.update((last_t, buf, float(acc), des))
+            st = (None, [], math.nan, list(_DES_INIT))
+        out_t, out_v, st = _advance(
+            op, params, step, st, list(rows["t"]), list(rows["value"])
+        )
+        state.update(st)
         yield pd.DataFrame({"series": key[0], "t": out_t, "value": out_v})
 
     return finalized.groupBy("series").applyInPandasWithState(
@@ -191,4 +217,70 @@ def stateful_stream(
         stateStructType=STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def supports_transform_with_state(spark) -> bool:
+    """Capability check for the Spark 4 `transformWithStateInPandas` API
+    (arbitrary-state v2).  Requires the API itself plus the RocksDB state
+    store provider it mandates."""
+    from pyspark.sql import GroupedData
+
+    if not hasattr(GroupedData, "transformWithStateInPandas"):
+        return False
+    try:
+        from pyspark.sql.streaming.stateful_processor import (  # noqa: F401
+            StatefulProcessor,
+        )
+    except ImportError:
+        return False
+    return True
+
+
+def stateful_stream_tws(
+    finalized: DataFrame, op: str, params: tuple, step: int
+) -> DataFrame:
+    """`stateful_stream` on the Spark 4 `transformWithStateInPandas` API.
+
+    Same kernel (`_advance`), but state lives in a named ValueState in the
+    RocksDB state store instead of the applyInPandasWithState row — the
+    migration path that retires the per-op spool chaining once the v2 API
+    is the default (it composes downstream of other stateful operators).
+    The caller must set
+    `spark.sql.streaming.stateStore.providerClass` to the RocksDB
+    provider before starting the query.
+    """
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _Kernel(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("kernel", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator["pd.DataFrame"]:
+            pdf = pd.concat(list(rows)).sort_values("t")
+            if self._state.exists():
+                st = self._state.get()
+                st = (st[0], list(st[1]), st[2], list(st[3]))
+            else:
+                st = (None, [], math.nan, list(_DES_INIT))
+            out_t, out_v, st = _advance(
+                op, params, step, st, list(pdf["t"]), list(pdf["value"])
+            )
+            self._state.update(st)
+            yield pd.DataFrame({"series": key[0], "t": out_t, "value": out_v})
+
+        def close(self) -> None:
+            pass
+
+    return finalized.groupBy("series").transformWithStateInPandas(
+        statefulProcessor=_Kernel(),
+        outputStructType=OUT_SCHEMA,
+        outputMode="append",
+        timeMode="none",
     )
