@@ -110,3 +110,30 @@ def pct_label(p: float) -> str:
 def boundaries_sql_array() -> str:
     """DuckDB list literal of the bucket boundaries."""
     return "[" + ", ".join(str(b) for b in BOUNDARIES) + "]"
+
+
+def index_of_sql_expr(v: str) -> str:
+    """Spark SQL expression computing `index_of({v})` in O(1) integer
+    arithmetic instead of a 276-element array scan per row.
+
+    Exploits the table's log-linear construction: above the 1,2,3 seeds,
+    each even power-of-two level `base = 2^e` contributes boundaries
+    `base + j*(base div 3)` — 11 entries at e=2, exactly 9 per level for
+    e >= 4 (the e=62 level contributes none due to Java overflow, so
+    values past the e=60 level clamp to the Long.MAX_VALUE boundary 275).
+    `length(bin(v))` is the exact bit length, so every step is exact
+    64-bit integer arithmetic.  Verified equal to `index_of` over all
+    boundary neighborhoods and 20k random 63-bit values
+    (tests/test_sketches.py::test_index_of_sql_expr_matches).
+    """
+    bl = f"length(bin({v}))"
+    e = f"(({bl} - 1) - ({bl} - 1) % 2)"
+    base = f"shiftleft(cast(1 as bigint), {e})"
+    delta = f"({base} div 3)"
+    within = f"(({v} - {base} + {delta} - 1) div {delta})"
+    m = f"(CASE WHEN {e} = 2 THEN 11 ELSE 9 END)"
+    start = f"(CASE WHEN {e} = 2 THEN 3 ELSE 14 + 9 * (({e} - 4) div 2) END)"
+    return (
+        f"cast(CASE WHEN {v} <= 0 THEN 0 WHEN {v} <= 3 THEN {v} - 1 "
+        f"ELSE least({start} + least({within}, {m}), 275) END as int)"
+    )

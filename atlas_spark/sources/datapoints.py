@@ -238,21 +238,27 @@ def percentile_datapoints(
     `functions.percentile_buckets`); one series per (event_type, bucket)
     holding the per-step count.  Input fixture for `:percentiles`,
     `:median`, `:sample-count` (FIXTURES.md F3)."""
-    from ..functions.percentile_buckets import BOUNDARIES
+    from ..functions.percentile_buckets import index_of_sql_expr
     from ..session import configure_existing
 
     configure_existing(spark)
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     amount = F.greatest(F.lit(1), F.ceil(F.col("value") * 10).cast("long"))
-    barr = F.array(*[F.lit(b) for b in BOUNDARIES])
-    idx = F.size(F.filter(barr, lambda b: b < amount))
+    # O(1) arithmetic bucket index (exact-equal to the 276-element scan;
+    # see index_of_sql_expr) — the scan cost ~276 comparisons per event
+    idx = F.expr(index_of_sql_expr("_amt"))
 
     def build(ev_df):
         return (
             ev_df.select(
                 F.col("event_type").alias("k_name"),
-                F.format_string("D%04X", idx).alias("k_percentile"),
                 _step_t(ev_df, step),
+                amount.alias("_amt"),
+            )
+            .select(
+                "k_name",
+                F.format_string("D%04X", idx).alias("k_percentile"),
+                "t",
             )
             .groupBy("k_name", "k_percentile", "t")
             .agg(F.count("*").cast("double").alias("value"))

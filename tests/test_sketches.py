@@ -121,3 +121,27 @@ def test_engine_distinct_tracks_truth(spark, sf_dir):
     assert set(est) == set(truth)
     for t, n in truth.items():
         assert abs(est[t] - n) / n < 0.5, f"t={t} est={est[t]} true={n}"
+
+
+def test_index_of_sql_expr_matches(spark):
+    """The O(1) arithmetic bucket index must equal the reference table
+    walk for every boundary neighborhood and random 63-bit values."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from atlas_spark.functions.percentile_buckets import (
+        BOUNDARIES,
+        index_of,
+        index_of_sql_expr,
+    )
+
+    rng = random.Random(7)
+    vals = {1}
+    for b in BOUNDARIES:
+        vals.update((max(1, b - 1), b, min((1 << 63) - 1, b + 1)))
+    vals.update(rng.randrange(1, (1 << 63) - 1) for _ in range(5000))
+    df = spark.createDataFrame([(v,) for v in sorted(vals)], "v long")
+    rows = df.withColumn("idx", F.expr(index_of_sql_expr("v"))).collect()
+    bad = [(r.v, r.idx, index_of(r.v)) for r in rows if r.idx != index_of(r.v)]
+    assert not bad, bad[:10]
