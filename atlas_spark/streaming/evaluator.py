@@ -54,18 +54,19 @@ _STATE_OPS = frozenset(
 @dataclass(frozen=True)
 class _StatePlan:
     """Decomposition of an ASL tree into the state-store streaming shape:
-    data aggregation -> alternating stateless / stateful op groups.  Each
-    stateful op becomes its own chained streaming stage (parquet spool
-    between stages — Spark forbids `applyInPandasWithState` downstream of
-    a streaming agg or another stateful op in one query)."""
+    a core (data aggregation, or a binary-math join of two sub-plans with
+    identical group keys) -> alternating stateless / stateful op groups.
+    Each stateful op becomes its own chained streaming stage, and each
+    join side spools before the stream-stream join (parquet spool between
+    stages — Spark forbids `applyInPandasWithState` or a join downstream
+    of a streaming agg / another stateful op in one query)."""
 
-    query: object
-    fn: str
+    core: tuple  # ("agg", query, fn) | ("join", op, left_plan, right_plan)
     keys: tuple[str, ...]
     chain: tuple  # ((op, params), ...) stateful ops, innermost-first
     steps: tuple  # len(chain)+1 stateless step groups, innermost-first:
     #               steps[0] before chain[0], steps[i] between chain[i-1]
-    #               and chain[i], steps[-1] applied at the sink
+    #               and chain[i]; ALL groups apply in-stream
 
 
 def _peel_stateless(e: E.TimeSeriesExpr):
@@ -114,14 +115,22 @@ def _decompose_state_plan(expr: E.TimeSeriesExpr, step: int) -> _StatePlan | Non
     if isinstance(e, E.GroupByExpr):
         if e.af.offset:
             return None
-        return _StatePlan(
-            e.query, e.af.fn, tuple(e.keys), tuple(ops), tuple(groups)
-        )
-    if isinstance(e, E.AggrExpr):
+        core, keys = ("agg", e.query, e.af.fn), tuple(e.keys)
+    elif isinstance(e, E.AggrExpr):
         if e.offset:
             return None
-        return _StatePlan(e.query, e.fn, (), tuple(ops), tuple(groups))
-    return None
+        core, keys = ("agg", e.query, e.fn), ()
+    elif isinstance(e, E.BinaryMathExpr):
+        # cross-line join: both sides must decompose and group identically
+        # (constant sides were already peeled as stateless steps)
+        lp = _decompose_state_plan(e.lhs, step)
+        rp = _decompose_state_plan(e.rhs, step)
+        if lp is None or rp is None or lp.keys != rp.keys:
+            return None
+        core, keys = ("join", e.op, lp, rp), lp.keys
+    else:
+        return None
+    return _StatePlan(core, keys, tuple(ops), tuple(groups))
 
 
 def _stateless_col(steps: tuple, col, step: int):
@@ -224,14 +233,17 @@ class StreamingEvaluator:
     def start(self, stream: DataFrame, query_name: str = "atlas_stream"):
         """Wire the streaming DAG.
 
-        Expressions matching the state-store shape (data agg -> any
-        alternation of stateless math and windowed/rolling/DES ops) run
-        fully distributed: watermarked step-window aggregation, then one
-        chained `applyInPandasWithState` stage per stateful op keyed by
-        series — state lives in the executor state store, never in driver
-        memory.  This covers every §2.4 op including DES and multi-op
-        chains (`:rolling-sum,:des`); only cross-line joins fall back to
-        the driver-buffer path.
+        Expressions matching the state-store shape (data agg or same-key
+        cross-line binary math at the core -> any alternation of stateless
+        math and windowed/rolling/DES ops) run fully distributed:
+        watermarked step-window aggregation, stream-stream joins for
+        binary math, and one chained `applyInPandasWithState` stage per
+        stateful op keyed by series — state lives in the executor state
+        store, never in driver memory.  This covers every §2.4 op
+        including DES, multi-op chains (`:rolling-sum,:des`) and joins
+        (`a,b,:sub,:rolling-max`); only non-decomposable cores
+        (:percentiles, second-level aggregations, differently-grouped
+        joins) fall back to the driver-buffer path.
         """
         if self.state_plan is not None:
             return self._start_state_store(stream, query_name)
@@ -251,12 +263,13 @@ class StreamingEvaluator:
             group_cols = cols
             filtered = stream
         else:
-            agg_fn = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}[plan.fn]
+            _, query, fn = plan.core
+            agg_fn = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}[fn]
             group_cols = [self.key_cols[k] for k in plan.keys]
             src = DatapointSource(
                 df=stream, step=self.step, colmap=dict(self.key_cols), sql_cte=""
             )
-            filtered = stream.filter(query_to_column(plan.query, src))
+            filtered = stream.filter(query_to_column(query, src))
             for c in group_cols:
                 filtered = filtered.filter(F.col(c).isNotNull())
         return (
@@ -276,59 +289,15 @@ class StreamingEvaluator:
     def _start_state_store(self, stream: DataFrame, query_name: str):
         """N chained streaming stages with parquet spools between them
         (the Kafka/Delta bronze->silver topology): Spark does not allow
-        applyInPandasWithState downstream of a streaming aggregation or of
-        another stateful op in one query, so each stateful op in the chain
-        gets its own stage, finalized intervals spooled and re-streamed.
-        State for every stage lives in the executor state store — the
-        driver buffer is never involved for state-plan shapes, including
-        multi-op chains like `:rolling-sum,:des`."""
-        plan = self.state_plan
-        finalized = self._windowed(stream, plan)
-        key_cols = [self.key_cols[k] for k in plan.keys]
-        series = (
-            F.concat_ws(_SERIES_SEP, *[F.col(c) for c in key_cols])
-            if key_cols
-            else F.lit(_NO_KEY)
-        )
-        current = finalized.select(
-            series.alias("series"), "t", F.col("value").cast("double").alias("value")
-        )
-        if not plan.chain:
-            # steps[-1] (the only group) is applied by the sink
-            q = (
-                current.writeStream.outputMode("append")
-                .queryName(query_name)
-                .foreachBatch(self._collect_batch)
-                .start()
-            )
-            return _ChainedQueries([q], [])
-
-        queries = []
-        for i, (op, params) in enumerate(plan.chain):
-            # stateless group i runs before stateful op i (group len(chain)
-            # is reserved for the sink)
-            current = current.select(
-                "series",
-                "t",
-                _stateless_col(plan.steps[i], F.col("value"), self.step)
-                .cast("double")
-                .alias("value"),
-            )
-            spool = tempfile.mkdtemp(prefix="atlas_spool_")
-            ck = tempfile.mkdtemp(prefix=f"atlas_ck{i}_")
-            self._tmp_dirs += [spool, ck]
-            queries.append(
-                current.writeStream.outputMode("append")
-                .queryName(f"{query_name}_stage{i}")
-                .option("checkpointLocation", ck)
-                .format("parquet")
-                .option("path", spool)
-                .start()
-            )
-            respooled = self.spark.readStream.schema(
-                "series string, t long, value double"
-            ).parquet(spool)
-            current = stateful_stream(respooled, op, params, self.step)
+        applyInPandasWithState or a stream-stream join downstream of a
+        streaming aggregation / another stateful op in one query, so each
+        stateful op (and each join side) gets its own stage, finalized
+        intervals spooled and re-streamed.  State for every stage lives in
+        the executor state store — the driver buffer is never involved for
+        state-plan shapes, including multi-op chains
+        (`:rolling-sum,:des`) and cross-line joins (`a,b,:sub`)."""
+        queries: list = []
+        current = self._build_plan_stream(stream, self.state_plan, query_name, queries)
         queries.append(
             current.writeStream.outputMode("append")
             .queryName(f"{query_name}_sink")
@@ -337,16 +306,115 @@ class StreamingEvaluator:
         )
         return _ChainedQueries(queries, self._tmp_dirs)
 
+    def _spool(self, df: DataFrame, name: str):
+        """Write a (series, t, value) stream to a fresh parquet spool and
+        return (query, re-streamed reader)."""
+        spool = tempfile.mkdtemp(prefix="atlas_spool_")
+        ck = tempfile.mkdtemp(prefix="atlas_ck_")
+        self._tmp_dirs += [spool, ck]
+        q = (
+            df.writeStream.outputMode("append")
+            .queryName(name)
+            .option("checkpointLocation", ck)
+            .format("parquet")
+            .option("path", spool)
+            .start()
+        )
+        re = self.spark.readStream.schema(
+            "series string, t long, value double"
+        ).parquet(spool)
+        return q, re
+
+    # ops whose missing input always yields missing output: per-interval
+    # inner join suffices (builder._STRICT_OPS); the rest use a full-outer
+    # join with NaN fill so e.g. `NaN :add x = x` at intervals where one
+    # side has no row
+    _STRICT_OPS_JOIN = frozenset({"mul", "div", "fmul", "fdiv", "fadd", "fsub"})
+
+    def _build_plan_stream(
+        self, stream: DataFrame, plan: _StatePlan, name: str, queries: list
+    ) -> DataFrame:
+        """Streaming (series, t, value) frame with `plan` fully applied:
+        core, then alternating stateless groups and spooled stateful
+        stages.  Appends every intermediate StreamingQuery to `queries`."""
+        if plan.core[0] == "agg":
+            finalized = self._windowed(stream, plan)
+            key_cols = [self.key_cols[k] for k in plan.keys]
+            series = (
+                F.concat_ws(_SERIES_SEP, *[F.col(c) for c in key_cols])
+                if key_cols
+                else F.lit(_NO_KEY)
+            )
+            current = finalized.select(
+                series.alias("series"), "t", F.col("value").cast("double").alias("value")
+            )
+        else:
+            _, op, lp, rp = plan.core
+            lcur = self._build_plan_stream(stream, lp, f"{name}_L", queries)
+            rcur = self._build_plan_stream(stream, rp, f"{name}_R", queries)
+            ql, lre = self._spool(lcur, f"{name}_Lspool")
+            qr, rre = self._spool(rcur, f"{name}_Rspool")
+            queries += [ql, qr]
+            wm = f"{self.num_buffers * self.step} seconds"
+            left = (
+                lre.withColumn("ets", F.timestamp_seconds("t"))
+                .withWatermark("ets", wm)
+                .alias("l")
+            )
+            right = (
+                rre.withColumn("ets", F.timestamp_seconds("t"))
+                .withWatermark("ets", wm)
+                .alias("r")
+            )
+            # per-interval join on (series, event time) — the reference's
+            # FinalExprEval evaluates the expression per finalized interval,
+            # so the batch densify collapses to this per-t join
+            how = "inner" if op in self._STRICT_OPS_JOIN else "full_outer"
+            joined = left.join(
+                right,
+                on=[
+                    F.col("l.series") == F.col("r.series"),
+                    F.col("l.ets") == F.col("r.ets"),
+                ],
+                how=how,
+            )
+            nan = F.lit(float("nan"))
+            value = nanmath.binary_op(
+                op,
+                F.coalesce(F.col("l.value"), nan),
+                F.coalesce(F.col("r.value"), nan),
+            )
+            current = joined.select(
+                F.coalesce(F.col("l.series"), F.col("r.series")).alias("series"),
+                F.coalesce(F.col("l.t"), F.col("r.t")).alias("t"),
+                value.cast("double").alias("value"),
+            )
+
+        def apply_steps(df: DataFrame, steps: tuple) -> DataFrame:
+            if not steps:
+                return df
+            return df.select(
+                "series",
+                "t",
+                _stateless_col(steps, F.col("value"), self.step)
+                .cast("double")
+                .alias("value"),
+            )
+
+        current = apply_steps(current, plan.steps[0])
+        for i, (op, params) in enumerate(plan.chain):
+            q, respooled = self._spool(current, f"{name}_stage{i}")
+            queries.append(q)
+            current = stateful_stream(respooled, op, params, self.step)
+            current = apply_steps(current, plan.steps[i + 1])
+        return current
+
     def _collect_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        """Sink for the state-store path: unpack the series key and apply
-        the post-stateful stateless steps.  Rows arrive exactly once
+        """Sink for the state-store path: unpack the series key (all
+        stateless steps were applied in-stream).  Rows arrive exactly once
         (append mode downstream of the watermark)."""
-        plan = self.state_plan
-        post_value = _stateless_col(plan.steps[-1], F.col("value"), self.step)
-        out = batch_df.withColumn("value", post_value.cast("double"))
-        keys = list(plan.keys)
-        rows = out.collect()
-        for r in rows:
+        keys = list(self.state_plan.keys)
+        for r in batch_df.collect():
             row = {"t": r["t"], "value": r["value"]}
             if keys:
                 parts = (r["series"] or "").split(_SERIES_SEP)

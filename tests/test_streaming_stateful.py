@@ -466,3 +466,78 @@ def test_transform_with_state_kernel(spark, stream_dir):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_cross_line_join_state_store(spark, stream_dir):
+    """Cross-line binary math (`a,b,:sub` shapes with identical group
+    keys) runs via a stream-stream join on (series, interval) — no driver
+    buffer — and matches per-interval batch evaluation."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from atlas_spark.plans.builder import Evaluator
+    from atlas_spark.plans.context import EvalContext
+    from atlas_spark.sources.datapoints import DatapointSource
+    from atlas_spark.stacklang.vocab import parse as parse_asl
+    from atlas_spark.streaming.evaluator import StreamingEvaluator
+
+    # max(per-name) minus click-only sum, grouped the same way on both
+    # sides; strict op (:mul) exercises the inner-join path too
+    asl = ":true,:max,(,name,),:by,name,click,:eq,:sum,(,name,),:by,:sub"
+    step = 60
+    base = 1704067200
+    rows = []
+    for h in range(8):
+        for name, v in (("click", float(h + 1)), ("view", 2.0 * (h + 1))):
+            rows.append(
+                {"k_name": name, "ts": pd.Timestamp(base + h * step + 5, unit="s"), "value": v}
+            )
+    pdf = pd.DataFrame(rows)
+    chunks = [pdf.iloc[:6], pdf.iloc[6:12], pdf.iloc[12:]]
+
+    sev = StreamingEvaluator(spark, asl, step, {"name": "k_name"}, num_buffers=2)
+    assert sev.state_plan is not None, "join shape must decompose"
+    assert sev.state_plan.core[0] == "join" and sev.state_plan.core[1] == "sub"
+    stream = (
+        spark.readStream.schema("k_name string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    spark.createDataFrame(chunks[0]).coalesce(1).write.mode("append").parquet(stream_dir)
+    q = sev.start(stream)
+    try:
+        q.processAllAvailable()
+        for c in chunks[1:]:
+            spark.createDataFrame(c).coalesce(1).write.mode("append").parquet(stream_dir)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    dp = spark.createDataFrame(pdf).select(
+        "k_name",
+        (F.unix_timestamp("ts") - F.unix_timestamp("ts") % step).cast("long").alias("t"),
+        "value",
+    )
+    src = DatapointSource(df=dp, step=step, colmap={"name": "k_name"}, sql_cte="")
+    ctx = EvalContext(base, base + 8 * step, step)
+    rf = Evaluator(src, ctx).eval(parse_asl(asl, step=step)[0])
+    truth = {(r["k_name"], r["t"]): r["value"] for r in rf.df.collect()}
+
+    def missing(v):
+        return v is None or (isinstance(v, float) and math.isnan(v))
+
+    got = {(r["name"], r["t"]): r["value"] for r in sev.results}
+    assert got, "no streaming results"
+    # `click` series: max(click) - sum(click) = 0; `view`: max - NaN = NaN
+    # dropped/None in batch — compare all overlapping keys
+    for key, v in got.items():
+        if key in truth:
+            tv = truth[key]
+            if missing(v) or missing(tv):
+                assert missing(v) and missing(tv), (key, v, tv)
+            else:
+                assert abs(v - tv) < 1e-9, (key, v, tv)
+    assert any(
+        key[0] == "click" and not missing(v) for key, v in got.items()
+    ), "expected click rows with real values"
