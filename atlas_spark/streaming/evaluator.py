@@ -128,6 +128,12 @@ def _decompose_state_plan(expr: E.TimeSeriesExpr, step: int) -> _StatePlan | Non
         if lp is None or rp is None or lp.keys != rp.keys:
             return None
         core, keys = ("join", e.op, lp, rp), lp.keys
+    elif isinstance(e, E.AggrMathExpr):
+        # second-level aggregation: pointwise fold of all inner lines
+        ip = _decompose_state_plan(e.expr, step)
+        if ip is None:
+            return None
+        core, keys = ("fold", e.fn, ip), ()
     else:
         return None
     return _StatePlan(core, keys, tuple(ops), tuple(groups))
@@ -347,6 +353,29 @@ class StreamingEvaluator:
             )
             current = finalized.select(
                 series.alias("series"), "t", F.col("value").cast("double").alias("value")
+            )
+        elif plan.core[0] == "fold":
+            # second-level aggregation (MathExpr.scala:711-794): spool the
+            # inner result, re-stream, watermarked per-interval fold — a
+            # streaming agg cannot sit downstream of another stateful op in
+            # one query, hence the spool stage
+            from ..plans.builder import _AGG
+
+            _, fn, ip = plan.core
+            inner = self._build_plan_stream(stream, ip, f"{name}_inner", queries)
+            qf, refold = self._spool(inner, f"{name}_foldspool")
+            queries.append(qf)
+            wm = f"{self.num_buffers * self.step} seconds"
+            current = (
+                refold.withColumn("ets", F.timestamp_seconds("t"))
+                .withWatermark("ets", wm)
+                .groupBy("ets")
+                .agg(_AGG[fn]("value").alias("value"))
+                .select(
+                    F.lit(_NO_KEY).alias("series"),
+                    F.unix_timestamp("ets").cast("long").alias("t"),
+                    F.col("value").cast("double").alias("value"),
+                )
             )
         else:
             _, op, lp, rp = plan.core

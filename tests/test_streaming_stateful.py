@@ -541,3 +541,61 @@ def test_cross_line_join_state_store(spark, stream_dir):
     assert any(
         key[0] == "click" and not missing(v) for key, v in got.items()
     ), "expected click rows with real values"
+
+
+def test_second_level_fold_state_store(spark, stream_dir):
+    """Second-level aggregation (`...,:by,...,:max` across lines) streams
+    through a spooled watermarked fold stage and matches per-interval
+    batch evaluation."""
+    import pyspark.sql.functions as F
+
+    from atlas_spark.plans.builder import Evaluator
+    from atlas_spark.plans.context import EvalContext
+    from atlas_spark.sources.datapoints import DatapointSource
+    from atlas_spark.stacklang.vocab import parse as parse_asl
+    from atlas_spark.streaming.evaluator import StreamingEvaluator
+
+    asl = ":true,:sum,(,name,),:by,2,:mul,:max"
+    step = 60
+    base = 1704067200
+    rows = []
+    for h in range(8):
+        for name, v in (("a", float(h + 1)), ("b", 2.0 * (h + 1))):
+            rows.append(
+                {"k_name": name, "ts": pd.Timestamp(base + h * step + 5, unit="s"), "value": v}
+            )
+    pdf = pd.DataFrame(rows)
+    chunks = [pdf.iloc[:6], pdf.iloc[6:12], pdf.iloc[12:]]
+
+    sev = StreamingEvaluator(spark, asl, step, {"name": "k_name"}, num_buffers=2)
+    assert sev.state_plan is not None and sev.state_plan.core[0] == "fold"
+    stream = (
+        spark.readStream.schema("k_name string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    spark.createDataFrame(chunks[0]).coalesce(1).write.mode("append").parquet(stream_dir)
+    q = sev.start(stream)
+    try:
+        q.processAllAvailable()
+        for c in chunks[1:]:
+            spark.createDataFrame(c).coalesce(1).write.mode("append").parquet(stream_dir)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    dp = spark.createDataFrame(pdf).select(
+        "k_name",
+        (F.unix_timestamp("ts") - F.unix_timestamp("ts") % step).cast("long").alias("t"),
+        "value",
+    )
+    src = DatapointSource(df=dp, step=step, colmap={"name": "k_name"}, sql_cte="")
+    ctx = EvalContext(base, base + 8 * step, step)
+    rf = Evaluator(src, ctx).eval(parse_asl(asl, step=step)[0])
+    truth = {r["t"]: r["value"] for r in rf.df.collect()}
+
+    got = {r["t"]: r["value"] for r in sev.results}
+    assert got, "no streaming results"
+    for t, v in got.items():
+        assert t in truth, t
+        assert v is not None and abs(v - truth[t]) < 1e-9, (t, v, truth[t])
