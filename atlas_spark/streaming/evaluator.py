@@ -121,13 +121,18 @@ def _decompose_state_plan(expr: E.TimeSeriesExpr, step: int) -> _StatePlan | Non
             return None
         core, keys = ("agg", e.query, e.fn), ()
     elif isinstance(e, E.BinaryMathExpr):
-        # cross-line join: both sides must decompose and group identically
-        # (constant sides were already peeled as stateless steps)
+        # cross-line join: both sides must decompose and one side's keys
+        # must be a subset of the other's (constant sides were already
+        # peeled as stateless steps; the batch evaluator enforces the same
+        # subset rule)
         lp = _decompose_state_plan(e.lhs, step)
         rp = _decompose_state_plan(e.rhs, step)
-        if lp is None or rp is None or lp.keys != rp.keys:
+        if lp is None or rp is None:
             return None
-        core, keys = ("join", e.op, lp, rp), lp.keys
+        if not (set(lp.keys) <= set(rp.keys) or set(rp.keys) <= set(lp.keys)):
+            return None
+        sup_keys = lp.keys if set(rp.keys) <= set(lp.keys) else rp.keys
+        core, keys = ("join", e.op, lp, rp), sup_keys
     elif isinstance(e, E.AggrMathExpr):
         # second-level aggregation: pointwise fold of all inner lines
         ip = _decompose_state_plan(e.expr, step)
@@ -395,18 +400,38 @@ class StreamingEvaluator:
                 .withWatermark("ets", wm)
                 .alias("r")
             )
-            # per-interval join on (series, event time) — the reference's
-            # FinalExprEval evaluates the expression per finalized interval,
-            # so the batch densify collapses to this per-t join
-            how = "inner" if op in self._STRICT_OPS_JOIN else "full_outer"
-            joined = left.join(
-                right,
-                on=[
-                    F.col("l.series") == F.col("r.series"),
-                    F.col("l.ets") == F.col("r.ets"),
-                ],
-                how=how,
-            )
+            # per-interval join — the reference's FinalExprEval evaluates
+            # the expression per finalized interval, so the batch densify
+            # collapses to a per-t join on the COMMON (subset) keys:
+            # same keys -> (series, t); subset keys -> the superset side's
+            # series projected onto the common keys
+            flipped = not (set(rp.keys) <= set(lp.keys))
+            sup, sub = (rp, lp) if flipped else (lp, rp)
+            supc, subc = ("r", "l") if flipped else ("l", "r")
+            if sup.keys == sub.keys:
+                sup_common = F.col(f"{supc}.series")
+            elif not sub.keys:
+                sup_common = F.lit(_NO_KEY)
+            else:
+                parts = F.split(F.col(f"{supc}.series"), _SERIES_SEP)
+                idxs = [sup.keys.index(k) for k in sub.keys]
+                sup_common = F.concat_ws(
+                    _SERIES_SEP, *[parts.getItem(i) for i in idxs]
+                )
+            cond = [
+                sup_common == F.col(f"{subc}.series"),
+                F.col("l.ets") == F.col("r.ets"),
+            ]
+            if op in self._STRICT_OPS_JOIN:
+                # strict ops: missing input -> missing output, inner join
+                how = "inner"
+            elif sup.keys == sub.keys:
+                how = "full_outer"
+            else:
+                # subset keys: output lines are the superset side's series;
+                # a sub row without any sup partner has no line to land on
+                how = "left_outer" if supc == "l" else "right_outer"
+            joined = left.join(right, on=cond, how=how)
             nan = F.lit(float("nan"))
             value = nanmath.binary_op(
                 op,
@@ -414,7 +439,9 @@ class StreamingEvaluator:
                 F.coalesce(F.col("r.value"), nan),
             )
             current = joined.select(
-                F.coalesce(F.col("l.series"), F.col("r.series")).alias("series"),
+                F.coalesce(
+                    F.col(f"{supc}.series"), F.col(f"{subc}.series")
+                ).alias("series"),
                 F.coalesce(F.col("l.t"), F.col("r.t")).alias("t"),
                 value.cast("double").alias("value"),
             )

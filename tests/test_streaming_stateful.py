@@ -599,3 +599,67 @@ def test_second_level_fold_state_store(spark, stream_dir):
     for t, v in got.items():
         assert t in truth, t
         assert v is not None and abs(v - truth[t]) < 1e-9, (t, v, truth[t])
+
+
+def test_subset_key_join_share_of_total(spark, stream_dir):
+    """Share-of-total (`grouped :div total`) streams via a subset-key
+    stream-stream join: the grouped side's series projects onto the
+    common (empty) key set to meet the total."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from atlas_spark.plans.builder import Evaluator
+    from atlas_spark.plans.context import EvalContext
+    from atlas_spark.sources.datapoints import DatapointSource
+    from atlas_spark.stacklang.vocab import parse as parse_asl
+    from atlas_spark.streaming.evaluator import StreamingEvaluator
+
+    asl = ":true,:sum,(,name,),:by,:true,:sum,:div"
+    step = 60
+    base = 1704067200
+    rows = []
+    for h in range(8):
+        for name, v in (("a", float(h + 1)), ("b", 3.0 * (h + 1))):
+            rows.append(
+                {"k_name": name, "ts": pd.Timestamp(base + h * step + 5, unit="s"), "value": v}
+            )
+    pdf = pd.DataFrame(rows)
+    chunks = [pdf.iloc[:6], pdf.iloc[6:12], pdf.iloc[12:]]
+
+    sev = StreamingEvaluator(spark, asl, step, {"name": "k_name"}, num_buffers=2)
+    assert sev.state_plan is not None and sev.state_plan.core[0] == "join"
+    assert sev.state_plan.keys == ("name",)
+    stream = (
+        spark.readStream.schema("k_name string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    spark.createDataFrame(chunks[0]).coalesce(1).write.mode("append").parquet(stream_dir)
+    q = sev.start(stream)
+    try:
+        q.processAllAvailable()
+        for c in chunks[1:]:
+            spark.createDataFrame(c).coalesce(1).write.mode("append").parquet(stream_dir)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    dp = spark.createDataFrame(pdf).select(
+        "k_name",
+        (F.unix_timestamp("ts") - F.unix_timestamp("ts") % step).cast("long").alias("t"),
+        "value",
+    )
+    src = DatapointSource(df=dp, step=step, colmap={"name": "k_name"}, sql_cte="")
+    ctx = EvalContext(base, base + 8 * step, step)
+    rf = Evaluator(src, ctx).eval(parse_asl(asl, step=step)[0])
+    truth = {(r["k_name"], r["t"]): r["value"] for r in rf.df.collect()}
+
+    got = {(r["name"], r["t"]): r["value"] for r in sev.results}
+    assert got, "no streaming results"
+    # a/(a+3a)=0.25, 3a/(4a)=0.75 at every interval
+    for key, v in got.items():
+        assert key in truth, key
+        assert v is not None and abs(v - truth[key]) < 1e-9, (key, v, truth[key])
+    assert any(abs(v - 0.25) < 1e-9 for v in got.values())
+    assert any(abs(v - 0.75) < 1e-9 for v in got.values())
