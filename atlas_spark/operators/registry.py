@@ -26,6 +26,9 @@ SPECS: list[OpSpec] = [
     OpSpec("op_doc_fingerprint", text.doc_fingerprint, text.DOC_FINGERPRINT_SQL),
     OpSpec("op_corpus_clean", text.corpus_clean, text.CORPUS_CLEAN_SQL),
     OpSpec("op_token_mix", text.token_mix, text.TOKEN_MIX_SQL),
+    OpSpec("op_decontaminate", text.decontaminate, text.DECONTAMINATE_SQL),
+    OpSpec("op_stratified_sample", text.stratified_sample, text.STRATIFIED_SAMPLE_SQL),
+    OpSpec("op_sessionize", text.sessionize, text.SESSIONIZE_SQL),
     OpSpec("op_cosine_topk", similarity.cosine_topk, similarity.cosine_topk_sql()),
     OpSpec("op_ngram_jaccard", dedup.ngram_jaccard_pairs, dedup.NGRAM_JACCARD_SQL),
     OpSpec("op_minhash_candidates", dedup.minhash_lsh_candidates, dedup.MINHASH_CANDIDATES_SQL),

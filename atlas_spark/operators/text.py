@@ -227,3 +227,163 @@ SELECT lang, source, CAST(n_tokens AS BIGINT) AS n_tokens,
        round(n_tokens / (SELECT sum(n_tokens) FROM per), 6) AS share
 FROM per
 """
+
+
+def decontaminate(spark: SparkSession, sf_dir: str, n: int = 2) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word n-gram with a held-out "benchmark" set (here: the `src0` source
+    slice stands in for an eval benchmark; real pipelines use 8-13-gram
+    overlap, but the synthetic corpus shares no n-gram longer than 2, so
+    the registered demo runs at n=2 to exercise the join non-trivially).
+
+    The standard pretraining hygiene pass (e.g. GPT-3 appendix C /
+    PaLM-style 8-gram overlap): benchmark docs explode to distinct
+    n-gram shingles -> broadcast-joinable set; training docs semi-join on
+    shingle.  At 100 TB the training side only shuffles its exploded
+    shingles if the benchmark side outgrows a broadcast — either way a
+    hash equi-join keyed on a 64-bit shingle id, never a cross product.
+    Output: contaminated (train doc, benchmark doc, shared n-gram count)
+    pairs — the audit trail a removal pass consumes.
+    """
+    docs = load_documents(spark, sf_dir)
+    bench = docs.filter(F.col("source") == "src0")
+    train = docs.filter(F.col("source") != "src0")
+
+    def shingles(df: DataFrame) -> DataFrame:
+        words = F.split(F.col("text"), " ")
+        idx = F.when(
+            F.size(words) >= n, F.sequence(F.lit(0), F.size(words) - n)
+        ).otherwise(F.array().cast("array<int>"))
+        grams = F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
+        )
+        return df.select("doc_id", F.explode(grams).alias("gram"))
+
+    tr = shingles(train).withColumnRenamed("doc_id", "train_id")
+    be = shingles(bench).withColumnRenamed("doc_id", "bench_id")
+    return (
+        tr.join(be, "gram")
+        .groupBy("train_id", "bench_id")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+
+
+DECONTAMINATE_SQL = """
+WITH sh AS (
+  SELECT doc_id, source, unnest(list_distinct(list_transform(
+      range(1, greatest(len(string_split(text, ' ')) - 0, 1)),
+      i -> array_to_string(string_split(text, ' ')[i:i+1], ' ')))) AS gram
+  FROM documents
+)
+SELECT t.doc_id AS train_id, b.doc_id AS bench_id,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM sh t JOIN sh b ON t.gram = b.gram
+WHERE t.source != 'src0' AND b.source = 'src0'
+GROUP BY 1, 2
+"""
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling by (lang, source): each stratum
+    gets its own keep-rate, applied via a content-hash threshold — the
+    reproducible sampling a data-mix pipeline uses to hit a target token
+    budget per stratum.
+
+    `md5(doc_id)`-derived uniform in [0,1) keeps the decision engine-
+    portable (value-level oracle) and independent of partitioning or
+    row order — rerunning on a 1000-executor cluster keeps the SAME
+    documents.  Pure projection + filter: no shuffle at all.
+    """
+    rates = {
+        ("en", "src5"): 0.5,
+        ("en", "src14"): 1.0,
+        ("de", "src0"): 0.8,
+    }
+    docs = load_documents(spark, sf_dir)
+    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "double"
+    ) / float(1 << 32)
+    rate = F.lit(0.25)
+    for (lang, source), r in rates.items():
+        rate = F.when(
+            (F.col("lang") == lang) & (F.col("source") == source), F.lit(r)
+        ).otherwise(rate)
+    return docs.select(
+        "doc_id", "lang", "source", F.round(rate, 6).alias("keep_rate")
+    ).filter(u < rate)
+
+
+STRATIFIED_SAMPLE_SQL = """
+SELECT doc_id, lang, source,
+       round(CAST(CASE WHEN lang = 'en' AND source = 'src5' THEN 0.5
+                  WHEN lang = 'en' AND source = 'src14' THEN 1.0
+                  WHEN lang = 'de' AND source = 'src0' THEN 0.8
+                  ELSE 0.25 END AS DOUBLE), 6) AS keep_rate
+FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0
+      < CASE WHEN lang = 'en' AND source = 'src5' THEN 0.5
+             WHEN lang = 'en' AND source = 'src14' THEN 1.0
+             WHEN lang = 'de' AND source = 'src0' THEN 0.8
+             ELSE 0.25 END
+"""
+
+
+def sessionize(spark: SparkSession, sf_dir: str, gap: int = 1800) -> DataFrame:
+    """Sessionize the event stream per user: a new session starts when
+    the gap since the user's previous event exceeds `gap` seconds.
+    Output: per-session (user, session start, event count, value sum,
+    duration) — the classic behavioral-log rollup.
+
+    Window functions partitioned BY USER: the shuffle key is user_id
+    (high-cardinality, uniform), each partition sorts only its own
+    users' events — the shape that scales linearly with executors.  The
+    cumulative-sum-of-gap-flags trick assigns session ids without any
+    iterative processing.
+    """
+    from pyspark.sql import Window
+
+    from ..sources.datapoints import _epoch_sec
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sec = _epoch_sec(ev)
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    with_gap = ev.select("user_id", "event_id", "value", sec.alias("sec")).withColumn(
+        "new_sess",
+        F.when(
+            (F.col("sec") - F.lag("sec").over(w)) > gap, 1
+        ).otherwise(F.when(F.lag("sec").over(w).isNull(), 1).otherwise(0)),
+    )
+    sess = with_gap.withColumn(
+        "session_no", F.sum("new_sess").over(w).cast("long")
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.min("sec").cast("long").alias("session_start"),
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("value_sum"),
+        (F.max("sec") - F.min("sec")).cast("long").alias("duration_s"),
+    )
+
+
+SESSIONIZE_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, value, epoch_ns(ts) // 1000000000 AS sec
+  FROM events
+),
+g AS (
+  SELECT *, CASE WHEN lag(sec) OVER w IS NULL THEN 1
+                 WHEN sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_sess
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+),
+s AS (
+  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY sec, event_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+  FROM g
+)
+SELECT user_id, session_no,
+       CAST(min(sec) AS BIGINT) AS session_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS value_sum,
+       CAST(max(sec) - min(sec) AS BIGINT) AS duration_s
+FROM s
+GROUP BY 1, 2
+"""
