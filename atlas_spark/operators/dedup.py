@@ -434,3 +434,95 @@ SELECT doc_id, CAST({fold} AS BIGINT) AS simhash FROM v
 
 
 SIMHASH_SQL = _simhash_sql()
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> DataFrame:
+    """Transitive near-duplicate clusters: connected components over the
+    verified near-dup pair graph, each doc mapped to its cluster's
+    canonical (minimum) doc_id — the survivorship step that follows
+    candidate generation in a dedup pipeline (A~B, B~C => one cluster
+    even when A~C was never scored).
+
+    Components via iterative min-label propagation entirely in DataFrame
+    ops: each round joins labels across edges and keeps the elementwise
+    minimum; rounds = O(component diameter), which for near-dup graphs is
+    tiny (clusters are cliques-ish).  At 100 TB each round is one
+    shuffle-join keyed on doc_id; convergence is checked with an
+    aggregate, and the loop is bounded.  (The large-star/small-star
+    variant halves round count at extreme diameters; unnecessary here.)
+    """
+    pairs = minhash_lsh_candidates(spark, sf_dir, threshold=threshold)
+    edges = pairs.select(
+        F.col("id_a").cast("long").alias("src"), F.col("id_b").cast("long").alias("dst")
+    )
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    # nodes restricted to the pair graph: singleton docs are their own
+    # canonical trivially and would dominate the output with noise
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+    )
+    for _ in range(15):  # diameter bound; near-dup components are dense
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id", F.col("label").cast("long").alias("canonical_id")
+    )
+
+
+# Oracle: transitive closure via recursive CTE — min reachable id per node
+DEDUP_CLUSTERS_SQL = """
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+             i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])) AS shingles
+  FROM documents
+),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+edges AS (
+  SELECT p.id_a AS src, p.id_b AS dst
+  FROM p JOIN sz sa ON p.id_a = sa.doc_id JOIN sz sb ON p.id_b = sb.doc_id
+  WHERE round(CAST(p.shared AS DOUBLE) / (sa.n + sb.n - p.shared), 6) >= 0.5
+),
+bi AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+reach AS (
+  SELECT src AS doc_id, dst AS other FROM bi
+  UNION
+  SELECT r.doc_id, b.dst FROM reach r JOIN bi b ON r.other = b.src
+)
+SELECT doc_id, CAST(least(doc_id, min(other)) AS BIGINT) AS canonical_id
+FROM reach
+GROUP BY doc_id
+"""
