@@ -464,6 +464,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> 
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
+        .persist()
     )
     for _ in range(15):  # diameter bound; near-dup components are dense
         neighbor_min = (
@@ -471,6 +472,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> 
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
+        # localCheckpoint truncates the lineage each round: without it,
+        # iteration k re-derives all k-1 prior joins on every action and
+        # the plan (and recomputation) grows with the iteration count
         new_labels = (
             labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
             .select(
@@ -479,6 +483,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> 
                     "label"
                 ),
             )
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -487,6 +492,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> 
             .limit(1)
             .count()
         )
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
