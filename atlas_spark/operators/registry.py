@@ -39,6 +39,11 @@ SPECS: list[OpSpec] = [
     OpSpec("op_media_resize", multimodal.resize_media_query, multimodal.RESIZE_MEDIA_SQL),
     OpSpec("op_lsh_topk", similarity.lsh_bucketed_topk, similarity.LSH_TOPK_SQL),
     OpSpec("op_ivf_topk", similarity.ivf_topk, None),
+    OpSpec(
+        "op_ivf_topk_det",
+        similarity.ivf_topk_deterministic,
+        similarity.IVF_TOPK_DET_SQL,
+    ),
     OpSpec("op_lang_id", langid.lang_id, langid.lang_id_sql()),
     OpSpec("op_emb_near_dup", similarity.embedding_near_dup, similarity.embedding_near_dup_sql()),
     OpSpec(

@@ -490,3 +490,133 @@ def lsh_bucketed_topk(
         ).alias("cos_sim"),
     )
     return sims.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()).limit(k)
+
+
+def ivf_topk_deterministic(
+    spark: SparkSession,
+    sf_dir: str,
+    query_id: int = 0,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF ANN with SAMPLED centroids (the common IVF-flat training
+    shortcut): centroids are the first `n_cells` corpus vectors, so cell
+    assignment is a pure function of the data and the full pipeline has a
+    value-level DuckDB oracle (`IVF_TOPK_DET_SQL`) — unlike the fitted
+    KMeans variant (`ivf_topk`, rows-only).
+
+    Query path identical in shape to `ivf_topk`: nearest `n_probe` cells
+    by centroid distance, scan only those cells' vectors, exact-cosine
+    re-rank.  Assignment here is computed inline (16 x dim fused
+    multiply-adds per row in codegen); at ingest it becomes the stored
+    `cell` column exactly as in `ivf_build_index`.  Ties break to the
+    lower cell id / lower vec_id in BOTH engines.
+    """
+    emb = load_embeddings(spark, sf_dir)
+    cents = {
+        r["vec_id"]: list(r["embedding"])
+        for r in emb.filter(F.col("vec_id") < n_cells).collect()
+    }
+
+    def dist2(vec, cent: list) -> "F.Column":
+        carr = F.array(*[F.lit(float(x)) for x in cent])
+        return F.aggregate(
+            F.zip_with(vec, carr, lambda x, y: (x.cast("double") - y.cast("double")) ** 2),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    cell_structs = F.array(
+        *[
+            F.struct(
+                dist2(F.col("embedding"), cents[c]).alias("d"), F.lit(c).alias("c")
+            )
+            for c in sorted(cents)
+        ]
+    )
+    assigned = emb.withColumn("cell", F.array_min(cell_structs)["c"])
+
+    q_emb = cents.get(query_id) or list(
+        emb.filter(F.col("vec_id") == query_id).head()["embedding"]
+    )
+    qdists = sorted(
+        (sum((float(x) - float(y)) ** 2 for x, y in zip(q_emb, cents[c])), c)
+        for c in sorted(cents)
+    )
+    probe_cells = [c for _, c in qdists[:n_probe]]
+
+    q_lit = F.array(*[F.lit(float(x)) for x in q_emb])
+    sims = (
+        assigned.filter(F.col("cell").isin(probe_cells))
+        .filter(F.col("vec_id") != query_id)
+        .select(
+            "vec_id",
+            "cell",
+            F.round(
+                _dot(F.col("embedding"), q_lit)
+                / (
+                    F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+                    * F.sqrt(_dot(q_lit, q_lit))
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    return sims.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()).limit(k)
+
+
+def _ivf_topk_det_sql(
+    query_id: int = 0, k: int = 10, n_cells: int = 16, n_probe: int = 4, dim: int = 64
+) -> str:
+    """DuckDB oracle reproducing the deterministic IVF pipeline: same
+    sampled centroids, same left-to-right double-fold distances (list_sum
+    over list_transform matches the Spark `aggregate` fold order), same
+    tie-breaking."""
+    d2 = (
+        "list_sum(list_transform(range(1, {d} + 1), "
+        "i -> (CAST(a.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)) ** 2))"
+    ).format(d=dim)
+    dot = (
+        "list_sum(list_transform(range(1, {d} + 1), "
+        "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))"
+    ).format(d=dim)
+    na = (
+        "sqrt(list_sum(list_transform(range(1, {d} + 1), "
+        "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))"
+    ).format(d=dim)
+    nq = (
+        "sqrt(list_sum(list_transform(range(1, {d} + 1), "
+        "i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))))"
+    ).format(d=dim)
+    return f"""
+WITH cents AS (SELECT vec_id AS cell, embedding FROM embeddings WHERE vec_id < {n_cells}),
+dists AS (
+  SELECT a.vec_id, c.cell, {d2.replace('c.embedding', 'c.embedding')} AS d
+  FROM embeddings a, cents c
+),
+assigned AS (
+  SELECT vec_id, min(cell) AS cell
+  FROM (SELECT vec_id, cell, d, min(d) OVER (PARTITION BY vec_id) AS md FROM dists)
+  WHERE d = md GROUP BY vec_id
+),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {query_id}),
+qd AS (
+  SELECT c.cell,
+         list_sum(list_transform(range(1, {dim} + 1),
+             i -> (CAST(q.qe[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)) ** 2)) AS d
+  FROM cents c, q
+),
+probes AS (SELECT cell FROM qd ORDER BY d, cell LIMIT {n_probe})
+SELECT a.vec_id, s.cell, round({dot} / ({na} * {nq}), 6) AS cos_sim
+FROM embeddings a
+JOIN assigned s ON a.vec_id = s.vec_id
+JOIN probes p ON s.cell = p.cell
+CROSS JOIN q
+WHERE a.vec_id != {query_id}
+ORDER BY cos_sim DESC, a.vec_id ASC
+LIMIT {k}
+"""
+
+
+IVF_TOPK_DET_SQL = _ivf_topk_det_sql()
