@@ -479,18 +479,49 @@ class StreamingEvaluator:
             self.results.append(row)
 
     def _start_buffered(self, stream: DataFrame, query_name: str):
-        """Driver-buffer fallback (DES/:trend/joins): per-batch re-eval of
-        the full expression over a bounded lookback of finalized
-        intervals.  State is bounded by lookback * series, driver-side."""
+        """Fallback for non-decomposable expressions: per-batch re-eval of
+        the full expression with the batch planner.
+
+        Expressions with NO cross-interval state (`:percentiles`,
+        `:approx-distinct`, cross-key regroups — lookback of one step)
+        evaluate DISTRIBUTED per micro-batch: the batch planner runs
+        directly on the finalized-interval DataFrame, no pandas buffer.
+        Only genuinely cross-interval shapes that failed decomposition
+        keep the bounded driver-side lookback buffer."""
+        on_batch = (
+            self._on_batch_stateless if self.lookback <= 1 else self._on_batch
+        )
         return (
             self._windowed(stream, None)
             .writeStream.outputMode("append")
             .queryName(query_name)
-            .foreachBatch(self._on_batch)
+            .foreachBatch(on_batch)
             .start()
         )
 
     # ------------------------------------------------------------ internals
+
+    def _on_batch_stateless(self, batch_df: DataFrame, batch_id: int) -> None:
+        """Per-batch distributed evaluation for stateless expressions:
+        each interval finalizes in exactly one batch (append mode behind
+        the watermark) and the expression needs no history, so the batch
+        planner runs on the batch itself — fully distributed, driver
+        memory bounded by result lines."""
+        agg = batch_df.agg(F.min("t"), F.max("t")).head()
+        if agg is None or agg[0] is None:
+            return
+        t_lo, t_max = int(agg[0]), int(agg[1])
+        ctx = EvalContext(t_lo, t_max + self.step, self.step)
+        source = DatapointSource(
+            df=batch_df, step=self.step, colmap=dict(self.key_cols), sql_cte=""
+        )
+        rf = Evaluator(source, ctx).eval(self.expr)
+        kc = rf.key_cols
+        for r in rf.df.collect():
+            row = {"t": r["t"], "value": r["value"]}
+            for k, c in zip(rf.keys or (), kc):
+                row[k] = r[c]
+            self.results.append(row)
 
     def _on_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """FinalExprEval equivalent: merge finalized intervals into the

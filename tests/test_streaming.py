@@ -298,3 +298,79 @@ def test_decode_publish_payloads(spark):
     assert valid.count() == 2
     rej = rejected.collect()
     assert len(rej) == 1 and "name" in rej[0]["rejection"]
+
+
+def test_stateless_complex_no_driver_buffer(spark, stream_dirs):
+    """:percentiles (non-decomposable but stateless across intervals)
+    evaluates distributed per micro-batch — no pandas buffer — and
+    matches batch evaluation per finalized interval."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from atlas_spark.plans.builder import Evaluator
+    from atlas_spark.plans.context import EvalContext
+    from atlas_spark.sources.datapoints import DatapointSource
+    from atlas_spark.stacklang.vocab import parse as parse_asl
+    from atlas_spark.streaming.evaluator import StreamingEvaluator
+
+    d_in, _ = stream_dirs
+    asl = ":true,(,50,90,),:percentiles"
+    step = 60
+    base = 1704067200
+    rows = []
+    # percentile-bucket count series: two buckets per interval
+    for h in range(6):
+        for bucket, cnt in (("D0010", 5.0 + h), ("D0020", 2.0 + h)):
+            rows.append(
+                {
+                    "k_name": "req",
+                    "k_percentile": bucket,
+                    "ts": pd.Timestamp(base + h * step + 1, unit="s"),
+                    "value": cnt,
+                }
+            )
+    pdf = pd.DataFrame(rows)
+    chunks = [pdf.iloc[:6], pdf.iloc[6:]]
+
+    sev = StreamingEvaluator(
+        spark, asl, step, {"name": "k_name", "percentile": "k_percentile"}, num_buffers=2
+    )
+    assert sev.state_plan is None and sev.lookback == 1  # stateless-complex route
+    stream = (
+        spark.readStream.schema("k_name string, k_percentile string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d_in)
+    )
+    spark.createDataFrame(chunks[0]).coalesce(1).write.mode("append").parquet(d_in)
+    q = sev.start(stream)
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(chunks[1]).coalesce(1).write.mode("append").parquet(d_in)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sev._buffer is None  # pandas buffer never touched
+
+    dp = spark.createDataFrame(pdf).select(
+        "k_name",
+        "k_percentile",
+        (F.unix_timestamp("ts") - F.unix_timestamp("ts") % step).cast("long").alias("t"),
+        "value",
+    )
+    src = DatapointSource(
+        df=dp, step=step,
+        colmap={"name": "k_name", "percentile": "k_percentile"}, sql_cte="",
+    )
+    ctx = EvalContext(base, base + 6 * step, step)
+    rf = Evaluator(src, ctx).eval(parse_asl(asl, step=step)[0])
+    kc = rf.key_cols
+    truth = {(tuple(r[c] for c in kc), r["t"]): r["value"] for r in rf.df.collect()}
+
+    got = {}
+    for r in sev.results:
+        key = tuple(r[k] for k in rf.keys or ())
+        got[(key, r["t"])] = r["value"]
+    assert got, "no streaming results"
+    for key, v in got.items():
+        assert key in truth, key
+        assert v is not None and abs(v - truth[key]) < 1e-9, (key, v, truth[key])
