@@ -237,13 +237,14 @@ def decontaminate(spark: SparkSession, sf_dir: str, n: int = 2) -> DataFrame:
     the registered demo runs at n=2 to exercise the join non-trivially).
 
     The standard pretraining hygiene pass (e.g. GPT-3 appendix C /
-    PaLM-style 8-gram overlap): benchmark docs explode to distinct
-    n-gram shingles -> broadcast-joinable set; training docs semi-join on
-    shingle.  At 100 TB the training side only shuffles its exploded
-    shingles if the benchmark side outgrows a broadcast — either way a
-    hash equi-join keyed on a 64-bit shingle id, never a cross product.
-    Output: contaminated (train doc, benchmark doc, shared n-gram count)
-    pairs — the audit trail a removal pass consumes.
+    PaLM-style 8-gram overlap): the benchmark set's DISTINCT n-grams form
+    a small broadcastable set (benchmarks are tiny relative to training
+    corpora — always); training docs join their exploded shingles against
+    it and roll up per TRAINING DOC.  Output is O(train docs): (doc_id,
+    contaminated-gram count, total grams, contamination ratio) — the
+    filter/removal input.  Never a train-x-bench pair fan-out: on dense
+    overlap (like this 31-word synthetic vocabulary at n=2) pair output
+    is near-quadratic while this rollup stays linear.
     """
     docs = load_documents(spark, sf_dir)
     bench = docs.filter(F.col("source") == "src0")
@@ -259,12 +260,26 @@ def decontaminate(spark: SparkSession, sf_dir: str, n: int = 2) -> DataFrame:
         )
         return df.select("doc_id", F.explode(grams).alias("gram"))
 
-    tr = shingles(train).withColumnRenamed("doc_id", "train_id")
-    be = shingles(bench).withColumnRenamed("doc_id", "bench_id")
+    bench_grams = F.broadcast(shingles(bench).select("gram").distinct())
+    tr = shingles(train)
+    hits = (
+        tr.join(bench_grams, "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_contaminated"))
+    )
+    totals = tr.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_grams"))
     return (
-        tr.join(be, "gram")
-        .groupBy("train_id", "bench_id")
-        .agg(F.count("*").cast("long").alias("n_shared"))
+        totals.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("long").alias(
+                "n_contaminated"
+            ),
+            "n_grams",
+            F.round(
+                F.coalesce(F.col("n_contaminated"), F.lit(0)) / F.col("n_grams"), 6
+            ).alias("contamination"),
+        )
     )
 
 
@@ -274,12 +289,20 @@ WITH sh AS (
       range(1, greatest(len(string_split(text, ' ')) - 0, 1)),
       i -> array_to_string(string_split(text, ' ')[i:i+1], ' ')))) AS gram
   FROM documents
-)
-SELECT t.doc_id AS train_id, b.doc_id AS bench_id,
-       CAST(count(*) AS BIGINT) AS n_shared
-FROM sh t JOIN sh b ON t.gram = b.gram
-WHERE t.source != 'src0' AND b.source = 'src0'
-GROUP BY 1, 2
+),
+bg AS (SELECT DISTINCT gram FROM sh WHERE source = 'src0'),
+tr AS (SELECT doc_id, gram FROM sh WHERE source != 'src0'),
+hits AS (
+  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+  FROM tr t JOIN bg ON t.gram = bg.gram GROUP BY 1
+),
+totals AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM tr GROUP BY 1)
+SELECT totals.doc_id,
+       CAST(COALESCE(hits.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       totals.n_grams,
+       round(COALESCE(hits.n_contaminated, 0) / CAST(totals.n_grams AS DOUBLE), 6)
+         AS contamination
+FROM totals LEFT JOIN hits ON totals.doc_id = hits.doc_id
 """
 
 
