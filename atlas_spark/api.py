@@ -366,6 +366,8 @@ class Engine:
         a line-id column — stays distributed (no collect)."""
         parsed = urlparse(uri)
         qs = parse_qs(parsed.query)
+        if "q" not in qs:
+            raise ValueError("missing q parameter")
         ctx = self._ctx_from_params(qs)
         exprs = parse_asl(qs["q"][0], step=ctx.step)
         ev = Evaluator(self.source, ctx)
@@ -412,18 +414,35 @@ class Engine:
 
         parsed = urlparse(uri)
         qs = parse_qs(parsed.query)
+        if "q" not in qs:
+            raise ValueError("missing q parameter")
         ctx = self._ctx_from_params(qs)
         exprs = parse_asl(qs["q"][0], step=ctx.step)
+        if not exprs:
+            raise ValueError("empty expression")
         yield {
             "type": "graph-metadata",
             "startTime": ctx.start * 1000,
             "endTime": ctx.end * 1000,
             "step": ctx.step * 1000,
         }
-        lookback = min(
-            max(_max_lookback_steps(se.expr if isinstance(se, E.StyleExpr) else se) for se in exprs),
-            512,
+        raw_lookback = max(
+            _max_lookback_steps(se.expr if isinstance(se, E.StyleExpr) else se)
+            for se in exprs
         )
+        lookback = min(raw_lookback, 512)
+        if raw_lookback > 512 and (ctx.end - ctx.start) // ctx.step > 512:
+            # unbounded-state ops (:integral, :des, ...) replay at most 512
+            # steps; surface the approximation instead of diverging silently
+            yield {
+                "type": "notice",
+                "message": (
+                    "stateful lookback clamped to 512 steps; chunked values "
+                    "for unbounded-state operators are approximate beyond "
+                    "that horizon"
+                ),
+                "lookbackSteps": lookback,
+            }
         chunk = chunk_steps * ctx.step
         t0 = ctx.start
         while t0 < ctx.end:

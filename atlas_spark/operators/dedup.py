@@ -226,6 +226,21 @@ def minhash_lsh_candidates(
     `minhash_lsh_candidates_md5` / `MINHASH_PERM_ORACLE_SQL`).
     """
     docs = _spread(load_documents(spark, sf_dir))
+    return minhash_lsh_pairs(docs, n, num_hashes, bands, threshold)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 48,
+    bands: int = 24,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Core MinHash+LSH pipeline over an arbitrary (doc_id, text) frame —
+    split out so planted-duplicate recall tests can drive it with
+    synthetic corpora (the recall-1.0 property the registered oracle
+    depends on is empirical, so it must be pinned on adversarial data,
+    not just the driver corpus)."""
     sh = ngram_shingles(docs, n, hash_fn=F.xxhash64).persist()
     cand = _band_candidates(
         _minhash_bands(
@@ -466,7 +481,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> 
         .withColumn("label", F.col("doc_id"))
         .persist()
     )
-    for _ in range(15):  # diameter bound; near-dup components are dense
+    converged = False
+    max_rounds = 16
+    for rnd in range(max_rounds):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy("src")
@@ -485,17 +502,32 @@ def dedup_clusters(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> 
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        # Convergence probe every other round (and on the last): each probe
+        # is a driver-synchronized job, so at 100 TB halving the probe count
+        # halves the sequential job submissions on top of the per-round join.
+        # Worst case this runs one extra (idempotent) propagation round.
+        if rnd % 2 == 1 or rnd == max_rounds - 1:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "doc_id")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+            )
+            if changed == 0:
+                labels.unpersist()
+                labels = new_labels
+                converged = True
+                break
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
-            break
+    edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters: label propagation did not converge within "
+            f"{max_rounds} rounds — a component's diameter exceeds the bound; "
+            f"raise max_rounds or switch to large-star/small-star"
+        )
     return labels.select(
         "doc_id", F.col("label").cast("long").alias("canonical_id")
     )

@@ -31,6 +31,12 @@ SPECS: list[OpSpec] = [
     OpSpec("op_sessionize", text.sessionize, text.SESSIONIZE_SQL),
     OpSpec("op_cosine_topk", similarity.cosine_topk, similarity.cosine_topk_sql()),
     OpSpec("op_ngram_jaccard", dedup.ngram_jaccard_pairs, dedup.NGRAM_JACCARD_SQL),
+    # Set-equality vs the exact all-pairs oracle rests on 24x2 banding
+    # having recall 1.0 over the CURRENT deterministic corpus (an
+    # empirical property, not a guarantee: P[miss] = (1-j^2)^24 per pair).
+    # tests/test_plans.py::test_minhash_recall_on_planted_dups pins the
+    # property on planted near-dups so a corpus/banding change that
+    # breaks it fails loudly instead of silently losing pairs.
     OpSpec("op_minhash_candidates", dedup.minhash_lsh_candidates, dedup.MINHASH_CANDIDATES_SQL),
     OpSpec("op_simhash", dedup.simhash, dedup.SIMHASH_SQL),
     OpSpec("op_dedup_clusters", dedup.dedup_clusters, dedup.DEDUP_CLUSTERS_SQL),

@@ -365,8 +365,12 @@ def sessionize(spark: SparkSession, sf_dir: str, gap: int = 1800) -> DataFrame:
     """
     from pyspark.sql import Window
 
+    from ..session import configure_existing
     from ..sources.datapoints import _epoch_sec
 
+    # Pin the session zone to UTC so the NTZ->timestamp cast inside
+    # _epoch_sec is zone-independent (matches the oracle's epoch_ns).
+    configure_existing(spark)
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     sec = _epoch_sec(ev)
     w = Window.partitionBy("user_id").orderBy("sec", "event_id")

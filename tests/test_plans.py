@@ -225,3 +225,42 @@ def test_strict_near_dup_recall_on_planted_dups(spark):
     assert not missed, missed
     n = len(vecs)
     assert len(cands) < n * (n - 1) // 2 / 4, len(cands)
+
+
+def test_minhash_recall_on_planted_dups(spark):
+    """Plant textual near-duplicates (word substitutions, Jaccard >= ~0.7)
+    in a random-word corpus: the registered 24x2 banding must recover every
+    planted pair, since op_minhash_candidates' set-equality oracle rests on
+    banding recall 1.0 (P[miss] = (1-j^2)^24 — empirical, corpus-dependent;
+    see operators/registry.py).  A corpus or banding change that breaks the
+    assumption fails here explicitly."""
+    import random
+
+    from atlas_spark.operators.dedup import minhash_lsh_pairs
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(500)]
+    docs, planted = [], []
+    for i in range(120):
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(40))))
+    for j in range(15):
+        src_id = j * 8
+        words = docs[src_id][1].split(" ")
+        # substitute 3 of 40 words -> shingle Jaccard ~0.7+
+        for _ in range(3):
+            words[rng.randrange(len(words))] = rng.choice(vocab)
+        docs.append((120 + j, " ".join(words)))
+        planted.append((src_id, 120 + j))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(df).collect()}
+    # exact Jaccard per planted pair decides whether it must appear
+    def jac(a, b):
+        wa, wb = docs[a][1].split(" "), docs[b][1].split(" ")
+        sa = {" ".join(wa[i : i + 3]) for i in range(len(wa) - 2)}
+        sb = {" ".join(wb[i : i + 3]) for i in range(len(wb) - 2)}
+        return len(sa & sb) / len(sa | sb)
+
+    must = [p for p in planted if jac(*p) >= 0.5]
+    assert len(must) >= 10, "corpus construction drifted: too few true pairs"
+    missed = [p for p in must if p not in pairs]
+    assert not missed, missed
