@@ -401,7 +401,94 @@ class Evaluator:
     # skips the densification shuffles entirely
     _STRICT_OPS = frozenset({"mul", "div", "fmul", "fdiv", "fadd", "fsub"})
 
+    # subset-side re-aggregation fn for the grouped-rollup rewrite:
+    # count of raw rows == SUM of per-supergroup counts
+    _ROLLUP2 = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+
+    def _try_rollup_binary(self, e: E.BinaryMathExpr) -> ResultFrame | None:
+        """`q,:f,(,K,),:by  OP  q,:f,(,k⊆K,),:by` (share-of-total shapes):
+        the subset-side rollup is a re-aggregation of the superset-side
+        aggregate, so derive it with a window over the SAME aggregated
+        frame instead of scanning + shuffling the raw source twice and
+        sort-merge-joining two aggregates.  Plan: one scan, one
+        partial+final agg shuffle of combined data, one aggregate-sized
+        window exchange — the shape that survives a 100x fact table,
+        where the former second raw shuffle and SMJ dominated (PERF.md
+        names the grouped `:div` join as the steepest scaler, 5.4x at
+        100x rows).
+
+        Only fires for STRICT ops (no densify on either side) when both
+        sides aggregate the identical query with the identical
+        decomposable fn/offset/cf.  The superset-only-key null drop
+        (DataExpr.scala:108-122) is deferred until after the window:
+        null-keyed rows form their own super-groups and still belong in
+        the subset totals, exactly as the raw-side aggregation sees them.
+        """
+        if e.op not in self._STRICT_OPS:
+            return None
+        for sup_e, sub_e, flipped in ((e.lhs, e.rhs, False), (e.rhs, e.lhs, True)):
+            if not isinstance(sup_e, E.GroupByExpr):
+                continue
+            if isinstance(sub_e, E.GroupByExpr):
+                sub_af, sub_keys = sub_e.af, sub_e.keys
+            elif type(sub_e) is E.AggrExpr:
+                sub_af, sub_keys = sub_e, ()
+            else:
+                continue
+            if sub_af != sup_e.af or sub_e.query != sup_e.query:
+                continue
+            if sup_e.af.fn not in self._ROLLUP2:
+                continue
+            if not set(sub_keys) < set(sup_e.keys):
+                continue
+            if any(k not in self.source.colmap for k in sup_e.keys):
+                return None  # empty-result path; generic code handles it
+            return self._eval_rollup_binary(e, sup_e, tuple(sub_keys), flipped)
+        return None
+
+    def _eval_rollup_binary(
+        self, e: E.BinaryMathExpr, sup_e: E.GroupByExpr, sub_keys: tuple, flipped: bool
+    ) -> ResultFrame:
+        offset = sup_e.af.offset // self.ctx.step
+        ctx = self.ctx.with_offset(offset) if offset else self.ctx
+        fn = sup_e.af.fn
+        if fn == "sum" and self.source.raw_ranged is not None:
+            # sum-of-sums == sum: skip the per-series ingest rollup shuffle
+            base = self.source.raw_ranged(ctx.start, ctx.end)
+        else:
+            base = self.source.ranged_df(ctx.start, ctx.end)
+        df = base.filter(query_to_column(sup_e.query, self.source))
+        if offset:
+            df = df.withColumn("t", (F.col("t") + offset * self.ctx.step).cast("long"))
+        cm = {k: self.source.colmap[k] for k in sup_e.keys}
+        sub_cols = [cm[k] for k in sub_keys]
+        for c in sub_cols:
+            df = df.filter(F.col(c).isNotNull())
+        sup_cols = [cm[k] for k in sup_e.keys]
+        # Pre-partition the raw rows on the full grouping identity: the
+        # groupBy reuses the partitioning (no second exchange), and on the
+        # local bench — where the driver's single-row-group parquet scans
+        # in ONE task — it spreads the heavy hash-aggregate across cores.
+        # At cluster scale this exchange replaces (not adds to) the agg's
+        # own shuffle, so the plan stays one-raw-shuffle.
+        df = df.repartition(*sup_cols, "t")
+        agg = df.groupBy(*sup_cols, "t").agg(_AGG[fn]("value").alias("_v_sup"))
+        w = Window.partitionBy(*sub_cols, "t")
+        total = _AGG[self._ROLLUP2[fn]]("_v_sup").over(w)
+        joined = agg.select(*sup_cols, "t", "_v_sup", total.alias("_v_sub"))
+        for k in sup_e.keys:
+            if k not in sub_keys:
+                joined = joined.filter(F.col(cm[k]).isNotNull())
+        a = F.col("_v_sub") if flipped else F.col("_v_sup")
+        b = F.col("_v_sup") if flipped else F.col("_v_sub")
+        value = nanmath.binary_op(e.op, a, b)
+        out = joined.select(*sup_cols, "t", value.alias("value"))
+        return ResultFrame(out, sup_e.keys, cm, dict(sup_e.query.exact_keys()))
+
     def _eval_binary(self, e: E.BinaryMathExpr) -> ResultFrame:
+        rw = self._try_rollup_binary(e)
+        if rw is not None:
+            return rw
         lhs, rhs = self._eval(e.lhs), self._eval(e.rhs)
         if lhs.keys is None or rhs.keys is None:
             raise ValueError(":all results cannot be used in binary math")

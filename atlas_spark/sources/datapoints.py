@@ -33,6 +33,10 @@ DEFAULT_STEP = 3600  # seconds; events testdata spans 30 days -> 720 steps
 
 _NS = 1_000_000_000
 
+# Local-bench parallelism guard (see lineitem_datapoints.project): spread
+# single-row-group scans so partial aggregation parallelizes on local[32].
+_SPREAD = 32
+
 
 def _epoch_sec(df: DataFrame, col: str = "ts") -> Column:
     """Epoch-seconds long expression for ``col``, adaptive to the driver
