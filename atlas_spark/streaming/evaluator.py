@@ -139,6 +139,29 @@ def _decompose_state_plan(expr: E.TimeSeriesExpr, step: int) -> _StatePlan | Non
         if ip is None:
             return None
         core, keys = ("fold", e.fn, ip), ()
+    elif isinstance(e, E.ApproxDistinctExpr):
+        # HLL estimator: the register collapse is a plain per-interval
+        # aggregate + closed-form projection (builder._eval_approx_distinct)
+        # so it streams as a spooled watermarked fold over the inner
+        # register series — cross-interval sketch chains (e.g. the
+        # cumulative variant's :cumulative-max under the estimator, or a
+        # rolling op above it) compose through the same stages
+        ip = _decompose_state_plan(e.expr, step)
+        if ip is None or "distinct" not in ip.keys:
+            return None
+        core, keys = ("hll", ip), tuple(k for k in ip.keys if k != "distinct")
+    elif isinstance(e, E.MathGroupByExpr):
+        # grouped second-level aggregation (regroup to subset keys,
+        # MathExpr.scala:795-851): spooled watermarked fold of the inner
+        # stream onto the subset series — the piece that makes
+        # differently-grouped cross-line chains fully state-store
+        # (formerly the last driver-buffer fallback)
+        ip = _decompose_state_plan(e.af.expr, step)
+        if ip is None:
+            return None
+        if not set(e.keys) <= set(ip.keys):
+            return None
+        core, keys = ("regroup", e.af.fn, ip), tuple(e.keys)
     else:
         return None
     return _StatePlan(core, keys, tuple(ops), tuple(groups))
@@ -251,10 +274,13 @@ class StreamingEvaluator:
         binary math, and one chained `applyInPandasWithState` stage per
         stateful op keyed by series — state lives in the executor state
         store, never in driver memory.  This covers every §2.4 op
-        including DES, multi-op chains (`:rolling-sum,:des`) and joins
-        (`a,b,:sub,:rolling-max`); only non-decomposable cores
-        (:percentiles, second-level aggregations, differently-grouped
-        joins) fall back to the driver-buffer path.
+        including DES, multi-op chains (`:rolling-sum,:des`), joins
+        (`a,b,:sub,:rolling-max`), differently-grouped regroups
+        (`...,:by,:dup,:sum,(,k,),:by,:div`), and the :approx-distinct
+        sketch family.  Only :percentiles-family cores fall back — and
+        those are stateless per interval, so they run distributed
+        per-batch; the driver-buffer path remains solely for a
+        percentile estimator under a cross-interval stateful chain.
         """
         if self.state_plan is not None:
             return self._start_state_store(stream, query_name)
@@ -358,6 +384,82 @@ class StreamingEvaluator:
             )
             current = finalized.select(
                 series.alias("series"), "t", F.col("value").cast("double").alias("value")
+            )
+        elif plan.core[0] == "hll":
+            # distinct-count estimator over max-rho registers: spool the
+            # inner register stream, project each series onto the eval
+            # keys (dropping the `distinct` register dimension), one
+            # watermarked agg + the closed-form estimate
+            from ..functions.distinct_sketch import ALPHA, M
+
+            _, ip = plan.core
+            inner = self._build_plan_stream(stream, ip, f"{name}_inner", queries)
+            qh, rereg = self._spool(inner, f"{name}_hllspool")
+            queries.append(qh)
+            wm = f"{self.num_buffers * self.step} seconds"
+            if plan.keys:
+                parts = F.split(F.col("series"), _SERIES_SEP)
+                idxs = [ip.keys.index(k) for k in plan.keys]
+                ek_series = F.concat_ws(
+                    _SERIES_SEP, *[parts.getItem(i) for i in idxs]
+                )
+            else:
+                ek_series = F.lit(_NO_KEY)
+            agg = (
+                rereg.filter(F.col("value").isNotNull() & (F.col("value") > 0))
+                .withColumn("ets", F.timestamp_seconds("t"))
+                .withColumn("series", ek_series)
+                .withWatermark("ets", wm)
+                .groupBy("series", "ets")
+                .agg(
+                    F.sum(F.pow(F.lit(2.0), -F.col("value"))).alias("_sp"),
+                    F.count("*").alias("_n"),
+                )
+            )
+            sum_pow = F.col("_sp") + (F.lit(M) - F.col("_n"))
+            zeros = F.lit(M) - F.col("_n")
+            e_raw = F.lit(ALPHA * M * M) / sum_pow
+            est = F.when(
+                (e_raw <= 2.5 * M) & (zeros > 0),
+                F.lit(M) * F.log(F.lit(float(M)) / zeros),
+            ).otherwise(e_raw)
+            current = agg.select(
+                "series",
+                F.unix_timestamp("ets").cast("long").alias("t"),
+                est.cast("double").alias("value"),
+            )
+        elif plan.core[0] == "regroup":
+            # grouped second-level aggregation: spool the inner result,
+            # re-stream, project each inner series onto the subset keys,
+            # watermarked per-(sub-series, interval) fold.  Same spool
+            # rationale as "fold": a streaming agg cannot sit downstream
+            # of another stateful op in one query.
+            from ..plans.builder import _AGG
+
+            _, fn, ip = plan.core
+            inner = self._build_plan_stream(stream, ip, f"{name}_inner", queries)
+            qg, regrp = self._spool(inner, f"{name}_regroupspool")
+            queries.append(qg)
+            wm = f"{self.num_buffers * self.step} seconds"
+            if plan.keys:
+                parts = F.split(F.col("series"), _SERIES_SEP)
+                idxs = [ip.keys.index(k) for k in plan.keys]
+                sub_series = F.concat_ws(
+                    _SERIES_SEP, *[parts.getItem(i) for i in idxs]
+                )
+            else:
+                sub_series = F.lit(_NO_KEY)
+            current = (
+                regrp.withColumn("ets", F.timestamp_seconds("t"))
+                .withColumn("series", sub_series)
+                .withWatermark("ets", wm)
+                .groupBy("series", "ets")
+                .agg(_AGG[fn]("value").alias("value"))
+                .select(
+                    "series",
+                    F.unix_timestamp("ets").cast("long").alias("t"),
+                    F.col("value").cast("double").alias("value"),
+                )
             )
         elif plan.core[0] == "fold":
             # second-level aggregation (MathExpr.scala:711-794): spool the

@@ -663,3 +663,143 @@ def test_subset_key_join_share_of_total(spark, stream_dir):
         assert v is not None and abs(v - truth[key]) < 1e-9, (key, v, truth[key])
     assert any(abs(v - 0.25) < 1e-9 for v in got.values())
     assert any(abs(v - 0.75) < 1e-9 for v in got.values())
+
+
+def test_differently_grouped_regroup_chain_state_store(spark, stream_dir):
+    """Differently-grouped cross-line `:div` — grouped (name,bucket) over
+    its per-name regroup (`...,:by,:dup,:sum,(,name,),:by,:div`) — runs
+    fully in the state store: the regroup is a spooled watermarked fold
+    onto the subset series, then the existing subset-key stream-stream
+    join.  No driver buffer (`toPandas`) anywhere in the path; results
+    equal the batch evaluation."""
+    import pyspark.sql.functions as F
+
+    from atlas_spark.plans.builder import Evaluator
+    from atlas_spark.plans.context import EvalContext
+    from atlas_spark.sources.datapoints import DatapointSource
+    from atlas_spark.stacklang.vocab import parse as parse_asl
+    from atlas_spark.streaming.evaluator import StreamingEvaluator
+
+    asl = ":true,:sum,(,name,bucket,),:by,:dup,:sum,(,name,),:by,:div"
+    step = 60
+    base = 1704067200
+    rows = []
+    for h in range(6):
+        for name in ("a", "b"):
+            for bucket, v in (("x", float(h + 1)), ("y", 3.0 * (h + 1))):
+                rows.append(
+                    {
+                        "k_name": name,
+                        "k_bucket": bucket,
+                        "ts": pd.Timestamp(base + h * step + 5, unit="s"),
+                        "value": v,
+                    }
+                )
+    pdf = pd.DataFrame(rows)
+    chunks = [pdf.iloc[:8], pdf.iloc[8:16], pdf.iloc[16:]]
+
+    sev = StreamingEvaluator(
+        spark, asl, step, {"name": "k_name", "bucket": "k_bucket"}, num_buffers=2
+    )
+    assert sev.state_plan is not None, "must decompose — no driver fallback"
+    assert sev.state_plan.core[0] == "join"
+    rhs_plan = sev.state_plan.core[3]
+    assert rhs_plan.core[0] == "regroup" and rhs_plan.keys == ("name",)
+    stream = (
+        spark.readStream.schema("k_name string, k_bucket string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    spark.createDataFrame(chunks[0]).coalesce(1).write.mode("append").parquet(stream_dir)
+    q = sev.start(stream)
+    try:
+        q.processAllAvailable()
+        for c in chunks[1:]:
+            spark.createDataFrame(c).coalesce(1).write.mode("append").parquet(stream_dir)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    dp = spark.createDataFrame(pdf).select(
+        "k_name",
+        "k_bucket",
+        (F.unix_timestamp("ts") - F.unix_timestamp("ts") % step).cast("long").alias("t"),
+        "value",
+    )
+    src = DatapointSource(
+        df=dp, step=step, colmap={"name": "k_name", "bucket": "k_bucket"}, sql_cte=""
+    )
+    ctx = EvalContext(base, base + 6 * step, step)
+    rf = Evaluator(src, ctx).eval(parse_asl(asl, step=step)[0])
+    truth = {(r["k_name"], r["k_bucket"], r["t"]): r["value"] for r in rf.df.collect()}
+
+    got = {(r["name"], r["bucket"], r["t"]): r["value"] for r in sev.results}
+    assert got, "no streaming results"
+    for key, v in got.items():
+        assert key in truth, key
+        assert v is not None and abs(v - truth[key]) < 1e-9, (key, v, truth[key])
+    # x/(x+3x)=0.25 and y share 0.75 at every interval
+    assert any(abs(v - 0.25) < 1e-9 for v in got.values())
+    assert any(abs(v - 0.75) < 1e-9 for v in got.values())
+
+
+def test_approx_distinct_sketch_state_store(spark, stream_dir):
+    """`:approx-distinct` streams fully in the state store: windowed
+    register merge (max-rho), spooled estimator fold — no driver buffer.
+    Results equal the batch evaluation."""
+    import pyspark.sql.functions as F
+
+    from atlas_spark.plans.builder import Evaluator
+    from atlas_spark.plans.context import EvalContext
+    from atlas_spark.sources.datapoints import DatapointSource
+    from atlas_spark.stacklang.vocab import parse as parse_asl
+    from atlas_spark.streaming.evaluator import StreamingEvaluator
+
+    asl = ":true,:approx-distinct"
+    step = 60
+    base = 1704067200
+    rows = []
+    for h in range(10):
+        for reg, rho in (("R01", 3.0), ("R02", 1.0 + h), ("R03", 2.0)):
+            rows.append(
+                {
+                    "k_distinct": reg,
+                    "ts": pd.Timestamp(base + h * step + 3, unit="s"),
+                    "value": rho,
+                }
+            )
+    pdf = pd.DataFrame(rows)
+    chunks = [pdf.iloc[:9], pdf.iloc[9:18], pdf.iloc[18:]]
+
+    sev = StreamingEvaluator(spark, asl, step, {"distinct": "k_distinct"}, num_buffers=2)
+    assert sev.state_plan is not None, "sketch core must decompose"
+    assert sev.state_plan.core[0] == "hll" and sev.state_plan.keys == ()
+    stream = (
+        spark.readStream.schema("k_distinct string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    spark.createDataFrame(chunks[0]).coalesce(1).write.mode("append").parquet(stream_dir)
+    q = sev.start(stream)
+    try:
+        q.processAllAvailable()
+        for c in chunks[1:]:
+            spark.createDataFrame(c).coalesce(1).write.mode("append").parquet(stream_dir)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    dp = spark.createDataFrame(pdf).select(
+        "k_distinct",
+        (F.unix_timestamp("ts") - F.unix_timestamp("ts") % step).cast("long").alias("t"),
+        "value",
+    )
+    src = DatapointSource(df=dp, step=step, colmap={"distinct": "k_distinct"}, sql_cte="")
+    ctx = EvalContext(base, base + 10 * step, step)
+    rf = Evaluator(src, ctx).eval(parse_asl(asl, step=step)[0])
+    truth = {r["t"]: r["value"] for r in rf.df.collect()}
+
+    got = {r["t"]: r["value"] for r in sev.results}
+    assert got, "no streaming results"
+    for t, v in got.items():
+        assert t in truth and abs(v - truth[t]) < 1e-9, (t, v, truth.get(t))
