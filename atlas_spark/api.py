@@ -48,6 +48,10 @@ class GraphResult:
     # expression semantics (the `tz` interpreter var); every zone gets its
     # own time-axis label row in the PNG rendering
     timezones: list[str] = field(default_factory=lambda: ["UTC"])
+    # axis config (Grapher.scala newAxis): y scale name (`scale` param,
+    # legacy `o=1` -> log) and whether lines default to stacked (`stack=1`)
+    scale: str = "linear"
+    axis_stack: bool = False
 
     def to_json(self) -> dict[str, Any]:
         """std.json-style payload (one message per line)."""
@@ -313,7 +317,21 @@ class Engine:
                         ln.tags["atlas.offset"] = off_label
                         ln.label += f" (offset={off_label})"
                     lines.append(ln)
-        return GraphResult(ctx.start, ctx.end, ctx.step, lines, timezones=tzs)
+        # y-axis scale: prefer `scale`, fall back to legacy boolean `o`
+        # (Grapher.scala:222-232); `stack=1` stacks the axis's lines
+        scale = qs.get("scale", [None])[0] or (
+            "log" if qs.get("o", [None])[0] == "1" else "linear"
+        )
+        axis_stack = qs.get("stack", [None])[0] == "1"
+        return GraphResult(
+            ctx.start,
+            ctx.end,
+            ctx.step,
+            lines,
+            timezones=tzs,
+            scale=scale,
+            axis_stack=axis_stack,
+        )
 
     def graph_png(self, uri: str, width: int = 700, height: int = 300) -> bytes:
         """format=png rendering — a minimal dependency-free chart (see

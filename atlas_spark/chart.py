@@ -10,7 +10,11 @@ image; JSON/CSV remain the data-fidelity outputs.
 Reference behaviors kept: default palette order (Palette.scala
 "armytage" head), per-line `color`/`alpha`/`ls` settings, NaN gaps break
 the line, auto y-range including zero, vspan rendering as translucent
-fill.
+fill, y-axis scales (`scale=log|log-linear|pow2|sqrt`, legacy `o=1` —
+Scales.scala/LogLinear.scala semantics incl. the vizlog 0/negative
+handling), and stacked-area compositing on running positive/negative
+offsets per step with the stacked total driving the y-range
+(TimeSeriesStack.scala, axis `stack=1` defaulting line style).
 """
 
 from __future__ import annotations
@@ -248,6 +252,108 @@ def _render_heatmap(cv, hm_lines, n_steps, tx, ty, lo, hi, pad_t, plot_h, n_cell
                 cv.vline(x, max(pad_t, y_lo), min(pad_t + plot_h - 1, y_hi), color)
 
 
+# ---------------------------------------------------------------- y scales
+# Scale semantics follow atlas-chart's Scales.scala / LogLinear.scala:
+# `log` is a visualization log (vizlog(0)=0, vizlog(-v)=-vizlog(v));
+# `log-linear` is logarithmic across powers of 10 and linear within each;
+# `pow2` / `sqrt` are sign-preserving power maps.
+
+
+def _vizlog(v: float) -> float:
+    """Scales.scala:61-68 log10: >0 -> log10(v+1), <0 -> -log10(-(v-1))."""
+    if v > 0.0:
+        return math.log10(v + 1.0)
+    if v < 0.0:
+        return -math.log10(-(v - 1.0))
+    return 0.0
+
+
+def _vizpow(v: float, exp: float) -> float:
+    """Sign-preserving power map (Scales.scala:98-104)."""
+    if v > 0.0:
+        return math.pow(v, exp)
+    if v < 0.0:
+        return -math.pow(-v, exp)
+    return 0.0
+
+
+def _ll_bucket_span(i: int) -> float:
+    idx = -i - 1 if i < 0 else i
+    return math.pow(10, idx // 9 - 9)
+
+
+def _ll_bucket(i: int) -> float:
+    """Max value of log-linear bucket i (LogLinear.scala:29-34)."""
+    if i < 0:
+        return -_ll_bucket(-i - 1)
+    return _ll_bucket_span(i) * (i % 9 + 1)
+
+
+def _ll_bucket_index(v: float) -> int:
+    """LogLinear.scala:60-83 bucketIndex (9 linear buckets per decade,
+    decades from 1e-9 up; negatives mirror)."""
+    if v < 0.0:
+        return -_ll_bucket_index(-v) - 1
+    if v == 0.0:
+        return 0
+    lg = max(-9.0, math.floor(math.log10(v)))
+    prev_buckets = (int(lg) + 9) * 9
+    e = 6.0 - lg
+    if e >= 0.0:
+        n = int(v * math.pow(10, e))
+        p10 = 10 ** (int(lg) + int(e))
+        return (n - 1) // p10 + prev_buckets
+    p10 = math.pow(10, lg)
+    return int(math.ceil((v - p10) / p10)) + prev_buckets
+
+
+def _ll_ratio(v: float, i: int) -> float:
+    if v < 0.0:
+        return 1.0 - _ll_ratio(-v, -i - 1)
+    span = _ll_bucket_span(i)
+    boundary = _ll_bucket(i) - span
+    return (v - boundary) / span
+
+
+def _ll_position(v: float, mn: int, ppb: float) -> float:
+    i = _ll_bucket_index(v)
+    offset = max(0.0, i - mn - 1) * ppb
+    return _ll_ratio(v, i) * ppb + offset
+
+
+def make_yscale(scale: str, lo: float, hi: float, y_top: int, y_bot: int):
+    """Return v -> pixel-y for the axis scale name (`linear`, `log`,
+    `log-linear`, `pow2`, `sqrt` — Scale enum / Scales.factory), mapping
+    lo -> y_bot (bottom) and hi -> y_top (top, pixel y grows downward)."""
+    if scale in ("log", "logarithmic"):
+        xform = _vizlog
+    elif scale == "pow2":
+        xform = lambda v: _vizpow(v, 2.0)  # noqa: E731
+    elif scale == "sqrt":
+        xform = lambda v: _vizpow(v, 0.5)  # noqa: E731
+    elif scale == "log-linear":
+        b1 = _ll_bucket_index(lo) - 1
+        b2 = _ll_bucket_index(hi)
+        if b1 != b2:
+            ppb = (y_bot - y_top) / abs(b2 - b1)
+
+            def ty(v: float) -> int:
+                return y_bot - int(_ll_position(v, b1, ppb))
+
+            return ty
+        xform = lambda v: v  # noqa: E731 — single bucket: linear
+    else:
+        xform = lambda v: v  # noqa: E731
+    t_lo, t_hi = xform(lo), xform(hi)
+    if t_hi == t_lo:
+        t_hi = t_lo + 1.0
+
+    def ty(v: float) -> int:
+        return y_top + int(round((t_hi - xform(v)) / (t_hi - t_lo) * (y_bot - y_top)))
+
+    return ty
+
+
 def _fmt_value(v: float) -> str:
     if v == 0:
         return "0"
@@ -278,10 +384,33 @@ def render_png(result, width: int = 700, height: int = 300) -> bytes:
     plot_h = height - pad_t - pad_b
     cv = Canvas(width, height)
 
-    hm_lines = [
-        ln for ln in result.lines if (getattr(ln, "settings", {}) or {}).get("ls") == "heatmap"
-    ]
+    # axis-level params (Grapher.scala newAxis: `scale`/`o` pick the y
+    # scale; `stack=1` makes stack the default line style for the axis)
+    scale = getattr(result, "scale", None) or "linear"
+    axis_stack = bool(getattr(result, "axis_stack", False))
+
+    def _style(ln) -> str:
+        s = (getattr(ln, "settings", {}) or {}).get("ls")
+        return s if s else ("stack" if axis_stack else "line")
+
+    hm_lines = [ln for ln in result.lines if _style(ln) == "heatmap"]
     ts_lines = [ln for ln in result.lines if ln not in hm_lines]
+    n_steps = max(1, (result.end - result.start) // result.step)
+
+    # stacked lines accumulate: the y-range must cover the per-step
+    # positive and negative stacked TOTALS, not individual values
+    # (PlotDef bounds with stack)
+    pos_tot = [0.0] * n_steps
+    neg_tot = [0.0] * n_steps
+    for ln in ts_lines:
+        if _style(ln) == "stack":
+            for i, v in enumerate(ln.data[:n_steps]):
+                if v is None or not math.isfinite(v):
+                    continue
+                if v > 0.0:
+                    pos_tot[i] += v
+                elif v < 0.0:
+                    neg_tot[i] += v
 
     if hm_lines and all(_pct_bucket_range(ln.tags) for ln in hm_lines):
         # percentile heatmap: y axis spans the bucket ranges present
@@ -290,7 +419,14 @@ def render_png(result, width: int = 700, height: int = 300) -> bytes:
     else:
         finite = [
             v
-            for ln in result.lines
+            for ln in ts_lines
+            if _style(ln) != "stack"
+            for v in ln.data
+            if v is not None and math.isfinite(v)
+        ] + [v for v in pos_tot + neg_tot if v != 0.0]
+        finite += [
+            v
+            for ln in hm_lines
             for v in ln.data
             if v is not None and math.isfinite(v)
         ]
@@ -298,19 +434,19 @@ def render_png(result, width: int = 700, height: int = 300) -> bytes:
     hi = max([1.0] + finite) if finite else 1.0
     if hi == lo:
         hi = lo + 1.0
-    n_steps = max(1, (result.end - result.start) // result.step)
 
-    def ty(v: float) -> int:
-        return pad_t + int(round((hi - v) / (hi - lo) * (plot_h - 1)))
+    ty = make_yscale(scale, lo, hi, pad_t, pad_t + plot_h - 1)
 
     def tx(i: int) -> int:
         return pad_l + int(round(i / max(1, n_steps - 1) * (plot_w - 1)))
 
-    # grid + y tick labels: 5 horizontal ticks
+    # grid + y tick labels: 5 horizontal ticks at linearly spaced VALUES,
+    # placed through the axis scale (so a log axis shows its characteristic
+    # compressed-at-the-top tick spacing)
     for g in range(5):
-        y = pad_t + int(g * (plot_h - 1) / 4)
-        cv.hline(y, pad_l, pad_l + plot_w - 1, _GRID)
         val = hi - (hi - lo) * g / 4
+        y = min(pad_t + plot_h - 1, max(pad_t, ty(val)))
+        cv.hline(y, pad_l, pad_l + plot_w - 1, _GRID)
         cv.text(2, y - 3, _fmt_value(val)[:7])
     tick_is = list(range(0, n_steps, max(1, n_steps // 8)))
     for i in tick_is:
@@ -343,6 +479,12 @@ def render_png(result, width: int = 700, height: int = 300) -> bytes:
     if hm_lines:
         _render_heatmap(cv, hm_lines, n_steps, tx, ty, lo, hi, pad_t, plot_h)
 
+    # running stack offsets per step (TimeSeriesStack.Offsets): positive
+    # values pile on pos_y, negative on neg_y — a stacked line fills from
+    # the previous stacked total to its own contribution on top of it
+    pos_y = [0.0] * n_steps
+    neg_y = [0.0] * n_steps
+
     for idx, ln in enumerate(ts_lines):
         settings = getattr(ln, "settings", {}) or {}
         color, alpha = _parse_color(settings.get("color"), PALETTE[idx % len(PALETTE)])
@@ -351,20 +493,43 @@ def render_png(result, width: int = 700, height: int = 300) -> bytes:
                 alpha = int(settings["alpha"], 16) / 255.0
             except ValueError:
                 pass
-        style = settings.get("ls", "line")
+        style = _style(ln)
         prev = None
         for i, v in enumerate(ln.data[:n_steps]):
             if v is None or not math.isfinite(v):
                 prev = None
                 continue
-            x, y = tx(i), ty(v)
+            x = tx(i)
+            # area/stack/vspan fill the full span to the next step
+            # (TimeSeriesStack.draw fills the px1..px2 rect per interval)
+            x_end = tx(i + 1) - 1 if i + 1 < n_steps else pad_l + plot_w - 1
+            x_end = max(x, x_end)
             if style == "vspan":
                 # truthy points shade the full plot height
                 if abs(v) >= 1e-12:
-                    cv.vline(x, pad_t, pad_t + plot_h - 1, color, min(alpha, 0.5))
-            elif style in ("area", "stack") and zero_y is not None:
-                cv.vline(x, y, zero_y, color, min(alpha, 0.6))
+                    for xx in range(x, x_end + 1):
+                        cv.vline(xx, pad_t, pad_t + plot_h - 1, color, min(alpha, 0.5))
+            elif style == "stack":
+                # TimeSeriesStack.draw: fill from the current offset to
+                # offset+v, then advance the offset; v == 0 with empty
+                # offsets draws a 1px marker so 0 and NO_DATA differ
+                if v > 0.0:
+                    y0, y1 = ty(pos_y[i]), ty(v + pos_y[i])
+                    for xx in range(x, x_end + 1):
+                        cv.vline(xx, min(y0, y1), max(y0, y1), color, min(alpha, 0.9))
+                    pos_y[i] += v
+                elif v < 0.0:
+                    y0, y1 = ty(neg_y[i]), ty(v + neg_y[i])
+                    for xx in range(x, x_end + 1):
+                        cv.vline(xx, min(y0, y1), max(y0, y1), color, min(alpha, 0.9))
+                    neg_y[i] += v
+                elif pos_y[i] == 0.0 and neg_y[i] == 0.0:
+                    cv.hline(ty(0.0), x, x_end, color)
+            elif style == "area" and zero_y is not None:
+                for xx in range(x, x_end + 1):
+                    cv.vline(xx, ty(v), zero_y, color, min(alpha, 0.6))
             else:
+                y = ty(v)
                 if prev is not None:
                     cv.line(prev[0], prev[1], x, y, color)
                 else:

@@ -227,6 +227,88 @@ def test_strict_near_dup_recall_on_planted_dups(spark):
     assert len(cands) < n * (n - 1) // 2 / 4, len(cands)
 
 
+def test_decontaminate_broadcasts_bench_grams(spark, sf_dir, queries):
+    """Decontamination joins training shingles against the benchmark's
+    distinct n-gram set.  The benchmark side is always tiny relative to
+    the training corpus, so it must BROADCAST — a shuffle join here would
+    repartition the entire exploded training-shingle stream (the dominant
+    volume at 100 TB) just to meet a few MB of benchmark grams.  And the
+    rollup is per training doc: no train-x-bench pair fan-out, so no
+    cartesian/nested-loop anywhere."""
+    plan = _plan(queries["op_decontaminate"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sessionize_partitions_by_user(spark, sf_dir, queries):
+    """Sessionization sorts events within a user only: every Window/Sort
+    must be preceded by hashpartitioning on user_id, and nothing may
+    collapse to a single partition (a global ORDER BY would serialize
+    100 TB of events through one task)."""
+    plan = _plan(queries["op_sessionize"](spark, sf_dir))
+    assert "Window" in plan
+    assert "hashpartitioning(user_id" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    # the session rollup reuses the user_id partitioning: exactly one
+    # exchange in the whole plan (scan -> shuffle by user -> sort ->
+    # windows -> partial/final agg without re-shuffle)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_stratified_sample_has_no_exchange(spark, sf_dir, queries):
+    """Stratified sampling is a pure projection + content-hash filter:
+    the keep/drop decision is a function of the row alone, so the plan
+    must contain NO exchange of any kind — it runs map-side wherever the
+    data already lives, at any scale."""
+    plan = _plan(queries["op_stratified_sample"](spark, sf_dir))
+    assert "Exchange" not in plan, plan
+
+
+def test_dedup_clusters_round_is_equi_join(spark, sf_dir):
+    """One min-label propagation round = edges-to-labels equi-join on
+    doc_id + per-src min + left equi-join back to labels.  Pin that both
+    joins are hash/sort-merge equi-joins (never cartesian/nested-loop)
+    and the aggregate has a map-side partial — the per-round cost at
+    100 TB is two keyed shuffles, nothing quadratic.  (The registered
+    query's returned frame is post-localCheckpoint, so the iteration
+    plan must be pinned on a reconstructed round.)"""
+    import pyspark.sql.functions as F
+
+    from atlas_spark.operators.dedup import minhash_lsh_candidates
+
+    pairs = minhash_lsh_candidates(spark, sf_dir)
+    edges = pairs.select(
+        F.col("id_a").cast("long").alias("src"),
+        F.col("id_b").cast("long").alias("dst"),
+    )
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+    )
+    neighbor_min = (
+        edges.join(labels, edges.dst == labels.doc_id)
+        .groupBy("src")
+        .agg(F.min("label").alias("nlabel"))
+    )
+    new_labels = labels.join(
+        neighbor_min, labels.doc_id == neighbor_min.src, "left"
+    ).select(
+        "doc_id",
+        F.least(
+            F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+        ).alias("label"),
+    )
+    plan = _plan(new_labels)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("HashAggregate") >= 2 or "SortAggregate" in plan, plan
+
+
 def test_minhash_recall_on_planted_dups(spark):
     """Plant textual near-duplicates (word substitutions, Jaccard >= ~0.7)
     in a random-word corpus: the registered 24x2 banding must recover every
