@@ -3,8 +3,11 @@
 Images/audio/video are opaque `binary` columns plus typed metadata.  The
 decode/feature-extraction step runs as Arrow-batched pandas functions via
 `mapInPandas` — the Spark-side plumbing (schema, batching, partitioning)
-is real; the codec itself is stubbed because decode libraries are not
-available in this environment (see `FakeDecoder`).
+is real.  The codec is capability-gated: `PilDecoder` (real PIL decode /
+resize / frame iteration) is used where PIL is importable, with the
+deterministic `FakeDecoder` as the fallback; the registered driver
+queries always use the fake so their DuckDB oracles stay exact over the
+synthetic text-byte payloads.
 """
 
 from __future__ import annotations
@@ -47,6 +50,73 @@ class FakeDecoder:
         raise NotImplementedError("video frame sampling requires a codec library")
 
 
+class PilDecoder:
+    """Real image codec backed by PIL, used when the library is importable.
+
+    Capability-gated: `PilDecoder.available()` checks for PIL without
+    importing it at module load (executors only pay the import inside the
+    Arrow batch function).  The registered driver-contract queries stay on
+    `FakeDecoder` regardless — their payloads are synthetic text bytes and
+    their DuckDB oracles reproduce the fake byte math — so the real codec
+    is opt-in per call via the `decoder=` parameter.
+    """
+
+    @staticmethod
+    def available() -> bool:
+        import importlib.util
+
+        return importlib.util.find_spec("PIL") is not None
+
+    @staticmethod
+    def decode(payload: bytes) -> dict:
+        import hashlib
+        import io
+
+        from PIL import Image
+
+        with Image.open(io.BytesIO(payload)) as im:
+            w, h = im.size
+        return {
+            "n_bytes": len(payload),
+            "digest": hashlib.sha256(payload).hexdigest(),
+            "width": w,
+            "height": h,
+        }
+
+    @staticmethod
+    def resize(payload: bytes, w: int, h: int) -> bytes:
+        import io
+
+        from PIL import Image
+
+        with Image.open(io.BytesIO(payload)) as im:
+            out = io.BytesIO()
+            im.resize((w, h)).save(out, format="PNG")
+            return out.getvalue()
+
+    @staticmethod
+    def frame_sample(payload: bytes, every_n: int) -> list[bytes]:
+        import io
+
+        from PIL import Image, ImageSequence
+
+        frames: list[bytes] = []
+        with Image.open(io.BytesIO(payload)) as im:
+            for i, frame in enumerate(ImageSequence.Iterator(im)):
+                if i % every_n:
+                    continue
+                out = io.BytesIO()
+                frame.convert("RGB").save(out, format="PNG")
+                frames.append(out.getvalue())
+        return frames
+
+
+def default_decoder():
+    """The best decoder this environment supports: PIL when importable,
+    the deterministic fake otherwise."""
+    return PilDecoder if PilDecoder.available() else FakeDecoder
+
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -68,21 +138,27 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def extract_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Feature extraction over the binary column via Arrow-batched
-    `mapInPandas` — one python worker call per batch, not per row."""
+def decode_features(media: DataFrame, decoder=FakeDecoder) -> DataFrame:
+    """Feature extraction over a `(doc_id, payload binary)` frame via
+    Arrow-batched `mapInPandas` — one python worker call per batch, not
+    per row.  `decoder` is any object with the FakeDecoder interface
+    (e.g. `PilDecoder` where PIL is installed)."""
     import pandas as pd
-
-    media = media_table(spark, sf_dir)
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [FakeDecoder.decode(p) for p in pdf["payload"]]
+            feats = [decoder.decode(bytes(p)) for p in pdf["payload"]]
             out = pd.DataFrame(feats)
             out.insert(0, "doc_id", pdf["doc_id"].values)
             yield out[["doc_id", "n_bytes", "digest", "width", "height"]]
 
     return media.mapInPandas(extract, schema=MEDIA_SCHEMA)
+
+
+def extract_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry: deterministic FakeDecoder over the synthetic
+    text-byte payloads (the DuckDB oracle reproduces its byte math)."""
+    return decode_features(media_table(spark, sf_dir), decoder=FakeDecoder)
 
 
 CHUNK_SCHEMA = T.StructType(
@@ -161,29 +237,32 @@ RESIZED_SCHEMA = T.StructType(
 )
 
 
-def resize_media(
-    spark: SparkSession, sf_dir: str, width: int = 16, height: int = 8
+def resize_payloads(
+    media: DataFrame, width: int, height: int, decoder=None
 ) -> DataFrame:
     """Resize shape: binary in -> binary OUT through the Arrow boundary —
     the one plumbing direction decode/frame-sample don't cover.
 
-    The "codec" is a deterministic fake (truncate/right-pad the payload to
-    exactly width*height bytes; real deployments plug PIL into
-    `FakeDecoder.resize`), so the batch shape, binary output column, and
-    per-chunk metadata are all real and oracle-checkable.
+    With a `decoder` (e.g. `PilDecoder`), each payload is decoded, resized
+    to (width, height), and re-encoded.  Without one, the deterministic
+    fake truncates/right-pads the payload to exactly width*height bytes —
+    same batch shape, binary output column, and per-row metadata, all
+    oracle-checkable.
     """
     import hashlib
 
     import pandas as pd
 
     target = width * height
-    media = media_table(spark, sf_dir)
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"doc_id": [], "payload": [], "n_bytes": [], "digest": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                b = bytes(payload)[:target].ljust(target, b"0")
+                if decoder is not None:
+                    b = decoder.resize(bytes(payload), width, height)
+                else:
+                    b = bytes(payload)[:target].ljust(target, b"0")
                 out["doc_id"].append(doc_id)
                 out["payload"].append(b)
                 out["n_bytes"].append(len(b))
@@ -191,6 +270,15 @@ def resize_media(
             yield pd.DataFrame(out)
 
     return media.mapInPandas(resize, schema=RESIZED_SCHEMA)
+
+
+def resize_media(
+    spark: SparkSession, sf_dir: str, width: int = 16, height: int = 8
+) -> DataFrame:
+    """Driver-contract entry: fake resize over the synthetic text-byte
+    payloads (real image bytes would go through `resize_payloads(...,
+    decoder=default_decoder())`)."""
+    return resize_payloads(media_table(spark, sf_dir), width, height)
 
 
 def resize_media_query(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -150,6 +150,22 @@ def _decompose_state_plan(expr: E.TimeSeriesExpr, step: int) -> _StatePlan | Non
         if ip is None or "distinct" not in ip.keys:
             return None
         core, keys = ("hll", ip), tuple(k for k in ip.keys if k != "distinct")
+    elif isinstance(e, E.PercentilesExpr):
+        # histogram percentile estimator: per finalized interval the
+        # estimate is a pure fold over that interval's bucket-count rows
+        # (no cross-interval state), so it streams as a spooled watermarked
+        # collect + closed-form crossing search — making chains like
+        # `...,:percentiles,:rolling-max` fully state-store
+        ip = _decompose_state_plan(e.expr, step)
+        if ip is None or "percentile" not in ip.keys:
+            return None
+        core = ("pct", tuple(sorted(set(e.pcts))), ip)
+        keys = tuple(e.eval_keys()) + ("percentile",)
+    elif isinstance(e, E.SampleCountExpr):
+        ip = _decompose_state_plan(e.expr, step)
+        if ip is None or "percentile" not in ip.keys:
+            return None
+        core, keys = ("pctsc", e.lo, e.hi, ip), tuple(e.eval_keys())
     elif isinstance(e, E.MathGroupByExpr):
         # grouped second-level aggregation (regroup to subset keys,
         # MathExpr.scala:795-851): spooled watermarked fold of the inner
@@ -180,6 +196,64 @@ def _stateless_col(steps: tuple, col, step: int):
         else:
             col = nanmath.binary_op(op, F.lit(float(param)), col)
     return col
+
+
+def _pct_estimates(lst_col, total_col, timer_col, pcts):
+    """Closed-form Spectator crossing search over a sorted (idx, cnt)
+    bucket list — the streaming mirror of `builder._eval_percentiles`'
+    min_by crossing (same prev-boundary-by-index interpolation), built
+    from `aggregate()` lambdas so it runs inside one watermarked agg
+    projection.  Returns [(pct label, estimate column), ...]."""
+    from ..functions.percentile_buckets import BOUNDARIES, pct_label
+
+    barr = F.array(*[F.lit(float(b)) for b in BOUNDARIES])
+    out = []
+    def make_merge(pl):
+        # pyspark derives the lambda arity from the python signature, so
+        # the merge fn must take EXACTLY (acc, x) — bind pl via closure
+        def merge(acc, x):
+            cum2 = acc["cum"] + x["cnt"]
+            prevp = F.lit(100.0) * acc["cum"] / total_col
+            nextp = F.lit(100.0) * cum2 / total_col
+            # previous BOUNDARY by bucket index (empty buckets still
+            # advance the boundary); element_at is 1-based
+            prevb = F.when(x["idx"] == 0, F.lit(0.0)).otherwise(
+                F.element_at(barr, x["idx"])
+            )
+            bval = F.element_at(barr, x["idx"] + 1)
+            crossing = (~acc["found"]) & (prevp <= pl) & (pl <= nextp)
+            return F.struct(
+                cum2.alias("cum"),
+                F.when(crossing, prevp).otherwise(acc["prevp"]).alias("prevp"),
+                F.when(crossing, nextp).otherwise(acc["nextp"]).alias("nextp"),
+                F.when(crossing, prevb).otherwise(acc["prevb"]).alias("prevb"),
+                F.when(crossing, bval).otherwise(acc["bval"]).alias("bval"),
+                (acc["found"] | crossing).alias("found"),
+            )
+
+        return merge
+
+    for p in pcts:
+        pl = F.lit(float(p))
+
+        init = F.struct(
+            F.lit(0.0).alias("cum"),
+            F.lit(0.0).alias("prevp"),
+            F.lit(0.0).alias("nextp"),
+            F.lit(0.0).alias("prevb"),
+            F.lit(0.0).alias("bval"),
+            F.lit(False).alias("found"),
+        )
+        acc = F.aggregate(lst_col, init, make_merge(pl))
+        frac = F.when(acc["nextp"] == acc["prevp"], F.lit(0.0)).otherwise(
+            (pl - acc["prevp"]) / (acc["nextp"] - acc["prevp"])
+        )
+        est = acc["prevb"] + frac * (acc["bval"] - acc["prevb"])
+        est = F.when(
+            acc["found"], F.when(timer_col, est * 1e-9).otherwise(est)
+        )
+        out.append((pct_label(p), est))
+    return out
 
 
 class _ChainedQueries:
@@ -276,11 +350,12 @@ class StreamingEvaluator:
         store, never in driver memory.  This covers every §2.4 op
         including DES, multi-op chains (`:rolling-sum,:des`), joins
         (`a,b,:sub,:rolling-max`), differently-grouped regroups
-        (`...,:by,:dup,:sum,(,k,),:by,:div`), and the :approx-distinct
-        sketch family.  Only :percentiles-family cores fall back — and
-        those are stateless per interval, so they run distributed
-        per-batch; the driver-buffer path remains solely for a
-        percentile estimator under a cross-interval stateful chain.
+        (`...,:by,:dup,:sum,(,k,),:by,:div`), and both sketch families
+        (:approx-distinct and the :percentiles/:median/:sample-count
+        bucket estimators, incl. under cross-interval chains).  The
+        driver-buffer path remains only for shapes that fail
+        decomposition outright (e.g. a non-subset-key cross-line join),
+        matching the reference's own single-node FinalExprEval state.
         """
         if self.state_plan is not None:
             return self._start_state_store(stream, query_name)
@@ -428,6 +503,103 @@ class StreamingEvaluator:
                 F.unix_timestamp("ets").cast("long").alias("t"),
                 est.cast("double").alias("value"),
             )
+        elif plan.core[0] in ("pct", "pctsc"):
+            # percentile-bucket estimators: spool the inner register
+            # stream, decode the bucket index from the percentile label,
+            # and collapse per (eval-key series, interval) in ONE
+            # watermarked agg — estimates are a closed-form projection
+            # (`_pct_estimates`), never driver-side
+            import math as _math
+
+            from ..functions.percentile_buckets import N_BUCKETS, index_of
+
+            ip = plan.core[-1]
+            inner = self._build_plan_stream(stream, ip, f"{name}_inner", queries)
+            qp, repct = self._spool(inner, f"{name}_pctspool")
+            queries.append(qp)
+            wm = f"{self.num_buffers * self.step} seconds"
+            parts = F.split(F.col("series"), _SERIES_SEP)
+            label = parts.getItem(ip.keys.index("percentile"))
+            ek = [k for k in ip.keys if k != "percentile"]
+            ek_series = (
+                F.concat_ws(
+                    _SERIES_SEP, *[parts.getItem(ip.keys.index(k)) for k in ek]
+                )
+                if ek
+                else F.lit(_NO_KEY)
+            )
+            idx = F.least(
+                F.conv(F.substring(label, 2, 4), 16, 10).cast("int"),
+                F.lit(N_BUCKETS - 1),
+            )
+            timer = F.substring(label, 1, 1) == F.lit("T")
+            pre = repct.filter(
+                F.col("value").isNotNull()
+                & (F.col("value") > 0)
+                & label.rlike("^[DT]")
+            ).withColumn("ets", F.timestamp_seconds("t"))
+            if plan.core[0] == "pctsc":
+                _, lo, hi, _ip = plan.core
+                lo_idx = index_of(_math.ceil(lo)) if lo > 0 else 0
+                hi_idx = index_of(_math.ceil(hi)) if _math.isfinite(hi) else 1 << 30
+                current = (
+                    pre.filter((idx >= lo_idx) & (idx < hi_idx))
+                    .select(ek_series.alias("series"), "ets", "value")
+                    .withWatermark("ets", wm)
+                    .groupBy("series", "ets")
+                    .agg(F.sum("value").alias("value"))
+                    .select(
+                        "series",
+                        F.unix_timestamp("ets").cast("long").alias("t"),
+                        F.col("value").cast("double").alias("value"),
+                    )
+                )
+            else:
+                _, pcts, _ip = plan.core
+                agg = (
+                    pre.select(
+                        ek_series.alias("series"),
+                        "ets",
+                        idx.alias("_idx"),
+                        timer.alias("_timer"),
+                        F.col("value").alias("_cnt"),
+                    )
+                    .withWatermark("ets", wm)
+                    .groupBy("series", "ets")
+                    .agg(
+                        F.sort_array(
+                            F.collect_list(
+                                F.struct(
+                                    F.col("_idx").alias("idx"),
+                                    F.col("_cnt").alias("cnt"),
+                                )
+                            )
+                        ).alias("_lst"),
+                        F.sum("_cnt").alias("_total"),
+                        F.max("_timer").alias("_timer"),
+                    )
+                )
+                ests = _pct_estimates(
+                    F.col("_lst"), F.col("_total"), F.col("_timer"), pcts
+                )
+                stack_args: list = [F.lit(len(ests))]
+                for lbl, est in ests:
+                    stack_args += [F.lit(lbl), est]
+                unpacked = agg.select(
+                    "series",
+                    F.unix_timestamp("ets").cast("long").alias("t"),
+                    F.stack(*stack_args).alias("_plabel", "value"),
+                )
+                out_series = (
+                    F.concat_ws(_SERIES_SEP, "series", "_plabel")
+                    if ek
+                    else F.col("_plabel")
+                )
+                current = unpacked.select(
+                    out_series.alias("series"),
+                    "t",
+                    F.col("value").cast("double").alias("value"),
+                )
         elif plan.core[0] == "regroup":
             # grouped second-level aggregation: spool the inner result,
             # re-stream, project each inner series onto the subset keys,

@@ -301,8 +301,8 @@ def test_decode_publish_payloads(spark):
 
 
 def test_stateless_complex_no_driver_buffer(spark, stream_dirs):
-    """:percentiles (non-decomposable but stateless across intervals)
-    evaluates distributed per micro-batch — no pandas buffer — and
+    """:percentiles decomposes to the state store (spooled bucket
+    collapse + closed-form crossing search) — no pandas buffer — and
     matches batch evaluation per finalized interval."""
     import pandas as pd
     import pyspark.sql.functions as F
@@ -335,7 +335,7 @@ def test_stateless_complex_no_driver_buffer(spark, stream_dirs):
     sev = StreamingEvaluator(
         spark, asl, step, {"name": "k_name", "percentile": "k_percentile"}, num_buffers=2
     )
-    assert sev.state_plan is None and sev.lookback == 1  # stateless-complex route
+    assert sev.state_plan is not None and sev.state_plan.core[0] == "pct"
     stream = (
         spark.readStream.schema("k_name string, k_percentile string, ts timestamp, value double")
         .option("maxFilesPerTrigger", "1")

@@ -803,3 +803,147 @@ def test_approx_distinct_sketch_state_store(spark, stream_dir):
     assert got, "no streaming results"
     for t, v in got.items():
         assert t in truth and abs(v - truth[t]) < 1e-9, (t, v, truth.get(t))
+
+
+def test_percentile_chain_state_store(spark, stream_dir):
+    """A percentile estimator under a cross-interval stateful chain
+    (`:percentiles,:rolling-max`) — formerly the LAST driver-buffer
+    shape — decomposes to the state store: spooled watermarked bucket
+    collapse + closed-form crossing search, then the rolling kernel.
+    Estimates equal batch evaluation across micro-batch boundaries and
+    the driver pandas buffer stays untouched."""
+    import pyspark.sql.functions as F
+
+    from atlas_spark.plans.builder import Evaluator
+    from atlas_spark.plans.context import EvalContext
+    from atlas_spark.sources.datapoints import DatapointSource
+    from atlas_spark.stacklang.vocab import parse as parse_asl
+    from atlas_spark.streaming.evaluator import StreamingEvaluator
+
+    asl = ":true,(,50,90,),:percentiles,3,:rolling-max"
+    step = 60
+    base = 1704067200
+    rows = []
+    for h in range(8):
+        for idx, cnt in ((10, 5.0 + h), (20, 3.0), (40, 1.0 + (h % 3))):
+            rows.append(
+                {
+                    "k_percentile": f"D{idx:04X}",
+                    "ts": pd.Timestamp(base + h * step + 5, unit="s"),
+                    "value": cnt,
+                }
+            )
+    pdf = pd.DataFrame(rows)
+    chunks = [pdf.iloc[:9], pdf.iloc[9:15], pdf.iloc[15:]]
+
+    sev = StreamingEvaluator(
+        spark, asl, step, {"percentile": "k_percentile"}, num_buffers=2
+    )
+    assert sev.state_plan is not None, "percentile chain must decompose"
+    assert sev.state_plan.core[0] == "pct"
+    assert sev.state_plan.chain == (("rolling-max", (3,)),)
+    stream = (
+        spark.readStream.schema("k_percentile string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    spark.createDataFrame(chunks[0]).coalesce(1).write.mode("append").parquet(stream_dir)
+    q = sev.start(stream)
+    try:
+        q.processAllAvailable()
+        for c in chunks[1:]:
+            spark.createDataFrame(c).coalesce(1).write.mode("append").parquet(stream_dir)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    dp = spark.createDataFrame(pdf).select(
+        "k_percentile",
+        (F.unix_timestamp("ts") - F.unix_timestamp("ts") % step).cast("long").alias("t"),
+        "value",
+    )
+    src = DatapointSource(
+        df=dp, step=step, colmap={"percentile": "k_percentile"}, sql_cte=""
+    )
+    ctx = EvalContext(base, base + 8 * step, step)
+    rf = Evaluator(src, ctx).eval(parse_asl(asl, step=step)[0])
+    pc = rf.colmap["percentile"]
+    truth = {(r[pc], r["t"]): r["value"] for r in rf.df.collect()}
+
+    got = {(r["percentile"], r["t"]): r["value"] for r in sev.results}
+    assert got, "no streaming results"
+    assert {p for p, _ in got} == {p for p, _ in truth}, (got.keys(), truth.keys())
+    for key, v in got.items():
+        assert key in truth, key
+        tv = truth[key]
+        if v is None or tv is None:
+            assert v == tv, (key, v, tv)
+        else:
+            assert abs(v - tv) < 1e-6 * max(1.0, abs(tv)), (key, v, tv)
+    assert sev._buffer is None, "driver pandas buffer must stay untouched"
+
+
+def test_sample_count_state_store(spark, stream_dir):
+    """`lo,hi,:sample-count` streams as a spooled watermarked range-sum —
+    same values as batch, no driver buffer."""
+    import pyspark.sql.functions as F
+
+    from atlas_spark.functions.percentile_buckets import BOUNDARIES
+    from atlas_spark.plans.builder import Evaluator
+    from atlas_spark.plans.context import EvalContext
+    from atlas_spark.sources.datapoints import DatapointSource
+    from atlas_spark.stacklang.vocab import parse as parse_asl
+    from atlas_spark.streaming.evaluator import StreamingEvaluator
+
+    lo, hi = int(BOUNDARIES[12]), int(BOUNDARIES[30])
+    asl = f":true,{lo},{hi},:sample-count"
+    step = 60
+    base = 1704067200
+    rows = []
+    for h in range(6):
+        for idx, cnt in ((10, 2.0), (20, 3.0 + h), (40, 7.0)):
+            rows.append(
+                {
+                    "k_percentile": f"D{idx:04X}",
+                    "ts": pd.Timestamp(base + h * step + 5, unit="s"),
+                    "value": cnt,
+                }
+            )
+    pdf = pd.DataFrame(rows)
+    chunks = [pdf.iloc[:9], pdf.iloc[9:]]
+
+    sev = StreamingEvaluator(
+        spark, asl, step, {"percentile": "k_percentile"}, num_buffers=2
+    )
+    assert sev.state_plan is not None and sev.state_plan.core[0] == "pctsc"
+    stream = (
+        spark.readStream.schema("k_percentile string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    spark.createDataFrame(chunks[0]).coalesce(1).write.mode("append").parquet(stream_dir)
+    q = sev.start(stream)
+    try:
+        q.processAllAvailable()
+        for c in chunks[1:]:
+            spark.createDataFrame(c).coalesce(1).write.mode("append").parquet(stream_dir)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    dp = spark.createDataFrame(pdf).select(
+        "k_percentile",
+        (F.unix_timestamp("ts") - F.unix_timestamp("ts") % step).cast("long").alias("t"),
+        "value",
+    )
+    src = DatapointSource(
+        df=dp, step=step, colmap={"percentile": "k_percentile"}, sql_cte=""
+    )
+    ctx = EvalContext(base, base + 6 * step, step)
+    rf = Evaluator(src, ctx).eval(parse_asl(asl, step=step)[0])
+    truth = {r["t"]: r["value"] for r in rf.df.collect()}
+
+    got = {r["t"]: r["value"] for r in sev.results}
+    assert got, "no streaming results"
+    for t, v in got.items():
+        assert t in truth and abs(v - truth[t]) < 1e-9, (t, v, truth.get(t))

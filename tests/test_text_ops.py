@@ -68,6 +68,47 @@ def test_resize_media_binary_roundtrip(spark, sf_dir):
         assert hashlib.sha256(b).hexdigest() == r["digest"]
 
 
+def test_codec_capability_gate(spark):
+    """The codec is capability-gated: with PIL installed the default
+    decoder is the real one and round-trips a real PNG through the
+    resize/decode pipelines; without it, the deterministic fake is
+    selected and the PIL path stays untouched.  Green either way."""
+    from atlas_spark.operators.multimodal import (
+        FakeDecoder,
+        PilDecoder,
+        decode_features,
+        default_decoder,
+        resize_payloads,
+    )
+
+    if not PilDecoder.available():
+        assert default_decoder() is FakeDecoder
+        # fake fallback still drives the generic entry points
+        media = spark.createDataFrame(
+            [(1, b"hello world payload")], "doc_id long, payload binary"
+        )
+        feats = decode_features(media).collect()
+        assert feats[0]["n_bytes"] == 19
+        resized = resize_payloads(media, 4, 4).collect()
+        assert len(bytes(resized[0]["payload"])) == 16
+        return
+
+    assert default_decoder() is PilDecoder
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (32, 20), (200, 10, 10)).save(buf, format="PNG")
+    png = buf.getvalue()
+    media = spark.createDataFrame([(1, png)], "doc_id long, payload binary")
+    feats = decode_features(media, decoder=PilDecoder).collect()
+    assert (feats[0]["width"], feats[0]["height"]) == (32, 20)
+    resized = resize_payloads(media, 8, 8, decoder=PilDecoder).collect()
+    with Image.open(io.BytesIO(bytes(resized[0]["payload"]))) as im:
+        assert im.size == (8, 8)
+
+
 def test_publish_decoder_edge_shapes(spark):
     """Decoder robustness: absent metrics, absent common tags, nulls."""
     import json
