@@ -52,6 +52,17 @@ class GraphResult:
     # legacy `o=1` -> log) and whether lines default to stacked (`stack=1`)
     scale: str = "linear"
     axis_stack: bool = False
+    # explicit y bounds (`u`/`l` params, PlotDef.upper/lower); lower also
+    # accepts "auto-data" (tight data min even with area lines present)
+    upper: float | None = None
+    lower: float | str | None = None
+    # legend config (GraphConfig legendType: OFF / LABELS_ONLY /
+    # LABELS_WITH_STATS via no_legend / no_legend_stats / only_graph).
+    # Default False so directly constructed results render graph-only;
+    # the /graph URI path turns it on unless no_legend=1.
+    show_legend: bool = False
+    show_legend_stats: bool = True
+    theme: str = "light"
 
     def to_json(self) -> dict[str, Any]:
         """std.json-style payload (one message per line)."""
@@ -323,6 +334,23 @@ class Engine:
             "log" if qs.get("o", [None])[0] == "1" else "linear"
         )
         axis_stack = qs.get("stack", [None])[0] == "1"
+
+        def _bound(name: str) -> float | str | None:
+            raw = qs.get(name, [None])[0]
+            if raw is None or raw in ("auto-style",):
+                return None
+            if raw == "auto-data":
+                return "auto-data"
+            try:
+                return float(raw)
+            except ValueError:
+                return None
+
+        # legend flags (Grapher.scala:147-149): on by default, stats on by
+        # default, only_graph suppresses everything outside the plot area
+        only_graph = qs.get("only_graph", [None])[0] == "1"
+        show_legend = not only_graph and qs.get("no_legend", [None])[0] != "1"
+        show_stats = qs.get("no_legend_stats", [None])[0] != "1"
         return GraphResult(
             ctx.start,
             ctx.end,
@@ -331,6 +359,11 @@ class Engine:
             timezones=tzs,
             scale=scale,
             axis_stack=axis_stack,
+            upper=_bound("u"),
+            lower=_bound("l"),
+            show_legend=show_legend,
+            show_legend_stats=show_stats,
+            theme=qs.get("theme", ["light"])[0],
         )
 
     def graph_png(self, uri: str, width: int = 700, height: int = 300) -> bytes:

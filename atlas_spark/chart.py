@@ -12,9 +12,13 @@ Reference behaviors kept: default palette order (Palette.scala
 the line, auto y-range including zero, vspan rendering as translucent
 fill, y-axis scales (`scale=log|log-linear|pow2|sqrt`, legacy `o=1` —
 Scales.scala/LogLinear.scala semantics incl. the vizlog 0/negative
-handling), and stacked-area compositing on running positive/negative
+handling), stacked-area compositing on running positive/negative
 offsets per step with the stacked total driving the y-range
-(TimeSeriesStack.scala, axis `stack=1` defaulting line style).
+(TimeSeriesStack.scala, axis `stack=1` defaulting line style), explicit
+`u`/`l` axis bounds with auto-style/auto-data defaults (PlotBound),
+legend entries with Max/Min/Avg/Last/Tot/Cnt stat rows (LegendEntry,
+`no_legend`/`no_legend_stats`/`only_graph` flags), and light/dark
+themes.
 """
 
 from __future__ import annotations
@@ -40,6 +44,18 @@ _BG = (255, 255, 255)
 _GRID = (224, 224, 224)
 _AXIS = (96, 96, 96)
 _TEXT = (64, 64, 64)
+
+# light/dark chart themes (ChartSettings theme config): background, grid,
+# axis, and text colors; line palette is shared
+_THEMES = {
+    "light": {"bg": _BG, "grid": _GRID, "axis": _AXIS, "text": _TEXT},
+    "dark": {
+        "bg": (16, 16, 16),
+        "grid": (52, 52, 52),
+        "axis": (168, 168, 168),
+        "text": (208, 208, 208),
+    },
+}
 
 # 5x7 bitmap glyphs (each row a 5-bit pattern, MSB left) for axis labels:
 # digits, uppercase letters used by zone ids / months, and punctuation.
@@ -91,11 +107,11 @@ _FONT = {
 
 
 class Canvas:
-    def __init__(self, w: int, h: int):
+    def __init__(self, w: int, h: int, bg=_BG):
         self.w, self.h = w, h
         self.px = bytearray(w * h * 3)
         for i in range(0, len(self.px), 3):
-            self.px[i : i + 3] = bytes(_BG)
+            self.px[i : i + 3] = bytes(bg)
 
     def put(self, x: int, y: int, rgb, alpha: float = 1.0) -> None:
         if 0 <= x < self.w and 0 <= y < self.h:
@@ -377,12 +393,11 @@ def render_png(result, width: int = 700, height: int = 300) -> bytes:
     from zoneinfo import ZoneInfo
 
     tzs = list(getattr(result, "timezones", None) or ["UTC"])
+    th = _THEMES.get(getattr(result, "theme", None) or "light", _THEMES["light"])
     zone_row_h = 11
     pad_l, pad_r, pad_t = 48, 8, 8
     pad_b = 9 + zone_row_h * len(tzs)
     plot_w = width - pad_l - pad_r
-    plot_h = height - pad_t - pad_b
-    cv = Canvas(width, height)
 
     # axis-level params (Grapher.scala newAxis: `scale`/`o` pick the y
     # scale; `stack=1` makes stack the default line style for the axis)
@@ -392,6 +407,21 @@ def render_png(result, width: int = 700, height: int = 300) -> bytes:
     def _style(ln) -> str:
         s = (getattr(ln, "settings", {}) or {}).get("ls")
         return s if s else ("stack" if axis_stack else "line")
+
+    # legend sizing (LegendEntry.height): one 9px label row per line,
+    # plus three 8px stat rows when stats are shown; carved out of the
+    # fixed canvas height, capped at half of it (extra entries truncate)
+    show_legend = bool(getattr(result, "show_legend", False))
+    show_stats = bool(getattr(result, "show_legend_stats", True))
+    entry_h = 9 + (3 * 8 if show_stats else 0)
+    n_entries = 0
+    legend_h = 0
+    if show_legend and result.lines:
+        max_h = (height - pad_t - pad_b) // 2
+        n_entries = min(len(result.lines), max(0, max_h // entry_h))
+        legend_h = n_entries * entry_h
+    plot_h = height - pad_t - pad_b - legend_h
+    cv = Canvas(width, height, bg=th["bg"])
 
     hm_lines = [ln for ln in result.lines if _style(ln) == "heatmap"]
     ts_lines = [ln for ln in result.lines if ln not in hm_lines]
@@ -430,12 +460,37 @@ def render_png(result, width: int = 700, height: int = 300) -> bytes:
             for v in ln.data
             if v is not None and math.isfinite(v)
         ]
-    lo = min([0.0] + finite) if finite else 0.0
-    hi = max([1.0] + finite) if finite else 1.0
-    if hi == lo:
+    # y bounds (PlotDef.finalBounds / PlotBound): explicit u/l win;
+    # auto-style includes 0 when any filled style is present (area, stack,
+    # heatmap), else tight data bounds; l=auto-data is always tight
+    data_lo = min(finite) if finite else 0.0
+    data_hi = max(finite) if finite else 1.0
+    has_fill = bool(hm_lines) or any(
+        _style(ln) in ("area", "stack") for ln in ts_lines
+    )
+    lower = getattr(result, "lower", None)
+    upper = getattr(result, "upper", None)
+    if isinstance(lower, (int, float)):
+        lo = float(lower)
+    elif lower == "auto-data":
+        lo = data_lo
+    else:
+        lo = min(0.0, data_lo) if has_fill else data_lo
+    if isinstance(upper, (int, float)):
+        hi = float(upper)
+    else:
+        # fills anchor at the axis, so 0 joins the range on BOTH sides
+        # (an all-negative stack still shows the zero line at the top)
+        hi = max(0.0, data_hi) if has_fill else data_hi
+    if hi <= lo:
         hi = lo + 1.0
 
-    ty = make_yscale(scale, lo, hi, pad_t, pad_t + plot_h - 1)
+    _ty_raw = make_yscale(scale, lo, hi, pad_t, pad_t + plot_h - 1)
+
+    def ty(v: float) -> int:
+        # explicit bounds can put values outside the plot; clamp so marks
+        # never spill into the axis labels or legend region
+        return min(pad_t + plot_h - 1, max(pad_t, _ty_raw(v)))
 
     def tx(i: int) -> int:
         return pad_l + int(round(i / max(1, n_steps - 1) * (plot_w - 1)))
@@ -445,16 +500,16 @@ def render_png(result, width: int = 700, height: int = 300) -> bytes:
     # compressed-at-the-top tick spacing)
     for g in range(5):
         val = hi - (hi - lo) * g / 4
-        y = min(pad_t + plot_h - 1, max(pad_t, ty(val)))
-        cv.hline(y, pad_l, pad_l + plot_w - 1, _GRID)
-        cv.text(2, y - 3, _fmt_value(val)[:7])
+        y = ty(val)
+        cv.hline(y, pad_l, pad_l + plot_w - 1, th["grid"])
+        cv.text(2, y - 3, _fmt_value(val)[:7], th["text"])
     tick_is = list(range(0, n_steps, max(1, n_steps // 8)))
     for i in tick_is:
-        cv.vline(tx(i), pad_t, pad_t + plot_h - 1, _GRID)
+        cv.vline(tx(i), pad_t, pad_t + plot_h - 1, th["grid"])
 
     # axes
-    cv.vline(pad_l - 1, pad_t, pad_t + plot_h, _AXIS)
-    cv.hline(pad_t + plot_h, pad_l - 1, pad_l + plot_w - 1, _AXIS)
+    cv.vline(pad_l - 1, pad_t, pad_t + plot_h, th["axis"])
+    cv.hline(pad_t + plot_h, pad_l - 1, pad_l + plot_w - 1, th["axis"])
 
     # per-zone time tick labels (one row per zone, same tick instants)
     for zi, zone in enumerate(tzs):
@@ -469,12 +524,14 @@ def render_png(result, width: int = 700, height: int = 300) -> bytes:
             label = local.strftime("%H:%M")
             x = tx(i) - 14
             if x + 30 <= width:
-                cv.text(max(pad_l - 14, x), row_y, label)
+                cv.text(max(pad_l - 14, x), row_y, label, th["text"])
         if len(tzs) > 1:
             # zone id marker in the left margin of its row
-            cv.text(2, row_y, zone.rsplit("/", 1)[-1][:7])
+            cv.text(2, row_y, zone.rsplit("/", 1)[-1][:7], th["text"])
 
-    zero_y = ty(0.0) if lo <= 0.0 <= hi else None
+    # ty clamps, so with bounds excluding 0 the area fill meets the
+    # nearest plot edge (reference behavior for clipped area fills)
+    zero_y = ty(0.0)
 
     if hm_lines:
         _render_heatmap(cv, hm_lines, n_steps, tx, ty, lo, hi, pad_t, plot_h)
@@ -535,4 +592,40 @@ def render_png(result, width: int = 700, height: int = 300) -> bytes:
                 else:
                     cv.put(x, y, color)
                 prev = (x, y)
+
+    # ---------------------------------------------------------------- legend
+    # LegendEntry.draw: color box + label row, then Max/Min | Avg/Last |
+    # Tot/Cnt stat rows from the line's data (LineDef.legendStats)
+    if n_entries:
+        y0 = height - legend_h
+        for li in range(n_entries):
+            ln = result.lines[li]
+            settings = getattr(ln, "settings", {}) or {}
+            color, _ = _parse_color(
+                settings.get("color"), PALETTE[li % len(PALETTE)]
+            )
+            ey = y0 + li * entry_h
+            for yy in range(ey + 1, ey + 8):
+                cv.hline(yy, 4, 10, color)
+            cv.text(14, ey + 1, (ln.label or "")[: (width - 18) // 6], th["text"])
+            if show_stats:
+                vals = [
+                    v for v in ln.data if v is not None and math.isfinite(v)
+                ]
+                if vals:
+                    stats = [
+                        ("MAX", _fmt_value(max(vals)), "MIN", _fmt_value(min(vals))),
+                        (
+                            "AVG",
+                            _fmt_value(sum(vals) / len(vals)),
+                            "LAST",
+                            _fmt_value(vals[-1]),
+                        ),
+                        ("TOT", _fmt_value(sum(vals)), "CNT", str(len(vals))),
+                    ]
+                else:
+                    stats = [("MAX", "-", "MIN", "-"), ("AVG", "-", "LAST", "-"), ("TOT", "-", "CNT", "-")]
+                for si, (k1, v1, k2, v2) in enumerate(stats):
+                    row = f"{k1} {v1:<9}{k2} {v2:<9}"
+                    cv.text(14, ey + 9 + si * 8, row[: (width - 18) // 6], th["text"])
     return cv.to_png()

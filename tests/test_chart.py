@@ -206,3 +206,130 @@ def test_png_log_scale_renders(spark, sf_dir):
     assert engine.graph(base).scale == "linear"
     png = engine.graph_png(base + "&scale=log", width=300, height=200)
     assert png[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+# ------------------------------------------------- bounds / legend / theme
+
+
+def test_explicit_axis_bounds():
+    """u/l pin the y-range (PlotDef.upper/lower): a constant 5 with
+    l=0,u=10 sits mid-plot; out-of-range values clamp to the plot edge
+    instead of spilling into labels."""
+    n = 24
+    lines = [GraphLine({}, "a", [5.0] * n, {})]
+    png = render_png(_result(lines, lower=0.0, upper=10.0), width=300, height=200)
+    w, h, px = _decode(png)
+    ys = [y for y in range(h) if _classify(px(150, y)) == "red"]
+    assert ys, "line not drawn"
+    mid = sum(ys) / len(ys)
+    # plot area ~ rows 8..180; value 5 of [0,10] -> middle third
+    assert h * 0.3 < mid < h * 0.65, mid
+    # u below the data: clamped to the top edge, not drawn outside
+    png2 = render_png(_result(lines, lower=0.0, upper=2.0), width=300, height=200)
+    w2, h2, px2 = _decode(png2)
+    ys2 = [y for y in range(h2) if _classify(px2(150, y)) == "red"]
+    assert ys2 and max(ys2) < h2 * 0.2, ys2[:5]
+
+
+def test_auto_bounds_tight_for_lines_zero_for_fills():
+    """auto-style bounds (PlotBound.AutoStyle): pure line plots get tight
+    data bounds; any area/stack line forces 0 into the range."""
+    n = 24
+    # constant 100 line, tight bounds -> degenerate range [100, 101] puts
+    # the line at the bottom of the plot
+    line_png = render_png(
+        _result([GraphLine({}, "a", [100.0] * n, {})]), width=300, height=200
+    )
+    w, h, px = _decode(line_png)
+    line_ys = [y for y in range(h) if _classify(px(150, y)) == "red"]
+    assert line_ys and min(line_ys) > h * 0.7, line_ys[:5]
+    # same data as area -> range [0, 100], fill spans most of the plot
+    area_png = render_png(
+        _result([GraphLine({}, "a", [100.0] * n, {"ls": "area"})]),
+        width=300,
+        height=200,
+    )
+    w2, h2, px2 = _decode(area_png)
+    area_ys = [y for y in range(h2) if _classify(px2(150, y)) == "red"]
+    assert area_ys and (max(area_ys) - min(area_ys)) > h2 * 0.7
+
+
+def test_legend_with_stats_renders():
+    """show_legend carves a legend strip out of the canvas: color boxes
+    and stat-row text below the time axis, canvas size unchanged."""
+    n = 24
+    lines = [
+        GraphLine({}, "alpha", [1.0] * n, {}),
+        GraphLine({}, "beta", [2.0] * n, {}),
+    ]
+    png = render_png(
+        _result(lines, show_legend=True, show_legend_stats=True),
+        width=300,
+        height=200,
+    )
+    w, h, px = _decode(png)
+    assert (w, h) == (300, 200)
+    # legend strip = bottom 2 * (9 + 24) = 66 rows; the first entry's
+    # color box is the palette red at x in [4, 10]
+    strip0 = h - 66
+    box_red = [
+        (x, y)
+        for x in range(4, 11)
+        for y in range(strip0, strip0 + 9)
+        if _classify(px(x, y)) == "red"
+    ]
+    assert box_red, "first legend color box missing"
+    box_green = [
+        (x, y)
+        for x in range(4, 11)
+        for y in range(strip0 + 33, strip0 + 42)
+        if _classify(px(x, y)) == "green"
+    ]
+    assert box_green, "second legend color box missing"
+    # stat rows render text pixels right of the box
+    text_px = sum(
+        1
+        for x in range(14, w)
+        for y in range(strip0 + 9, strip0 + 33)
+        if _classify(px(x, y)) not in ("bg",)
+    )
+    assert text_px > 50, text_px
+    # no legend -> plot uses the full height and bottom strip stays clean
+    png2 = render_png(_result(lines), width=300, height=200)
+    w2, h2, px2 = _decode(png2)
+    clean = all(
+        _classify(px2(x, y)) == "bg" for x in range(14, 100) for y in range(strip0 + 9, strip0 + 33)
+    )
+    assert not clean or png2 != png
+
+
+def test_dark_theme():
+    """theme=dark swaps the background; line colors stay from the
+    palette."""
+    n = 24
+    lines = [GraphLine({}, "a", [1.0] * n, {})]
+    png = render_png(_result(lines, theme="dark"), width=300, height=200)
+    w, h, px = _decode(png)
+    assert px(0, 0) == (16, 16, 16)
+    assert any(_classify(px(150, y)) == "red" for y in range(h))
+
+
+def test_graph_uri_legend_and_theme_params(spark, sf_dir):
+    """URI flags (Grapher.scala:147-149): legend on by default, no_legend
+    / only_graph turn it off, no_legend_stats keeps labels only; u/l and
+    theme params flow through."""
+    from atlas_spark.api import Engine
+
+    engine = Engine(spark, sf_dir)
+    base = "/api/v1/graph?q=:true,:sum,(,name,),:by&s=2024-01-02&e=2024-01-03"
+    g = engine.graph(base)
+    assert g.show_legend and g.show_legend_stats
+    assert engine.graph(base + "&no_legend=1").show_legend is False
+    assert engine.graph(base + "&only_graph=1").show_legend is False
+    assert engine.graph(base + "&no_legend_stats=1").show_legend_stats is False
+    g2 = engine.graph(base + "&l=0&u=1e3&theme=dark")
+    assert g2.lower == 0.0 and g2.upper == 1000.0 and g2.theme == "dark"
+    g3 = engine.graph(base + "&l=auto-data")
+    assert g3.lower == "auto-data"
+    png = engine.graph_png(base + "&theme=dark", width=320, height=200)
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
