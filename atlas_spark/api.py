@@ -63,6 +63,11 @@ class GraphResult:
     show_legend: bool = False
     show_legend_stats: bool = True
     theme: str = "light"
+    # axis palette (Palette.create: name / colors: list / (,..,) list),
+    # chart title and y-axis label (`palette`/`title`/`ylabel` params)
+    palette: str | None = None
+    title: str | None = None
+    ylabel: str | None = None
 
     def to_json(self) -> dict[str, Any]:
         """std.json-style payload (one message per line)."""
@@ -364,6 +369,9 @@ class Engine:
             show_legend=show_legend,
             show_legend_stats=show_stats,
             theme=qs.get("theme", ["light"])[0],
+            palette=qs.get("palette", [None])[0],
+            title=qs.get("title", [None])[0] or None,
+            ylabel=qs.get("ylabel", [None])[0] or None,
         )
 
     def graph_png(self, uri: str, width: int = 700, height: int = 300) -> bytes:

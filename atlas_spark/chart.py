@@ -40,6 +40,54 @@ PALETTE = (
     (0x10, 0x00, 0x80),
 )
 
+
+def _hexes(*hs: str) -> tuple:
+    return tuple((int(h[0:2], 16), int(h[2:4], 16), int(h[4:6], 16)) for h in hs)
+
+
+# named palettes mirroring the reference's resource lists
+# (atlas-chart/src/main/resources/palettes/{name}_palette.txt)
+PALETTES = {
+    "armytage": _hexes(
+        "0075DC", "993F00", "9DCC00", "4C005C", "00998F", "FFA405",
+        "5EF1F2", "F0A3FF", "94FFB5", "FF0010", "2BCE48", "740AFF",
+        "191919", "FF5005", "005C31", "FFCC99", "808080", "8F7C00",
+        "C20088", "003380", "FFA8BB", "426600", "990000", "FFE100",
+    ),
+    "epic": _hexes(
+        "FF0000", "00FF00", "0000FF", "880000", "008800", "000088",
+        "A3F6C2", "0F0F0F", "3366FF", "6633FF", "CC33FF", "FF33CC",
+        "33CCFF", "003DF5", "002EB8", "FF3366", "33FFCC", "B88A00",
+        "F5B800", "FF6633", "33FF66", "66FF33", "CCFF33", "FFCC33",
+    ),
+    "blues": _hexes("08306B", "08519C", "2171B5", "4292C6", "6BAED6", "9ECAE1", "C6DBEF"),
+    "reds": _hexes("67000D", "A50F15", "CB181D", "EF3B2C", "FB6A4A", "FC9272", "FCBBA1"),
+    "greens": _hexes("00441B", "006D2C", "238B45", "41AB5D", "74C476", "A1D99B", "C7E9C0"),
+    "oranges": _hexes("7F2704", "A63603", "D94801", "F16913", "FD8D3C", "FDAE6B", "FDD0A2"),
+    "purples": _hexes("3F007D", "54278F", "6A51A3", "807DBA", "9E9AC8", "BCBDDC", "DADAEB"),
+    "bw": _hexes("000000", "444444", "888888", "BBBBBB"),
+}
+
+
+def palette_colors(desc: str | None) -> tuple | None:
+    """Resolve a palette description (Palette.create): a known name, a
+    `colors:RRGGBB,...` list, or a `(,RRGGBB,RRGGBB,)` expression list.
+    None/unknown -> None (caller falls back to the default)."""
+    if not desc:
+        return None
+    if desc.startswith("colors:") or desc.startswith("("):
+        body = desc[len("colors:"):] if desc.startswith("colors:") else desc
+        cols = []
+        for tok in body.split(","):
+            tok = tok.strip().lstrip("#")
+            if not tok or tok in ("(", ")"):
+                continue
+            c, _ = _parse_color(tok, None)
+            if c is not None:
+                cols.append(c)
+        return tuple(cols) or None
+    return PALETTES.get(desc)
+
 _BG = (255, 255, 255)
 _GRID = (224, 224, 224)
 _AXIS = (96, 96, 96)
@@ -394,8 +442,12 @@ def render_png(result, width: int = 700, height: int = 300) -> bytes:
 
     tzs = list(getattr(result, "timezones", None) or ["UTC"])
     th = _THEMES.get(getattr(result, "theme", None) or "light", _THEMES["light"])
+    title = getattr(result, "title", None)
+    ylabel = getattr(result, "ylabel", None)
     zone_row_h = 11
-    pad_l, pad_r, pad_t = 48, 8, 8
+    ylab_w = 8 if ylabel else 0
+    pad_l, pad_r = 48 + ylab_w, 8
+    pad_t = 8 + (10 if title else 0)
     pad_b = 9 + zone_row_h * len(tzs)
     plot_w = width - pad_l - pad_r
 
@@ -498,11 +550,19 @@ def render_png(result, width: int = 700, height: int = 300) -> bytes:
     # grid + y tick labels: 5 horizontal ticks at linearly spaced VALUES,
     # placed through the axis scale (so a log axis shows its characteristic
     # compressed-at-the-top tick spacing)
+    if title:
+        tw = min(len(title), width // 6) * 6
+        cv.text(max(0, (width - tw) // 2), 1, title[: width // 6], th["text"])
+    if ylabel:
+        # vertical label: one glyph per row down the far-left column
+        start = max(pad_t, pad_t + (plot_h - len(ylabel) * 8) // 2)
+        for k, ch in enumerate(ylabel[: plot_h // 8]):
+            cv.text(0, start + k * 8, ch, th["text"])
     for g in range(5):
         val = hi - (hi - lo) * g / 4
         y = ty(val)
         cv.hline(y, pad_l, pad_l + plot_w - 1, th["grid"])
-        cv.text(2, y - 3, _fmt_value(val)[:7], th["text"])
+        cv.text(2 + ylab_w, y - 3, _fmt_value(val)[:7], th["text"])
     tick_is = list(range(0, n_steps, max(1, n_steps // 8)))
     for i in tick_is:
         cv.vline(tx(i), pad_t, pad_t + plot_h - 1, th["grid"])
@@ -536,15 +596,29 @@ def render_png(result, width: int = 700, height: int = 300) -> bytes:
     if hm_lines:
         _render_heatmap(cv, hm_lines, n_steps, tx, ty, lo, hi, pad_t, plot_h)
 
+    # per-line colors: explicit `color` wins; otherwise cycle the line's
+    # own `:palette` (per palette-group) or the axis `palette` param or
+    # the default (Palette.create / StyleExpr color resolution)
+    axis_pal = palette_colors(getattr(result, "palette", None)) or PALETTE
+    _pal_counters: dict = {}
+    line_color: dict = {}
+    for ln in result.lines:
+        settings = getattr(ln, "settings", {}) or {}
+        pdesc = settings.get("palette")
+        pal = palette_colors(pdesc) or axis_pal
+        i = _pal_counters.get(pdesc, 0)
+        _pal_counters[pdesc] = i + 1
+        line_color[id(ln)] = _parse_color(settings.get("color"), pal[i % len(pal)])
+
     # running stack offsets per step (TimeSeriesStack.Offsets): positive
     # values pile on pos_y, negative on neg_y — a stacked line fills from
     # the previous stacked total to its own contribution on top of it
     pos_y = [0.0] * n_steps
     neg_y = [0.0] * n_steps
 
-    for idx, ln in enumerate(ts_lines):
+    for ln in ts_lines:
         settings = getattr(ln, "settings", {}) or {}
-        color, alpha = _parse_color(settings.get("color"), PALETTE[idx % len(PALETTE)])
+        color, alpha = line_color[id(ln)]
         if "alpha" in settings:
             try:
                 alpha = int(settings["alpha"], 16) / 255.0
@@ -600,10 +674,7 @@ def render_png(result, width: int = 700, height: int = 300) -> bytes:
         y0 = height - legend_h
         for li in range(n_entries):
             ln = result.lines[li]
-            settings = getattr(ln, "settings", {}) or {}
-            color, _ = _parse_color(
-                settings.get("color"), PALETTE[li % len(PALETTE)]
-            )
+            color, _ = line_color[id(ln)]
             ey = y0 + li * entry_h
             for yy in range(ey + 1, ey + 8):
                 cv.hline(yy, 4, 10, color)

@@ -333,3 +333,66 @@ def test_graph_uri_legend_and_theme_params(spark, sf_dir):
     assert g3.lower == "auto-data"
     png = engine.graph_png(base + "&theme=dark", width=320, height=200)
     assert png[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_named_and_list_palettes():
+    """palette=reds cycles the reference reds list; a colors: list and a
+    (,..,) expression list parse to explicit colors (Palette.create)."""
+    from atlas_spark.chart import PALETTES, palette_colors
+
+    assert palette_colors("reds") == PALETTES["reds"]
+    assert palette_colors("colors:ff0000,00ff00") == ((255, 0, 0), (0, 255, 0))
+    assert palette_colors("(,ff0000,0000ff,)") == ((255, 0, 0), (0, 0, 255))
+    assert palette_colors("nope") is None and palette_colors(None) is None
+    n = 24
+    lines = [
+        GraphLine({}, "a", [1.0] * n, {}),
+        GraphLine({}, "b", [2.0] * n, {}),
+    ]
+    png = render_png(
+        _result(lines, palette="colors:ff0000,ff0000"), width=300, height=200
+    )
+    w, h, px = _decode(png)
+    # both lines red now: no green anywhere
+    assert not any(
+        _classify(px(x, y)) == "green" for x in range(w) for y in range(h)
+    )
+
+
+def test_per_line_palette_cycles_within_group():
+    """A line-level :palette setting cycles its own palette per line in
+    the group, independent of the axis palette."""
+    n = 24
+    lines = [
+        GraphLine({}, "a", [1.0] * n, {"palette": "colors:00ff00,00cc00"}),
+        GraphLine({}, "b", [2.0] * n, {"palette": "colors:00ff00,00cc00"}),
+        GraphLine({}, "c", [3.0] * n, {}),
+    ]
+    png = render_png(_result(lines), width=300, height=200)
+    w, h, px = _decode(png)
+    greens = sum(1 for x in range(w) for y in range(h) if _classify(px(x, y)) == "green")
+    assert greens > 50  # the palette-group lines are green shades
+    # the third line took the FIRST default-palette slot (its own group)
+    reds = sum(1 for x in range(w) for y in range(h) if _classify(px(x, y)) == "red")
+    assert reds > 20
+
+
+def test_title_and_ylabel():
+    """title renders centered at the top; ylabel renders down the far
+    left column; both shift the plot area rather than overdrawing it."""
+    n = 24
+    lines = [GraphLine({}, "a", [1.0] * n, {})]
+    png = render_png(
+        _result(lines, title="REQS PER SEC", ylabel="RPS"), width=300, height=200
+    )
+    w, h, px = _decode(png)
+    top_text = sum(
+        1 for x in range(w) for y in range(0, 9) if _classify(px(x, y)) != "bg"
+    )
+    assert top_text > 20, top_text
+    left_text = sum(
+        1 for x in range(0, 6) for y in range(10, h - 40) if _classify(px(x, y)) != "bg"
+    )
+    assert left_text > 10, left_text
+    plain = render_png(_result(lines), width=300, height=200)
+    assert plain != png
