@@ -68,6 +68,8 @@ class GraphResult:
     palette: str | None = None
     title: str | None = None
     ylabel: str | None = None
+    # color-deficiency simulation (`vision` param, VisionType.java)
+    vision: str = "normal"
 
     def to_json(self) -> dict[str, Any]:
         """std.json-style payload (one message per line)."""
@@ -333,6 +335,34 @@ class Engine:
                         ln.tags["atlas.offset"] = off_label
                         ln.label += f" (offset={off_label})"
                     lines.append(ln)
+        # axis-level line sort (Grapher.scala:480-525): `sort` by legend or
+        # a legend stat, `order=desc` flips (and implies sort=legend when
+        # alone); URL sort takes precedence over expression-level :sort
+        sort_by = qs.get("sort", [None])[0]
+        desc = qs.get("order", [None])[0] == "desc"
+        if desc and sort_by is None:
+            sort_by = "legend"
+        if sort_by is not None:
+            def _stat(ln: GraphLine, mode: str):
+                vals = [v for v in ln.data if v is not None]
+                if mode == "legend":
+                    return ln.label
+                if not vals:
+                    return float("-inf")
+                return {
+                    "min": min(vals),
+                    "max": max(vals),
+                    "avg": sum(vals) / len(vals),
+                    "count": float(len(vals)),
+                    "total": sum(vals),
+                    "last": vals[-1],
+                }.get(mode, ln.label)
+
+            mode = sort_by if sort_by in (
+                "legend", "min", "max", "avg", "count", "total", "last"
+            ) else "legend"
+            lines.sort(key=lambda ln: _stat(ln, mode), reverse=desc)
+
         # y-axis scale: prefer `scale`, fall back to legacy boolean `o`
         # (Grapher.scala:222-232); `stack=1` stacks the axis's lines
         scale = qs.get("scale", [None])[0] or (
@@ -372,6 +402,7 @@ class Engine:
             palette=qs.get("palette", [None])[0],
             title=qs.get("title", [None])[0] or None,
             ylabel=qs.get("ylabel", [None])[0] or None,
+            vision=qs.get("vision", ["normal"])[0],
         )
 
     def graph_png(self, uri: str, width: int = 700, height: int = 300) -> bytes:

@@ -69,6 +69,32 @@ PALETTES = {
 }
 
 
+# color-deficiency simulation matrices (VisionType.java; colormatrix
+# RGB rows, alpha row omitted — we carry alpha separately)
+VISION = {
+    "normal": None,
+    "protanopia": (0.567, 0.433, 0.0, 0.558, 0.442, 0.0, 0.0, 0.242, 0.758),
+    "protanomaly": (0.817, 0.183, 0.0, 0.333, 0.667, 0.0, 0.0, 0.125, 0.875),
+    "deuteranopia": (0.625, 0.375, 0.0, 0.7, 0.3, 0.0, 0.0, 0.3, 0.7),
+    "deuteranomaly": (0.8, 0.2, 0.0, 0.258, 0.742, 0.0, 0.0, 0.142, 0.858),
+    "tritanopia": (0.95, 0.05, 0.0, 0.0, 0.433, 0.567, 0.0, 0.475, 0.525),
+    "tritanomaly": (0.967, 0.033, 0.0, 0.0, 0.733, 0.267, 0.0, 0.183, 0.817),
+    "achromatopsia": (0.299, 0.587, 0.114) * 3,
+}
+
+
+def vision_filter(rgb, vision: str | None):
+    """Apply a VisionType color matrix to an (r, g, b) tuple."""
+    m = VISION.get(vision or "normal")
+    if m is None:
+        return rgb
+    r, g, b = rgb
+    return tuple(
+        max(0, min(255, int(round(m[3 * i] * r + m[3 * i + 1] * g + m[3 * i + 2] * b))))
+        for i in range(3)
+    )
+
+
 def palette_colors(desc: str | None) -> tuple | None:
     """Resolve a palette description (Palette.create): a known name, a
     `colors:RRGGBB,...` list, or a `(,RRGGBB,RRGGBB,)` expression list.
@@ -608,7 +634,11 @@ def render_png(result, width: int = 700, height: int = 300) -> bytes:
         pal = palette_colors(pdesc) or axis_pal
         i = _pal_counters.get(pdesc, 0)
         _pal_counters[pdesc] = i + 1
-        line_color[id(ln)] = _parse_color(settings.get("color"), pal[i % len(pal)])
+        c, a = _parse_color(settings.get("color"), pal[i % len(pal)])
+        line_color[id(ln)] = (
+            vision_filter(c, getattr(result, "vision", None)),
+            a,
+        )
 
     # running stack offsets per step (TimeSeriesStack.Offsets): positive
     # values pile on pos_y, negative on neg_y — a stacked line fills from

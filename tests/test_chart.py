@@ -396,3 +396,41 @@ def test_title_and_ylabel():
     assert left_text > 10, left_text
     plain = render_png(_result(lines), width=300, height=200)
     assert plain != png
+
+
+def test_vision_filter_matrices():
+    """VisionType matrices: protanopia collapses pure red toward yellow-
+    brown (no red-green separation), achromatopsia is luminance-gray."""
+    from atlas_spark.chart import vision_filter
+
+    assert vision_filter((255, 0, 0), "normal") == (255, 0, 0)
+    assert vision_filter((255, 0, 0), None) == (255, 0, 0)
+    p = vision_filter((255, 0, 0), "protanopia")
+    assert p == (145, 142, 0), p  # 0.567*255, 0.558*255
+    g = vision_filter((255, 0, 0), "achromatopsia")
+    assert g[0] == g[1] == g[2] == 76  # 0.299*255
+    n = 24
+    lines = [GraphLine({}, "a", [1.0] * n, {})]
+    png_n = render_png(_result(lines), width=300, height=200)
+    png_v = render_png(_result(lines, vision="protanopia"), width=300, height=200)
+    assert png_n != png_v
+
+
+def test_axis_sort_params(spark, sf_dir):
+    """sort/order URL params reorder lines by legend stats
+    (Grapher.scala:480-525); order=desc alone sorts by legend
+    descending."""
+    from atlas_spark.api import Engine
+
+    engine = Engine(spark, sf_dir)
+    base = "/api/v1/graph?q=:true,:sum,(,name,),:by,$(name),:legend&s=2024-01-02&e=2024-01-03"
+    labels = [ln.label for ln in engine.graph(base + "&sort=legend").lines]
+    assert labels == sorted(labels)
+    desc = [ln.label for ln in engine.graph(base + "&order=desc").lines]
+    assert desc == sorted(labels, reverse=True)
+    by_max = engine.graph(base + "&sort=max&order=desc").lines
+    maxes = [max(v for v in ln.data if v is not None) for ln in by_max]
+    assert maxes == sorted(maxes, reverse=True)
+    by_tot = engine.graph(base + "&sort=total").lines
+    tots = [sum(v for v in ln.data if v is not None) for ln in by_tot]
+    assert tots == sorted(tots)
