@@ -485,8 +485,79 @@ class Evaluator:
         out = joined.select(*sup_cols, "t", value.alias("value"))
         return ResultFrame(out, sup_e.keys, cm, dict(sup_e.query.exact_keys()))
 
+    def _try_condagg_binary(self, e: E.BinaryMathExpr) -> ResultFrame | None:
+        """`q1,:f1,(,K,),:by  OP  q2,:f2,(,K,),:by` (equal key SETS,
+        possibly different queries/fns): both aggregates derive from ONE
+        scan with conditional aggregation — `f1(value WHERE q1)`,
+        `f2(value WHERE q2)` per (K, t) cell over rows matching either
+        query — instead of two scans, two shuffles, and a join.  Strict
+        ops only: a cell must have rows from BOTH queries (the generic
+        path's inner join), which the post-agg null filter reproduces —
+        `fN(value WHERE qN)` is null exactly when side N contributed no
+        rows (count uses nullif(.., 0) for the same reason).  At scale
+        this halves raw-scan volume and removes a join for the
+        compare-two-signals family (`a,:sum,b,:sum,:fsub` etc.).
+        """
+        if e.op not in self._STRICT_OPS:
+            return None
+        sides = []
+        for s in (e.lhs, e.rhs):
+            if isinstance(s, E.GroupByExpr):
+                if s.af.offset or s.af.cf is not None:
+                    return None
+                sides.append((s.query, s.af.fn, tuple(s.keys)))
+            elif type(s) is E.AggrExpr:
+                if s.offset or s.cf is not None:
+                    return None
+                sides.append((s.query, s.fn, ()))
+            else:
+                return None
+        (q1, f1, k1), (q2, f2, k2) = sides
+        if set(k1) != set(k2):
+            return None  # proper-subset shapes: rollup rewrite / generic
+        if f1 not in ("sum", "count", "min", "max") or f2 not in (
+            "sum", "count", "min", "max"
+        ):
+            return None
+        if any(k not in self.source.colmap for k in k1):
+            return None  # empty-result path; generic code handles it
+        # base choice mirrors _eval_data: the raw-scan shortcut is only
+        # sum-exact, so a non-sum side forces the rolled-up view (sum over
+        # the rollup is still exact — sum-of-sums)
+        if f1 == f2 == "sum" and self.source.raw_ranged is not None:
+            base = self.source.raw_ranged(self.ctx.start, self.ctx.end)
+        else:
+            base = self.source.ranged_df(self.ctx.start, self.ctx.end)
+        c1 = query_to_column(q1, self.source)
+        c2 = query_to_column(q2, self.source)
+        df = base.filter(c1 | c2)
+        cm = {k: self.source.colmap[k] for k in k1}
+        for c in cm.values():
+            df = df.filter(F.col(c).isNotNull())
+
+        def side(fn, cond, alias):
+            col = F.when(cond, F.col("value"))
+            if fn == "count":
+                return F.nullif(F.count(col), F.lit(0)).alias(alias)
+            return _AGG[fn](col).alias(alias)
+
+        # output key order follows the rhs (the generic path's `sup` for
+        # equal key sets)
+        out_keys = k2 if k2 else k1
+        out_cols = [cm[k] for k in out_keys]
+        g = (
+            df.groupBy(*out_cols, "t")
+            .agg(side(f1, c1, "_v1"), side(f2, c2, "_v2"))
+            .filter(F.col("_v1").isNotNull() & F.col("_v2").isNotNull())
+        )
+        value = nanmath.binary_op(e.op, F.col("_v1"), F.col("_v2"))
+        out = g.select(*out_cols, "t", value.alias("value"))
+        static = dict(q1.exact_keys())
+        static.update(q2.exact_keys())
+        return ResultFrame(out, out_keys, cm, static)
+
     def _eval_binary(self, e: E.BinaryMathExpr) -> ResultFrame:
-        rw = self._try_rollup_binary(e)
+        rw = self._try_rollup_binary(e) or self._try_condagg_binary(e)
         if rw is not None:
             return rw
         lhs, rhs = self._eval(e.lhs), self._eval(e.rhs)
