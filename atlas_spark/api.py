@@ -70,6 +70,9 @@ class GraphResult:
     ylabel: str | None = None
     # color-deficiency simulation (`vision` param, VisionType.java)
     vision: str = "normal"
+    # y tick label mode (`tick_labels` param, TickLabelMode:
+    # off/decimal/binary/duration)
+    tick_labels: str = "decimal"
 
     def to_json(self) -> dict[str, Any]:
         """std.json-style payload (one message per line)."""
@@ -403,6 +406,7 @@ class Engine:
             title=qs.get("title", [None])[0] or None,
             ylabel=qs.get("ylabel", [None])[0] or None,
             vision=qs.get("vision", ["normal"])[0],
+            tick_labels=qs.get("tick_labels", ["decimal"])[0],
         )
 
     def graph_png(self, uri: str, width: int = 700, height: int = 300) -> bytes:

@@ -444,10 +444,22 @@ def make_yscale(scale: str, lo: float, hi: float, y_top: int, y_bot: int):
     return ty
 
 
-def _fmt_value(v: float) -> str:
+def _fmt_value(v: float, mode: str = "decimal") -> str:
+    """Tick label formatting per TickLabelMode: decimal metric prefixes,
+    binary (1024-based Ki/Mi/Gi, for byte data), duration (w/d/h/m/s)."""
     if v == 0:
         return "0"
     a = abs(v)
+    if mode == "binary":
+        for div, suf in ((1 << 40, "TI"), (1 << 30, "GI"), (1 << 20, "MI"), (1 << 10, "KI")):
+            if a >= div:
+                return f"{v / div:.1f}{suf}"
+        return f"{v:.1f}" if a >= 1 else f"{v:.2g}"
+    if mode == "duration":
+        for div, suf in ((604800, "W"), (86400, "D"), (3600, "H"), (60, "M")):
+            if a >= div:
+                return f"{v / div:.1f}{suf}"
+        return f"{v:.1f}S" if a >= 1 else f"{v:.2g}S"
     for div, suf in ((1e9, "G"), (1e6, "M"), (1e3, "K")):
         if a >= div:
             return f"{v / div:.1f}{suf}"
@@ -584,11 +596,13 @@ def render_png(result, width: int = 700, height: int = 300) -> bytes:
         start = max(pad_t, pad_t + (plot_h - len(ylabel) * 8) // 2)
         for k, ch in enumerate(ylabel[: plot_h // 8]):
             cv.text(0, start + k * 8, ch, th["text"])
+    tick_mode = (getattr(result, "tick_labels", None) or "decimal").lower()
     for g in range(5):
         val = hi - (hi - lo) * g / 4
         y = ty(val)
         cv.hline(y, pad_l, pad_l + plot_w - 1, th["grid"])
-        cv.text(2 + ylab_w, y - 3, _fmt_value(val)[:7], th["text"])
+        if tick_mode != "off":
+            cv.text(2 + ylab_w, y - 3, _fmt_value(val, tick_mode)[:7], th["text"])
     tick_is = list(range(0, n_steps, max(1, n_steps // 8)))
     for i in tick_is:
         cv.vline(tx(i), pad_t, pad_t + plot_h - 1, th["grid"])
@@ -714,15 +728,18 @@ def render_png(result, width: int = 700, height: int = 300) -> bytes:
                     v for v in ln.data if v is not None and math.isfinite(v)
                 ]
                 if vals:
+                    # legend stats format with the plot's tick label mode
+                    # (LegendEntry.format -> plot.tickLabelMode)
+                    fmt = lambda x: _fmt_value(x, tick_mode)  # noqa: E731
                     stats = [
-                        ("MAX", _fmt_value(max(vals)), "MIN", _fmt_value(min(vals))),
+                        ("MAX", fmt(max(vals)), "MIN", fmt(min(vals))),
                         (
                             "AVG",
-                            _fmt_value(sum(vals) / len(vals)),
+                            fmt(sum(vals) / len(vals)),
                             "LAST",
-                            _fmt_value(vals[-1]),
+                            fmt(vals[-1]),
                         ),
-                        ("TOT", _fmt_value(sum(vals)), "CNT", str(len(vals))),
+                        ("TOT", fmt(sum(vals)), "CNT", str(len(vals))),
                     ]
                 else:
                     stats = [("MAX", "-", "MIN", "-"), ("AVG", "-", "LAST", "-"), ("TOT", "-", "CNT", "-")]

@@ -434,3 +434,34 @@ def test_axis_sort_params(spark, sf_dir):
     by_tot = engine.graph(base + "&sort=total").lines
     tots = [sum(v for v in ln.data if v is not None) for ln in by_tot]
     assert tots == sorted(tots)
+
+
+def test_tick_label_modes():
+    """TickLabelMode: decimal metric prefixes, 1024-based binary, w/d/h/m
+    durations, and off (labels suppressed)."""
+    from atlas_spark.chart import _fmt_value
+
+    assert _fmt_value(2_500_000) == "2.5M"
+    assert _fmt_value(2048, "binary") == "2.0KI"
+    assert _fmt_value(3 * (1 << 30), "binary") == "3.0GI"
+    assert _fmt_value(90, "duration") == "1.5M"
+    assert _fmt_value(7200, "duration") == "2.0H"
+    assert _fmt_value(86400 * 14, "duration") == "2.0W"
+    n = 24
+    lines = [GraphLine({}, "a", [1.0] * n, {})]
+    on = render_png(_result(lines), width=300, height=200)
+    off = render_png(_result(lines, tick_labels="off"), width=300, height=200)
+    w, h, px = _decode(off)
+    # left label gutter (plot rows only — the time-axis row below starts
+    # at x=34) is empty when labels are off
+    left = sum(
+        1 for x in range(0, 40) for y in range(0, h - 30) if _classify(px(x, y)) != "bg"
+    )
+    won, hon, pxon = _decode(on)
+    left_on = sum(
+        1
+        for x in range(0, 40)
+        for y in range(0, hon - 30)
+        if _classify(pxon(x, y)) != "bg"
+    )
+    assert left == 0 and left_on > 0
