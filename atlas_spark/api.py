@@ -73,6 +73,10 @@ class GraphResult:
     # y tick label mode (`tick_labels` param, TickLabelMode:
     # off/decimal/binary/duration)
     tick_labels: str = "decimal"
+    # per-axis overrides (`u.1`, `scale.1`, `stack.1`, ... — Grapher's
+    # getAxisParam falls back to the unsuffixed value): {axis id: {key:
+    # value}}; lines select their axis via the `:axis` style setting
+    axes: dict[int, dict] = field(default_factory=dict)
 
     def to_json(self) -> dict[str, Any]:
         """std.json-style payload (one message per line)."""
@@ -407,7 +411,41 @@ class Engine:
             ylabel=qs.get("ylabel", [None])[0] or None,
             vision=qs.get("vision", ["normal"])[0],
             tick_labels=qs.get("tick_labels", ["decimal"])[0],
+            axes=self._axis_overrides(qs),
         )
+
+    @staticmethod
+    def _axis_overrides(qs: dict) -> dict[int, dict]:
+        """Per-axis `.N`-suffixed params (Grapher newAxis with id): only
+        the keys present are recorded; the renderer falls back to the
+        unsuffixed value for the rest."""
+        axes: dict[int, dict] = {}
+        for aid in range(5):
+            sub: dict = {}
+            sc = qs.get(f"scale.{aid}", [None])[0] or (
+                "log" if qs.get(f"o.{aid}", [None])[0] == "1" else None
+            )
+            if sc:
+                sub["scale"] = sc
+            for pname, key in (("u", "upper"), ("l", "lower")):
+                raw = qs.get(f"{pname}.{aid}", [None])[0]
+                if raw is None:
+                    continue
+                if raw == "auto-data":
+                    sub[key] = "auto-data"
+                else:
+                    try:
+                        sub[key] = float(raw)
+                    except ValueError:
+                        pass
+            if qs.get(f"stack.{aid}", [None])[0] is not None:
+                sub["stack"] = qs[f"stack.{aid}"][0] == "1"
+            tl = qs.get(f"tick_labels.{aid}", [None])[0]
+            if tl:
+                sub["tick_labels"] = tl
+            if sub:
+                axes[aid] = sub
+        return axes
 
     def graph_png(self, uri: str, width: int = 700, height: int = 300) -> bytes:
         """format=png rendering — a minimal dependency-free chart (see

@@ -490,13 +490,41 @@ def render_png(result, width: int = 700, height: int = 300) -> bytes:
     plot_w = width - pad_l - pad_r
 
     # axis-level params (Grapher.scala newAxis: `scale`/`o` pick the y
-    # scale; `stack=1` makes stack the default line style for the axis)
+    # scale; `stack=1` makes stack the default line style for the axis).
+    # Lines choose their y-axis via the `:axis` style setting; per-axis
+    # URL params (`u.1`, `scale.1`, ...) arrive in `result.axes` and fall
+    # back to the unsuffixed params (getAxisParam).
     scale = getattr(result, "scale", None) or "linear"
     axis_stack = bool(getattr(result, "axis_stack", False))
+    tick_mode = (getattr(result, "tick_labels", None) or "decimal").lower()
+    axes_over = dict(getattr(result, "axes", None) or {})
+
+    def axis_of(ln) -> int:
+        try:
+            aid = int((getattr(ln, "settings", {}) or {}).get("axis", 0) or 0)
+        except (TypeError, ValueError):
+            return 0
+        return aid if 0 <= aid <= 4 else 0
+
+    _cfg_cache: dict = {}
+
+    def axis_cfg(aid: int) -> dict:
+        if aid not in _cfg_cache:
+            o = axes_over.get(aid) or {}
+            _cfg_cache[aid] = {
+                "scale": o.get("scale") or scale,
+                "upper": o.get("upper", getattr(result, "upper", None)),
+                "lower": o.get("lower", getattr(result, "lower", None)),
+                "stack": o.get("stack", axis_stack),
+                "tick_labels": (o.get("tick_labels") or tick_mode).lower(),
+            }
+        return _cfg_cache[aid]
 
     def _style(ln) -> str:
         s = (getattr(ln, "settings", {}) or {}).get("ls")
-        return s if s else ("stack" if axis_stack else "line")
+        if s:
+            return s
+        return "stack" if axis_cfg(axis_of(ln))["stack"] else "line"
 
     # legend sizing (LegendEntry.height): one 9px label row per line,
     # plus three 8px stat rows when stats are shown; carved out of the
@@ -517,70 +545,84 @@ def render_png(result, width: int = 700, height: int = 300) -> bytes:
     ts_lines = [ln for ln in result.lines if ln not in hm_lines]
     n_steps = max(1, (result.end - result.start) // result.step)
 
-    # stacked lines accumulate: the y-range must cover the per-step
-    # positive and negative stacked TOTALS, not individual values
-    # (PlotDef bounds with stack)
-    pos_tot = [0.0] * n_steps
-    neg_tot = [0.0] * n_steps
-    for ln in ts_lines:
-        if _style(ln) == "stack":
-            for i, v in enumerate(ln.data[:n_steps]):
-                if v is None or not math.isfinite(v):
-                    continue
-                if v > 0.0:
-                    pos_tot[i] += v
-                elif v < 0.0:
-                    neg_tot[i] += v
+    axis_ids = sorted({axis_of(ln) for ln in ts_lines} | {0})
+    if len(axis_ids) > 1:
+        # secondary axes label on the right: widen the right margin
+        pad_r = 44
+        plot_w = width - pad_l - pad_r
 
-    if hm_lines and all(_pct_bucket_range(ln.tags) for ln in hm_lines):
-        # percentile heatmap: y axis spans the bucket ranges present
-        ranges = [_pct_bucket_range(ln.tags) for ln in hm_lines]
-        finite = [b for r in ranges for b in r]
-    else:
-        finite = [
-            v
-            for ln in ts_lines
-            if _style(ln) != "stack"
-            for v in ln.data
-            if v is not None and math.isfinite(v)
-        ] + [v for v in pos_tot + neg_tot if v != 0.0]
-        finite += [
-            v
-            for ln in hm_lines
-            for v in ln.data
-            if v is not None and math.isfinite(v)
-        ]
-    # y bounds (PlotDef.finalBounds / PlotBound): explicit u/l win;
-    # auto-style includes 0 when any filled style is present (area, stack,
-    # heatmap), else tight data bounds; l=auto-data is always tight
-    data_lo = min(finite) if finite else 0.0
-    data_hi = max(finite) if finite else 1.0
-    has_fill = bool(hm_lines) or any(
-        _style(ln) in ("area", "stack") for ln in ts_lines
-    )
-    lower = getattr(result, "lower", None)
-    upper = getattr(result, "upper", None)
-    if isinstance(lower, (int, float)):
-        lo = float(lower)
-    elif lower == "auto-data":
-        lo = data_lo
-    else:
-        lo = min(0.0, data_lo) if has_fill else data_lo
-    if isinstance(upper, (int, float)):
-        hi = float(upper)
-    else:
-        # fills anchor at the axis, so 0 joins the range on BOTH sides
-        # (an all-negative stack still shows the zero line at the top)
-        hi = max(0.0, data_hi) if has_fill else data_hi
-    if hi <= lo:
-        hi = lo + 1.0
+    def _axis_bounds(aid: int) -> tuple[float, float]:
+        """y bounds for one axis (PlotDef.finalBounds / PlotBound):
+        explicit u/l win; auto-style includes 0 when any filled style is
+        present (area, stack, heatmap), else tight data bounds;
+        l=auto-data is always tight.  Stacked lines contribute their
+        per-step positive/negative TOTALS, not individual values."""
+        lines = [ln for ln in ts_lines if axis_of(ln) == aid]
+        pos_tot = [0.0] * n_steps
+        neg_tot = [0.0] * n_steps
+        for ln in lines:
+            if _style(ln) == "stack":
+                for i, v in enumerate(ln.data[:n_steps]):
+                    if v is None or not math.isfinite(v):
+                        continue
+                    if v > 0.0:
+                        pos_tot[i] += v
+                    elif v < 0.0:
+                        neg_tot[i] += v
+        hm = hm_lines if aid == 0 else []
+        if hm and all(_pct_bucket_range(ln.tags) for ln in hm):
+            # percentile heatmap: y axis spans the bucket ranges present
+            ranges = [_pct_bucket_range(ln.tags) for ln in hm]
+            finite = [b for r in ranges for b in r]
+        else:
+            finite = [
+                v
+                for ln in lines
+                if _style(ln) != "stack"
+                for v in ln.data
+                if v is not None and math.isfinite(v)
+            ] + [v for v in pos_tot + neg_tot if v != 0.0]
+            finite += [
+                v
+                for ln in hm
+                for v in ln.data
+                if v is not None and math.isfinite(v)
+            ]
+        data_lo = min(finite) if finite else 0.0
+        data_hi = max(finite) if finite else 1.0
+        has_fill = bool(hm) or any(_style(ln) in ("area", "stack") for ln in lines)
+        cfg = axis_cfg(aid)
+        lower, upper = cfg["lower"], cfg["upper"]
+        if isinstance(lower, (int, float)):
+            lo = float(lower)
+        elif lower == "auto-data":
+            lo = data_lo
+        else:
+            lo = min(0.0, data_lo) if has_fill else data_lo
+        if isinstance(upper, (int, float)):
+            hi = float(upper)
+        else:
+            # fills anchor at the axis, so 0 joins the range on BOTH sides
+            # (an all-negative stack still shows the zero line at the top)
+            hi = max(0.0, data_hi) if has_fill else data_hi
+        if hi <= lo:
+            hi = lo + 1.0
+        return lo, hi
 
-    _ty_raw = make_yscale(scale, lo, hi, pad_t, pad_t + plot_h - 1)
-
-    def ty(v: float) -> int:
+    bounds = {aid: _axis_bounds(aid) for aid in axis_ids}
+    tys = {}
+    for aid in axis_ids:
+        a_lo, a_hi = bounds[aid]
+        raw = make_yscale(
+            axis_cfg(aid)["scale"], a_lo, a_hi, pad_t, pad_t + plot_h - 1
+        )
         # explicit bounds can put values outside the plot; clamp so marks
         # never spill into the axis labels or legend region
-        return min(pad_t + plot_h - 1, max(pad_t, _ty_raw(v)))
+        tys[aid] = (
+            lambda v, _raw=raw: min(pad_t + plot_h - 1, max(pad_t, _raw(v)))
+        )
+    lo, hi = bounds[0]
+    ty = tys[0]
 
     def tx(i: int) -> int:
         return pad_l + int(round(i / max(1, n_steps - 1) * (plot_w - 1)))
@@ -596,13 +638,31 @@ def render_png(result, width: int = 700, height: int = 300) -> bytes:
         start = max(pad_t, pad_t + (plot_h - len(ylabel) * 8) // 2)
         for k, ch in enumerate(ylabel[: plot_h // 8]):
             cv.text(0, start + k * 8, ch, th["text"])
-    tick_mode = (getattr(result, "tick_labels", None) or "decimal").lower()
     for g in range(5):
         val = hi - (hi - lo) * g / 4
         y = ty(val)
         cv.hline(y, pad_l, pad_l + plot_w - 1, th["grid"])
-        if tick_mode != "off":
-            cv.text(2 + ylab_w, y - 3, _fmt_value(val, tick_mode)[:7], th["text"])
+        if axis_cfg(0)["tick_labels"] != "off":
+            cv.text(
+                2 + ylab_w,
+                y - 3,
+                _fmt_value(val, axis_cfg(0)["tick_labels"])[:7],
+                th["text"],
+            )
+    # secondary-axis labels on the right margin (first non-zero axis)
+    if len(axis_ids) > 1:
+        aid2 = [a for a in axis_ids if a != 0][0]
+        lo2, hi2 = bounds[aid2]
+        for g in range(5):
+            val = hi2 - (hi2 - lo2) * g / 4
+            y = tys[aid2](val)
+            if axis_cfg(aid2)["tick_labels"] != "off":
+                cv.text(
+                    pad_l + plot_w + 3,
+                    y - 3,
+                    _fmt_value(val, axis_cfg(aid2)["tick_labels"])[:6],
+                    th["text"],
+                )
     tick_is = list(range(0, n_steps, max(1, n_steps // 8)))
     for i in tick_is:
         cv.vline(tx(i), pad_t, pad_t + plot_h - 1, th["grid"])
@@ -631,7 +691,7 @@ def render_png(result, width: int = 700, height: int = 300) -> bytes:
 
     # ty clamps, so with bounds excluding 0 the area fill meets the
     # nearest plot edge (reference behavior for clipped area fills)
-    zero_y = ty(0.0)
+    zero_ys = {aid: tys[aid](0.0) for aid in axis_ids}
 
     if hm_lines:
         _render_heatmap(cv, hm_lines, n_steps, tx, ty, lo, hi, pad_t, plot_h)
@@ -654,11 +714,12 @@ def render_png(result, width: int = 700, height: int = 300) -> bytes:
             a,
         )
 
-    # running stack offsets per step (TimeSeriesStack.Offsets): positive
-    # values pile on pos_y, negative on neg_y — a stacked line fills from
-    # the previous stacked total to its own contribution on top of it
-    pos_y = [0.0] * n_steps
-    neg_y = [0.0] * n_steps
+    # running stack offsets per step and per axis (TimeSeriesStack.
+    # Offsets): positive values pile on pos_y, negative on neg_y — a
+    # stacked line fills from the previous stacked total to its own
+    # contribution on top of it
+    pos_ys = {aid: [0.0] * n_steps for aid in axis_ids}
+    neg_ys = {aid: [0.0] * n_steps for aid in axis_ids}
 
     for ln in ts_lines:
         settings = getattr(ln, "settings", {}) or {}
@@ -669,6 +730,10 @@ def render_png(result, width: int = 700, height: int = 300) -> bytes:
             except ValueError:
                 pass
         style = _style(ln)
+        aid = axis_of(ln)
+        ty = tys[aid]
+        zero_y = zero_ys[aid]
+        pos_y, neg_y = pos_ys[aid], neg_ys[aid]
         prev = None
         for i, v in enumerate(ln.data[:n_steps]):
             if v is None or not math.isfinite(v):

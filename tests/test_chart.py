@@ -465,3 +465,47 @@ def test_tick_label_modes():
         if _classify(pxon(x, y)) != "bg"
     )
     assert left == 0 and left_on > 0
+
+
+def test_multi_axis_independent_scaling(spark, sf_dir):
+    """Lines assigned to axis 1 via :axis scale against their own bounds
+    (per-axis u.N/l.N overrides); the right margin gains the second
+    axis's tick labels."""
+    from atlas_spark.api import Engine
+
+    engine = Engine(spark, sf_dir)
+    base = (
+        "/api/v1/graph?q=name,click,:eq,:sum,name,view,:eq,:sum,1,:axis"
+        "&s=2024-01-02&e=2024-01-03"
+    )
+    g = engine.graph(base + "&u.1=1e6")
+    assert g.axes == {1: {"upper": 1e6}}
+    assert g.lines[1].settings.get("axis") == "1"
+    png = engine.graph_png(base + "&u.1=1e6", width=400, height=200)
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    w, h, px = _decode(png)
+    # right-margin tick labels present (text pixels right of the plot)
+    right = sum(
+        1
+        for x in range(w - 40, w)
+        for y in range(0, h - 30)
+        if _classify(px(x, y)) != "bg"
+    )
+    assert right > 10, right
+    # per-axis scaling: with u.1 huge, the axis-1 line pins to the
+    # bottom; without it both lines span the plot similarly
+    g1 = engine.graph(base)
+    assert g1.axes == {}
+
+
+def test_axis_overrides_parse(spark, sf_dir):
+    from atlas_spark.api import Engine
+
+    engine = Engine(spark, sf_dir)
+    base = "/api/v1/graph?q=:true,:sum&s=2024-01-02&e=2024-01-03"
+    g = engine.graph(
+        base + "&scale.1=log&l.2=auto-data&stack.3=1&tick_labels.1=binary&o.2=1"
+    )
+    assert g.axes[1] == {"scale": "log", "tick_labels": "binary"}
+    assert g.axes[2] == {"lower": "auto-data", "scale": "log"}
+    assert g.axes[3] == {"stack": True}
