@@ -94,6 +94,7 @@ def _decompose_state_plan(expr: E.TimeSeriesExpr, step: int) -> _StatePlan | Non
     """Match the tree against the state-store shape; None -> caller falls
     back to the driver-buffer path (cross-line joins only)."""
     e = expr
+    off = 0
     groups: list[tuple] = []  # stateless step groups, outermost-first
     ops: list[tuple] = []  # stateful ops, outermost-first
     while True:
@@ -113,13 +114,9 @@ def _decompose_state_plan(expr: E.TimeSeriesExpr, step: int) -> _StatePlan | Non
     groups.reverse()
     ops.reverse()
     if isinstance(e, E.GroupByExpr):
-        if e.af.offset:
-            return None
-        core, keys = ("agg", e.query, e.af.fn), tuple(e.keys)
+        core, keys, off = ("agg", e.query, e.af.fn), tuple(e.keys), e.af.offset
     elif isinstance(e, E.AggrExpr):
-        if e.offset:
-            return None
-        core, keys = ("agg", e.query, e.fn), ()
+        core, keys, off = ("agg", e.query, e.fn), (), e.offset
     elif isinstance(e, E.BinaryMathExpr):
         # cross-line join: both sides must decompose and one side's keys
         # must be a subset of the other's (constant sides were already
@@ -180,6 +177,16 @@ def _decompose_state_plan(expr: E.TimeSeriesExpr, step: int) -> _StatePlan | Non
         core, keys = ("regroup", e.af.fn, ip), tuple(e.keys)
     else:
         return None
+    if off:
+        # data `dur,:offset` = the same aggregate DELAYED by off/step
+        # intervals (shifted read reported at the unshifted timestamp),
+        # so it streams as an innermost :delay stage; the first off/step
+        # intervals are a cold start, exactly like the reference's
+        # streaming eval joining a not-yet-seen past
+        if off % step:
+            return None
+        ops.insert(0, ("delay", (off // step,)))
+        groups.insert(0, ())
     return _StatePlan(core, keys, tuple(ops), tuple(groups))
 
 

@@ -947,3 +947,81 @@ def test_sample_count_state_store(spark, stream_dir):
     assert got, "no streaming results"
     for t, v in got.items():
         assert t in truth and abs(v - truth[t]) < 1e-9, (t, v, truth.get(t))
+
+
+def test_offset_week_over_week_state_store(spark, stream_dir):
+    """Data `:offset` streams as an innermost :delay stage, so
+    week-over-week shapes (`:dup,1w,:offset,:sub`) run fully in the
+    state store and match batch evaluation (cold-start intervals where
+    the offset reaches before the data behave identically: missing ->
+    NaN -> addNaN passthrough)."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from atlas_spark.plans.builder import Evaluator
+    from atlas_spark.plans.context import EvalContext
+    from atlas_spark.sources.datapoints import DatapointSource
+    from atlas_spark.stacklang.vocab import parse as parse_asl
+    from atlas_spark.streaming.evaluator import StreamingEvaluator
+
+    asl = "name,click,:eq,:sum,:dup,2m,:offset,:sub"
+    step = 60
+    base = 1704067200
+    rows = []
+    for h in range(8):
+        rows.append(
+            {
+                "k_name": "click",
+                "ts": pd.Timestamp(base + h * step + 5, unit="s"),
+                "value": float(h + 1),
+            }
+        )
+    pdf = pd.DataFrame(rows)
+    chunks = [pdf.iloc[:4], pdf.iloc[4:]]
+
+    sev = StreamingEvaluator(spark, asl, step, {"name": "k_name"}, num_buffers=2)
+    assert sev.state_plan is not None, "offset shape must decompose"
+    assert sev.state_plan.core[0] == "join"
+    rp = sev.state_plan.core[3]
+    assert ("delay", (2,)) in rp.chain, rp.chain
+    stream = (
+        spark.readStream.schema("k_name string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    spark.createDataFrame(chunks[0]).coalesce(1).write.mode("append").parquet(stream_dir)
+    q = sev.start(stream)
+    try:
+        q.processAllAvailable()
+        for c in chunks[1:]:
+            spark.createDataFrame(c).coalesce(1).write.mode("append").parquet(stream_dir)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    dp = spark.createDataFrame(pdf).select(
+        "k_name",
+        (F.unix_timestamp("ts") - F.unix_timestamp("ts") % step).cast("long").alias("t"),
+        "value",
+    )
+    src = DatapointSource(df=dp, step=step, colmap={"name": "k_name"}, sql_cte="")
+    ctx = EvalContext(base, base + 8 * step, step)
+    rf = Evaluator(src, ctx).eval(parse_asl(asl, step=step)[0])
+    truth = {r["t"]: r["value"] for r in rf.df.collect()}
+
+    def missing(v):
+        return v is None or (isinstance(v, float) and math.isnan(v))
+
+    got = {r["t"]: r["value"] for r in sev.results}
+    assert got, "no streaming results"
+    # steady-state: value - value_2_steps_ago = 2.0
+    steady = [t for t in got if t >= base + 2 * step]
+    assert steady, got
+    for t in steady:
+        assert t in truth, t
+        if missing(got[t]) or missing(truth[t]):
+            assert missing(got[t]) and missing(truth[t]), (t, got[t], truth[t])
+        else:
+            assert abs(got[t] - truth[t]) < 1e-9, (t, got[t], truth[t])
+            assert got[t] == pytest.approx(2.0)
