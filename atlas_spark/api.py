@@ -458,9 +458,18 @@ class Engine:
         """Dispatch on the `format` query param like the reference's graph
         engine registry (GraphEngine name -> output): json/std.json,
         v2.json, stats.json, csv, txt, png."""
-        fmt = parse_qs(urlparse(uri).query).get("format", ["json"])[0]
+        qs = parse_qs(urlparse(uri).query)
+        fmt = qs.get("format", ["json"])[0]
         if fmt == "png":
-            return self.graph_png(uri)
+            # `w`/`h` size the image like the reference (GraphFlags
+            # width/height, clamped to the configured limits)
+            def _dim(name: str, default: int, cap: int) -> int:
+                try:
+                    return max(64, min(cap, int(qs.get(name, [default])[0])))
+                except (TypeError, ValueError):
+                    return default
+
+            return self.graph_png(uri, width=_dim("w", 700, 2000), height=_dim("h", 300, 1000))
         g = self.graph(uri)
         if fmt in ("json", "std.json"):
             return g.to_json()

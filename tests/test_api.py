@@ -319,3 +319,15 @@ def test_fetch_sse_chunked_stateful(engine):
             assert a == b
         else:
             assert abs(a - b) < 1e-9
+
+
+def test_render_png_size_params(engine):
+    """`w`/`h` URL params size the PNG like the reference's GraphFlags,
+    clamped to sane limits."""
+    import struct
+
+    base = "/api/v1/graph?q=:true,:sum&s=2024-01-02&e=2024-01-03&format=png"
+    png = engine.render(base + "&w=420&h=180")
+    assert struct.unpack(">II", png[16:24]) == (420, 180)
+    png2 = engine.render(base + "&w=999999&h=1")
+    assert struct.unpack(">II", png2[16:24]) == (2000, 64)
