@@ -414,3 +414,132 @@ SELECT user_id, session_no,
 FROM s
 GROUP BY 1, 2
 """
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction metrics: per document, count emails,
+    IPv4 addresses, and long digit runs (phone-ish), and emit the md5 of
+    the REDACTED text — the pre-training privacy pass (detect, replace
+    with typed placeholders, keep counts for filtering/reporting).
+
+    The synthetic corpus contains no PII, so the fixture deterministically
+    plants some (doc_id-keyed email / IP / phone suffixes on a third of
+    the docs) before scrubbing; the scrub logic itself is generic.  Pure
+    JVM regex projections — no shuffle, no Python — and the patterns avoid
+    lookarounds so the Java and RE2 engines agree (value-level oracle on
+    counts AND the redacted-text digest).
+    """
+    docs = load_documents(spark, sf_dir)
+    planted = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id"),
+            F.lit("@example.com at 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 or 555-01"),
+            (F.col("doc_id") % 90 + 10).cast("string"),
+        ),
+    ).otherwise(F.col("text"))
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    ipv4 = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+    phone = r"[0-9]{3}-[0-9]{4}"
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(planted, email, "<EMAIL>"), ipv4, "<IP>"
+        ),
+        phone,
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(planted, F.lit(email)).cast("long").alias("n_emails"),
+        F.regexp_count(planted, F.lit(ipv4)).cast("long").alias("n_ips"),
+        F.regexp_count(
+            F.regexp_replace(planted, ipv4, "<IP>"), F.lit(phone)
+        ).cast("long").alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+PII_SCRUB_SQL = r"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN
+           text || ' contact user' || doc_id || '@example.com at 10.0.'
+                || CAST(doc_id % 256 AS VARCHAR) || '.7 or 555-01'
+                || CAST(doc_id % 90 + 10 AS VARCHAR)
+         ELSE text END AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(
+           regexp_replace(t, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+           '[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(regexp_replace(regexp_replace(
+           t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+           '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
+FROM planted
+"""
+
+
+def repetition_ratio(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+    """Within-document repetition: 1 - distinct n-grams / total n-grams —
+    the standard quality signal against degenerate repeated text (looping
+    generations, boilerplate).  Pure JVM array ops per row: no shuffle,
+    no explode — the n-gram list never leaves the row.
+
+    The synthetic corpus is random words (near-zero natural repetition),
+    so the fixture deterministically doubles every fifth document before
+    measuring; the measurement itself is generic.
+    """
+    docs = load_documents(spark, sf_dir).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat_ws(" ", "text", "text")
+        ).otherwise(F.col("text")),
+    )
+    words = F.split(F.col("text"), " ")
+    idx = F.when(
+        F.size(words) >= n, F.sequence(F.lit(0), F.size(words) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    ratio = F.when(
+        total > 0, F.round(1.0 - distinct / total.cast("double"), 6)
+    ).otherwise(F.lit(0.0))
+    return docs.select(
+        "doc_id",
+        total.cast("long").alias("n_grams"),
+        distinct.cast("long").alias("n_distinct"),
+        ratio.alias("repetition"),
+    )
+
+
+REPETITION_RATIO_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' ' || text ELSE text END AS text
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+           list_transform(range(1, len(string_split(text, ' ')) - 1),
+             i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))
+         ELSE [] END AS grams
+  FROM p
+)
+SELECT doc_id,
+       CAST(len(grams) AS BIGINT) AS n_grams,
+       CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+       CASE WHEN len(grams) > 0
+            THEN round(1.0 - len(list_distinct(grams)) / CAST(len(grams) AS DOUBLE), 6)
+            ELSE 0.0 END AS repetition
+FROM g
+"""

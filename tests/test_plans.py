@@ -265,6 +265,15 @@ def test_stratified_sample_has_no_exchange(spark, sf_dir, queries):
     assert "Exchange" not in plan, plan
 
 
+def test_pii_and_repetition_have_no_exchange(spark, sf_dir, queries):
+    """PII scrubbing and repetition ratio are pure per-row projections
+    (regex / array ops that never leave the row): the plans must contain
+    NO exchange — they run map-side wherever the data lives."""
+    for name in ("op_pii_scrub", "op_repetition_ratio"):
+        plan = _plan(queries[name](spark, sf_dir))
+        assert "Exchange" not in plan, (name, plan)
+
+
 def test_dedup_clusters_round_is_equi_join(spark, sf_dir):
     """One min-label propagation round = edges-to-labels equi-join on
     doc_id + per-src min + left equi-join back to labels.  Pin that both
