@@ -31,6 +31,7 @@ SPECS: list[OpSpec] = [
     OpSpec("op_sessionize", text.sessionize, text.SESSIONIZE_SQL),
     OpSpec("op_pii_scrub", text.pii_scrub, text.PII_SCRUB_SQL),
     OpSpec("op_repetition_ratio", text.repetition_ratio, text.REPETITION_RATIO_SQL),
+    OpSpec("op_unigram_logprob", text.unigram_logprob, text.UNIGRAM_LOGPROB_SQL),
     OpSpec("op_cosine_topk", similarity.cosine_topk, similarity.cosine_topk_sql()),
     OpSpec("op_ngram_jaccard", dedup.ngram_jaccard_pairs, dedup.NGRAM_JACCARD_SQL),
     # Set-equality vs the exact all-pairs oracle rests on 24x2 banding

@@ -543,3 +543,44 @@ SELECT doc_id,
             ELSE 0.0 END AS repetition
 FROM g
 """
+
+
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram language-model score per document: mean ln p(word)
+    under the corpus's own unigram distribution — the cheap perplexity
+    proxy used to rank documents for quality filtering (CCNet-style LM
+    filtering without the LM).
+
+    Two-phase Spark shape that survives 100 TB: (1) word frequencies via
+    one partial/final hash agg (vocabulary-sized output ≪ corpus), with
+    the corpus total folded in a second tiny agg; (2) the vocabulary
+    BROADCASTS back onto the token stream and a per-doc agg computes the
+    mean log-prob — the token stream shuffles once, on doc_id, with
+    map-side combine.
+    """
+    docs = load_documents(spark, sf_dir)
+    tok = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
+    freq = tok.groupBy("w").agg(F.count("*").cast("double").alias("c"))
+    total = freq.agg(F.sum("c").alias("n"))
+    vocab = F.broadcast(freq.crossJoin(F.broadcast(total)))
+    scored = tok.join(vocab, "w").select(
+        "doc_id", F.log(F.col("c") / F.col("n")).alias("lp")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.round(F.avg("lp"), 6).alias("mean_logprob"),
+    )
+
+
+UNIGRAM_LOGPROB_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+freq AS (SELECT w, CAST(count(*) AS DOUBLE) AS c FROM tok GROUP BY w),
+tot AS (SELECT sum(c) AS n FROM freq)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       round(avg(ln(freq.c / tot.n)), 6) AS mean_logprob
+FROM tok JOIN freq USING (w) CROSS JOIN tot
+GROUP BY doc_id
+"""

@@ -274,6 +274,19 @@ def test_pii_and_repetition_have_no_exchange(spark, sf_dir, queries):
         assert "Exchange" not in plan, (name, plan)
 
 
+def test_unigram_logprob_broadcasts_vocab(spark, sf_dir, queries):
+    """The unigram LM score joins the token stream against the corpus
+    vocabulary: the vocabulary (≪ corpus) must BROADCAST — shuffling the
+    full token stream to meet it would dominate at 100 TB — and the word
+    frequency rollup must have a map-side partial aggregate."""
+    plan = _plan(queries["op_unigram_logprob"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+    # (the corpus-total scalar attaches as a broadcast 1-row nested loop,
+    # which is fine; an unbroadcast CartesianProduct is not)
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_dedup_clusters_round_is_equi_join(spark, sf_dir):
     """One min-label propagation round = edges-to-labels equi-join on
     doc_id + per-src min + left equi-join back to labels.  Pin that both
