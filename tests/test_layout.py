@@ -57,3 +57,21 @@ def test_partition_pruning(spark, dp_table):
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", txt)
     assert m and "d#" in m.group(1), m.group(0) if m else txt[:500]
+
+
+def test_bucketed_aggregation_has_no_exchange(spark, dp_table):
+    """The layout's whole point at 100 TB: `bucketBy(N, name)` makes the
+    scan's hashpartitioning(k_name) satisfy the (k_name, t) grouping
+    distribution, so a `(,name,),:by` ASL aggregation over the table
+    runs with ZERO exchanges — scan -> partial agg -> final agg, no
+    shuffle of the fact stream at all — while the date partition still
+    prunes and the t-range still pushes down."""
+    ctx = EvalContext(EVENTS_START, EVENTS_START + 7 * 86400, 3600)
+    expr = E.GroupByExpr(Q.TrueQuery(), E.AggrExpr(Q.TrueQuery(), "sum"), ("name",))
+    src = table_source(spark, dp_table, 3600, {"name": "k_name", "bucket": "k_bucket"})
+    rf = Evaluator(src, ctx).eval(expr)
+    plan = rf.df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Bucketed: true" in plan, plan
+    assert "SelectedBucketsCount" in plan, plan
+    assert "PartitionFilters" in plan and "PushedFilters" in plan
