@@ -461,13 +461,20 @@ class Engine:
         qs = parse_qs(urlparse(uri).query)
         fmt = qs.get("format", ["json"])[0]
         if fmt == "png":
-            # `w`/`h` size the image like the reference (GraphFlags
-            # width/height, clamped to the configured limits)
+            # `w`/`h` size the image, `zoom` scales both, like the
+            # reference (GraphFlags width/height/zoom, clamped)
+            try:
+                zoom = float(qs.get("zoom", ["1"])[0])
+            except (TypeError, ValueError):
+                zoom = 1.0
+            zoom = max(0.1, min(4.0, zoom))
+
             def _dim(name: str, default: int, cap: int) -> int:
                 try:
-                    return max(64, min(cap, int(qs.get(name, [default])[0])))
+                    v = int(qs.get(name, [default])[0])
                 except (TypeError, ValueError):
-                    return default
+                    v = default
+                return max(64, min(cap, int(v * zoom)))
 
             return self.graph_png(uri, width=_dim("w", 700, 2000), height=_dim("h", 300, 1000))
         g = self.graph(uri)

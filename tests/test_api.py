@@ -331,3 +331,12 @@ def test_render_png_size_params(engine):
     assert struct.unpack(">II", png[16:24]) == (420, 180)
     png2 = engine.render(base + "&w=999999&h=1")
     assert struct.unpack(">II", png2[16:24]) == (2000, 64)
+
+
+def test_render_png_zoom(engine):
+    """`zoom` scales both dimensions (GraphFlags.zoom)."""
+    import struct
+
+    base = "/api/v1/graph?q=:true,:sum&s=2024-01-02&e=2024-01-03&format=png"
+    png = engine.render(base + "&w=300&h=150&zoom=2")
+    assert struct.unpack(">II", png[16:24]) == (600, 300)
