@@ -36,6 +36,14 @@ class EventSource:
             .withColumn("user_str", F.col("user_id").cast("string"))
         )
 
+    @classmethod
+    def from_df(cls, df: DataFrame) -> "EventSource":
+        """Source over an arbitrary (possibly STREAMING) event frame with
+        the driver schema — the match/projection logic is identical."""
+        src = cls.__new__(cls)
+        src.df = df.withColumn("user_str", F.col("user_id").cast("string"))
+        return src
+
     def field(self, key: str) -> Column:
         col = self.PROMOTED.get(key)
         if col is not None:
