@@ -465,13 +465,12 @@ class Evaluator:
         for c in sub_cols:
             df = df.filter(F.col(c).isNotNull())
         sup_cols = [cm[k] for k in sup_e.keys]
-        # Pre-partition the raw rows on the full grouping identity: the
-        # groupBy reuses the partitioning (no second exchange), and on the
-        # local bench — where the driver's single-row-group parquet scans
-        # in ONE task — it spreads the heavy hash-aggregate across cores.
-        # At cluster scale this exchange replaces (not adds to) the agg's
-        # own shuffle, so the plan stays one-raw-shuffle.
-        df = df.repartition(*sup_cols, "t")
+        # No explicit repartition before the aggregate: the groupBy's own
+        # shuffle moves map-side PARTIAL aggregates (series-cell-sized),
+        # while a raw repartition would ship every raw row — measured
+        # slower at 10M rows and categorically wrong at 100 TB (an early
+        # round used one to spread the single-row-group local scan; the
+        # partial-agg path now wins at every scale tested).
         agg = df.groupBy(*sup_cols, "t").agg(_AGG[fn]("value").alias("_v_sup"))
         w = Window.partitionBy(*sub_cols, "t")
         total = _AGG[self._ROLLUP2[fn]]("_v_sup").over(w)
