@@ -330,7 +330,31 @@ class Engine:
         # var, used by :time-span); every zone gets its own time-axis row
         # in the rendered chart
         tzs = qs.get("tz", ["UTC"])
-        exprs = parse_asl(qs["q"][0], step=ctx.step, vars={"tz": tzs[0]})
+        features = qs.get("features", ["stable"])[0]
+        exprs = parse_asl(
+            qs["q"][0], step=ctx.step, vars={"tz": tzs[0]}, features=features
+        )
+        # global common query (`cq` param, Grapher.scala:163-168): ANDed
+        # onto every leaf query of every expression, across freeze (unlike
+        # the `:cq` word, which exempts frozen parts)
+        cq_raw = qs.get("cq", [None])[0]
+        if cq_raw:
+            from .model import query as _Q
+            from .stacklang.interpreter import Context, split_and_trim
+            from .stacklang.vocab import default_interpreter
+
+            interp = default_interpreter(ctx.step)
+            cctx = Context(interp)
+            interp.execute_program(split_and_trim(cq_raw), cctx)
+            if len(cctx.stack) != 1 or not isinstance(cctx.stack[0], _Q.Query):
+                raise ValueError("cq must be a single query expression")
+            cquery = cctx.stack[0]
+            exprs = [
+                se.rewrite_queries(
+                    lambda q: _Q.simplify(_Q.AndQuery(q, cquery))
+                )
+                for se in exprs
+            ]
         ev = Evaluator(self.source, ctx)
 
         lines: list[GraphLine] = []
@@ -342,6 +366,12 @@ class Engine:
                         ln.tags["atlas.offset"] = off_label
                         ln.label += f" (offset={off_label})"
                     lines.append(ln)
+        # axis_per_line=1: every line gets its own y-axis (ImageFlags.
+        # axisPerLine), capped at the renderer's 5 axes
+        if qs.get("axis_per_line", [None])[0] == "1":
+            for i, ln in enumerate(lines):
+                ln.settings["axis"] = str(min(i, 4))
+
         # axis-level line sort (Grapher.scala:480-525): `sort` by legend or
         # a legend stat, `order=desc` flips (and implies sort=legend when
         # alone); URL sort takes precedence over expression-level :sort

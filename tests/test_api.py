@@ -340,3 +340,36 @@ def test_render_png_zoom(engine):
     base = "/api/v1/graph?q=:true,:sum&s=2024-01-02&e=2024-01-03&format=png"
     png = engine.render(base + "&w=300&h=150&zoom=2")
     assert struct.unpack(">II", png[16:24]) == (600, 300)
+
+
+def test_cq_param_applies_to_all_exprs(engine):
+    """The `cq` URL param ANDs a common query onto every expression
+    (Grapher.scala:163-168) — unlike the :cq word it also hits frozen
+    parts."""
+    base = "/api/v1/graph?s=2024-01-02&e=2024-01-03"
+    plain = engine.graph(base + "&q=:true,:sum")
+    scoped = engine.graph(base + "&q=:true,:sum&cq=name,click,:eq")
+    direct = engine.graph(base + "&q=name,click,:eq,:sum")
+    assert scoped.lines[0].data == direct.lines[0].data
+    assert scoped.lines[0].data != plain.lines[0].data
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cq"):
+        engine.graph(base + "&q=:true,:sum&cq=:true,:sum")
+
+
+def test_axis_per_line_param(engine):
+    """axis_per_line=1 gives each line its own y-axis."""
+    g = engine.graph(
+        "/api/v1/graph?q=:true,:sum,(,name,),:by&s=2024-01-02&e=2024-01-03"
+        "&axis_per_line=1"
+    )
+    axes = [ln.settings.get("axis") for ln in g.lines]
+    assert axes == [str(min(i, 4)) for i in range(len(g.lines))]
+    png = engine.graph_png(
+        "/api/v1/graph?q=:true,:sum,(,name,),:by&s=2024-01-02&e=2024-01-03"
+        "&axis_per_line=1",
+        width=400,
+        height=220,
+    )
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
