@@ -1,0 +1,109 @@
+"""lwcapi subscription lifecycle (`streaming/subscriptions.py`): split,
+dedup, drive multiple expressions over one shared stream, tagged payloads
+equal to batch evaluation."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pandas as pd
+import pytest
+
+from atlas_spark.streaming.subscriptions import SubscriptionManager
+
+STEP = 60
+BASE = 1704067200
+
+
+@pytest.fixture()
+def stream_dir():
+    d = tempfile.mkdtemp(prefix="atlas_subs_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_subscription_lifecycle(spark, stream_dir):
+    import pyspark.sql.functions as F
+
+    from atlas_spark.plans.builder import Evaluator
+    from atlas_spark.plans.context import EvalContext
+    from atlas_spark.sources.datapoints import DatapointSource
+    from atlas_spark.stacklang.vocab import parse as parse_asl
+
+    mgr = SubscriptionManager(spark, STEP, {"name": "k_name"})
+    e1 = mgr.subscribe("name,click,:eq,:sum,3,:rolling-sum")
+    e2 = mgr.subscribe(":true,:sum,(,name,),:by")
+    # re-subscribing the identical program dedups to the same entry
+    assert mgr.subscribe("name,click,:eq,:sum,3,:rolling-sum") is e1
+    assert len({e1.sub_id, e2.sub_id}) == 2
+    # data-expression subscriptions dedup across expressions by id
+    subs = mgr.subscriptions
+    assert len(subs) == len({s.id for s in subs}) == 2
+
+    rows = []
+    for h in range(6):
+        for name, v in (("click", float(h + 1)), ("view", 10.0 * (h + 1))):
+            rows.append(
+                {
+                    "k_name": name,
+                    "ts": pd.Timestamp(BASE + h * STEP + 5, unit="s"),
+                    "value": v,
+                }
+            )
+    pdf = pd.DataFrame(rows)
+    schema = "k_name string, ts timestamp, value double"
+    spark.createDataFrame(pdf.iloc[:6], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(stream_dir)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    mgr.start(stream)
+    try:
+        mgr.process_all_available()
+        spark.createDataFrame(pdf.iloc[6:], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(stream_dir)
+        mgr.process_all_available()
+    finally:
+        mgr.stop()
+
+    payloads = mgr.payloads()
+    assert payloads and all("id" in p for p in payloads)
+    by_id = {e1.sub_id: [], e2.sub_id: []}
+    for p in payloads:
+        by_id[p["id"]].append(p)
+    assert by_id[e1.sub_id] and by_id[e2.sub_id]
+
+    # batch truth for each expression over the same rows
+    dp = spark.createDataFrame(pdf, schema).select(
+        "k_name",
+        (F.unix_timestamp("ts") - F.unix_timestamp("ts") % STEP)
+        .cast("long")
+        .alias("t"),
+        "value",
+    )
+    src = DatapointSource(df=dp, step=STEP, colmap={"name": "k_name"}, sql_cte="")
+    ctx = EvalContext(BASE, BASE + 6 * STEP, STEP)
+    for entry in (e1, e2):
+        rf = Evaluator(src, ctx).eval(parse_asl(entry.expression, step=STEP)[0])
+        kc = rf.key_cols
+        truth = {}
+        for r in rf.df.collect():
+            key = tuple(r[c] for c in kc) + (r["t"],)
+            truth[key] = r["value"]
+        for p in by_id[entry.sub_id]:
+            key = tuple(p[k] for k in (rf.keys or ())) + (p["t"],)
+            assert key in truth, (entry.expression, key)
+            tv, v = truth[key], p["value"]
+            if v is None or tv is None:
+                assert v == tv
+            else:
+                assert abs(v - tv) < 1e-9, (entry.expression, key, v, tv)
+
+    # unsubscribe removes the entry and its data subscriptions
+    assert mgr.unsubscribe(e2.sub_id)
+    assert len(mgr.subscriptions) == 1
