@@ -135,6 +135,79 @@ _STAT_FUNS = {
 }
 
 
+def time_value_col(mode: str):
+    """`mode,:time` value as a pure function of the interval-start `t`
+    column - shared by the batch generator and the streaming stateless
+    steps (a generator side of binary math streams as a projection)."""
+    t = F.col("t")
+    ts = F.timestamp_seconds(t)
+    # calendar fields are integer ZonedDateTime.get(chronoField) values
+    # (MathExpr.scala:213-215), hence the floors; only the "seconds".."weeks"
+    # modes are fractional sinceEpoch divisions (MathExpr.scala:200-211)
+    iso_dow = (F.dayofweek(ts) + 5) % 7 + 1  # Spark Sunday=1 -> ISO Monday=1
+    dom, doy = F.dayofmonth(ts), F.dayofyear(ts)
+    hour = F.floor((t % 86400) / F.lit(3600))
+    table = {
+        "secondOfMinute": t % 60,
+        "secondOfDay": t % 86400,
+        "minuteOfHour": F.floor((t % 3600) / F.lit(60)),
+        "minuteOfDay": F.floor((t % 86400) / F.lit(60)),
+        "hourOfDay": hour,
+        "dayOfWeek": iso_dow,
+        "dayOfMonth": dom,
+        "dayOfYear": doy,
+        "monthOfYear": F.month(ts),
+        "yearOfCentury": F.year(ts) % 100,
+        "yearOfEra": F.year(ts),
+        "seconds": t,
+        "minutes": t / F.lit(60),
+        "hours": t / F.lit(3600),
+        "days": t / F.lit(86400),
+        "weeks": t / F.lit(604800),
+    }
+    if mode in table:
+        return table[mode]
+    # any other mode is ChronoField.valueOf(s) (MathExpr.scala:197),
+    # evaluated on the UTC calendar; grid t is whole seconds so the
+    # sub-second fields are exact zeros
+    h12 = F.floor((t % 43200) / F.lit(3600))
+    chrono = {
+        "NANO_OF_SECOND": F.lit(0),
+        "NANO_OF_DAY": (t % 86400) * F.lit(1_000_000_000),
+        "MICRO_OF_SECOND": F.lit(0),
+        "MICRO_OF_DAY": (t % 86400) * F.lit(1_000_000),
+        "MILLI_OF_SECOND": F.lit(0),
+        "MILLI_OF_DAY": (t % 86400) * F.lit(1000),
+        "SECOND_OF_MINUTE": t % 60,
+        "SECOND_OF_DAY": t % 86400,
+        "MINUTE_OF_HOUR": F.floor((t % 3600) / F.lit(60)),
+        "MINUTE_OF_DAY": F.floor((t % 86400) / F.lit(60)),
+        "HOUR_OF_AMPM": h12,
+        "CLOCK_HOUR_OF_AMPM": (h12 + 11) % 12 + 1,
+        "HOUR_OF_DAY": hour,
+        "CLOCK_HOUR_OF_DAY": (hour + 23) % 24 + 1,
+        "AMPM_OF_DAY": F.floor((t % 86400) / F.lit(43200)),
+        "DAY_OF_WEEK": iso_dow,
+        "ALIGNED_DAY_OF_WEEK_IN_MONTH": (dom - 1) % 7 + 1,
+        "ALIGNED_DAY_OF_WEEK_IN_YEAR": (doy - 1) % 7 + 1,
+        "DAY_OF_MONTH": dom,
+        "DAY_OF_YEAR": doy,
+        "EPOCH_DAY": F.floor(t / F.lit(86400)),
+        "ALIGNED_WEEK_OF_MONTH": F.floor((dom - 1) / F.lit(7)) + 1,
+        "ALIGNED_WEEK_OF_YEAR": F.floor((doy - 1) / F.lit(7)) + 1,
+        "MONTH_OF_YEAR": F.month(ts),
+        "PROLEPTIC_MONTH": F.year(ts) * 12 + F.month(ts) - 1,
+        "YEAR_OF_ERA": F.year(ts),
+        "YEAR": F.year(ts),
+        "ERA": F.lit(1),
+        "INSTANT_SECONDS": t,
+        "OFFSET_SECONDS": F.lit(0),
+    }
+    if mode not in chrono:
+        raise ValueError(f"unknown :time mode {mode}")
+    return chrono[mode]
+
+
 class Evaluator:
     """Evaluates expression trees against one DatapointSource + EvalContext.
 
@@ -307,73 +380,7 @@ class Evaluator:
         return ResultFrame(df, (), {}, {}, dense=True)
 
     def _time_col(self, mode: str):
-        t = F.col("t")
-        ts = F.timestamp_seconds(t)
-        # calendar fields are integer ZonedDateTime.get(chronoField) values
-        # (MathExpr.scala:213-215), hence the floors; only the "seconds".."weeks"
-        # modes are fractional sinceEpoch divisions (MathExpr.scala:200-211)
-        iso_dow = (F.dayofweek(ts) + 5) % 7 + 1  # Spark Sunday=1 -> ISO Monday=1
-        dom, doy = F.dayofmonth(ts), F.dayofyear(ts)
-        hour = F.floor((t % 86400) / F.lit(3600))
-        table = {
-            "secondOfMinute": t % 60,
-            "secondOfDay": t % 86400,
-            "minuteOfHour": F.floor((t % 3600) / F.lit(60)),
-            "minuteOfDay": F.floor((t % 86400) / F.lit(60)),
-            "hourOfDay": hour,
-            "dayOfWeek": iso_dow,
-            "dayOfMonth": dom,
-            "dayOfYear": doy,
-            "monthOfYear": F.month(ts),
-            "yearOfCentury": F.year(ts) % 100,
-            "yearOfEra": F.year(ts),
-            "seconds": t,
-            "minutes": t / F.lit(60),
-            "hours": t / F.lit(3600),
-            "days": t / F.lit(86400),
-            "weeks": t / F.lit(604800),
-        }
-        if mode in table:
-            return table[mode]
-        # any other mode is ChronoField.valueOf(s) (MathExpr.scala:197),
-        # evaluated on the UTC calendar; grid t is whole seconds so the
-        # sub-second fields are exact zeros
-        h12 = F.floor((t % 43200) / F.lit(3600))
-        chrono = {
-            "NANO_OF_SECOND": F.lit(0),
-            "NANO_OF_DAY": (t % 86400) * F.lit(1_000_000_000),
-            "MICRO_OF_SECOND": F.lit(0),
-            "MICRO_OF_DAY": (t % 86400) * F.lit(1_000_000),
-            "MILLI_OF_SECOND": F.lit(0),
-            "MILLI_OF_DAY": (t % 86400) * F.lit(1000),
-            "SECOND_OF_MINUTE": t % 60,
-            "SECOND_OF_DAY": t % 86400,
-            "MINUTE_OF_HOUR": F.floor((t % 3600) / F.lit(60)),
-            "MINUTE_OF_DAY": F.floor((t % 86400) / F.lit(60)),
-            "HOUR_OF_AMPM": h12,
-            "CLOCK_HOUR_OF_AMPM": (h12 + 11) % 12 + 1,
-            "HOUR_OF_DAY": hour,
-            "CLOCK_HOUR_OF_DAY": (hour + 23) % 24 + 1,
-            "AMPM_OF_DAY": F.floor((t % 86400) / F.lit(43200)),
-            "DAY_OF_WEEK": iso_dow,
-            "ALIGNED_DAY_OF_WEEK_IN_MONTH": (dom - 1) % 7 + 1,
-            "ALIGNED_DAY_OF_WEEK_IN_YEAR": (doy - 1) % 7 + 1,
-            "DAY_OF_MONTH": dom,
-            "DAY_OF_YEAR": doy,
-            "EPOCH_DAY": F.floor(t / F.lit(86400)),
-            "ALIGNED_WEEK_OF_MONTH": F.floor((dom - 1) / F.lit(7)) + 1,
-            "ALIGNED_WEEK_OF_YEAR": F.floor((doy - 1) / F.lit(7)) + 1,
-            "MONTH_OF_YEAR": F.month(ts),
-            "PROLEPTIC_MONTH": F.year(ts) * 12 + F.month(ts) - 1,
-            "YEAR_OF_ERA": F.year(ts),
-            "YEAR": F.year(ts),
-            "ERA": F.lit(1),
-            "INSTANT_SECONDS": t,
-            "OFFSET_SECONDS": F.lit(0),
-        }
-        if mode not in chrono:
-            raise ValueError(f"unknown :time mode {mode}")
-        return chrono[mode]
+        return time_value_col(mode)
 
     def _random_col(self, seed: int):
         # deterministic noise: hash of (seed + step index) -> [0, 1)

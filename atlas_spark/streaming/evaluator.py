@@ -69,10 +69,17 @@ class _StatePlan:
     #               and chain[i]; ALL groups apply in-stream
 
 
+def _is_gen(x) -> bool:
+    """Generators that are pure functions of the interval-start t —
+    computable in-stream as a projection (no data, no state)."""
+    return isinstance(x, (E.ConstExpr, E.TimeExpr, E.RandomExpr))
+
+
 def _peel_stateless(e: E.TimeSeriesExpr):
     """Strip a chain of stateless per-point wrappers, returning (inner,
     steps innermost-first).  Supported: unary math and binary math with a
-    constant side — everything that needs no cross-series join."""
+    constant or time-generator side (`:const`, `:time`, `:random`) —
+    everything that needs no cross-series join."""
     steps: list[tuple] = []
     while True:
         if isinstance(e, E.NamedRewrite):
@@ -80,11 +87,11 @@ def _peel_stateless(e: E.TimeSeriesExpr):
         elif isinstance(e, E.UnaryMathExpr):
             steps.append(("unary", e.op, e.param))
             e = e.expr
-        elif isinstance(e, E.BinaryMathExpr) and isinstance(e.rhs, E.ConstExpr):
-            steps.append(("binary_r", e.op, e.rhs.v))
+        elif isinstance(e, E.BinaryMathExpr) and _is_gen(e.rhs):
+            steps.append(("binary_r", e.op, e.rhs))
             e = e.lhs
-        elif isinstance(e, E.BinaryMathExpr) and isinstance(e.lhs, E.ConstExpr):
-            steps.append(("binary_l", e.op, e.lhs.v))
+        elif isinstance(e, E.BinaryMathExpr) and _is_gen(e.lhs):
+            steps.append(("binary_l", e.op, e.lhs))
             e = e.rhs
         else:
             return e, tuple(reversed(steps))
@@ -190,8 +197,25 @@ def _decompose_state_plan(expr: E.TimeSeriesExpr, step: int) -> _StatePlan | Non
     return _StatePlan(core, keys, tuple(ops), tuple(groups))
 
 
+def _gen_col(gen, step: int):
+    """Value column for a pure-time generator, computed from the stream's
+    interval-start `t` (shares the batch builder's time arithmetic)."""
+    if isinstance(gen, E.ConstExpr):
+        return F.lit(float(gen.v))
+    if isinstance(gen, E.TimeExpr):
+        from ..plans.builder import time_value_col
+
+        return time_value_col(gen.mode).cast("double")
+    # RandomExpr: same md5-derived noise as Evaluator._random_col
+    idx = ((F.col("t") / step).cast("long") + F.lit(gen.seed)).cast("string")
+    h = F.conv(F.substring(F.md5(idx), 1, 15), 16, 10).cast("long")
+    return (F.pmod(h, F.lit(1000000)) / F.lit(1000000.0)).cast("double")
+
+
 def _stateless_col(steps: tuple, col, step: int):
-    """Apply peeled stateless steps (innermost-first) to a value column."""
+    """Apply peeled stateless steps (innermost-first) to a value column.
+    Binary steps carry the generator-side EXPRESSION (const/time/random),
+    evaluated from `t` in-stream."""
     for kind, op, param in steps:
         if kind == "unary":
             if op == "per-step":
@@ -199,9 +223,9 @@ def _stateless_col(steps: tuple, col, step: int):
             else:
                 col = nanmath.unary_op(op, col, param)
         elif kind == "binary_r":
-            col = nanmath.binary_op(op, col, F.lit(float(param)))
+            col = nanmath.binary_op(op, col, _gen_col(param, step))
         else:
-            col = nanmath.binary_op(op, F.lit(float(param)), col)
+            col = nanmath.binary_op(op, _gen_col(param, step), col)
     return col
 
 

@@ -1025,3 +1025,71 @@ def test_offset_week_over_week_state_store(spark, stream_dir):
         else:
             assert abs(got[t] - truth[t]) < 1e-9, (t, got[t], truth[t])
             assert got[t] == pytest.approx(2.0)
+
+
+def test_generator_math_state_store(spark, stream_dir):
+    """Binary math with a time-generator side (`hourOfDay,:time,:mul`)
+    streams as a pure projection step — the shape formerly forced the
+    fallback — and matches batch evaluation."""
+    import pyspark.sql.functions as F
+
+    from atlas_spark.plans.builder import Evaluator
+    from atlas_spark.plans.context import EvalContext
+    from atlas_spark.sources.datapoints import DatapointSource
+    from atlas_spark.stacklang.vocab import parse as parse_asl
+    from atlas_spark.streaming.evaluator import StreamingEvaluator
+
+    asl = ":true,:count,hourOfDay,:time,:mul,3,:rolling-sum"
+    step = 3600
+    base = 1704067200  # midnight UTC
+    rows = []
+    for h in range(8):
+        for i in range(h + 1):  # count rises with the hour
+            rows.append(
+                {
+                    "k_name": "click",
+                    "ts": pd.Timestamp(base + h * step + i, unit="s"),
+                    "value": 1.0,
+                }
+            )
+    pdf = pd.DataFrame(rows)
+    chunks = [pdf.iloc[:10], pdf.iloc[10:]]
+
+    sev = StreamingEvaluator(spark, asl, step, {"name": "k_name"}, num_buffers=2)
+    assert sev.state_plan is not None, "generator math must decompose"
+    assert sev.state_plan.chain == (("rolling-sum", (3,)),)
+    stream = (
+        spark.readStream.schema("k_name string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    spark.createDataFrame(chunks[0]).coalesce(1).write.mode("append").parquet(stream_dir)
+    q = sev.start(stream)
+    try:
+        q.processAllAvailable()
+        for c in chunks[1:]:
+            spark.createDataFrame(c).coalesce(1).write.mode("append").parquet(stream_dir)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    dp = spark.createDataFrame(pdf).select(
+        "k_name",
+        (F.unix_timestamp("ts") - F.unix_timestamp("ts") % step).cast("long").alias("t"),
+        "value",
+    )
+    src = DatapointSource(df=dp, step=step, colmap={"name": "k_name"}, sql_cte="")
+    ctx = EvalContext(base, base + 8 * step, step)
+    rf = Evaluator(src, ctx).eval(parse_asl(asl, step=step)[0])
+    truth = {r["t"]: r["value"] for r in rf.df.collect()}
+
+    got = {r["t"]: r["value"] for r in sev.results}
+    assert got, "no streaming results"
+    for t, v in got.items():
+        assert t in truth, t
+        tv = truth[t]
+        if v is None or tv is None:
+            assert v == tv, (t, v, tv)
+        else:
+            assert abs(v - tv) < 1e-9, (t, v, tv)
+    assert sev._buffer is None
