@@ -700,6 +700,11 @@ class Evaluator:
         n, alpha, beta = int(e.params[0]), float(e.params[1]), float(e.params[2])
         sliding = e.op == "sdes"
         kc = rf.key_cols
+        # the kernel writes smoothed DOUBLES: an integer-typed input (a
+        # bare `:count` aggregate) would make Arrow reject the output
+        # batch ("float truncated converting to int64"), so normalize to
+        # the reference's all-double value model first
+        rf = replace(rf, df=rf.df.withColumn("value", F.col("value").cast("double")))
         # warm-up rows are null even when the input column is non-nullable
         # (e.g. a :const generator), so relax nullability for the Arrow batch
         schema = T.StructType(

@@ -72,3 +72,26 @@ def test_des_through_engine(spark):
         assert v is not None and abs(v - 9.0) < 1e-9
     for i in range(0, 10):
         assert out.get(START + i * STEP) is None
+
+
+def test_des_over_count_aggregate(spark, sf_dir):
+    """A bare `:count` aggregate is integer-typed; the DES kernel writes
+    smoothed doubles, so the input must normalize to double or Arrow
+    rejects the batch ("float truncated converting to int64") — found by
+    the differential fuzzer (seed 7214)."""
+    import pyspark.sql.functions as F
+
+    from atlas_spark.model import expr as E
+    from atlas_spark.model import query as Q
+    from atlas_spark.plans.builder import Evaluator
+    from atlas_spark.plans.context import EvalContext
+    from atlas_spark.sources.datapoints import EVENTS_START, events_datapoints
+
+    ctx = EvalContext(EVENTS_START, EVENTS_START + 2 * 86400, 3600)
+    e = E.StatefulMathExpr(
+        "sdes", E.AggrExpr(Q.TrueQuery(), "count"), (8, 0.1, 0.02)
+    )
+    rf = Evaluator(events_datapoints(spark, sf_dir), ctx).eval(e)
+    rows = rf.df.filter(F.col("value").isNotNull()).collect()
+    assert rows, "sdes over :count produced no rows"
+    assert all(isinstance(r["value"], float) for r in rows)
