@@ -32,6 +32,8 @@ SPECS: list[OpSpec] = [
     OpSpec("op_pii_scrub", text.pii_scrub, text.PII_SCRUB_SQL),
     OpSpec("op_repetition_ratio", text.repetition_ratio, text.REPETITION_RATIO_SQL),
     OpSpec("op_unigram_logprob", text.unigram_logprob, text.UNIGRAM_LOGPROB_SQL),
+    OpSpec("op_ngram_topk", text.ngram_topk, text.NGRAM_TOPK_SQL),
+    OpSpec("op_domain_mix", text.domain_mix, text.DOMAIN_MIX_SQL),
     OpSpec("op_cosine_topk", similarity.cosine_topk, similarity.cosine_topk_sql()),
     OpSpec("op_ngram_jaccard", dedup.ngram_jaccard_pairs, dedup.NGRAM_JACCARD_SQL),
     # Set-equality vs the exact all-pairs oracle rests on 24x2 banding
@@ -60,6 +62,8 @@ SPECS: list[OpSpec] = [
         similarity.embedding_near_dup_strict,
         similarity.embedding_near_dup_sql(threshold=0.85),
     ),
+    OpSpec("op_semantic_dedup", similarity.semantic_dedup, similarity.SEMANTIC_DEDUP_SQL),
+    OpSpec("op_knn_join", similarity.knn_join, similarity.KNN_JOIN_SQL),
     OpSpec("rel_pricing_summary", relational.pricing_summary, relational.PRICING_SUMMARY_SQL),
     OpSpec("rel_revenue_by_nation", relational.revenue_by_nation, relational.REVENUE_BY_NATION_SQL),
     OpSpec("rel_top_customers", relational.top_customers, relational.TOP_CUSTOMERS_SQL),

@@ -419,19 +419,11 @@ def ivf_topk(
     return sims.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()).limit(k)
 
 
-def lsh_bucketed_topk(
-    spark: SparkSession, sf_dir: str, query_id: int = 0, k: int = 10, planes: int = 6
-) -> DataFrame:
-    """Approximate top-k via random-hyperplane LSH.
-
-    Bucket key = sign bits of `planes` pseudo-random hyperplanes (weights
-    derived from md5 of "dim:plane" — fully deterministic, no stored
-    model, and computable identically by the DuckDB oracle,
-    `LSH_TOPK_SQL`).  Candidates = vectors sharing the query's bucket;
-    exact cosine re-rank inside the bucket.  At 100 TB the bucket join
-    replaces the full scan per query.
-    """
-    emb = load_embeddings(spark, sf_dir)
+def _md5_lsh_bucket_col(vec, planes: int):
+    """Sign-bit LSH bucket id from md5-derived hyperplanes (weight for
+    dimension `i` of plane `p` = md5("i:p") mapped to [-1, 1)) — fully
+    deterministic, no stored model, and computable identically by the
+    DuckDB oracles."""
 
     def plane_weight(i, p: int):
         h = F.conv(
@@ -448,30 +440,43 @@ def lsh_bucketed_topk(
         # higher-order-function arity detection
         return lambda x, i: x.cast("double") * plane_weight(i, p)
 
-    def bucket_col(vec):
-        bits = [
-            F.when(
-                F.aggregate(
-                    F.zip_with(
-                        vec,
-                        F.sequence(F.lit(0), F.size(vec) - 1),
-                        _mk_weight_fn(p),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                > 0,
-                F.lit(1),
-            ).otherwise(F.lit(0))
-            * (2**p)
-            for p in range(planes)
-        ]
-        out = F.lit(0)
-        for b in bits:
-            out = out + b
-        return out
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.sequence(F.lit(0), F.size(vec) - 1),
+                    _mk_weight_fn(p),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            > 0,
+            F.lit(1),
+        ).otherwise(F.lit(0))
+        * (2**p)
+        for p in range(planes)
+    ]
+    out = F.lit(0)
+    for b in bits:
+        out = out + b
+    return out
 
-    with_b = emb.withColumn("bucket", bucket_col(F.col("embedding")))
+
+def lsh_bucketed_topk(
+    spark: SparkSession, sf_dir: str, query_id: int = 0, k: int = 10, planes: int = 6
+) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH.
+
+    Bucket key = sign bits of `planes` pseudo-random hyperplanes (weights
+    derived from md5 of "dim:plane" — fully deterministic, no stored
+    model, and computable identically by the DuckDB oracle,
+    `LSH_TOPK_SQL`).  Candidates = vectors sharing the query's bucket;
+    exact cosine re-rank inside the bucket.  At 100 TB the bucket join
+    replaces the full scan per query.
+    """
+    emb = load_embeddings(spark, sf_dir)
+    with_b = emb.withColumn("bucket", _md5_lsh_bucket_col(F.col("embedding"), planes))
     qb = with_b.filter(F.col("vec_id") == query_id).select(
         F.col("bucket").alias("qbucket"), F.col("embedding").alias("q_emb")
     )
@@ -490,6 +495,39 @@ def lsh_bucketed_topk(
         ).alias("cos_sim"),
     )
     return sims.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()).limit(k)
+
+
+def _sampled_centroids(emb: DataFrame, n_cells: int) -> dict:
+    """First `n_cells` corpus vectors as centroids (the IVF-flat sampled
+    training shortcut): a pure function of the data, so every engine
+    derives the identical cells.  Tiny driver collect (n_cells rows)."""
+    return {
+        r["vec_id"]: list(r["embedding"])
+        for r in emb.filter(F.col("vec_id") < n_cells).collect()
+    }
+
+
+def _assign_sampled_cells(emb: DataFrame, cents: dict) -> DataFrame:
+    """Adds `cell` = argmin centroid (squared L2, ties to the lower cell
+    id) — `n_cells` x dim fused multiply-adds per row, all in codegen."""
+
+    def dist2(vec, cent: list) -> "F.Column":
+        carr = F.array(*[F.lit(float(x)) for x in cent])
+        return F.aggregate(
+            F.zip_with(vec, carr, lambda x, y: (x.cast("double") - y.cast("double")) ** 2),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    cell_structs = F.array(
+        *[
+            F.struct(
+                dist2(F.col("embedding"), cents[c]).alias("d"), F.lit(c).alias("c")
+            )
+            for c in sorted(cents)
+        ]
+    )
+    return emb.withColumn("cell", F.array_min(cell_structs)["c"])
 
 
 def ivf_topk_deterministic(
@@ -514,28 +552,8 @@ def ivf_topk_deterministic(
     lower cell id / lower vec_id in BOTH engines.
     """
     emb = load_embeddings(spark, sf_dir)
-    cents = {
-        r["vec_id"]: list(r["embedding"])
-        for r in emb.filter(F.col("vec_id") < n_cells).collect()
-    }
-
-    def dist2(vec, cent: list) -> "F.Column":
-        carr = F.array(*[F.lit(float(x)) for x in cent])
-        return F.aggregate(
-            F.zip_with(vec, carr, lambda x, y: (x.cast("double") - y.cast("double")) ** 2),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    cell_structs = F.array(
-        *[
-            F.struct(
-                dist2(F.col("embedding"), cents[c]).alias("d"), F.lit(c).alias("c")
-            )
-            for c in sorted(cents)
-        ]
-    )
-    assigned = emb.withColumn("cell", F.array_min(cell_structs)["c"])
+    cents = _sampled_centroids(emb, n_cells)
+    assigned = _assign_sampled_cells(emb, cents)
 
     q_emb = cents.get(query_id) or list(
         emb.filter(F.col("vec_id") == query_id).head()["embedding"]
@@ -620,3 +638,182 @@ LIMIT {k}
 
 
 IVF_TOPK_DET_SQL = _ivf_topk_det_sql()
+
+
+def semantic_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.35,
+    n_cells: int = 16,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    the embedding space, then mark as duplicates the members of each
+    cluster that sit within `threshold` cosine of a lower-id member.
+
+    Clustering = the deterministic sampled-centroid assignment shared
+    with `ivf_topk_deterministic`, so the full pipeline has a value-level
+    DuckDB oracle.  Pair comparison happens ONLY within a cell (a cell
+    equi-join, never a cartesian): at 100 TB the n_cells knob bounds the
+    per-cell candidate set so total pair work stays ~n^2/n_cells, and the
+    cell id doubles as the shuffle key — one exchange for the self-join,
+    one broadcast-size distinct for the dup ids.
+
+    Returns every vector with its cell and kept flag (kept = no lower-id
+    semantic duplicate in the same cell).
+    """
+    emb = load_embeddings(spark, sf_dir)
+    assigned = _assign_sampled_cells(emb, _sampled_centroids(emb, n_cells))
+    a = assigned.select(
+        F.col("vec_id").alias("id_a"), "cell", F.col("embedding").alias("e_a")
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("id_b"), "cell", F.col("embedding").alias("e_b")
+    )
+    cos = F.round(
+        _dot(F.col("e_a"), F.col("e_b"))
+        / (
+            F.sqrt(_dot(F.col("e_a"), F.col("e_a")))
+            * F.sqrt(_dot(F.col("e_b"), F.col("e_b")))
+        ),
+        6,
+    )
+    dups = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cos >= threshold)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    return assigned.select("vec_id", "cell").join(dups, "vec_id", "left").select(
+        "vec_id",
+        "cell",
+        F.when(F.col("is_dup").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("kept"),
+    )
+
+
+def _semantic_dedup_sql(
+    threshold: float = 0.35, n_cells: int = 16, dim: int = 64
+) -> str:
+    d2 = (
+        "list_sum(list_transform(range(1, {d} + 1), "
+        "i -> (CAST(a.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)) ** 2))"
+    ).format(d=dim)
+
+    def dot(x: str, y: str) -> str:
+        return (
+            "list_sum(list_transform(range(1, {d} + 1), "
+            "i -> CAST({x}.embedding[i] AS DOUBLE) * CAST({y}.embedding[i] AS DOUBLE)))"
+        ).format(d=dim, x=x, y=y)
+
+    return f"""
+WITH cents AS (SELECT vec_id AS cell, embedding FROM embeddings WHERE vec_id < {n_cells}),
+dists AS (SELECT a.vec_id, c.cell, {d2} AS d FROM embeddings a, cents c),
+assigned AS (
+  SELECT vec_id, min(cell) AS cell
+  FROM (SELECT vec_id, cell, d, min(d) OVER (PARTITION BY vec_id) AS md FROM dists)
+  WHERE d = md GROUP BY vec_id
+),
+dups AS (
+  SELECT DISTINCT pb.vec_id AS vec_id
+  FROM assigned pa JOIN assigned pb ON pa.cell = pb.cell AND pa.vec_id < pb.vec_id
+  JOIN embeddings ea ON ea.vec_id = pa.vec_id
+  JOIN embeddings eb ON eb.vec_id = pb.vec_id
+  WHERE round({dot('ea', 'eb')} / (sqrt({dot('ea', 'ea')}) * sqrt({dot('eb', 'eb')})), 6)
+        >= {threshold}
+)
+SELECT s.vec_id, s.cell,
+       CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+FROM assigned s LEFT JOIN dups d ON s.vec_id = d.vec_id
+"""
+
+
+SEMANTIC_DEDUP_SQL = _semantic_dedup_sql()
+
+
+def knn_join(
+    spark: SparkSession, sf_dir: str, k: int = 5, planes: int = 6
+) -> DataFrame:
+    """Approximate k-NN self-join: every vector's top-k cosine neighbours
+    among the vectors sharing its LSH bucket (the batch companion to the
+    single-query `lsh_bucketed_topk`).
+
+    The bucket equi-join replaces the n^2 all-pairs scan — pair work is
+    sum over buckets of |bucket|^2, and `planes` tunes bucket size so the
+    join stays sub-quadratic at 100 TB.  The per-vector top-k is a
+    row_number window partitioned by vec_id, which reuses the join's
+    hash partitioning; no global sort anywhere.
+    """
+    emb = load_embeddings(spark, sf_dir)
+    with_b = emb.withColumn("bucket", _md5_lsh_bucket_col(F.col("embedding"), planes))
+    a = with_b.select(
+        "vec_id", "bucket", F.col("embedding").alias("e_a")
+    )
+    b = with_b.select(
+        F.col("vec_id").alias("neighbor_id"), "bucket", F.col("embedding").alias("e_b")
+    )
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .select(
+            "vec_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("e_a"), F.col("e_b"))
+                / (
+                    F.sqrt(_dot(F.col("e_a"), F.col("e_a")))
+                    * F.sqrt(_dot(F.col("e_b"), F.col("e_b")))
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def _knn_join_sql(k: int = 5, planes: int = 6, dim: int = 64) -> str:
+    def weight(p: int) -> str:
+        h = f"('0x' || substr(md5(CAST(i - 1 AS VARCHAR) || ':{p}'), 1, 15))::BIGINT"
+        return f"(CAST({h} % 2000 AS DOUBLE) - 1000) / 1000.0"
+
+    bits = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(range(1, {dim} + 1), "
+        f"i -> CAST(embedding[i] AS DOUBLE) * {weight(p)})) > 0 THEN {2**p} ELSE 0 END)"
+        for p in range(planes)
+    )
+
+    def dot(x: str, y: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {dim} + 1), "
+            f"i -> CAST({x}.embedding[i] AS DOUBLE) * CAST({y}.embedding[i] AS DOUBLE)))"
+        )
+
+    return f"""
+WITH b AS (SELECT vec_id, embedding, {bits} AS bucket FROM embeddings),
+p AS (
+  SELECT a.vec_id, x.vec_id AS neighbor_id,
+         round({dot('a', 'x')} / (sqrt({dot('a', 'a')}) * sqrt({dot('x', 'x')})), 6)
+             AS cos_sim
+  FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id != x.vec_id
+),
+r AS (
+  SELECT vec_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM p
+)
+SELECT vec_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos_sim
+FROM r WHERE rank <= {k}
+"""
+
+
+KNN_JOIN_SQL = _knn_join_sql()

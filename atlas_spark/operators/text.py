@@ -584,3 +584,140 @@ SELECT doc_id,
 FROM tok JOIN freq USING (w) CROSS JOIN tot
 GROUP BY doc_id
 """
+
+
+def ngram_topk(spark: SparkSession, sf_dir: str, n: int = 2, k: int = 20) -> DataFrame:
+    """Corpus-level top-k word n-grams (here bigrams) with counts — the
+    basic corpus-statistics primitive behind contamination checks, boiler-
+    plate detection, and n-gram LM estimation.
+
+    Plan: in-row n-gram construction (`transform` over an index sequence,
+    no self-join), explode, partial+final hash aggregation, then
+    TakeOrderedAndProject for the top-k — at 100 TB the only shuffle is
+    the gram rollup and only k rows ever reach the driver.  Ties break on
+    the gram string so the result is fully deterministic.
+    """
+    docs = load_documents(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("gram").asc())
+        .limit(k)
+    )
+
+
+NGRAM_TOPK_SQL = """
+WITH g AS (
+  SELECT unnest(list_transform(range(1, len(string_split(text, ' '))),
+                i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]))
+         AS gram
+  FROM documents
+)
+SELECT gram, CAST(count(*) AS BIGINT) AS cnt
+FROM g
+GROUP BY gram
+ORDER BY cnt DESC, gram ASC
+LIMIT 20
+"""
+
+
+# Target mixture weights per source for `domain_mix`; unlisted sources get
+# weight 0 (dropped).  Shared verbatim with the SQL oracle.
+_MIX_WEIGHTS = {
+    "src0": 0.35,
+    "src1": 0.25,
+    "src2": 0.2,
+    "src3": 0.15,
+    "src4": 0.05,
+}
+_MIX_BUDGET = 20000  # target token budget for the mixed corpus
+
+
+def domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling: hit a target token budget with a target
+    weight per source (the data-mixing step of a pretraining pipeline,
+    cf. DoReMi / The Pile's domain weights).
+
+    Per-source keep-rate = min(1, weight * budget / source_tokens), then a
+    deterministic md5(doc_id) threshold decides each document — the same
+    portable-uniform trick as `stratified_sample`, so the selection is
+    reproducible, partitioning-independent, and value-level oracled.
+
+    Plan: one narrow agg for per-source token totals (aggregate-sized),
+    broadcast the rates back onto the scan, filter, and a final partial+
+    final rollup — the full corpus is scanned once and never reshuffled.
+    """
+    docs = load_documents(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    totals = toks.groupBy("source").agg(F.sum("n_tokens").alias("src_tokens"))
+    weight = F.lit(None).cast("double")
+    for src, w in _MIX_WEIGHTS.items():
+        weight = F.when(F.col("source") == src, F.lit(w)).otherwise(weight)
+    rates = totals.select(
+        "source",
+        weight.alias("target_weight"),
+        F.least(
+            F.lit(1.0), weight * F.lit(float(_MIX_BUDGET)) / F.col("src_tokens")
+        ).alias("rate"),
+    ).filter(F.col("target_weight").isNotNull())
+    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "double"
+    ) / float(1 << 32)
+    kept = toks.withColumn("u", u).join(F.broadcast(rates), "source").filter(
+        F.col("u") < F.col("rate")
+    )
+    return kept.groupBy("source", "target_weight").agg(
+        F.round(F.first("rate"), 6).alias("keep_rate"),
+        F.count("*").cast("long").alias("docs_kept"),
+        F.sum("n_tokens").alias("tokens_kept"),
+    )
+
+
+def _domain_mix_sql() -> str:
+    w_case = " ".join(
+        f"WHEN source = '{s}' THEN CAST({w} AS DOUBLE)"
+        for s, w in _MIX_WEIGHTS.items()
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CASE {w_case} ELSE NULL END AS target_weight
+  FROM documents
+),
+rates AS (
+  SELECT source, target_weight,
+         least(CAST(1.0 AS DOUBLE),
+               target_weight * CAST({_MIX_BUDGET} AS DOUBLE) / sum(n_tokens))
+             AS rate
+  FROM toks
+  WHERE target_weight IS NOT NULL
+  GROUP BY source, target_weight
+)
+SELECT t.source, r.target_weight,
+       round(r.rate, 6) AS keep_rate,
+       CAST(count(*) AS BIGINT) AS docs_kept,
+       CAST(sum(t.n_tokens) AS BIGINT) AS tokens_kept
+FROM toks t JOIN rates r ON t.source = r.source
+WHERE ('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0
+      < r.rate
+GROUP BY t.source, r.target_weight, r.rate
+"""
+
+
+DOMAIN_MIX_SQL = _domain_mix_sql()

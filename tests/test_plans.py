@@ -368,3 +368,47 @@ def test_minhash_recall_on_planted_dups(spark):
     assert len(must) >= 10, "corpus construction drifted: too few true pairs"
     missed = [p for p in must if p not in pairs]
     assert not missed, missed
+
+
+def test_semantic_dedup_joins_within_cells(spark, sf_dir, queries):
+    """Semantic dedup compares pairs ONLY within a cluster cell: the
+    self-join must be a hash equi-join on `cell` — never a cartesian or
+    broadcast-nested-loop all-pairs product — so total pair work stays
+    ~n^2/n_cells and the shuffle key is the cell id."""
+    plan = _plan(queries["op_semantic_dedup"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "cell" in plan
+
+
+def test_knn_join_is_bucketed_and_partitioned(spark, sf_dir, queries):
+    """The k-NN self-join pairs vectors through the LSH `bucket` equi-join
+    (sub-quadratic; no cartesian), and the per-vector top-k window must
+    partition by vec_id — a single-partition global window would funnel
+    every candidate pair through one task at 100 TB."""
+    plan = _plan(queries["op_knn_join"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Window" in plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_ngram_topk_partial_agg_and_take_ordered(spark, sf_dir, queries):
+    """Corpus top-k n-grams: the gram rollup must have a map-side partial
+    aggregate (the explode fans out ~L grams/doc, combined before the
+    shuffle) and the top-k must be TakeOrderedAndProject — only k rows
+    cross to the driver, never a global sort."""
+    plan = _plan(queries["op_ngram_topk"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_domain_mix_broadcasts_rates(spark, sf_dir, queries):
+    """Domain-mix sampling joins the corpus scan against the per-source
+    rate table (|sources| rows): the rate side must BROADCAST so the
+    corpus is scanned once and never shuffled to meet it; the only keyed
+    exchanges are the two aggregate-sized rollups."""
+    plan = _plan(queries["op_domain_mix"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
