@@ -70,4 +70,7 @@ SPECS: list[OpSpec] = [
     OpSpec("rel_order_priority", relational.order_priority_counts, relational.ORDER_PRIORITY_SQL),
     OpSpec("rel_shipping_priority", relational.shipping_priority, relational.SHIPPING_PRIORITY_SQL),
     OpSpec("rel_part_supplier", relational.part_supplier_stats, relational.PART_SUPPLIER_SQL),
+    OpSpec("rel_priority_shipments", relational.priority_shipments, relational.PRIORITY_SHIPMENTS_SQL),
+    OpSpec("rel_promo_share", relational.promo_revenue_share, relational.PROMO_REVENUE_SHARE_SQL),
+    OpSpec("rel_bracket_revenue", relational.bracket_revenue, relational.BRACKET_REVENUE_SQL),
 ]

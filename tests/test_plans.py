@@ -412,3 +412,18 @@ def test_domain_mix_broadcasts_rates(spark, sf_dir, queries):
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_new_tpch_shapes_join_strategy(spark, sf_dir, queries):
+    """Q14/Q19 shapes broadcast the part dimension (the fact side never
+    shuffles for a dim join); the Q12 shape's lineitem x orders fact-fact
+    join must be a keyed equi-join with a single conditional-agg rollup —
+    no cartesian anywhere, and the date filter pushes to the scan."""
+    for name in ("rel_promo_share", "rel_bracket_revenue"):
+        plan = _plan(queries[name](spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, (name, plan)
+        assert "CartesianProduct" not in plan, (name, plan)
+    plan = _plan(queries["rel_priority_shipments"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "PushedFilters" in plan and "l_shipdate" in plan, plan
