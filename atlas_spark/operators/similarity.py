@@ -419,44 +419,37 @@ def ivf_topk(
     return sims.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()).limit(k)
 
 
-def _md5_lsh_bucket_col(vec, planes: int):
-    """Sign-bit LSH bucket id from md5-derived hyperplanes (weight for
-    dimension `i` of plane `p` = md5("i:p") mapped to [-1, 1)) — fully
+def _md5_plane_weight(i: int, p: int) -> float:
+    """Weight for dimension `i` of plane `p` = md5("i:p") mapped to
+    [-1, 1) — the Python replica of the oracle's SQL formula
+    `(('0x' || substr(md5(i || ':' || p), 1, 15))::BIGINT % 2000 - 1000)
+    / 1000.0` (values pinned equal by the LSH oracles)."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{i}:{p}".encode()).hexdigest()[:15], 16)
+    return (h % 2000 - 1000) / 1000.0
+
+
+def _md5_lsh_bucket_col(vec, planes: int, dim: int = 64):
+    """Sign-bit LSH bucket id from md5-derived hyperplanes — fully
     deterministic, no stored model, and computable identically by the
-    DuckDB oracles."""
+    DuckDB oracles.
 
-    def plane_weight(i, p: int):
-        h = F.conv(
-            F.substring(
-                F.md5(F.concat_ws(":", i.cast("string"), F.lit(str(p)))), 1, 15
-            ),
-            16,
-            10,
-        ).cast("long")
-        return (F.pmod(h, F.lit(2000)) - 1000).cast("double") / 1000.0
-
-    def _mk_weight_fn(p: int):
-        # closure factory: a default-arg lambda would break Spark's
-        # higher-order-function arity detection
-        return lambda x, i: x.cast("double") * plane_weight(i, p)
-
-    bits = [
-        F.when(
-            F.aggregate(
-                F.zip_with(
-                    vec,
-                    F.sequence(F.lit(0), F.size(vec) - 1),
-                    _mk_weight_fn(p),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            > 0,
-            F.lit(1),
-        ).otherwise(F.lit(0))
-        * (2**p)
-        for p in range(planes)
-    ]
+    The weights are CONSTANTS of (i, p): they are derived driver-side
+    and embedded as literal arrays, so each bucket bit is `dim` fused
+    multiply-adds in codegen.  (An earlier version derived the md5
+    inside the expression tree, which re-hashed every element of every
+    row — 384 md5 calls per row at 6 planes; at 100 TB the hashing,
+    not the dot product, would have dominated the scan.)"""
+    bits = []
+    for p in range(planes):
+        w = F.array(*[F.lit(_md5_plane_weight(i, p)) for i in range(dim)])
+        dot = F.aggregate(
+            F.zip_with(vec, w, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot > 0, F.lit(1)).otherwise(F.lit(0)) * (2**p))
     out = F.lit(0)
     for b in bits:
         out = out + b
@@ -663,19 +656,26 @@ def semantic_dedup(
     """
     emb = load_embeddings(spark, sf_dir)
     assigned = _assign_sampled_cells(emb, _sampled_centroids(emb, n_cells))
-    a = assigned.select(
-        F.col("vec_id").alias("id_a"), "cell", F.col("embedding").alias("e_a")
+    # norms once per VECTOR, not once per pair: the pair join multiplies
+    # precomputed scalars (bit-identical to sqrt-per-pair — same fold,
+    # same doubles — but ~3x less pair work)
+    with_n = assigned.withColumn(
+        "nrm", F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
     )
-    b = assigned.select(
-        F.col("vec_id").alias("id_b"), "cell", F.col("embedding").alias("e_b")
+    a = with_n.select(
+        F.col("vec_id").alias("id_a"),
+        "cell",
+        F.col("embedding").alias("e_a"),
+        F.col("nrm").alias("n_a"),
+    )
+    b = with_n.select(
+        F.col("vec_id").alias("id_b"),
+        "cell",
+        F.col("embedding").alias("e_b"),
+        F.col("nrm").alias("n_b"),
     )
     cos = F.round(
-        _dot(F.col("e_a"), F.col("e_b"))
-        / (
-            F.sqrt(_dot(F.col("e_a"), F.col("e_a")))
-            * F.sqrt(_dot(F.col("e_b"), F.col("e_b")))
-        ),
-        6,
+        _dot(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b")), 6
     )
     dups = (
         a.join(b, "cell")
@@ -745,12 +745,17 @@ def knn_join(
     hash partitioning; no global sort anywhere.
     """
     emb = load_embeddings(spark, sf_dir)
-    with_b = emb.withColumn("bucket", _md5_lsh_bucket_col(F.col("embedding"), planes))
+    with_b = emb.withColumn(
+        "bucket", _md5_lsh_bucket_col(F.col("embedding"), planes)
+    ).withColumn("nrm", F.sqrt(_dot(F.col("embedding"), F.col("embedding"))))
     a = with_b.select(
-        "vec_id", "bucket", F.col("embedding").alias("e_a")
+        "vec_id", "bucket", F.col("embedding").alias("e_a"), F.col("nrm").alias("n_a")
     )
     b = with_b.select(
-        F.col("vec_id").alias("neighbor_id"), "bucket", F.col("embedding").alias("e_b")
+        F.col("vec_id").alias("neighbor_id"),
+        "bucket",
+        F.col("embedding").alias("e_b"),
+        F.col("nrm").alias("n_b"),
     )
     pairs = (
         a.join(b, "bucket")
@@ -759,12 +764,7 @@ def knn_join(
             "vec_id",
             "neighbor_id",
             F.round(
-                _dot(F.col("e_a"), F.col("e_b"))
-                / (
-                    F.sqrt(_dot(F.col("e_a"), F.col("e_a")))
-                    * F.sqrt(_dot(F.col("e_b"), F.col("e_b")))
-                ),
-                6,
+                _dot(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b")), 6
             ).alias("cos_sim"),
         )
     )

@@ -362,7 +362,7 @@ class StreamingEvaluator:
             ev = ev.expr
         self.state_plan = _decompose_state_plan(ev, self.step)
         self.lookback = min(_max_lookback_steps(self.expr), self.max_lookback)
-        self._buffer = None  # rolling pandas buffer of finalized dp rows
+        self._buffer = None  # rolling DISTRIBUTED buffer of finalized rows
         self.results: list[dict] = []
         self.intervals_seen: set[int] = set()
         self._tmp_dirs: list[str] = []
@@ -830,32 +830,43 @@ class StreamingEvaluator:
 
     def _on_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """FinalExprEval equivalent: merge finalized intervals into the
-        lookback buffer and re-evaluate the expression for new intervals."""
-        import pandas as pd
+        lookback buffer and re-evaluate the expression for new intervals.
 
-        pdf = batch_df.toPandas()
-        if pdf.empty:
-            return
-        if self._buffer is None:
-            self._buffer = pdf
-        else:
-            self._buffer = pd.concat([self._buffer, pdf], ignore_index=True)
-        t_max = int(self._buffer["t"].max())
-        new_ts = sorted(set(int(t) for t in pdf["t"]) - self.intervals_seen)
+        The buffer is a DISTRIBUTED DataFrame (union of finalized batches,
+        trimmed to the lookback horizon, lineage truncated per batch by an
+        eager `localCheckpoint`): rows stay in executor storage and the
+        re-evaluation runs through the batch planner's normal distributed
+        plans, so series cardinality never accumulates in driver memory —
+        the driver holds only interval bookkeeping.  (The reference holds
+        the equivalent state on one node in FinalExprEval,
+        atlas-eval/.../stream/FinalExprEval.scala:74-75,243-249.)"""
+        new_ts = sorted(
+            {int(r[0]) for r in batch_df.select("t").distinct().collect()}
+            - self.intervals_seen
+        )
         if not new_ts:
             return
         self.intervals_seen.update(new_ts)
+        buf = (
+            batch_df
+            if self._buffer is None
+            else self._buffer.unionByName(batch_df)
+        )
+        t_max = max(max(self.intervals_seen), new_ts[-1])
         # bound the buffer to the lookback horizon, but never trim intervals
         # that still need to be evaluated in this batch
         horizon = min(t_max - self.lookback * self.step, new_ts[0])
-        self._buffer = self._buffer[self._buffer["t"] >= horizon]
+        buf = buf.filter(F.col("t") >= horizon).localCheckpoint()
+        self._buffer = buf
 
         # evaluate with the batch planner over the buffered window
-        t_lo = int(self._buffer["t"].min())
+        agg = buf.agg(F.min("t")).head()
+        if agg is None or agg[0] is None:
+            return
+        t_lo = int(agg[0])
         ctx = EvalContext(t_lo, t_max + self.step, self.step)
-        src_df = self.spark.createDataFrame(self._buffer)
         source = DatapointSource(
-            df=src_df, step=self.step, colmap=dict(self.key_cols), sql_cte=""
+            df=buf, step=self.step, colmap=dict(self.key_cols), sql_cte=""
         )
         rf = Evaluator(source, ctx).eval(self.expr)
         kc = rf.key_cols
