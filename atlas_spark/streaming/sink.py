@@ -1,0 +1,91 @@
+"""Publish-path bronze sink: payload stream -> partitioned parquet.
+
+Closes the storage leg of the publish API (SURVEY §2.8): the reference
+ingests validated datapoints into its memory/block store
+(`atlas-webapi/.../PublishApi.scala:1-147` feeding the in-memory
+database); here the durable landing zone is a date-partitioned parquet
+table written by Structured Streaming with exactly-once file commits
+(checkpointed sink), which the batch sources then scan with partition
+pruning + predicate pushdown.
+
+Layout (per row): `tags` map, promoted `name` column, step-aligned
+epoch-second `t`, `value`, and a `date` partition column derived from
+`t` in UTC.  Promoting `name` keeps the most selective predicate a
+plain column filter at scan time (same decision as the batch layout,
+`sources/layout.py`); the date partitioning makes time-ranged queries
+prune whole directories before any file is opened — at 100 TB the scan
+set is bounded by the query's time window, not the table's history.
+
+Rejected rows (validation chain, `validation.validate_publish`) land in
+a sibling `rejects` table with their `rejection` reason, so ingest
+quality is queryable instead of silently dropped.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..session import configure_existing
+from .norm import decode_publish_payloads
+from .validation import validate_publish
+
+
+def bronze_rows(
+    df: DataFrame, payload_col: str = "payload", step: int = 60
+) -> tuple[DataFrame, DataFrame]:
+    """(valid bronze rows, rejected rows) from a payload frame/stream.
+
+    Pure projections end to end (`from_json` + explode + map ops), so the
+    same function serves batch backfill and the live stream.  Timestamps
+    arrive in epoch millis (publish API); `t` is floored to the step so
+    the bronze table is directly scannable by the datapoint sources.
+    """
+    decoded = decode_publish_payloads(df, payload_col)
+    valid, rejected = validate_publish(decoded)
+    t = (F.floor(F.col("timestamp") / (1000 * step)) * step).cast("long")
+    rows = valid.select(
+        F.col("tags"),
+        F.col("tags")["name"].alias("name"),
+        t.alias("t"),
+        F.col("value"),
+        F.to_date(F.timestamp_seconds(t)).alias("date"),
+    )
+    return rows, rejected.select("tags", "timestamp", "value", "rejection")
+
+
+def publish_to_bronze(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    payload_col: str = "payload",
+    step: int = 60,
+):
+    """Start the bronze + rejects sinks for a payload stream; returns the
+    two StreamingQuery handles.
+
+    Parquet file sinks commit atomically per micro-batch against the
+    checkpoint log, so replays after failure never double-write a batch
+    (the exactly-once story the reference gets from its in-memory
+    overwrite semantics).
+    """
+    configure_existing(stream_df.sparkSession)
+    rows, rejected = bronze_rows(stream_df, payload_col, step)
+    q_data = (
+        rows.writeStream.format("parquet")
+        .option("path", f"{path}/data")
+        .option("checkpointLocation", f"{checkpoint}/data")
+        .partitionBy("date")
+        .outputMode("append")
+        .queryName("bronze_data")
+        .start()
+    )
+    q_rej = (
+        rejected.writeStream.format("parquet")
+        .option("path", f"{path}/rejects")
+        .option("checkpointLocation", f"{checkpoint}/rejects")
+        .outputMode("append")
+        .queryName("bronze_rejects")
+        .start()
+    )
+    return q_data, q_rej
