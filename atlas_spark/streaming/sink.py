@@ -89,3 +89,61 @@ def publish_to_bronze(
         .start()
     )
     return q_data, q_rej
+
+
+def bronze_datapoints(spark, path: str, step: int = 60, tag_keys=("name", "app")):
+    """DatapointSource over a bronze table written by `publish_to_bronze`
+    — the read side of the publish->store->query loop.
+
+    `name` is the promoted column; other tag keys project out of the
+    `tags` map at scan time.  The ranged scan applies BOTH the static
+    date-partition bounds (directory pruning — computed driver-side so
+    Catalyst sees literals) and the `t` range (row-group stats), so a
+    time-windowed graph query over years of bronze history opens only
+    the files its window touches.
+    """
+    from datetime import datetime, timezone
+
+    from ..sources.datapoints import DatapointSource, sanitize
+
+    configure_existing(spark)
+    df = spark.read.parquet(f"{path}/data")
+    kcols = {k: f"k_{sanitize(k)}" for k in tag_keys}
+
+    def project(d):
+        cols = [
+            (F.col("name") if k == "name" else F.col("tags")[k]).alias(c)
+            for k, c in kcols.items()
+        ]
+        return d.select(
+            *cols,
+            ((F.col("t") / step).cast("long") * step).alias("t"),
+            F.col("value"),
+        )
+
+    def build(d):
+        return (
+            project(d)
+            .groupBy(*kcols.values(), "t")
+            .agg(F.sum("value").alias("value"))
+        )
+
+    def _range(lo: int, hi: int):
+        def day(sec: int) -> str:
+            return datetime.fromtimestamp(sec, tz=timezone.utc).date().isoformat()
+
+        return df.filter(
+            (F.col("date") >= F.lit(day(lo)))
+            & (F.col("date") <= F.lit(day(hi)))
+            & (F.col("t") >= lo)
+            & (F.col("t") < hi)
+        )
+
+    return DatapointSource(
+        df=build(df),
+        step=step,
+        colmap=dict(zip(tag_keys, kcols.values())),
+        sql_cte="",
+        ranged=lambda lo, hi: build(_range(lo, hi)),
+        raw_ranged=lambda lo, hi: project(_range(lo, hi)),
+    )

@@ -435,3 +435,53 @@ def test_publish_to_bronze_sink(spark, tmp_path):
     assert len(parts) == 2, parts
     rej = spark.read.parquet(str(d_out / "rejects")).collect()
     assert len(rej) == 1 and rej[0]["rejection"] is not None
+
+
+def test_bronze_roundtrip_asl_query(spark, tmp_path):
+    """Full publish->store->query loop: payloads stream into the bronze
+    table, then an ASL query evaluates over `bronze_datapoints` and
+    returns the step-aligned sums — and the ranged scan's physical plan
+    carries both the date partition filter and the t pushdown."""
+    import json
+
+    from atlas_spark.plans.builder import Evaluator
+    from atlas_spark.plans.context import EvalContext
+    from atlas_spark.stacklang.vocab import parse as parse_asl
+    from atlas_spark.streaming.sink import bronze_datapoints, publish_to_bronze
+
+    d_in = tmp_path / "in"
+    d_in.mkdir()
+    day0 = 1700000000 // 86400 * 86400
+    step = 60
+
+    def payload(name, ts_s, value):
+        return json.dumps(
+            {"metrics": [{"tags": {"name": name, "app": "www"}, "timestamp": ts_s * 1000, "value": value}]}
+        )
+
+    (d_in / "c1.txt").write_text(
+        "\n".join(
+            [
+                payload("cpu", day0 + 10, 1.0),
+                payload("cpu", day0 + 20, 2.0),  # same cell -> sums to 3.0
+                payload("cpu", day0 + 70, 5.0),
+                payload("disk", day0 + 10, 9.0),  # filtered out by :eq
+            ]
+        )
+    )
+    stream = spark.readStream.schema("value string").text(str(d_in)).withColumnRenamed(
+        "value", "payload"
+    )
+    q1, q2 = publish_to_bronze(stream, str(tmp_path / "b"), str(tmp_path / "ck"), step=step)
+    q1.processAllAvailable()
+    q2.processAllAvailable()
+    q1.stop()
+    q2.stop()
+
+    src = bronze_datapoints(spark, str(tmp_path / "b"), step=step)
+    ctx = EvalContext(day0, day0 + 2 * step, step)
+    rf = Evaluator(src, ctx).eval(parse_asl("name,cpu,:eq,:sum", step=step)[0])
+    vals = {int(r["t"]): r["value"] for r in rf.df.collect()}
+    assert vals == {day0: 3.0, day0 + step: 5.0}
+    plan = src.ranged_df(day0, day0 + 2 * step)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "date" in plan, plan
