@@ -64,6 +64,7 @@ SPECS: list[OpSpec] = [
     ),
     OpSpec("op_semantic_dedup", similarity.semantic_dedup, similarity.SEMANTIC_DEDUP_SQL),
     OpSpec("op_knn_join", similarity.knn_join, similarity.KNN_JOIN_SQL),
+    OpSpec("op_pq_topk", similarity.pq_topk, similarity.PQ_TOPK_SQL),
     OpSpec("rel_pricing_summary", relational.pricing_summary, relational.PRICING_SUMMARY_SQL),
     OpSpec("rel_revenue_by_nation", relational.revenue_by_nation, relational.REVENUE_BY_NATION_SQL),
     OpSpec("rel_top_customers", relational.top_customers, relational.TOP_CUSTOMERS_SQL),

@@ -817,3 +817,125 @@ FROM r WHERE rank <= {k}
 
 
 KNN_JOIN_SQL = _knn_join_sql()
+
+
+# Product quantization: M subspaces x K codebook entries per subspace.
+# Codebooks are the sub-slices of the first K corpus vectors (the same
+# sampled-training shortcut as `ivf_topk_deterministic`), so codes and
+# ADC distances are pure functions of the data — fully value-oracled.
+_PQ_M = 8  # subspaces (64-dim -> 8 dims each)
+_PQ_K = 16  # codebook entries per subspace (4-bit codes)
+
+
+def pq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_id: int = 0,
+    k: int = 10,
+    m: int = _PQ_M,
+    ncodes: int = _PQ_K,
+    dim: int = 64,
+) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011): compress each vector
+    to `m` sub-codes (argmin sub-centroid per subspace), answer top-k by
+    asymmetric distance — the query's per-subspace lookup table summed
+    over each vector's codes.
+
+    The 100 TB story is COMPRESSION: a 64-dim float vector (256 B)
+    becomes m=8 4-bit codes (4 B), so the candidate scan reads 64x less
+    and the per-vector distance is m table lookups instead of a dim-wide
+    dot product.  Here codes are computed inline (at ingest they become a
+    stored `codes` column exactly like `ivf_build_index`'s cell); the
+    lookup tables are literal arrays (ncodes doubles per subspace)
+    resolved in codegen, and the top-k is TakeOrderedAndProject.
+
+    Ties break to the lower code / lower vec_id in both engines.
+    """
+    sub = dim // m
+    emb = load_embeddings(spark, sf_dir)
+    cents = _sampled_centroids(emb, ncodes)
+    q_emb = cents.get(query_id) or list(
+        emb.filter(F.col("vec_id") == query_id).head()["embedding"]
+    )
+
+    def sub_d2(vec, s: int, cent: list):
+        """Squared L2 between vec[s*sub:(s+1)*sub] and the centroid slice
+        (left-to-right fold, exact double parity with the oracle)."""
+        sl = F.slice(vec, s * sub + 1, sub)
+        carr = F.array(*[F.lit(float(x)) for x in cent[s * sub : (s + 1) * sub]])
+        return F.aggregate(
+            F.zip_with(sl, carr, lambda x, y: (x.cast("double") - y.cast("double")) ** 2),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def code_col(vec, s: int):
+        return F.array_min(
+            F.array(
+                *[
+                    F.struct(sub_d2(vec, s, cents[c]).alias("d"), F.lit(c).alias("c"))
+                    for c in sorted(cents)
+                ]
+            )
+        )["c"]
+
+    # query-side lookup tables: exact python replication of sub_d2 on the
+    # literal query vector (same left-to-right double fold)
+    def lut(s: int, c: int) -> float:
+        acc = 0.0
+        for i in range(s * sub, (s + 1) * sub):
+            acc = acc + (float(q_emb[i]) - float(cents[c][i])) ** 2
+        return acc
+
+    adc = F.lit(0.0)
+    for s in range(m):
+        lut_arr = F.array(*[F.lit(lut(s, c)) for c in sorted(cents)])
+        adc = adc + F.element_at(lut_arr, code_col(F.col("embedding"), s) + 1)
+
+    return (
+        emb.filter(F.col("vec_id") != query_id)
+        .select("vec_id", F.round(adc, 6).alias("approx_dist"))
+        .orderBy(F.col("approx_dist").asc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+def _pq_topk_sql(
+    query_id: int = 0,
+    k: int = 10,
+    m: int = _PQ_M,
+    ncodes: int = _PQ_K,
+    dim: int = 64,
+) -> str:
+    sub = dim // m
+    d2 = (
+        f"list_sum(list_transform(range(s.s * {sub} + 1, s.s * {sub} + {sub} + 1), "
+        "i -> (CAST({x}.embedding[i] AS DOUBLE) - CAST({y}.embedding[i] AS DOUBLE)) ** 2))"
+    )
+    return f"""
+WITH cents AS (SELECT vec_id AS c, embedding FROM embeddings WHERE vec_id < {ncodes}),
+subs AS (SELECT unnest(range({m})) AS s),
+cdist AS (
+  SELECT a.vec_id, s.s, c.c, {d2.format(x='a', y='c')} AS d
+  FROM embeddings a, subs s, cents c
+),
+codes AS (
+  SELECT vec_id, s, min(c) AS c
+  FROM (SELECT vec_id, s, c, d, min(d) OVER (PARTITION BY vec_id, s) AS md FROM cdist)
+  WHERE d = md GROUP BY vec_id, s
+),
+q AS (SELECT embedding FROM embeddings WHERE vec_id = {query_id}),
+lut AS (
+  SELECT s.s, c.c, {d2.format(x='q', y='c')} AS d
+  FROM q, subs s, cents c
+)
+SELECT v.vec_id, round(sum(l.d), 6) AS approx_dist
+FROM codes v JOIN lut l ON v.s = l.s AND v.c = l.c
+WHERE v.vec_id != {query_id}
+GROUP BY v.vec_id
+ORDER BY approx_dist ASC, v.vec_id ASC
+LIMIT {k}
+"""
+
+
+PQ_TOPK_SQL = _pq_topk_sql()

@@ -427,3 +427,15 @@ def test_new_tpch_shapes_join_strategy(spark, sf_dir, queries):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "PushedFilters" in plan and "l_shipdate" in plan, plan
+
+
+def test_pq_topk_is_pure_projection_take_ordered(spark, sf_dir, queries):
+    """Product-quantization ANN: codes and the ADC distance are pure
+    projections (sub-centroid argmins + literal lookup tables, all in
+    codegen) — the plan must contain NO join and NO keyed exchange, and
+    the top-k must be TakeOrderedAndProject.  This is the compressed-scan
+    shape: per-vector work is m table lookups, nothing wider."""
+    plan = _plan(queries["op_pq_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Join" not in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
