@@ -34,6 +34,7 @@ SPECS: list[OpSpec] = [
     OpSpec("op_unigram_logprob", text.unigram_logprob, text.UNIGRAM_LOGPROB_SQL),
     OpSpec("op_ngram_topk", text.ngram_topk, text.NGRAM_TOPK_SQL),
     OpSpec("op_domain_mix", text.domain_mix, text.DOMAIN_MIX_SQL),
+    OpSpec("op_asof_join", text.asof_join, text.ASOF_JOIN_SQL),
     OpSpec("op_cosine_topk", similarity.cosine_topk, similarity.cosine_topk_sql()),
     OpSpec("op_ngram_jaccard", dedup.ngram_jaccard_pairs, dedup.NGRAM_JACCARD_SQL),
     # Set-equality vs the exact all-pairs oracle rests on 24x2 banding
@@ -65,6 +66,7 @@ SPECS: list[OpSpec] = [
     OpSpec("op_semantic_dedup", similarity.semantic_dedup, similarity.SEMANTIC_DEDUP_SQL),
     OpSpec("op_knn_join", similarity.knn_join, similarity.KNN_JOIN_SQL),
     OpSpec("op_pq_topk", similarity.pq_topk, similarity.PQ_TOPK_SQL),
+    OpSpec("op_pq_recall", similarity.pq_recall, similarity.PQ_RECALL_SQL),
     OpSpec("rel_pricing_summary", relational.pricing_summary, relational.PRICING_SUMMARY_SQL),
     OpSpec("rel_revenue_by_nation", relational.revenue_by_nation, relational.REVENUE_BY_NATION_SQL),
     OpSpec("rel_top_customers", relational.top_customers, relational.TOP_CUSTOMERS_SQL),

@@ -939,3 +939,57 @@ LIMIT {k}
 
 
 PQ_TOPK_SQL = _pq_topk_sql()
+
+
+def pq_recall(
+    spark: SparkSession, sf_dir: str, query_id: int = 0, k: int = 10
+) -> DataFrame:
+    """Recall@k of the PQ index against the exact L2 top-k — the index
+    quality metric a pipeline tracks when tuning m/ncodes.  Joins two
+    k-row frames (both TakeOrdered results); the exact side scans the
+    corpus once with the same fold the oracle uses.
+    """
+    emb = load_embeddings(spark, sf_dir)
+    q_emb = list(emb.filter(F.col("vec_id") == query_id).head()["embedding"])
+    q_lit = F.array(*[F.lit(float(x)) for x in q_emb])
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding"), q_lit, lambda x, y: (x.cast("double") - y) ** 2
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    exact = (
+        emb.filter(F.col("vec_id") != query_id)
+        .select("vec_id", d2.alias("d2"))
+        .orderBy(F.col("d2").asc(), F.col("vec_id").asc())
+        .limit(k)
+        .select("vec_id")
+    )
+    approx = pq_topk(spark, sf_dir, query_id, k).select("vec_id")
+    return approx.join(exact, "vec_id").agg(
+        F.count("*").cast("long").alias("n_hits"),
+        F.round(F.count("*") / F.lit(float(k)), 6).alias("recall"),
+    )
+
+
+def _pq_recall_sql(query_id: int = 0, k: int = 10, dim: int = 64) -> str:
+    d2 = (
+        f"list_sum(list_transform(range(1, {dim} + 1), "
+        "i -> (CAST(a.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE)) ** 2))"
+    )
+    return f"""
+SELECT CAST(count(*) AS BIGINT) AS n_hits,
+       round(count(*) / CAST({k} AS DOUBLE), 6) AS recall
+FROM ({_pq_topk_sql(query_id, k)}) ap
+JOIN (
+  SELECT a.vec_id
+  FROM embeddings a, (SELECT embedding FROM embeddings WHERE vec_id = {query_id}) q
+  WHERE a.vec_id != {query_id}
+  ORDER BY {d2} ASC, a.vec_id ASC
+  LIMIT {k}
+) ex USING (vec_id)
+"""
+
+
+PQ_RECALL_SQL = _pq_recall_sql()

@@ -721,3 +721,88 @@ GROUP BY t.source, r.target_weight, r.rate
 
 
 DOMAIN_MIX_SQL = _domain_mix_sql()
+
+
+def asof_join(
+    spark: SparkSession,
+    sf_dir: str,
+    left_type: str = "click",
+    right_type: str = "purchase",
+) -> DataFrame:
+    """As-of join over the event stream: each `left_type` event carries
+    the value of the user's most recent `right_type` event at-or-before
+    its timestamp (NULL if none yet) — the point-in-time attribution
+    join (conversion attribution, feature lookups) that Spark has no
+    native operator for.
+
+    Implementation: tag both sides, union, and carry the right-side
+    value forward with `last(..., ignorenulls)` over a per-user ordered
+    window — ONE user-keyed exchange and one within-partition sort, no
+    range join and no per-left-row probe.  At equal timestamps the
+    right side sorts first (the at-or-before contract), with event_id as
+    the final deterministic tiebreak.  Scales exactly like sessionize:
+    the shuffle key is the high-cardinality user id.
+    """
+    from pyspark.sql import Window
+
+    from ..session import configure_existing
+    from ..sources.datapoints import _epoch_sec
+
+    configure_existing(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e = ev.select(
+        "event_id", "user_id", "event_type", "value", _epoch_sec(ev).alias("sec")
+    )
+    a = e.filter(F.col("event_type") == left_type).select(
+        "event_id",
+        "user_id",
+        "sec",
+        "value",
+        F.lit(0).alias("is_b"),
+        F.lit(None).cast("double").alias("bval"),
+    )
+    b = e.filter(F.col("event_type") == right_type).select(
+        "event_id",
+        "user_id",
+        "sec",
+        F.lit(None).cast("double").alias("value"),
+        F.lit(1).alias("is_b"),
+        F.col("value").alias("bval"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("sec").asc(), F.col("is_b").desc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        a.unionByName(b)
+        .withColumn("asof_value", F.last("bval", ignorenulls=True).over(w))
+        .filter(F.col("is_b") == 0)
+        .select("event_id", "user_id", F.col("sec").alias("t"), "value", "asof_value")
+    )
+
+
+ASOF_JOIN_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, event_type, value,
+         epoch_ns(ts) // 1000000000 AS sec
+  FROM events
+),
+u AS (
+  SELECT event_id, user_id, sec, value, 0 AS is_b, CAST(NULL AS DOUBLE) AS bval
+  FROM e WHERE event_type = 'click'
+  UNION ALL
+  SELECT event_id, user_id, sec, CAST(NULL AS DOUBLE), 1, value
+  FROM e WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT event_id, user_id, sec, value, is_b,
+         last_value(bval IGNORE NULLS) OVER (
+             PARTITION BY user_id
+             ORDER BY sec ASC, is_b DESC, event_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_value
+  FROM u
+)
+SELECT event_id, user_id, sec AS t, value, asof_value
+FROM c WHERE is_b = 0
+"""

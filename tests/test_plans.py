@@ -439,3 +439,24 @@ def test_pq_topk_is_pure_projection_take_ordered(spark, sf_dir, queries):
     assert "TakeOrderedAndProject" in plan, plan
     assert "Join" not in plan, plan
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_asof_join_single_user_exchange(spark, sf_dir, queries):
+    """The as-of join is one union + one per-user carry-forward window:
+    exactly one keyed exchange (hashpartitioning on user_id), no range
+    join, no per-row probe, and never a single-partition sort — the same
+    scale shape as sessionize."""
+    plan = _plan(queries["op_asof_join"](spark, sf_dir))
+    assert "hashpartitioning(user_id" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_pq_recall_joins_two_topk(spark, sf_dir, queries):
+    """PQ recall joins two k-row TakeOrdered frames: both sides must be
+    TakeOrderedAndProject (never a global sort of the corpus) and the
+    k-row join must not be a cartesian of anything scan-sized."""
+    plan = _plan(queries["op_pq_recall"](spark, sf_dir))
+    assert plan.count("TakeOrderedAndProject") == 2, plan
+    assert "CartesianProduct" not in plan, plan
