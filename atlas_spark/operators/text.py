@@ -806,3 +806,40 @@ c AS (
 SELECT event_id, user_id, sec AS t, value, asof_value
 FROM c WHERE is_b = 0
 """
+
+
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization — the first pass of every cleaning
+    pipeline: lowercase, strip ASCII control characters, collapse
+    whitespace runs, trim.  Emits the normalized digest + shape deltas
+    (rather than megabytes of normalized text) so the transform is
+    verifiable row-by-row.
+
+    Pure per-row projection (regex + hash in whole-stage codegen): zero
+    shuffle, scales with the scan.
+    """
+    docs = load_documents(spark, sf_dir)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[\x00-\x1f]", " "),
+            r"  +",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(norm.cast("binary")).alias("norm_digest"),
+        F.length("text").cast("long").alias("n_chars_raw"),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+    )
+
+
+TEXT_NORMALIZE_SQL = r"""
+SELECT doc_id,
+       md5(trim(regexp_replace(regexp_replace(lower(text), '[\x00-\x1f]', ' ', 'g'),
+                               '  +', ' ', 'g'))) AS norm_digest,
+       CAST(len(text) AS BIGINT) AS n_chars_raw,
+       CAST(len(trim(regexp_replace(regexp_replace(lower(text), '[\x00-\x1f]', ' ', 'g'),
+                                    '  +', ' ', 'g'))) AS BIGINT) AS n_chars_norm
+FROM documents
+"""

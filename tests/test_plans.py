@@ -460,3 +460,11 @@ def test_pq_recall_joins_two_topk(spark, sf_dir, queries):
     plan = _plan(queries["op_pq_recall"](spark, sf_dir))
     assert plan.count("TakeOrderedAndProject") == 2, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_text_normalize_has_no_exchange(spark, sf_dir, queries):
+    """Text normalization is a pure per-row projection (regex + digest in
+    codegen): NO exchange of any kind — it runs map-side wherever the
+    data lives."""
+    plan = _plan(queries["op_text_normalize"](spark, sf_dir))
+    assert "Exchange" not in plan, plan
