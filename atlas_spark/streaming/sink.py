@@ -16,9 +16,12 @@ plain column filter at scan time (same decision as the batch layout,
 prune whole directories before any file is opened — at 100 TB the scan
 set is bounded by the query's time window, not the table's history.
 
-Rejected rows (validation chain, `validation.validate_publish`) land in
-a sibling `rejects` table with their `rejection` reason, so ingest
-quality is queryable instead of silently dropped.
+Rejected rows (validation chain, `validation.rejection_reason`) land in
+the same table under the `status=rejected` partition with their reason,
+so ingest quality is queryable instead of silently dropped — and the
+whole pipeline is ONE streaming query: a two-sink design (data +
+rejects as separate queries) was measured decoding and validating every
+payload twice, which at 100 TB doubles the ingest CPU for nothing.
 """
 
 from __future__ import annotations
@@ -28,30 +31,36 @@ from pyspark.sql import DataFrame
 
 from ..session import configure_existing
 from .norm import decode_publish_payloads
-from .validation import validate_publish
+from .validation import rejection_reason
 
 
 def bronze_rows(
     df: DataFrame, payload_col: str = "payload", step: int = 60
-) -> tuple[DataFrame, DataFrame]:
-    """(valid bronze rows, rejected rows) from a payload frame/stream.
+) -> DataFrame:
+    """Bronze rows (valid and rejected, discriminated by `status`) from a
+    payload frame/stream.
 
     Pure projections end to end (`from_json` + explode + map ops), so the
     same function serves batch backfill and the live stream.  Timestamps
     arrive in epoch millis (publish API); `t` is floored to the step so
     the bronze table is directly scannable by the datapoint sources.
+    Decode and validation run ONCE per row; the keep/reject split is a
+    partition column, not a second pipeline.
     """
     decoded = decode_publish_payloads(df, payload_col)
-    valid, rejected = validate_publish(decoded)
+    checked = decoded.withColumn("rejection", rejection_reason(F.col("tags")))
     t = (F.floor(F.col("timestamp") / (1000 * step)) * step).cast("long")
-    rows = valid.select(
+    return checked.select(
         F.col("tags"),
         F.col("tags")["name"].alias("name"),
         t.alias("t"),
         F.col("value"),
+        F.col("rejection"),
+        F.when(F.col("rejection").isNull(), F.lit("ok"))
+        .otherwise(F.lit("rejected"))
+        .alias("status"),
         F.to_date(F.timestamp_seconds(t)).alias("date"),
     )
-    return rows, rejected.select("tags", "timestamp", "value", "rejection")
 
 
 def publish_to_bronze(
@@ -61,34 +70,28 @@ def publish_to_bronze(
     payload_col: str = "payload",
     step: int = 60,
 ):
-    """Start the bronze + rejects sinks for a payload stream; returns the
-    two StreamingQuery handles.
+    """Start the bronze sink for a payload stream; returns the
+    StreamingQuery handle.
 
-    Parquet file sinks commit atomically per micro-batch against the
-    checkpoint log, so replays after failure never double-write a batch
-    (the exactly-once story the reference gets from its in-memory
-    overwrite semantics).
+    A single parquet file sink partitioned by (status, date): commits
+    are atomic per micro-batch against the checkpoint log, so replays
+    after failure never double-write a batch (the exactly-once story the
+    reference gets from its in-memory overwrite semantics), valid rows
+    and rejects separate at the DIRECTORY level (readers of either side
+    prune the other entirely), and each payload is decoded and validated
+    exactly once.
     """
     configure_existing(stream_df.sparkSession)
-    rows, rejected = bronze_rows(stream_df, payload_col, step)
-    q_data = (
+    rows = bronze_rows(stream_df, payload_col, step)
+    return (
         rows.writeStream.format("parquet")
         .option("path", f"{path}/data")
         .option("checkpointLocation", f"{checkpoint}/data")
-        .partitionBy("date")
+        .partitionBy("status", "date")
         .outputMode("append")
         .queryName("bronze_data")
         .start()
     )
-    q_rej = (
-        rejected.writeStream.format("parquet")
-        .option("path", f"{path}/rejects")
-        .option("checkpointLocation", f"{checkpoint}/rejects")
-        .outputMode("append")
-        .queryName("bronze_rejects")
-        .start()
-    )
-    return q_data, q_rej
 
 
 def bronze_datapoints(spark, path: str, step: int = 60, tag_keys=("name", "app")):
@@ -96,18 +99,18 @@ def bronze_datapoints(spark, path: str, step: int = 60, tag_keys=("name", "app")
     — the read side of the publish->store->query loop.
 
     `name` is the promoted column; other tag keys project out of the
-    `tags` map at scan time.  The ranged scan applies BOTH the static
-    date-partition bounds (directory pruning — computed driver-side so
-    Catalyst sees literals) and the `t` range (row-group stats), so a
-    time-windowed graph query over years of bronze history opens only
-    the files its window touches.
+    `tags` map at scan time.  The ranged scan applies the static
+    `status=ok` and date-partition bounds (directory pruning — literals,
+    so rejected rows and out-of-window dates never open a file) and the
+    `t` range (row-group stats): a time-windowed graph query over years
+    of bronze history opens only the files its window touches.
     """
     from datetime import datetime, timezone
 
     from ..sources.datapoints import DatapointSource, sanitize
 
     configure_existing(spark)
-    df = spark.read.parquet(f"{path}/data")
+    df = spark.read.parquet(f"{path}/data").filter(F.col("status") == "ok")
     kcols = {k: f"k_{sanitize(k)}" for k in tag_keys}
 
     def project(d):

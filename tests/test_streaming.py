@@ -378,10 +378,10 @@ def test_stateless_complex_no_driver_buffer(spark, stream_dirs):
 
 def test_publish_to_bronze_sink(spark, tmp_path):
     """End-to-end publish path: JSON payload stream -> decode -> validate
-    -> date-partitioned parquet bronze + rejects tables.  Asserts the
+    -> ONE (status, date)-partitioned parquet bronze table.  Asserts the
     partition directories exist (partition pruning surface), step
     alignment of t, exactly-once row counts across two micro-batches,
-    and that invalid payloads land in rejects with a reason."""
+    and that invalid payloads land under status=rejected with a reason."""
     import json
     import os
 
@@ -413,27 +413,26 @@ def test_publish_to_bronze_sink(spark, tmp_path):
     stream = spark.readStream.schema("value string").text(str(d_in)).withColumnRenamed(
         "value", "payload"
     )
-    q_data, q_rej = publish_to_bronze(stream, str(d_out), str(d_ck), step=60)
+    q_data = publish_to_bronze(stream, str(d_out), str(d_ck), step=60)
     q_data.processAllAvailable()
-    q_rej.processAllAvailable()
 
     (d_in / "c2.txt").write_text(payload("disk", (day0 + 119) * 1000, 3.0))
     q_data.processAllAvailable()
-    q_rej.processAllAvailable()
     q_data.stop()
-    q_rej.stop()
 
-    bronze = spark.read.parquet(str(d_out / "data"))
+    bronze = spark.read.parquet(str(d_out / "data")).filter("status = 'ok'")
     rows = {(r["name"], r["t"], r["value"]) for r in bronze.collect()}
     assert rows == {
         ("cpu", day0, 1.0),
         ("cpu", day0 + 86400 + 60, 2.0),
         ("disk", day0 + 60, 3.0),
     }
-    # date partition directories on disk (the pruning surface)
-    parts = {p for p in os.listdir(d_out / "data") if p.startswith("date=")}
+    # status/date partition directories on disk (the pruning surface)
+    statuses = {p for p in os.listdir(d_out / "data") if p.startswith("status=")}
+    assert statuses == {"status=ok", "status=rejected"}, statuses
+    parts = {p for p in os.listdir(d_out / "data" / "status=ok") if p.startswith("date=")}
     assert len(parts) == 2, parts
-    rej = spark.read.parquet(str(d_out / "rejects")).collect()
+    rej = spark.read.parquet(str(d_out / "data")).filter("status = 'rejected'").collect()
     assert len(rej) == 1 and rej[0]["rejection"] is not None
 
 
@@ -472,11 +471,9 @@ def test_bronze_roundtrip_asl_query(spark, tmp_path):
     stream = spark.readStream.schema("value string").text(str(d_in)).withColumnRenamed(
         "value", "payload"
     )
-    q1, q2 = publish_to_bronze(stream, str(tmp_path / "b"), str(tmp_path / "ck"), step=step)
+    q1 = publish_to_bronze(stream, str(tmp_path / "b"), str(tmp_path / "ck"), step=step)
     q1.processAllAvailable()
-    q2.processAllAvailable()
     q1.stop()
-    q2.stop()
 
     src = bronze_datapoints(spark, str(tmp_path / "b"), step=step)
     ctx = EvalContext(day0, day0 + 2 * step, step)
