@@ -1,0 +1,111 @@
+"""Continuous bronze -> silver rollup maintenance.
+
+The reference rolls publishes up into step cells inside its in-memory
+database as they arrive (`atlas-core/.../norm/NormalizationCache.scala`,
+block store update path); the Spark-first equivalent is a Structured
+Streaming windowed aggregation that continuously maintains a SILVER
+parquet table of finalized (series, step) cells:
+
+    bronze (status=ok)  --readStream-->  watermark + window(step) sum
+        --append file sink-->  silver/ (date-partitioned)
+
+Batch queries then read silver directly: the read-time ingest rollup the
+datapoint sources perform today (groupBy series,t per query) is already
+materialized, so a graph query is a pure scan + expression plan.  The
+watermark bounds state: a cell finalizes once event time passes its end
+by `late` seconds, late rows beyond that are dropped (the same contract
+the streaming evaluator enforces), and the append-mode file sink commits
+atomically per micro-batch (exactly-once on replay).
+
+Also here: `dedup_stream`, exactly-once event dedup for at-least-once
+transports — the standard `dropDuplicates` + watermark pattern with
+per-key state bounded by the watermark horizon.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..session import configure_existing
+from ..sources.datapoints import sanitize
+
+
+def silver_rollup_stream(
+    spark: SparkSession,
+    bronze_path: str,
+    step: int = 60,
+    tag_keys=("name", "app"),
+    late: int = 120,
+) -> DataFrame:
+    """Streaming frame of finalized (series, t) sum cells from a bronze
+    table (status=ok partition).  Columns: one `k_*` per tag key, `t`
+    (window start, epoch sec), `value`, `date`.
+    """
+    configure_existing(spark)
+    # scan only the ok partition; the directory IS the predicate
+    stream = spark.readStream.schema(
+        "tags map<string,string>, name string, t long, value double, "
+        "rejection string, date date"
+    ).parquet(f"{bronze_path}/data/status=ok")
+    kcols = {k: sanitize(k) for k in tag_keys}
+    rows = stream.select(
+        *[
+            (F.col("name") if k == "name" else F.col("tags")[k]).alias(c)
+            for k, c in kcols.items()
+        ],
+        F.timestamp_seconds(F.col("t")).alias("ets"),
+        "value",
+    )
+    agg = (
+        rows.withWatermark("ets", f"{late} seconds")
+        .groupBy(F.window("ets", f"{step} seconds"), *kcols.values())
+        .agg(F.sum("value").alias("value"))
+    )
+    t = F.col("window.start").cast("long")
+    return agg.select(
+        *kcols.values(),
+        t.alias("t"),
+        "value",
+        F.to_date(F.col("window.start")).alias("date"),
+    )
+
+
+def start_silver_rollup(
+    spark: SparkSession,
+    bronze_path: str,
+    silver_path: str,
+    checkpoint: str,
+    step: int = 60,
+    tag_keys=("name", "app"),
+    late: int = 120,
+):
+    """Start the continuous silver maintenance job; returns the
+    StreamingQuery.  Append mode: a cell is written exactly once, when
+    the watermark finalizes it — the silver table only ever contains
+    closed cells, so readers never see partial sums.
+    """
+    cells = silver_rollup_stream(spark, bronze_path, step, tag_keys, late)
+    return (
+        cells.writeStream.format("parquet")
+        .option("path", silver_path)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy("date")
+        .outputMode("append")
+        .queryName("silver_rollup")
+        .start()
+    )
+
+
+def dedup_stream(
+    df: DataFrame, keys=("user_id", "event_id"), ts_col: str = "ts", late: int = 3600
+) -> DataFrame:
+    """Exactly-once event stream from an at-least-once transport:
+    duplicates (same key tuple) within the watermark horizon are dropped;
+    per-key state expires with the watermark, so state size is bounded by
+    arrival rate x `late`, not by history.  Keyed state distributes across
+    executors on the dedup key — the same scale story as any keyed agg.
+    """
+    return df.withWatermark(ts_col, f"{late} seconds").dropDuplicates(
+        [*keys, ts_col]
+    )

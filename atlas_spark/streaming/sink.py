@@ -111,7 +111,7 @@ def bronze_datapoints(spark, path: str, step: int = 60, tag_keys=("name", "app")
 
     configure_existing(spark)
     df = spark.read.parquet(f"{path}/data").filter(F.col("status") == "ok")
-    kcols = {k: f"k_{sanitize(k)}" for k in tag_keys}
+    kcols = {k: sanitize(k) for k in tag_keys}
 
     def project(d):
         cols = [
