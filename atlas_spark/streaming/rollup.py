@@ -109,3 +109,39 @@ def dedup_stream(
     return df.withWatermark(ts_col, f"{late} seconds").dropDuplicates(
         [*keys, ts_col]
     )
+
+
+def silver_datapoints(spark: SparkSession, silver_path: str, step: int = 60, tag_keys=("name", "app")):
+    """DatapointSource over a silver table: the stored rows ARE the
+    finalized step cells, so queries skip the read-time ingest rollup
+    entirely — a graph query is scan -> expression plan, no groupBy
+    before the ASL semantics.  `raw_ranged` returns the same cells
+    (sum-of-sums == sum), so the `:sum` fast path folds them directly.
+    """
+    from ..sources.datapoints import DatapointSource, sanitize
+
+    configure_existing(spark)
+    df = spark.read.parquet(silver_path)
+    kcols = {k: sanitize(k) for k in tag_keys}
+
+    def _range(lo: int, hi: int):
+        from datetime import datetime, timezone
+
+        def day(sec: int) -> str:
+            return datetime.fromtimestamp(sec, tz=timezone.utc).date().isoformat()
+
+        return df.filter(
+            (F.col("date") >= F.lit(day(lo)))
+            & (F.col("date") <= F.lit(day(hi)))
+            & (F.col("t") >= lo)
+            & (F.col("t") < hi)
+        ).select(*kcols.values(), "t", "value")
+
+    return DatapointSource(
+        df=df.select(*kcols.values(), "t", "value"),
+        step=step,
+        colmap=dict(zip(tag_keys, kcols.values())),
+        sql_cte="",
+        ranged=_range,
+        raw_ranged=_range,
+    )

@@ -571,3 +571,55 @@ def test_dedup_stream_drops_transport_duplicates(spark, tmp_path):
     q.processAllAvailable()
     q.stop()
     assert sorted(sink_rows) == [(1, "a"), (2, "b"), (3, "c")], sink_rows
+
+
+def test_silver_datapoints_zero_rollup_query(spark, tmp_path):
+    """ASL evaluation over the silver table returns the same values as
+    the bronze-sourced evaluation, and the silver ranged scan contains NO
+    aggregate below the expression plan (the rollup is already stored)."""
+    import json
+
+    from atlas_spark.plans.builder import Evaluator
+    from atlas_spark.plans.context import EvalContext
+    from atlas_spark.stacklang.vocab import parse as parse_asl
+    from atlas_spark.streaming.rollup import silver_datapoints, start_silver_rollup
+    from atlas_spark.streaming.sink import bronze_datapoints, publish_to_bronze
+
+    d_in = tmp_path / "in"
+    d_in.mkdir()
+    day0 = 1700000000 // 86400 * 86400
+
+    def payload(name, ts_s, value):
+        return json.dumps(
+            {"metrics": [{"tags": {"name": name, "app": "www"}, "timestamp": ts_s * 1000, "value": value}]}
+        )
+
+    (d_in / "c1.txt").write_text(
+        "\n".join(
+            [
+                payload("cpu", day0 + 10, 1.0),
+                payload("cpu", day0 + 20, 2.0),
+                payload("cpu", day0 + 70, 5.0),
+                payload("cpu", day0 + 7 * 86400, 0.5),  # watermark pusher
+            ]
+        )
+    )
+    stream = spark.readStream.schema("value string").text(str(d_in)).withColumnRenamed(
+        "value", "payload"
+    )
+    qb = publish_to_bronze(stream, str(tmp_path / "b"), str(tmp_path / "ckb"), step=60)
+    qb.processAllAvailable()
+    qb.stop()
+    qs = start_silver_rollup(
+        spark, str(tmp_path / "b"), str(tmp_path / "silver"), str(tmp_path / "cks"), step=60
+    )
+    qs.processAllAvailable()
+    qs.stop()
+
+    expr = parse_asl("name,cpu,:eq,:sum", step=60)[0]
+    ctx = EvalContext(day0, day0 + 120, 60)
+    silver_src = silver_datapoints(spark, str(tmp_path / "silver"), step=60)
+    bronze_src = bronze_datapoints(spark, str(tmp_path / "b"), step=60)
+    sv = {int(r["t"]): r["value"] for r in Evaluator(silver_src, ctx).eval(expr).df.collect()}
+    bv = {int(r["t"]): r["value"] for r in Evaluator(bronze_src, ctx).eval(expr).df.collect()}
+    assert sv == bv == {day0: 3.0, day0 + 60: 5.0}
