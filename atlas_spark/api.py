@@ -186,11 +186,22 @@ class Engine:
         d_start, d_end = self.default_window
         ref = EvalContext(d_start, d_end, step)
         end = parse_time_ref(qs.get("e", ["e"])[0], ref)
-        # `s` defaults to e-3h in the reference (atlas-eval reference.conf:74)
-        sref = EvalContext(d_start, max(end, d_start + step), step)
+        # `s` defaults to e-3h in the reference (atlas-eval reference.conf:74).
+        # The `e` ref must be the RAW parsed end (refs resolve against the
+        # un-rounded instants, then the window rounds to the step) — the
+        # previous EvalContext-based ref clamped e to the default window,
+        # breaking any URI whose explicit e precedes the testdata window,
+        # and asserted step alignment the raw instant need not have.
+        from types import SimpleNamespace
+
+        sref = SimpleNamespace(start=min(d_start, end - step), end=end)
         start = parse_time_ref(qs.get("s", ["e-3h"])[0], sref)
         start = (start // step) * step
-        end = (end // step) * step
+        # end is exclusive: an unaligned end rounds UP so a window shorter
+        # than one step still covers its cell (the reference serves such
+        # windows at its finer base step; with a coarser source step the
+        # covering cell is the faithful mapping)
+        end = ((end + step - 1) // step) * step
         if end <= start:
             raise ValueError(f"end ({end}) must be after start ({start})")
         return EvalContext(start, end, step)

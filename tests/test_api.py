@@ -373,3 +373,21 @@ def test_axis_per_line_param(engine):
         height=220,
     )
     assert png[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_graph_window_outside_default(engine):
+    """An explicit e BEFORE the testdata window still resolves s=e-3h
+    against the RAW parsed end (the old EvalContext-based ref clamped e
+    to the default window and rejected the URI)."""
+    g = engine.graph("/api/v1/graph?e=2012-01-01T00:00&q=name,click,:eq,:sum")
+    assert g.end - g.start == 3 * 3600
+    assert g.end == 1325376000
+
+
+def test_graph_substep_window_covers_cell(engine):
+    """A window shorter than one source step covers its cell: the
+    exclusive end rounds UP, so s=e-10m at an hourly step renders one
+    interval instead of erroring with an empty range."""
+    g = engine.graph("/api/v1/graph?e=2024-01-02T19:52&q=minuteOfHour,:time&s=e-10m")
+    assert g.end - g.start == 3600
+    assert g.start % 3600 == 0

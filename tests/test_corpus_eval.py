@@ -83,3 +83,36 @@ def test_corpus_execute(spark):
         failures = [f for f in px.map(run, _corpus_queries()) if f]
     msg = "\n".join(f"{q}\n  -> {e}" for q, e in failures[:10])
     assert not failures, f"{len(failures)} corpus queries failed to execute:\n{msg}"
+
+
+def test_corpus_render_png(spark):
+    """Render every corpus URI end-to-end to PNG through the Engine (the
+    full graph-parameter surface: multi-tz, layouts, axes, palettes,
+    stacking, heatmaps).  Catches render-path failures that plan/execute
+    sweeps can't — this sweep found the default-window clamp on explicit
+    pre-window `e` and the empty sub-step window."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from atlas_spark.api import Engine
+
+    eng = Engine(spark, "/root/testdata/sf0.001")
+    uris = [line.strip() for line in open(CORPUS) if line.strip()]
+
+    def run(u):
+        try:
+            sep = "&" if "?" in u else "?"
+            full = (
+                u
+                if ("s=" in u or "e=" in u)
+                else u + f"{sep}s=2024-01-02&e=2024-01-03"
+            )
+            png = eng.graph_png(full, width=320, height=160)
+            assert png[:8] == b"\x89PNG\r\n\x1a\n"
+            return None
+        except Exception as ex:  # noqa: BLE001
+            return (u[:110], f"{type(ex).__name__}: {str(ex)[:120]}")
+
+    with ThreadPoolExecutor(max_workers=8) as px:
+        failures = [f for f in px.map(run, uris) if f]
+    msg = "\n".join(f"{q}\n  -> {e}" for q, e in failures[:10])
+    assert not failures, f"{len(failures)} corpus URIs failed to render:\n{msg}"
