@@ -184,24 +184,25 @@ class Engine:
             step = parse_duration(qs["step"][0])
             step = max(self.source.step, (step // self.source.step) * self.source.step)
         d_start, d_end = self.default_window
-        ref = EvalContext(d_start, d_end, step)
-        end = parse_time_ref(qs.get("e", ["e"])[0], ref)
-        # `s` defaults to e-3h in the reference (atlas-eval reference.conf:74).
-        # The `e` ref must be the RAW parsed end (refs resolve against the
-        # un-rounded instants, then the window rounds to the step) — the
-        # previous EvalContext-based ref clamped e to the default window,
-        # breaking any URI whose explicit e precedes the testdata window,
-        # and asserted step alignment the raw instant need not have.
+        # Time refs resolve against RAW instants (the window rounds to the
+        # step only afterwards), so the ref objects are plain namespaces:
+        # an EvalContext here would assert step alignment the default
+        # window need not have under a coarse `step` param, and its
+        # clamping broke URIs whose explicit e precedes the testdata
+        # window.  `s` defaults to e-3h (atlas-eval reference.conf:74).
         from types import SimpleNamespace
 
+        ref = SimpleNamespace(start=d_start, end=d_end)
+        end = parse_time_ref(qs.get("e", ["e"])[0], ref)
         sref = SimpleNamespace(start=min(d_start, end - step), end=end)
         start = parse_time_ref(qs.get("s", ["e-3h"])[0], sref)
         start = (start // step) * step
-        # end is exclusive: an unaligned end rounds UP so a window shorter
-        # than one step still covers its cell (the reference serves such
-        # windows at its finer base step; with a coarser source step the
-        # covering cell is the faithful mapping)
-        end = ((end + step - 1) // step) * step
+        end_f = (end // step) * step
+        # end is exclusive; a window entirely inside one step cell would
+        # floor to empty — bump to cover its cell (the reference serves
+        # such windows at its finer base step).  Multi-step windows keep
+        # plain floor semantics.
+        end = end_f if end_f > start else end_f + step
         if end <= start:
             raise ValueError(f"end ({end}) must be after start ({start})")
         return EvalContext(start, end, step)

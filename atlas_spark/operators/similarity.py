@@ -419,6 +419,15 @@ def ivf_topk(
     return sims.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()).limit(k)
 
 
+def _emb_dim(emb: DataFrame, default: int = 64) -> int:
+    """Embedding dimensionality from the data (one-row lookup).  The
+    weight/centroid literal arrays must match the vector length exactly —
+    `zip_with` null-pads a shorter side, which would silently zero every
+    product instead of erroring."""
+    row = emb.select(F.size("embedding")).head()
+    return int(row[0]) if row and row[0] is not None else default
+
+
 def _md5_plane_weight(i: int, p: int) -> float:
     """Weight for dimension `i` of plane `p` = md5("i:p") mapped to
     [-1, 1) — the Python replica of the oracle's SQL formula
@@ -469,7 +478,9 @@ def lsh_bucketed_topk(
     replaces the full scan per query.
     """
     emb = load_embeddings(spark, sf_dir)
-    with_b = emb.withColumn("bucket", _md5_lsh_bucket_col(F.col("embedding"), planes))
+    with_b = emb.withColumn(
+        "bucket", _md5_lsh_bucket_col(F.col("embedding"), planes, _emb_dim(emb))
+    )
     qb = with_b.filter(F.col("vec_id") == query_id).select(
         F.col("bucket").alias("qbucket"), F.col("embedding").alias("q_emb")
     )
@@ -746,7 +757,7 @@ def knn_join(
     """
     emb = load_embeddings(spark, sf_dir)
     with_b = emb.withColumn(
-        "bucket", _md5_lsh_bucket_col(F.col("embedding"), planes)
+        "bucket", _md5_lsh_bucket_col(F.col("embedding"), planes, _emb_dim(emb))
     ).withColumn("nrm", F.sqrt(_dot(F.col("embedding"), F.col("embedding"))))
     a = with_b.select(
         "vec_id", "bucket", F.col("embedding").alias("e_a"), F.col("nrm").alias("n_a")
@@ -869,27 +880,34 @@ def pq_topk(
             lambda acc, x: acc + x,
         )
 
+    # Codes index POSITIONS in the sorted-id codebook (not raw vec_ids):
+    # the LUT lookup is element_at by position, so the pairing stays
+    # correct even if centroid ids are non-contiguous.  Position order ==
+    # sorted id order, so the min-position tie-break matches the oracle's
+    # min-id tie-break.
+    cent_list = [cents[c] for c in sorted(cents)]
+
     def code_col(vec, s: int):
         return F.array_min(
             F.array(
                 *[
-                    F.struct(sub_d2(vec, s, cents[c]).alias("d"), F.lit(c).alias("c"))
-                    for c in sorted(cents)
+                    F.struct(sub_d2(vec, s, cent).alias("d"), F.lit(i).alias("c"))
+                    for i, cent in enumerate(cent_list)
                 ]
             )
         )["c"]
 
     # query-side lookup tables: exact python replication of sub_d2 on the
     # literal query vector (same left-to-right double fold)
-    def lut(s: int, c: int) -> float:
+    def lut(s: int, cent: list) -> float:
         acc = 0.0
         for i in range(s * sub, (s + 1) * sub):
-            acc = acc + (float(q_emb[i]) - float(cents[c][i])) ** 2
+            acc = acc + (float(q_emb[i]) - float(cent[i])) ** 2
         return acc
 
     adc = F.lit(0.0)
     for s in range(m):
-        lut_arr = F.array(*[F.lit(lut(s, c)) for c in sorted(cents)])
+        lut_arr = F.array(*[F.lit(lut(s, cent)) for cent in cent_list])
         adc = adc + F.element_at(lut_arr, code_col(F.col("embedding"), s) + 1)
 
     return (

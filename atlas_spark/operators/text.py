@@ -35,6 +35,20 @@ FROM documents
 _STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
 
 
+def _md5_uniform(col) -> "F.Column":
+    """Engine-portable deterministic uniform in [0,1) from a column: the
+    first 8 md5 hex digits over 2^32.  Shared by every sampling operator
+    (stratified_sample, domain_mix) and mirrored EXACTLY by
+    `_MD5_UNIFORM_SQL` — change both together or the samplers diverge."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast(
+        "double"
+    ) / float(1 << 32)
+
+
+# DuckDB twin of `_md5_uniform` ({col} is the column expression)
+_MD5_UNIFORM_SQL = "('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0"
+
+
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length / word-shape / punctuation / stopword quality features per
     document — the standard heuristic battery a pretraining filter
@@ -323,9 +337,7 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("de", "src0"): 0.8,
     }
     docs = load_documents(spark, sf_dir)
-    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
-        "double"
-    ) / float(1 << 32)
+    u = _md5_uniform(F.col("doc_id"))
     rate = F.lit(0.25)
     for (lang, source), r in rates.items():
         rate = F.when(
@@ -336,14 +348,14 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(u < rate)
 
 
-STRATIFIED_SAMPLE_SQL = """
+STRATIFIED_SAMPLE_SQL = f"""
 SELECT doc_id, lang, source,
        round(CAST(CASE WHEN lang = 'en' AND source = 'src5' THEN 0.5
                   WHEN lang = 'en' AND source = 'src14' THEN 1.0
                   WHEN lang = 'de' AND source = 'src0' THEN 0.8
                   ELSE 0.25 END AS DOUBLE), 6) AS keep_rate
 FROM documents
-WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0
+WHERE {_MD5_UNIFORM_SQL.format(col='doc_id')}
       < CASE WHEN lang = 'en' AND source = 'src5' THEN 0.5
              WHEN lang = 'en' AND source = 'src14' THEN 1.0
              WHEN lang = 'de' AND source = 'src0' THEN 0.8
@@ -675,9 +687,7 @@ def domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0), weight * F.lit(float(_MIX_BUDGET)) / F.col("src_tokens")
         ).alias("rate"),
     ).filter(F.col("target_weight").isNotNull())
-    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
-        "double"
-    ) / float(1 << 32)
+    u = _md5_uniform(F.col("doc_id"))
     kept = toks.withColumn("u", u).join(F.broadcast(rates), "source").filter(
         F.col("u") < F.col("rate")
     )
@@ -714,7 +724,7 @@ SELECT t.source, r.target_weight,
        CAST(count(*) AS BIGINT) AS docs_kept,
        CAST(sum(t.n_tokens) AS BIGINT) AS tokens_kept
 FROM toks t JOIN rates r ON t.source = r.source
-WHERE ('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0
+WHERE {_MD5_UNIFORM_SQL.format(col='t.doc_id')}
       < r.rate
 GROUP BY t.source, r.target_weight, r.rate
 """

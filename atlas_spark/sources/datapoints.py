@@ -77,6 +77,27 @@ def sanitize(key: str) -> str:
     return "k_" + re.sub(r"[^A-Za-z0-9_]", "_", key)
 
 
+def date_t_range(df: DataFrame, lo: int, hi: int) -> DataFrame:
+    """Ranged scan over a `date`-partitioned table with an epoch-second
+    `t` column: the date bounds are computed driver-side (UTC) so Catalyst
+    sees literals and prunes partition DIRECTORIES, and the `t` range
+    prunes row groups inside the surviving files.  Shared by the bronze
+    and silver table sources."""
+    import datetime as _dt
+
+    def day(sec: int) -> str:
+        return (
+            _dt.datetime.fromtimestamp(sec, tz=_dt.timezone.utc).date().isoformat()
+        )
+
+    return df.filter(
+        (F.col("date") >= F.lit(day(lo)))
+        & (F.col("date") <= F.lit(day(hi)))
+        & (F.col("t") >= lo)
+        & (F.col("t") < hi)
+    )
+
+
 @dataclass
 class DatapointSource:
     df: DataFrame

@@ -363,6 +363,8 @@ class StreamingEvaluator:
         self.state_plan = _decompose_state_plan(ev, self.step)
         self.lookback = min(_max_lookback_steps(self.expr), self.max_lookback)
         self._buffer = None  # rolling DISTRIBUTED buffer of finalized rows
+        self._buffer_rdd_id = None  # checkpoint RDD id of the live buffer
+        self._t_max = None  # running max finalized interval (O(1) per batch)
         self.results: list[dict] = []
         self.intervals_seen: set[int] = set()
         self._tmp_dirs: list[str] = []
@@ -852,11 +854,30 @@ class StreamingEvaluator:
             if self._buffer is None
             else self._buffer.unionByName(batch_df)
         )
-        t_max = max(max(self.intervals_seen), new_ts[-1])
+        self._t_max = (
+            new_ts[-1] if self._t_max is None else max(self._t_max, new_ts[-1])
+        )
+        t_max = self._t_max
         # bound the buffer to the lookback horizon, but never trim intervals
         # that still need to be evaluated in this batch
         horizon = min(t_max - self.lookback * self.step, new_ts[0])
         buf = buf.filter(F.col("t") >= horizon).localCheckpoint()
+        # free the SUPERSEDED buffer generation: localCheckpoint blocks are
+        # not CacheManager entries, so Dataset.unpersist would be a no-op —
+        # unpersist the previous checkpoint RDD itself (id recorded from
+        # the LogicalRDD plan node), keeping executor storage at one
+        # buffer copy instead of every generation until driver GC
+        prev_id = self._buffer_rdd_id
+        try:
+            self._buffer_rdd_id = (
+                buf._jdf.queryExecution().analyzed().rdd().id()
+            )
+        except Exception:
+            self._buffer_rdd_id = None
+        if prev_id is not None:
+            jrdd = self.spark.sparkContext._jsc.getPersistentRDDs().get(prev_id)
+            if jrdd is not None:
+                jrdd.unpersist(False)
         self._buffer = buf
 
         # evaluate with the batch planner over the buffered window

@@ -131,16 +131,23 @@ PUBLISH_PAYLOAD_SCHEMA = T.StructType(
 )
 
 
-def decode_publish_payloads(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+def decode_publish_payloads(
+    df: DataFrame, payload_col: str = "payload", drop_undecodable: bool = True
+) -> DataFrame:
     """Decode publish-API JSON payloads to datapoint rows, JVM-side.
 
     Works identically on batch frames and streams (`from_json` + explode
     are pure projections — no UDF, no driver parsing).  Output columns:
     tags map, timestamp (ms), value.  Pair with
     `validation.validate_publish` for the reject-with-reason split.
+
+    With ``drop_undecodable=False``, payloads that fail to parse (or
+    carry no metrics) survive as one all-null row each (``explode_outer``)
+    so an audit sink can count them instead of losing them silently.
     """
     p = F.from_json(F.col(payload_col), PUBLISH_PAYLOAD_SCHEMA)
-    m = F.explode(p["metrics"]).alias("m")
+    ex = F.explode if drop_undecodable else F.explode_outer
+    m = ex(p["metrics"]).alias("m")
     base = df.select(p["tags"].alias("_common"), m)
     mtags = F.coalesce(
         F.col("m.tags"), F.from_json(F.lit("{}"), "map<string,string>")

@@ -118,24 +118,14 @@ def silver_datapoints(spark: SparkSession, silver_path: str, step: int = 60, tag
     before the ASL semantics.  `raw_ranged` returns the same cells
     (sum-of-sums == sum), so the `:sum` fast path folds them directly.
     """
-    from ..sources.datapoints import DatapointSource, sanitize
+    from ..sources.datapoints import DatapointSource, date_t_range, sanitize
 
     configure_existing(spark)
     df = spark.read.parquet(silver_path)
     kcols = {k: sanitize(k) for k in tag_keys}
 
     def _range(lo: int, hi: int):
-        from datetime import datetime, timezone
-
-        def day(sec: int) -> str:
-            return datetime.fromtimestamp(sec, tz=timezone.utc).date().isoformat()
-
-        return df.filter(
-            (F.col("date") >= F.lit(day(lo)))
-            & (F.col("date") <= F.lit(day(hi)))
-            & (F.col("t") >= lo)
-            & (F.col("t") < hi)
-        ).select(*kcols.values(), "t", "value")
+        return date_t_range(df, lo, hi).select(*kcols.values(), "t", "value")
 
     return DatapointSource(
         df=df.select(*kcols.values(), "t", "value"),

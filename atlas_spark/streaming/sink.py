@@ -47,8 +47,24 @@ def bronze_rows(
     Decode and validation run ONCE per row; the keep/reject split is a
     partition column, not a second pipeline.
     """
-    decoded = decode_publish_payloads(df, payload_col)
-    checked = decoded.withColumn("rejection", rejection_reason(F.col("tags")))
+    decoded = decode_publish_payloads(df, payload_col, drop_undecodable=False)
+    # Rejection precedence: shape first (a payload that failed to parse or
+    # lacks timestamp/value can never be stored, whatever its tags say),
+    # then the tag-validation chain.  Without the shape checks such rows
+    # would land in status=ok with a null t — unscannable yet unreported,
+    # breaking the "ingest quality is queryable" contract.
+    rejection = F.coalesce(
+        F.when(
+            F.col("timestamp").isNull() & F.col("value").isNull() & (F.size("tags") == 0),
+            F.lit("undecodable or empty payload"),
+        ),
+        F.when(
+            F.col("timestamp").isNull() | F.col("value").isNull(),
+            F.lit("missing timestamp or value"),
+        ),
+        rejection_reason(F.col("tags")),
+    )
+    checked = decoded.withColumn("rejection", rejection)
     t = (F.floor(F.col("timestamp") / (1000 * step)) * step).cast("long")
     return checked.select(
         F.col("tags"),
@@ -105,9 +121,7 @@ def bronze_datapoints(spark, path: str, step: int = 60, tag_keys=("name", "app")
     `t` range (row-group stats): a time-windowed graph query over years
     of bronze history opens only the files its window touches.
     """
-    from datetime import datetime, timezone
-
-    from ..sources.datapoints import DatapointSource, sanitize
+    from ..sources.datapoints import DatapointSource, date_t_range, sanitize
 
     configure_existing(spark)
     df = spark.read.parquet(f"{path}/data").filter(F.col("status") == "ok")
@@ -132,15 +146,7 @@ def bronze_datapoints(spark, path: str, step: int = 60, tag_keys=("name", "app")
         )
 
     def _range(lo: int, hi: int):
-        def day(sec: int) -> str:
-            return datetime.fromtimestamp(sec, tz=timezone.utc).date().isoformat()
-
-        return df.filter(
-            (F.col("date") >= F.lit(day(lo)))
-            & (F.col("date") <= F.lit(day(hi)))
-            & (F.col("t") >= lo)
-            & (F.col("t") < hi)
-        )
+        return date_t_range(df, lo, hi)
 
     return DatapointSource(
         df=build(df),

@@ -391,3 +391,12 @@ def test_graph_substep_window_covers_cell(engine):
     g = engine.graph("/api/v1/graph?e=2024-01-02T19:52&q=minuteOfHour,:time&s=e-10m")
     assert g.end - g.start == 3600
     assert g.start % 3600 == 0
+
+
+def test_graph_coarse_step_unaligned_default_window(engine):
+    """A `step` that does not divide the default window start must not
+    crash ref resolution (the old EvalContext-based refs asserted step
+    alignment on the raw default-window instants)."""
+    g = engine.graph("/api/v1/graph?step=7h&q=name,click,:eq,:sum&s=2024-01-02&e=2024-01-03")
+    assert g.step == 7 * 3600
+    assert g.start % g.step == 0 and g.end % g.step == 0

@@ -623,3 +623,39 @@ def test_silver_datapoints_zero_rollup_query(spark, tmp_path):
     sv = {int(r["t"]): r["value"] for r in Evaluator(silver_src, ctx).eval(expr).df.collect()}
     bv = {int(r["t"]): r["value"] for r in Evaluator(bronze_src, ctx).eval(expr).df.collect()}
     assert sv == bv == {day0: 3.0, day0 + 60: 5.0}
+
+
+def test_bronze_rejects_shapeless_payloads(spark, tmp_path):
+    """Payloads that fail to decode, carry no metrics, or lack
+    timestamp/value must land under status=rejected with a reason —
+    never in status=ok with a null t, and never silently vanish."""
+    import json
+
+    from atlas_spark.streaming.sink import publish_to_bronze
+
+    d_in = tmp_path / "in"
+    d_in.mkdir()
+    day0 = 1700000000 // 86400 * 86400
+    (d_in / "c1.txt").write_text(
+        "\n".join(
+            [
+                "this is not json",
+                json.dumps({"metrics": []}),
+                json.dumps({"metrics": [{"tags": {"name": "cpu", "app": "www"}}]}),
+                json.dumps({"metrics": [{"tags": {"name": "cpu", "app": "www"},
+                                         "timestamp": (day0 + 30) * 1000, "value": 1.0}]}),
+            ]
+        )
+    )
+    stream = spark.readStream.schema("value string").text(str(d_in)).withColumnRenamed(
+        "value", "payload"
+    )
+    q = publish_to_bronze(stream, str(tmp_path / "b"), str(tmp_path / "ck"), step=60)
+    q.processAllAvailable()
+    q.stop()
+    tbl = spark.read.parquet(str(tmp_path / "b" / "data"))
+    ok = tbl.filter("status = 'ok'").collect()
+    rej = {r["rejection"] for r in tbl.filter("status = 'rejected'").collect()}
+    assert len(ok) == 1 and ok[0]["t"] == day0
+    assert rej == {"undecodable or empty payload", "missing timestamp or value"}, rej
+    assert tbl.count() == 4  # nothing vanished
