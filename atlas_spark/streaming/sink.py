@@ -156,3 +156,42 @@ def bronze_datapoints(spark, path: str, step: int = 60, tag_keys=("name", "app")
         ranged=lambda lo, hi: build(_range(lo, hi)),
         raw_ranged=lambda lo, hi: project(_range(lo, hi)),
     )
+
+
+def publish_eval_stream(
+    stream_df: DataFrame,
+    asl: str,
+    step: int = 60,
+    tag_keys=("name", "app"),
+    payload_col: str = "payload",
+    num_buffers: int = 2,
+):
+    """Live ASL evaluation directly over a publish payload stream — the
+    lwcapi role end-to-end: payloads decode and validate in-stream (one
+    pass, rejects dropped), then feed the StreamingEvaluator, which runs
+    the expression through the executor state store.
+
+    Returns (evaluator, query_handle); results accumulate on
+    ``evaluator.results`` exactly as for any other datapoint stream.
+    """
+    from ..sources.datapoints import sanitize
+    from .evaluator import StreamingEvaluator
+
+    configure_existing(stream_df.sparkSession)
+    rows = bronze_rows(stream_df, payload_col, step).filter(
+        F.col("status") == "ok"
+    )
+    kcols = {k: sanitize(k) for k in tag_keys}
+    dp = rows.select(
+        *[
+            (F.col("name") if k == "name" else F.col("tags")[k]).alias(c)
+            for k, c in kcols.items()
+        ],
+        F.timestamp_seconds(F.col("t")).alias("ts"),
+        "value",
+    )
+    sev = StreamingEvaluator(
+        stream_df.sparkSession, asl, step, dict(zip(tag_keys, kcols.values())),
+        num_buffers=num_buffers,
+    )
+    return sev, sev.start(dp, query_name="publish_eval")

@@ -659,3 +659,45 @@ def test_bronze_rejects_shapeless_payloads(spark, tmp_path):
     assert len(ok) == 1 and ok[0]["t"] == day0
     assert rej == {"undecodable or empty payload", "missing timestamp or value"}, rej
     assert tbl.count() == 4  # nothing vanished
+
+
+def test_publish_eval_stream_live_asl(spark, tmp_path):
+    """lwcapi end-to-end over raw publish payloads: decode + validate +
+    streaming ASL evaluation in one DAG; finalized values equal the
+    step-cell sums of the valid payloads (invalid ones dropped)."""
+    import json
+
+    from atlas_spark.streaming.sink import publish_eval_stream
+
+    d_in = tmp_path / "in"
+    d_in.mkdir()
+    day0 = 1700000000 // 86400 * 86400
+
+    def payload(name, ts_s, value):
+        return json.dumps(
+            {"metrics": [{"tags": {"name": name, "app": "www"}, "timestamp": ts_s * 1000, "value": value}]}
+        )
+
+    (d_in / "c1.txt").write_text(
+        "\n".join(
+            [
+                payload("cpu", day0 + 10, 1.0),
+                payload("cpu", day0 + 20, 2.0),
+                payload("disk", day0 + 30, 9.0),  # filtered by :eq
+                '{"metrics": [{"tags": {"app": "www"}, "timestamp": 1, "value": 5}]}',  # invalid
+            ]
+        )
+    )
+    stream = spark.readStream.schema("value string").text(str(d_in)).withColumnRenamed(
+        "value", "payload"
+    )
+    sev, q = publish_eval_stream(stream, "name,cpu,:eq,:sum", step=60)
+    try:
+        q.processAllAvailable()
+        # watermark pusher finalizes the first cell
+        (d_in / "c2.txt").write_text(payload("cpu", day0 + 600, 0.5))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r["t"], r["value"]) for r in sev.results}
+    assert (day0, 3.0) in got, sev.results
