@@ -1011,3 +1011,52 @@ JOIN (
 
 
 PQ_RECALL_SQL = _pq_recall_sql()
+
+
+def random_projection(
+    spark: SparkSession, sf_dir: str, out_dim: int = 16, dim: int = 64
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: embed 64-dim vectors into
+    `out_dim` dims with the md5-derived deterministic weight matrix the
+    LSH family uses — the storage/compute reduction step before a
+    downstream ANN or clustering pass (4x smaller vectors here).
+
+    Pure projection: `out_dim` fused multiply-add folds per row in
+    codegen, no shuffle, no stored model — any engine derives the same
+    matrix, so the output is value-oracled.  Scaled by 1/sqrt(out_dim)
+    to preserve expected norms (the JL convention).
+    """
+    import math as _math
+
+    emb = load_embeddings(spark, sf_dir)
+    scale = 1.0 / _math.sqrt(out_dim)
+    comps = []
+    for p in range(out_dim):
+        w = F.array(*[F.lit(_md5_plane_weight(i, p)) for i in range(dim)])
+        dot = F.aggregate(
+            F.zip_with(F.col("embedding"), w, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        comps.append(F.round(dot * F.lit(scale), 6))
+    return emb.select("vec_id", F.array(*comps).alias("projected"))
+
+
+def _random_projection_sql(out_dim: int = 16, dim: int = 64) -> str:
+    import math as _math
+
+    scale = repr(1.0 / _math.sqrt(out_dim))
+
+    def weight(p: int) -> str:
+        h = f"('0x' || substr(md5(CAST(i - 1 AS VARCHAR) || ':{p}'), 1, 15))::BIGINT"
+        return f"(CAST({h} % 2000 AS DOUBLE) - 1000) / 1000.0"
+
+    comps = ", ".join(
+        f"round(list_sum(list_transform(range(1, {dim} + 1), "
+        f"i -> CAST(embedding[i] AS DOUBLE) * {weight(p)})) * {scale}, 6)"
+        for p in range(out_dim)
+    )
+    return f"SELECT vec_id, [{comps}] AS projected FROM embeddings"
+
+
+RANDOM_PROJECTION_SQL = _random_projection_sql()

@@ -468,3 +468,10 @@ def test_text_normalize_has_no_exchange(spark, sf_dir, queries):
     data lives."""
     plan = _plan(queries["op_text_normalize"](spark, sf_dir))
     assert "Exchange" not in plan, plan
+
+
+def test_random_projection_has_no_exchange(spark, sf_dir, queries):
+    """JL random projection is a pure per-row projection (out_dim literal
+    weight folds in codegen): NO exchange of any kind."""
+    plan = _plan(queries["op_random_projection"](spark, sf_dir))
+    assert "Exchange" not in plan, plan
