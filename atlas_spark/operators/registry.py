@@ -69,6 +69,7 @@ SPECS: list[OpSpec] = [
     OpSpec("op_pq_topk", similarity.pq_topk, similarity.PQ_TOPK_SQL),
     OpSpec("op_pq_recall", similarity.pq_recall, similarity.PQ_RECALL_SQL),
     OpSpec("op_random_projection", similarity.random_projection, similarity.RANDOM_PROJECTION_SQL),
+    OpSpec("op_cluster_purity", similarity.cluster_purity, similarity.CLUSTER_PURITY_SQL),
     OpSpec("rel_pricing_summary", relational.pricing_summary, relational.PRICING_SUMMARY_SQL),
     OpSpec("rel_revenue_by_nation", relational.revenue_by_nation, relational.REVENUE_BY_NATION_SQL),
     OpSpec("rel_top_customers", relational.top_customers, relational.TOP_CUSTOMERS_SQL),

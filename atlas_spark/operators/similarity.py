@@ -1060,3 +1060,66 @@ def _random_projection_sql(out_dim: int = 16, dim: int = 64) -> str:
 
 
 RANDOM_PROJECTION_SQL = _random_projection_sql()
+
+
+def cluster_purity(
+    spark: SparkSession, sf_dir: str, n_cells: int = 16
+) -> DataFrame:
+    """Clustering-quality report: per cell of the deterministic
+    sampled-centroid clustering, the member count, the majority
+    ground-truth label, and purity (majority share) — the metric a
+    pipeline tracks when tuning n_cells for semantic dedup / IVF.
+
+    One pass: assignment (codegen), a (cell, label) rollup, then a
+    per-cell argmax window over the aggregate-sized frame.  Ties break
+    to the lower label id in both engines.
+    """
+    from pyspark.sql.window import Window
+
+    emb = load_embeddings(spark, sf_dir)
+    assigned = _assign_sampled_cells(emb, _sampled_centroids(emb, n_cells))
+    by_label = assigned.groupBy("cell", "label").agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("cell").orderBy(F.col("n").desc(), F.col("label").asc())
+    top = by_label.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    totals = assigned.groupBy("cell").agg(F.count("*").cast("long").alias("n_members"))
+    return totals.join(top.select("cell", F.col("label").alias("majority_label"), "n"), "cell").select(
+        "cell",
+        "n_members",
+        "majority_label",
+        F.round(F.col("n") / F.col("n_members"), 6).alias("purity"),
+    )
+
+
+def _cluster_purity_sql(n_cells: int = 16, dim: int = 64) -> str:
+    d2 = (
+        "list_sum(list_transform(range(1, {d} + 1), "
+        "i -> (CAST(a.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)) ** 2))"
+    ).format(d=dim)
+    return f"""
+WITH cents AS (SELECT vec_id AS cell, embedding FROM embeddings WHERE vec_id < {n_cells}),
+dists AS (SELECT a.vec_id, c.cell, {d2} AS d FROM embeddings a, cents c),
+assigned AS (
+  SELECT vec_id, min(cell) AS cell
+  FROM (SELECT vec_id, cell, d, min(d) OVER (PARTITION BY vec_id) AS md FROM dists)
+  WHERE d = md GROUP BY vec_id
+),
+lab AS (
+  SELECT s.cell, e.label, count(*) AS n
+  FROM assigned s JOIN embeddings e ON s.vec_id = e.vec_id
+  GROUP BY s.cell, e.label
+),
+top AS (
+  SELECT cell, label AS majority_label, n,
+         row_number() OVER (PARTITION BY cell ORDER BY n DESC, label ASC) AS rk
+  FROM lab
+),
+tot AS (SELECT cell, CAST(sum(n) AS BIGINT) AS n_members FROM lab GROUP BY cell)
+SELECT t.cell, t.n_members, p.majority_label,
+       round(p.n / t.n_members, 6) AS purity
+FROM tot t JOIN top p ON t.cell = p.cell AND p.rk = 1
+"""
+
+
+CLUSTER_PURITY_SQL = _cluster_purity_sql()

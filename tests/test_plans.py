@@ -475,3 +475,14 @@ def test_random_projection_has_no_exchange(spark, sf_dir, queries):
     weight folds in codegen): NO exchange of any kind."""
     plan = _plan(queries["op_random_projection"](spark, sf_dir))
     assert "Exchange" not in plan, plan
+
+
+def test_cluster_purity_aggregate_sized_window(spark, sf_dir, queries):
+    """Cluster purity: the argmax window runs over the (cell, label)
+    AGGREGATE (n_cells x labels rows), never the raw corpus, and the
+    rollups have map-side partials — no cartesian, no single-partition
+    funnel."""
+    plan = _plan(queries["op_cluster_purity"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
