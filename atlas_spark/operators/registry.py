@@ -79,4 +79,5 @@ SPECS: list[OpSpec] = [
     OpSpec("rel_priority_shipments", relational.priority_shipments, relational.PRIORITY_SHIPMENTS_SQL),
     OpSpec("rel_promo_share", relational.promo_revenue_share, relational.PROMO_REVENUE_SHARE_SQL),
     OpSpec("rel_bracket_revenue", relational.bracket_revenue, relational.BRACKET_REVENUE_SQL),
+    OpSpec("rel_forecast_revenue", relational.forecast_revenue, relational.FORECAST_REVENUE_SQL),
 ]

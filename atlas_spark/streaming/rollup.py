@@ -135,3 +135,46 @@ def silver_datapoints(spark: SparkSession, silver_path: str, step: int = 60, tag
         ranged=_range,
         raw_ranged=_range,
     )
+
+
+def sessionize_stream(
+    events_stream: DataFrame, gap: int = 1800, late: int = 3600
+) -> DataFrame:
+    """Streaming sessionization with Spark's NATIVE session windows —
+    the per-user gap-session rollup (`operators/text.py::sessionize`)
+    maintained continuously: a session finalizes when the watermark
+    passes its close, and emits exactly the batch row (user, start,
+    count, value sum, duration).
+
+    Semantics pinned to the batch op: batch starts a new session when
+    the gap STRICTLY exceeds `gap`, and Spark merges session windows
+    INCLUSIVELY (an event exactly at the previous session's end joins
+    it), so a window duration of exactly `gap` merges iff delta <= gap —
+    the same boundary.  Duration subtracts the trailing gap extension,
+    making the output bit-equal to batch.
+
+    Expects columns [user_id long, event_id long, ts timestamp,
+    value double].  State is per OPEN session keyed by user — bounded by
+    concurrent active users, not history; the session-window merge is
+    Spark's built-in state-store operator, no custom kernel.
+    """
+    win = F.session_window("ts", f"{gap} seconds")
+    agg = (
+        events_stream.withWatermark("ts", f"{late} seconds")
+        .groupBy(win, "user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("value_sum"),
+        )
+    )
+    return agg.select(
+        "user_id",
+        F.col("session_window.start").cast("long").alias("session_start"),
+        "n_events",
+        "value_sum",
+        (
+            F.col("session_window.end").cast("long")
+            - F.col("session_window.start").cast("long")
+            - gap
+        ).alias("duration_s"),
+    )

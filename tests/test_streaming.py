@@ -701,3 +701,67 @@ def test_publish_eval_stream_live_asl(spark, tmp_path):
         q.stop()
     got = {(r["t"], r["value"]) for r in sev.results}
     assert (day0, 3.0) in got, sev.results
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    """Native session-window streaming sessionization emits exactly the
+    batch sessionize rows (same strict-gap boundary semantics, same
+    duration) once the watermark closes the sessions."""
+    import pandas as pd
+
+    from atlas_spark.operators.text import sessionize
+    from atlas_spark.streaming.rollup import sessionize_stream
+
+    base = 1704067200
+    rows = [
+        # user 1: 3 events in one session (incl. one at EXACTLY the gap),
+        # then a 4th beyond the gap -> second session
+        (1, 1, base + 0, 1.0),
+        (1, 2, base + 1800, 2.0),
+        (1, 3, base + 1900, 3.0),
+        (1, 4, base + 1900 + 1801, 4.0),
+        # user 2: single event
+        (2, 5, base + 60, 7.0),
+        # watermark pusher far in the future
+        (3, 6, base + 10 * 86400, 0.0),
+    ]
+    pdf = pd.DataFrame(
+        {
+            "event_id": [r[1] for r in rows],
+            "ts": [pd.Timestamp(r[2], unit="s") for r in rows],
+            "user_id": [r[0] for r in rows],
+            "event_type": ["click"] * len(rows),
+            "value": [r[3] for r in rows],
+            "props": ["{}"] * len(rows),
+        }
+    )
+    sf_dir = tmp_path / "sf"
+    sf_dir.mkdir()
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(str(sf_dir / "events.parquet"))
+
+    batch = {
+        (r["user_id"], r["session_start"], r["n_events"], r["value_sum"], r["duration_s"])
+        for r in sessionize(spark, str(sf_dir)).collect()
+    }
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .parquet(str(sf_dir / "events.parquet"))
+    )
+    out = sessionize_stream(stream.select("user_id", "event_id", "ts", "value"))
+    got = []
+    q = (
+        out.writeStream.outputMode("append")
+        .foreachBatch(lambda df, _: got.extend(tuple(r) for r in df.collect()))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # every finalized streamed session equals its batch twin (the pusher's
+    # own session stays open and is absent)
+    streamed = set(got)
+    finalized_batch = {b for b in batch if b[0] != 3}
+    assert streamed == finalized_batch, (streamed, finalized_batch)
