@@ -563,3 +563,46 @@ SELECT doc_id, CAST(least(doc_id, min(other)) AS BIGINT) AS canonical_id
 FROM reach
 GROUP BY doc_id
 """
+
+
+def dedup_reduction(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> DataFrame:
+    """One-row dedup effectiveness report: corpus size, docs caught in
+    near-dup clusters, cluster count, docs removed by survivorship, and
+    the reduction ratio — the number a pipeline owner actually tracks
+    per dedup run.
+
+    Composes the full chain (candidates -> exact verify -> transitive
+    clusters) and collapses it to aggregate-sized frames; the final
+    cross join combines two one-row aggregates.
+    """
+    labels = dedup_clusters(spark, sf_dir, threshold=threshold)
+    stats = labels.agg(
+        F.count("*").cast("long").alias("docs_in_clusters"),
+        F.countDistinct("canonical_id").cast("long").alias("n_clusters"),
+    )
+    tot = load_documents(spark, sf_dir).agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    return tot.crossJoin(stats).select(
+        "n_docs",
+        "docs_in_clusters",
+        "n_clusters",
+        (F.col("docs_in_clusters") - F.col("n_clusters")).alias("n_removed"),
+        F.round(
+            (F.col("docs_in_clusters") - F.col("n_clusters")) / F.col("n_docs"), 6
+        ).alias("reduction"),
+    )
+
+
+DEDUP_REDUCTION_SQL = f"""
+SELECT t.n_docs, c.docs_in_clusters, c.n_clusters,
+       c.docs_in_clusters - c.n_clusters AS n_removed,
+       round(CAST(c.docs_in_clusters - c.n_clusters AS DOUBLE) / t.n_docs, 6)
+           AS reduction
+FROM (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents) t
+CROSS JOIN (
+  SELECT CAST(count(*) AS BIGINT) AS docs_in_clusters,
+         CAST(count(DISTINCT canonical_id) AS BIGINT) AS n_clusters
+  FROM ({DEDUP_CLUSTERS_SQL}) cl
+) c
+"""
