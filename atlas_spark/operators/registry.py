@@ -36,6 +36,7 @@ SPECS: list[OpSpec] = [
     OpSpec("op_domain_mix", text.domain_mix, text.DOMAIN_MIX_SQL),
     OpSpec("op_asof_join", text.asof_join, text.ASOF_JOIN_SQL),
     OpSpec("op_text_normalize", text.text_normalize, text.TEXT_NORMALIZE_SQL),
+    OpSpec("op_seq_pack", text.seq_pack, text.SEQ_PACK_SQL),
     OpSpec("op_cosine_topk", similarity.cosine_topk, similarity.cosine_topk_sql()),
     OpSpec("op_ngram_jaccard", dedup.ngram_jaccard_pairs, dedup.NGRAM_JACCARD_SQL),
     # Set-equality vs the exact all-pairs oracle rests on 24x2 banding

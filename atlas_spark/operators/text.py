@@ -853,3 +853,55 @@ SELECT doc_id,
                                     '  +', ' ', 'g'))) AS BIGINT) AS n_chars_norm
 FROM documents
 """
+
+
+def seq_pack(spark: SparkSession, sf_dir: str, context_len: int = 512) -> DataFrame:
+    """Sequence packing for pretraining: concatenate each source's
+    documents in doc_id order and chunk into `context_len`-token
+    windows — every doc gets its chunk id and token offset (the
+    concat-then-chunk packing most training stacks use).
+
+    The running total is a window partitioned BY SOURCE (ordered by
+    doc_id): the shuffle key is the source, each partition packs
+    independently, and no global ordering exists anywhere — the shape
+    that scales horizontally, unlike a corpus-wide running sum.  A doc
+    spanning a boundary starts `spans_boundary=1` (the trainer splits it
+    across chunks).
+    """
+    from pyspark.sql import Window
+
+    docs = load_documents(spark, sf_dir)
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = F.sum(n_tok).over(w)
+    start = cum - n_tok
+    return docs.select(
+        "doc_id",
+        "source",
+        n_tok.alias("n_tokens"),
+        F.floor(start / context_len).cast("long").alias("chunk_id"),
+        (start % context_len).cast("long").alias("chunk_offset"),
+        (
+            F.floor(start / context_len) != F.floor((cum - 1) / context_len)
+        ).cast("long").alias("spans_boundary"),
+    )
+
+
+SEQ_PACK_SQL = """
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         sum(CAST(len(string_split(text, ' ')) AS BIGINT))
+             OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM documents
+)
+SELECT doc_id, source, n_tokens,
+       CAST((cum - n_tokens) // 512 AS BIGINT) AS chunk_id,
+       CAST((cum - n_tokens) % 512 AS BIGINT) AS chunk_offset,
+       CAST(CASE WHEN (cum - n_tokens) // 512 != (cum - 1) // 512
+            THEN 1 ELSE 0 END AS BIGINT) AS spans_boundary
+FROM t
+"""

@@ -486,3 +486,12 @@ def test_cluster_purity_aggregate_sized_window(spark, sf_dir, queries):
     assert "CartesianProduct" not in plan, plan
     assert "Exchange SinglePartition" not in plan, plan
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_seq_pack_partitions_by_source(spark, sf_dir, queries):
+    """Sequence packing: the running-total window partitions BY SOURCE —
+    one keyed exchange, no single-partition global ordering (a
+    corpus-wide running sum would funnel 100 TB through one task)."""
+    plan = _plan(queries["op_seq_pack"](spark, sf_dir))
+    assert "hashpartitioning(source" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
