@@ -69,3 +69,42 @@ def lang_id_sql() -> str:
         pred = f"CASE WHEN {scores[lang]} > {best} THEN '{lang}' ELSE {pred} END"
         best = f"greatest({best}, {scores[lang]})"
     return f"SELECT doc_id, {cols}, {pred} AS pred_lang FROM documents"
+
+
+def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-quality rollup for the lang-ID heuristic: per
+    (labeled lang, predicted lang) document counts plus each cell's
+    share of its labeled row — the confusion matrix a pipeline tracks
+    when tuning marker lists.
+
+    One scan (scoring is per-row codegen), one partial+final rollup, and
+    a label-keyed window over the aggregate-sized matrix for row shares.
+    """
+    from pyspark.sql import Window
+
+    preds = lang_id(spark, sf_dir).select("doc_id", "pred_lang")
+    docs = load_documents(spark, sf_dir).select("doc_id", "lang")
+    cells = docs.join(preds, "doc_id").groupBy("lang", "pred_lang").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    row_tot = F.sum("n_docs").over(Window.partitionBy("lang"))
+    return cells.select(
+        "lang",
+        "pred_lang",
+        "n_docs",
+        F.round(F.col("n_docs") / row_tot, 6).alias("row_share"),
+    )
+
+
+def lang_confusion_sql() -> str:
+    return f"""
+WITH p AS ({lang_id_sql()}),
+cells AS (
+  SELECT d.lang, p.pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents d JOIN p ON d.doc_id = p.doc_id
+  GROUP BY d.lang, p.pred_lang
+)
+SELECT lang, pred_lang, n_docs,
+       round(n_docs / sum(n_docs) OVER (PARTITION BY lang), 6) AS row_share
+FROM cells
+"""

@@ -60,6 +60,7 @@ SPECS: list[OpSpec] = [
         similarity.IVF_TOPK_DET_SQL,
     ),
     OpSpec("op_lang_id", langid.lang_id, langid.lang_id_sql()),
+    OpSpec("op_lang_confusion", langid.lang_confusion, langid.lang_confusion_sql()),
     OpSpec("op_emb_near_dup", similarity.embedding_near_dup, similarity.embedding_near_dup_sql()),
     OpSpec(
         "op_emb_near_dup_strict",
