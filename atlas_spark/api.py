@@ -196,15 +196,19 @@ class Engine:
         end = parse_time_ref(qs.get("e", ["e"])[0], ref)
         sref = SimpleNamespace(start=min(d_start, end - step), end=end)
         start = parse_time_ref(qs.get("s", ["e-3h"])[0], sref)
+        if end < start:
+            # reject on the RAW instants, before flooring can mask it
+            raise ValueError(f"end ({end}) must not be before start ({start})")
         start = (start // step) * step
         end_f = (end // step) * step
-        # end is exclusive; a window entirely inside one step cell would
-        # floor to empty — bump to cover its cell (the reference serves
-        # such windows at its finer base step).  Multi-step windows keep
-        # plain floor semantics.
-        end = end_f if end_f > start else end_f + step
-        if end <= start:
-            raise ValueError(f"end ({end}) must be after start ({start})")
+        # end is exclusive; both instants flooring to the same cell would
+        # give an empty window — the reference extends the window BACKWARD
+        # one step (FetchRequestSource.scala:164-169: adjustedStart =
+        # rs - step when rs == re), serving [end_f - step, end_f).
+        if end_f <= start:
+            start, end = end_f - step, end_f
+        else:
+            end = end_f
         return EvalContext(start, end, step)
 
     def expr(self, q: str, features: str = "stable") -> list[E.StyleExpr]:

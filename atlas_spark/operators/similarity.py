@@ -419,15 +419,6 @@ def ivf_topk(
     return sims.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()).limit(k)
 
 
-def _emb_dim(emb: DataFrame, default: int = 64) -> int:
-    """Embedding dimensionality from the data (one-row lookup).  The
-    weight/centroid literal arrays must match the vector length exactly —
-    `zip_with` null-pads a shorter side, which would silently zero every
-    product instead of erroring."""
-    row = emb.select(F.size("embedding")).head()
-    return int(row[0]) if row and row[0] is not None else default
-
-
 def _md5_plane_weight(i: int, p: int) -> float:
     """Weight for dimension `i` of plane `p` = md5("i:p") mapped to
     [-1, 1) — the Python replica of the oracle's SQL formula
@@ -466,7 +457,8 @@ def _md5_lsh_bucket_col(vec, planes: int, dim: int = 64):
 
 
 def lsh_bucketed_topk(
-    spark: SparkSession, sf_dir: str, query_id: int = 0, k: int = 10, planes: int = 6
+    spark: SparkSession, sf_dir: str, query_id: int = 0, k: int = 10,
+    planes: int = 6, dim: int = 64,
 ) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH.
 
@@ -476,10 +468,15 @@ def lsh_bucketed_topk(
     `LSH_TOPK_SQL`).  Candidates = vectors sharing the query's bucket;
     exact cosine re-rank inside the bucket.  At 100 TB the bucket join
     replaces the full scan per query.
+
+    `dim` is part of the oracle contract: the paired SQL hardcodes the
+    same value into its plane-weight arrays, so a non-64-dim corpus must
+    pass the matching dim on BOTH sides (data-adaptive sizing here would
+    silently diverge from the fixed SQL).
     """
     emb = load_embeddings(spark, sf_dir)
     with_b = emb.withColumn(
-        "bucket", _md5_lsh_bucket_col(F.col("embedding"), planes, _emb_dim(emb))
+        "bucket", _md5_lsh_bucket_col(F.col("embedding"), planes, dim)
     )
     qb = with_b.filter(F.col("vec_id") == query_id).select(
         F.col("bucket").alias("qbucket"), F.col("embedding").alias("q_emb")
@@ -743,7 +740,7 @@ SEMANTIC_DEDUP_SQL = _semantic_dedup_sql()
 
 
 def knn_join(
-    spark: SparkSession, sf_dir: str, k: int = 5, planes: int = 6
+    spark: SparkSession, sf_dir: str, k: int = 5, planes: int = 6, dim: int = 64
 ) -> DataFrame:
     """Approximate k-NN self-join: every vector's top-k cosine neighbours
     among the vectors sharing its LSH bucket (the batch companion to the
@@ -754,10 +751,13 @@ def knn_join(
     join stays sub-quadratic at 100 TB.  The per-vector top-k is a
     row_number window partitioned by vec_id, which reuses the join's
     hash partitioning; no global sort anywhere.
+
+    `dim` must match the paired oracle SQL's hardcoded plane-weight dim
+    (see `lsh_bucketed_topk`).
     """
     emb = load_embeddings(spark, sf_dir)
     with_b = emb.withColumn(
-        "bucket", _md5_lsh_bucket_col(F.col("embedding"), planes, _emb_dim(emb))
+        "bucket", _md5_lsh_bucket_col(F.col("embedding"), planes, dim)
     ).withColumn("nrm", F.sqrt(_dot(F.col("embedding"), F.col("embedding"))))
     a = with_b.select(
         "vec_id", "bucket", F.col("embedding").alias("e_a"), F.col("nrm").alias("n_a")

@@ -842,11 +842,24 @@ class StreamingEvaluator:
         the driver holds only interval bookkeeping.  (The reference holds
         the equivalent state on one node in FinalExprEval,
         atlas-eval/.../stream/FinalExprEval.scala:74-75,243-249.)"""
-        new_ts = sorted(
-            {int(r[0]) for r in batch_df.select("t").distinct().collect()}
-            - self.intervals_seen
-        )
+        batch_ts = {int(r[0]) for r in batch_df.select("t").distinct().collect()}
+        new_ts = sorted(batch_ts - self.intervals_seen)
         if not new_ts:
+            # Exactly-once premise: the splitter finalizes each interval
+            # ONCE, so a batch of only already-seen intervals means replay
+            # of duplicate rows.  Merging them would double-count in later
+            # lookback evaluations (the buffer sums overlapping rows), so
+            # they are dropped — loudly, because silently losing a
+            # re-finalized interval would be a correctness bug if the
+            # premise is ever violated upstream.
+            if batch_ts:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "streaming evaluator: dropping replayed batch for "
+                    "already-finalized intervals %s (exactly-once premise)",
+                    sorted(batch_ts),
+                )
             return
         self.intervals_seen.update(new_ts)
         buf = (
@@ -867,12 +880,26 @@ class StreamingEvaluator:
         # unpersist the previous checkpoint RDD itself (id recorded from
         # the LogicalRDD plan node), keeping executor storage at one
         # buffer copy instead of every generation until driver GC
+        # NOTE executor-loss failure mode: localCheckpoint truncates
+        # lineage, so losing an executor holding checkpoint blocks is
+        # unrecoverable for this stream (the reference's FinalExprEval is
+        # likewise single-node state, FinalExprEval.scala:74-75).  With a
+        # reliable checkpoint dir, swap localCheckpoint for checkpoint.
         prev_id = self._buffer_rdd_id
         try:
             self._buffer_rdd_id = (
                 buf._jdf.queryExecution().analyzed().rdd().id()
             )
         except Exception:
+            # fall back to generation-leak mode (one superseded buffer
+            # copy retained until driver GC) — log so leaks are observable
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "streaming evaluator: buffer RDD-id probe failed; "
+                "superseded buffer generation will not be unpersisted",
+                exc_info=True,
+            )
             self._buffer_rdd_id = None
         if prev_id is not None:
             jrdd = self.spark.sparkContext._jsc.getPersistentRDDs().get(prev_id)

@@ -385,12 +385,27 @@ def test_graph_window_outside_default(engine):
 
 
 def test_graph_substep_window_covers_cell(engine):
-    """A window shorter than one source step covers its cell: the
-    exclusive end rounds UP, so s=e-10m at an hourly step renders one
-    interval instead of erroring with an empty range."""
+    """A window shorter than one source step renders one interval: both
+    instants floor to the same cell and the window extends BACKWARD one
+    step (FetchRequestSource.scala:164-169 adjustedStart = rs - step),
+    serving [end_f - step, end_f) instead of erroring with an empty
+    range."""
     g = engine.graph("/api/v1/graph?e=2024-01-02T19:52&q=minuteOfHour,:time&s=e-10m")
     assert g.end - g.start == 3600
     assert g.start % 3600 == 0
+    # cell-choice parity: ends at the floored end instant (19:00)
+    assert g.end == 1704222000
+
+
+def test_graph_end_before_start_rejected(engine):
+    """Raw end earlier than raw start is rejected BEFORE flooring (both
+    flooring into one cell must not mask a reversed window)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="must not be before"):
+        engine.graph(
+            "/api/v1/graph?s=2024-01-02T19:52&e=2024-01-02T19:42&q=name,click,:eq,:sum"
+        )
 
 
 def test_graph_coarse_step_unaligned_default_window(engine):
