@@ -419,6 +419,23 @@ def ivf_topk(
     return sims.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()).limit(k)
 
 
+# Self-scaling cell count for the sampled-centroid operators: target a
+# bounded per-cell occupancy so within-cell pair work grows ~n * OCCUPANCY
+# instead of n^2/16 as the corpus grows (a fixed 16-cell default would
+# degenerate toward all-pairs at scale).  The floor keeps small corpora at
+# the oracle-stable 16 cells; the DuckDB oracles compute the SAME rule as
+# a subquery, so both engines derive identical cells at every SF.
+CELL_OCCUPANCY = 4096
+
+
+def _auto_n_cells(n: int) -> int:
+    return max(16, n // CELL_OCCUPANCY)
+
+
+# SQL twin of `_auto_n_cells` (DuckDB `//` is integer division like Python)
+_AUTO_N_CELLS_SQL = f"(SELECT greatest(16, count(*) // {CELL_OCCUPANCY}) FROM embeddings)"
+
+
 def _md5_plane_weight(i: int, p: int) -> float:
     """Weight for dimension `i` of plane `p` = md5("i:p") mapped to
     [-1, 1) — the Python replica of the oracle's SQL formula
@@ -536,7 +553,7 @@ def ivf_topk_deterministic(
     sf_dir: str,
     query_id: int = 0,
     k: int = 10,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     n_probe: int = 4,
 ) -> DataFrame:
     """IVF ANN with SAMPLED centroids (the common IVF-flat training
@@ -545,14 +562,20 @@ def ivf_topk_deterministic(
     value-level DuckDB oracle (`IVF_TOPK_DET_SQL`) — unlike the fitted
     KMeans variant (`ivf_topk`, rows-only).
 
+    `n_cells=None` self-scales with the corpus (`_auto_n_cells`: bounded
+    per-cell occupancy); the oracle computes the identical rule as a
+    subquery, so both engines derive the same cells at every SF.
+
     Query path identical in shape to `ivf_topk`: nearest `n_probe` cells
     by centroid distance, scan only those cells' vectors, exact-cosine
-    re-rank.  Assignment here is computed inline (16 x dim fused
+    re-rank.  Assignment here is computed inline (n_cells x dim fused
     multiply-adds per row in codegen); at ingest it becomes the stored
     `cell` column exactly as in `ivf_build_index`.  Ties break to the
     lower cell id / lower vec_id in BOTH engines.
     """
     emb = load_embeddings(spark, sf_dir)
+    if n_cells is None:
+        n_cells = _auto_n_cells(emb.count())
     cents = _sampled_centroids(emb, n_cells)
     assigned = _assign_sampled_cells(emb, cents)
 
@@ -586,7 +609,11 @@ def ivf_topk_deterministic(
 
 
 def _ivf_topk_det_sql(
-    query_id: int = 0, k: int = 10, n_cells: int = 16, n_probe: int = 4, dim: int = 64
+    query_id: int = 0,
+    k: int = 10,
+    n_cells: "int | str | None" = None,
+    n_probe: int = 4,
+    dim: int = 64,
 ) -> str:
     """DuckDB oracle reproducing the deterministic IVF pipeline: same
     sampled centroids, same left-to-right double-fold distances (list_sum
@@ -608,6 +635,8 @@ def _ivf_topk_det_sql(
         "sqrt(list_sum(list_transform(range(1, {d} + 1), "
         "i -> CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))))"
     ).format(d=dim)
+    if n_cells is None:
+        n_cells = _AUTO_N_CELLS_SQL  # same self-scaling rule as the engine
     return f"""
 WITH cents AS (SELECT vec_id AS cell, embedding FROM embeddings WHERE vec_id < {n_cells}),
 dists AS (
@@ -645,7 +674,7 @@ def semantic_dedup(
     spark: SparkSession,
     sf_dir: str,
     threshold: float = 0.35,
-    n_cells: int = 16,
+    n_cells: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
     the embedding space, then mark as duplicates the members of each
@@ -661,8 +690,16 @@ def semantic_dedup(
 
     Returns every vector with its cell and kept flag (kept = no lower-id
     semantic duplicate in the same cell).
+
+    `n_cells=None` self-scales with the corpus (`_auto_n_cells`): the
+    within-cell pair work is the published algorithm's quadratic shape,
+    so the cell count must grow with n to keep per-cell occupancy (and
+    the n^2/n_cells pair total) bounded.  The oracle computes the same
+    rule as a subquery.
     """
     emb = load_embeddings(spark, sf_dir)
+    if n_cells is None:
+        n_cells = _auto_n_cells(emb.count())
     assigned = _assign_sampled_cells(emb, _sampled_centroids(emb, n_cells))
     # norms once per VECTOR, not once per pair: the pair join multiplies
     # precomputed scalars (bit-identical to sqrt-per-pair — same fold,
@@ -701,7 +738,7 @@ def semantic_dedup(
 
 
 def _semantic_dedup_sql(
-    threshold: float = 0.35, n_cells: int = 16, dim: int = 64
+    threshold: float = 0.35, n_cells: "int | str | None" = None, dim: int = 64
 ) -> str:
     d2 = (
         "list_sum(list_transform(range(1, {d} + 1), "
@@ -714,6 +751,8 @@ def _semantic_dedup_sql(
             "i -> CAST({x}.embedding[i] AS DOUBLE) * CAST({y}.embedding[i] AS DOUBLE)))"
         ).format(d=dim, x=x, y=y)
 
+    if n_cells is None:
+        n_cells = _AUTO_N_CELLS_SQL  # same self-scaling rule as the engine
     return f"""
 WITH cents AS (SELECT vec_id AS cell, embedding FROM embeddings WHERE vec_id < {n_cells}),
 dists AS (SELECT a.vec_id, c.cell, {d2} AS d FROM embeddings a, cents c),

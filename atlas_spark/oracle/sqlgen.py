@@ -83,9 +83,19 @@ _STAT_SQL = {
 class SqlGen:
     """Generates one SELECT per expression node, composed as chained CTEs."""
 
-    def __init__(self, dp_cte: str, ctx: EvalContext):
+    def __init__(
+        self,
+        dp_cte: str,
+        ctx: EvalContext,
+        src_step: int | None = None,
+        ds_type: str = "rate",
+    ):
         self.dp_cte = dp_cte
         self.ctx = ctx
+        # storage step of the dp relation; when ctx.step is coarser the
+        # data exprs consolidate onto the ctx grid (DataExpr.scala:52-59)
+        self.src_step = src_step or ctx.step
+        self.ds_type = ds_type
         self._ctes: list[tuple[str, str]] = []
         self._n = 0
         self._recursive = False
@@ -136,10 +146,36 @@ class SqlGen:
             f"SELECT g.t, r.value FROM {g} g LEFT JOIN {rel} r USING (t)"
         )
 
+    # default cf per aggregate fn when fetching at a coarser step than
+    # storage (DataExpr.scala:173,197: Sum/Count default Avg; Min/Max self)
+    _CF_DEFAULT = {"sum": "avg", "count": "avg", "min": "min", "max": "max"}
+
+    def _consolidate_rel(self, rel: str, keys: list[str], cf: str) -> str:
+        """Time-consolidate storage-step cells to the ctx grid.  `avg`
+        divides by the sub-interval count for rates, by the non-null
+        sample count for gauges (TimeSeq.scala:203-210)."""
+        c = self.ctx
+        m = c.step // self.src_step
+        tc = f"{c.start} + ((t - {c.start}) - (t - {c.start}) % {c.step})"
+        if cf == "avg":
+            agg = (
+                "avg(value)"
+                if self.ds_type == "gauge"
+                else f"sum(value) / {float(m)!r}"
+            )
+        else:
+            agg = _AGG_SQL[cf].format(v="value")
+        sel = keys + [f"{tc} AS t", f"{agg} AS value"]
+        grp = keys + [tc]
+        return self._add(
+            f"SELECT {', '.join(sel)} FROM {rel} GROUP BY {', '.join(grp)}"
+        )
+
     def _gen(self, e: E.TimeSeriesExpr) -> tuple[str, list[str]]:
         """Returns (relation name, key column list); relation is sparse
         unless produced dense."""
         c = self.ctx
+        consolidating = c.step > self.src_step
 
         if isinstance(e, E.GroupByExpr):
             keys = [sanitize(k) for k in e.keys]
@@ -154,6 +190,10 @@ class SqlGen:
                 f"WHERE t >= {lo} AND t < {hi} AND {where} AND {notnull} "
                 f"GROUP BY {', '.join(keys)}, t"
             )
+            if consolidating:
+                rel = self._consolidate_rel(
+                    rel, keys, e.af.cf or self._CF_DEFAULT[e.af.fn]
+                )
             return rel, keys
 
         if isinstance(e, E.AggrExpr):
@@ -166,6 +206,8 @@ class SqlGen:
                 f"SELECT {tsel} AS t, {agg} AS value FROM dp "
                 f"WHERE t >= {lo} AND t < {hi} AND {where} GROUP BY t"
             )
+            if consolidating:
+                rel = self._consolidate_rel(rel, [], e.cf or self._CF_DEFAULT[e.fn])
             return rel, []
 
         if isinstance(e, E.AllExpr):
@@ -173,6 +215,8 @@ class SqlGen:
             rel = self._add(
                 f"SELECT * FROM dp WHERE t >= {c.start} AND t < {c.end} AND {where}"
             )
+            if consolidating:
+                rel = self._consolidate_rel(rel, ["k_name", "k_bucket"], "sum")
             return rel, ["k_name", "k_bucket"]
 
         if isinstance(e, E.ConstExpr):
@@ -291,7 +335,13 @@ class SqlGen:
             ns = m * c.step
             tc = f"{c.start} + ((t - {c.start}) - (t - {c.start}) % {ns})"
             if e.cf == "avg":
-                agg = f"sum(value) / {float(m)!r}"
+                # gauge: non-null sample count denominator; rate: the
+                # sub-interval count (TimeSeq.scala:203-210)
+                agg = (
+                    "avg(value)"
+                    if self.ds_type == "gauge"
+                    else f"sum(value) / {float(m)!r}"
+                )
             else:
                 agg = _AGG_SQL[e.cf].format(v="value")
             sel = keys + [f"{tc} AS t", f"{agg} AS value"]

@@ -321,6 +321,32 @@ class Evaluator:
 
     # ------------------------------------------------------------ data exprs
 
+    # default consolidation fn per aggregate when fetching at a coarser
+    # step than storage (DataExpr.scala:173,197 Sum/Count default to Avg;
+    # :min/:max consolidate with themselves, :all with Sum)
+    _CF_DEFAULT = {"sum": "avg", "count": "avg", "min": "min", "max": "max"}
+
+    def _consolidate_cells(self, df: DataFrame, key_cols, cf: str) -> DataFrame:
+        """Time-consolidate source-step cells onto the (coarser) ctx grid
+        (DataExpr.scala:52-59 -> MapStepTimeSeq).  `avg` divides by the
+        sub-interval count for RATE sources but by the non-null sample
+        count for GAUGE sources (TimeSeq.scala:203-210: a temperature
+        gauge reporting NaN, 90.0 must consolidate to 90.0, not 45.0).
+        Missing cells are absent ROWS here, so plain AVG over present
+        rows is exactly the gauge denominator."""
+        m = self.ctx.step // self.source.step
+        start = self.ctx.start
+        tc = (
+            F.lit(start)
+            + ((F.col("t") - start) - (F.col("t") - start) % self.ctx.step)
+        ).cast("long")
+        grouped = df.groupBy(*key_cols, tc.alias("t"))
+        if cf == "avg":
+            if self.source.ds_type == "gauge":
+                return grouped.agg(F.avg("value").alias("value"))
+            return grouped.agg((F.sum("value") / F.lit(float(m))).alias("value"))
+        return grouped.agg(_AGG[cf]("value").alias("value"))
+
     def _eval_data(self, e: E.DataExpr) -> ResultFrame:
         off = getattr(e, "offset", 0)  # seconds
         if isinstance(e, E.GroupByExpr):
@@ -341,11 +367,14 @@ class Evaluator:
 
         static = e.query.exact_keys()
 
+        consolidating = self.ctx.step > self.source.step
+
         if isinstance(e, E.AllExpr):
             cm = dict(self.source.colmap)
-            return ResultFrame(
-                df.select(*cm.values(), "t", "value"), None, cm, static
-            )
+            out = df.select(*cm.values(), "t", "value")
+            if consolidating:
+                out = self._consolidate_cells(out, list(cm.values()), "sum")
+            return ResultFrame(out, None, cm, static)
 
         if isinstance(e, E.GroupByExpr):
             for k in e.keys:
@@ -367,10 +396,15 @@ class Evaluator:
             for c in cols:
                 df = df.filter(F.col(c).isNotNull())
             out = df.groupBy(*cols, "t").agg(_AGG[e.af.fn]("value").alias("value"))
+            if consolidating:
+                cf = e.af.cf or self._CF_DEFAULT[e.af.fn]
+                out = self._consolidate_cells(out, cols, cf)
             return ResultFrame(out, e.keys, cm, static)
 
         assert isinstance(e, E.AggrExpr)
         out = df.groupBy("t").agg(_AGG[e.fn]("value").alias("value"))
+        if consolidating:
+            out = self._consolidate_cells(out, [], e.cf or self._CF_DEFAULT[e.fn])
         return ResultFrame(out, (), {}, static)
 
     # ------------------------------------------------------------ generators
@@ -433,6 +467,8 @@ class Evaluator:
         """
         if e.op not in self._STRICT_OPS:
             return None
+        if self.ctx.step > self.source.step:
+            return None  # generic path applies data-level consolidation
         for sup_e, sub_e, flipped in ((e.lhs, e.rhs, False), (e.rhs, e.lhs, True)):
             if not isinstance(sup_e, E.GroupByExpr):
                 continue
@@ -506,6 +542,8 @@ class Evaluator:
         """
         if e.op not in self._STRICT_OPS:
             return None
+        if self.ctx.step > self.source.step:
+            return None  # generic path applies data-level consolidation
         sides = []
         for s in (e.lhs, e.rhs):
             if isinstance(s, E.GroupByExpr):
@@ -937,9 +975,16 @@ class Evaluator:
         kc = rf.key_cols
         grouped = rf.df.groupBy(*kc, tc.alias("t"))
         if e.cf == "avg":
-            # rate-style consolidation: divide by the number of sub-intervals
-            # (ConsolidationFunction.scala:56-80, TimeSeq.scala:189-214)
-            df = grouped.agg((F.sum("value") / F.lit(float(m))).alias("value"))
+            if self.source.ds_type == "gauge":
+                # gauge: divide by the NON-NULL sample count, not the
+                # sub-interval count — a sampled gauge reporting NaN, 90.0
+                # must consolidate to 90.0, not 45.0 (TimeSeq.scala:203-210)
+                df = grouped.agg(F.avg("value").alias("value"))
+            else:
+                # rate: average over the ENTIRE interval, dividing by the
+                # number of sub-intervals
+                # (ConsolidationFunction.scala:56-80, TimeSeq.scala:189-214)
+                df = grouped.agg((F.sum("value") / F.lit(float(m))).alias("value"))
         else:
             df = grouped.agg(_AGG[e.cf]("value").alias("value"))
         return replace(rf, df=df, dense=False)

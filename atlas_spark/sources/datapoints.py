@@ -115,6 +115,12 @@ class DatapointSource:
     # fold raw rows directly (sum-of-sums == sum), removing one full
     # shuffle + hash aggregate from the most common query shape.
     raw_ranged: "object" = None
+    # DsType of every series in this source ("rate" | "gauge",
+    # DsType.scala:18-36).  Consolidation `avg` divides by the number of
+    # sub-intervals for rates but by the NON-NULL count for gauges — a
+    # sampled gauge that starts reporting mid-interval must not show a
+    # false drop (TimeSeq.scala:203-210: "should be 90.0 not 45.0").
+    ds_type: str = "rate"
 
     @property
     def tag_keys(self) -> tuple[str, ...]:
@@ -241,6 +247,64 @@ def lineitem_cte(step: int = LINEITEM_STEP) -> str:
 """
 
 PCT_STEP = 86400  # coarser step so bucket counts have meaningful mass
+
+# Gauge fixture: only high events carry a sample, so most (series, step)
+# cells are EMPTY — the shape where the gauge-vs-rate `avg` consolidation
+# denominator actually differs (TimeSeq.scala:203-210).
+GAUGE_MIN_VALUE = 100.0
+
+
+def gauge_datapoints(
+    spark: SparkSession, sf_dir: str, step: int = DEFAULT_STEP
+) -> DatapointSource:
+    """Gauge-typed datapoint view over the driver `events` table: a
+    sampled "peak value" gauge per (event_type, user bucket) that only
+    reports when an event exceeds `GAUGE_MIN_VALUE`, giving the gap-y
+    series gauge consolidation semantics exist for.  Ingest rollup is
+    MAX (duplicate gauge publishes in a step keep the max,
+    `AggrDatapoint.scala:195-222` / `norm.gauge_dedup_batch`), so there
+    is no sum-exact `raw_ranged` fast path.
+    """
+    from ..session import configure_existing
+
+    configure_existing(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    def build(ev_df: DataFrame) -> DataFrame:
+        return (
+            ev_df.filter(F.col("value") > GAUGE_MIN_VALUE)
+            .select(
+                F.col("event_type").alias("k_name"),
+                F.concat(F.lit("u"), (F.col("user_id") % 8).cast("string")).alias(
+                    "k_bucket"
+                ),
+                _step_t(ev_df, step),
+                F.col("value"),
+            )
+            .groupBy("k_name", "k_bucket", "t")
+            .agg(F.max("value").alias("value"))
+        )
+
+    return DatapointSource(
+        df=build(ev),
+        step=step,
+        colmap={"name": "k_name", "bucket": "k_bucket"},
+        sql_cte=gauge_cte(step),
+        ranged=lambda lo, hi: build(_ts_range(ev, lo, hi)),
+        ds_type="gauge",
+    )
+
+
+def gauge_cte(step: int = DEFAULT_STEP) -> str:
+    return f"""
+  SELECT event_type AS k_name,
+         'u' || CAST(user_id % 8 AS VARCHAR) AS k_bucket,
+         (epoch_ns(ts) // 1000000000 // {step}) * {step} AS t,
+         max(value) AS value
+  FROM events
+  WHERE value > {GAUGE_MIN_VALUE}
+  GROUP BY 1, 2, 3
+"""
 
 
 def events_cte(step: int = DEFAULT_STEP) -> str:

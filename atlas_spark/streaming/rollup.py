@@ -49,22 +49,38 @@ def silver_rollup_stream(
         "rejection string, date date"
     ).parquet(f"{bronze_path}/data/status=ok")
     kcols = {k: sanitize(k) for k in tag_keys}
+    # dsType from the atlas.dstype tag (DsType.scala:22-31: "gauge" ->
+    # Gauge, anything else incl. absent -> Rate).  Gauge cells roll up by
+    # MAX (duplicate gauge publishes keep the max, AggrDatapoint.scala:
+    # 195-222), rate cells by SUM — so the silver table preserves the
+    # per-type ingest semantics and downstream `avg` consolidation can
+    # apply the right denominator per type.
+    ds = (
+        F.when(F.col("tags")["atlas.dstype"] == "gauge", F.lit("gauge"))
+        .otherwise(F.lit("rate"))
+    )
     rows = stream.select(
         *[
             (F.col("name") if k == "name" else F.col("tags")[k]).alias(c)
             for k, c in kcols.items()
         ],
+        ds.alias("ds_type"),
         F.timestamp_seconds(F.col("t")).alias("ets"),
         "value",
     )
     agg = (
         rows.withWatermark("ets", f"{late} seconds")
-        .groupBy(F.window("ets", f"{step} seconds"), *kcols.values())
-        .agg(F.sum("value").alias("value"))
+        .groupBy(F.window("ets", f"{step} seconds"), *kcols.values(), "ds_type")
+        .agg(
+            F.when(F.col("ds_type") == "gauge", F.max("value"))
+            .otherwise(F.sum("value"))
+            .alias("value")
+        )
     )
     t = F.col("window.start").cast("long")
     return agg.select(
         *kcols.values(),
+        "ds_type",
         t.alias("t"),
         "value",
         F.to_date(F.col("window.start")).alias("date"),
@@ -111,17 +127,31 @@ def dedup_stream(
     )
 
 
-def silver_datapoints(spark: SparkSession, silver_path: str, step: int = 60, tag_keys=("name", "app")):
+def silver_datapoints(
+    spark: SparkSession,
+    silver_path: str,
+    step: int = 60,
+    tag_keys=("name", "app"),
+    ds_type: str | None = None,
+):
     """DatapointSource over a silver table: the stored rows ARE the
     finalized step cells, so queries skip the read-time ingest rollup
     entirely — a graph query is scan -> expression plan, no groupBy
     before the ASL semantics.  `raw_ranged` returns the same cells
     (sum-of-sums == sum), so the `:sum` fast path folds them directly.
+
+    `ds_type` ("rate" | "gauge") filters a mixed-type silver table to one
+    type and marks the source, so `avg` consolidation applies the right
+    denominator (TimeSeq.scala:203-210).  With ds_type=None a mixed
+    table is served as-is and treated as rate (the reference default for
+    untyped series, DsType.scala:22-31).
     """
     from ..sources.datapoints import DatapointSource, date_t_range, sanitize
 
     configure_existing(spark)
     df = spark.read.parquet(silver_path)
+    if ds_type is not None and "ds_type" in df.columns:
+        df = df.filter(F.col("ds_type") == ds_type)
     kcols = {k: sanitize(k) for k in tag_keys}
 
     def _range(lo: int, hi: int):
@@ -134,6 +164,7 @@ def silver_datapoints(spark: SparkSession, silver_path: str, step: int = 60, tag
         sql_cte="",
         ranged=_range,
         raw_ranged=_range,
+        ds_type=ds_type or "rate",
     )
 
 

@@ -60,7 +60,8 @@ def ducks(sf_dir):
 def test_random_sketch_differential(seed, spark, ducks, sf_dir):
     rng = random.Random(9_100 + seed)
     asl, source_name = rand_pct_asl(rng)
-    factory, cte, _ = SOURCES[source_name]
+    spec = SOURCES[source_name]
+    factory, cte = spec.factory, spec.cte
     src = factory(spark, sf_dir)
     (se,) = parse(asl, step=CTX.step)
     expr = se.expr

@@ -541,6 +541,90 @@ def test_silver_rollup_matches_batch(spark, tmp_path):
     assert len(parts) == 2, parts
 
 
+def test_silver_rollup_gauge_aware(spark, tmp_path):
+    """Mixed-type publishes: gauge-tagged series (atlas.dstype=gauge)
+    roll up by MAX per cell, untyped/rate series by SUM
+    (DsType.scala:22-31, AggrDatapoint.scala:195-222) — and querying the
+    silver table per type through the Evaluator applies the matching
+    `avg` consolidation denominator (TimeSeq.scala:203-210)."""
+    import json
+
+    from atlas_spark.streaming.rollup import silver_datapoints, start_silver_rollup
+    from atlas_spark.streaming.sink import publish_to_bronze
+
+    d_in = tmp_path / "in"
+    d_in.mkdir()
+    day0 = 1700000000 // 86400 * 86400
+
+    def payload(name, ts_s, value, dstype=None):
+        tags = {"name": name, "app": "www"}
+        if dstype:
+            tags["atlas.dstype"] = dstype
+        return json.dumps(
+            {"metrics": [{"tags": tags, "timestamp": ts_s * 1000, "value": value}]}
+        )
+
+    (d_in / "c1.txt").write_text(
+        "\n".join(
+            [
+                # gauge: two publishes in one cell keep the max
+                payload("temp", day0 + 10, 40.0, "gauge"),
+                payload("temp", day0 + 20, 90.0, "gauge"),
+                # rate (untyped): two publishes in one cell add
+                payload("reqs", day0 + 10, 1.0),
+                payload("reqs", day0 + 20, 2.0),
+                # watermark pusher
+                payload("reqs", day0 + 7 * 86400, 0.5),
+            ]
+        )
+    )
+    stream = spark.readStream.schema("value string").text(str(d_in)).withColumnRenamed(
+        "value", "payload"
+    )
+    qb = publish_to_bronze(stream, str(tmp_path / "b"), str(tmp_path / "ckb"), step=60)
+    qb.processAllAvailable()
+    qb.stop()
+    qs = start_silver_rollup(
+        spark, str(tmp_path / "b"), str(tmp_path / "silver"), str(tmp_path / "cks"), step=60
+    )
+    qs.processAllAvailable()
+    qs.stop()
+
+    silver = spark.read.parquet(str(tmp_path / "silver"))
+    got = {(r["k_name"], r["ds_type"], r["t"], r["value"]) for r in silver.collect()}
+    assert got == {
+        ("temp", "gauge", day0, 90.0),
+        ("reqs", "rate", day0, 3.0),
+    }, got
+
+    # publish -> silver -> ASL loop: `:consolidate cf-avg` over a 4-cell
+    # window holding ONE sample divides by 1 for the gauge (90, no false
+    # drop), by 4 for the rate (0.75)
+    import pyspark.sql.functions as F
+
+    from atlas_spark.model import expr as E
+    from atlas_spark.model import query as Q
+    from atlas_spark.plans.builder import Evaluator
+    from atlas_spark.plans.context import EvalContext
+
+    ctx = EvalContext(day0, day0 + 4 * 60, 60)
+
+    def consolidated(name, ds):
+        src = silver_datapoints(spark, str(tmp_path / "silver"), ds_type=ds)
+        by = E.GroupByExpr(
+            Q.EqualQuery("name", name),
+            E.AggrExpr(Q.EqualQuery("name", name), "max"),
+            ("name",),
+        )
+        rf = Evaluator(src, ctx).eval(E.ConsolidateExpr(by, "avg", 4))
+        rows = rf.df.filter(F.col("value").isNotNull()).collect()
+        assert len(rows) == 1
+        return rows[0]["value"]
+
+    assert consolidated("temp", "gauge") == 90.0
+    assert consolidated("reqs", "rate") == 3.0 / 4
+
+
 def test_dedup_stream_drops_transport_duplicates(spark, tmp_path):
     """At-least-once transport dedup: replayed rows (same key + ts inside
     the watermark horizon) are emitted exactly once."""
