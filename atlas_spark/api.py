@@ -167,6 +167,7 @@ class Engine:
         sf_dir: str | None = None,
         source: DatapointSource | None = None,
         default_window: tuple[int, int] = (EVENTS_START, EVENTS_END),
+        catalog=None,
     ):
         self.spark = spark
         if source is None:
@@ -175,6 +176,16 @@ class Engine:
             source = events_datapoints(spark, sf_dir)
         self.source = source
         self.default_window = default_window
+        # series catalog for the tags API (sources/catalog.py): a
+        # DataFrame, or a path to a maintained catalog table.  When set,
+        # metadata requests scan series-cardinality rows instead of the
+        # fact table (RoaringTagIndex parity at scale); when None, tags()
+        # falls back to the distinct scan (fine for ad-hoc sources).
+        if isinstance(catalog, str):
+            from .sources.catalog import read_series_catalog
+
+            catalog = read_series_catalog(spark, catalog)
+        self._catalog_df = catalog
 
     # ------------------------------------------------------------- parsing
 
@@ -685,10 +696,16 @@ class Engine:
         matching series.  `offset` resumes AFTER the given value ("k,v"
         form in verbose mode), `limit` caps the page; use
         `tags_next_offset` on the collected page to get the resume token.
+
+        With a maintained series catalog (`catalog=` at construction, see
+        `sources/catalog.py`) the scan below runs over series-cardinality
+        rows, never the fact table; the Query filtering and counting code
+        is identical either way because the catalog carries the same
+        promoted tag columns.
         """
         from .plans.builder import query_to_column
 
-        df = self.source.df
+        df = self._catalog_df if self._catalog_df is not None else self.source.df
         if q is not None:
             df = df.filter(query_to_column(q, self.source))
         series_cols = sorted(self.source.colmap.values())

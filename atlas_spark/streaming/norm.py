@@ -165,3 +165,81 @@ def decode_publish_payloads(
         F.coalesce(F.col("m.timestamp"), F.col("m.start")).alias("timestamp"),
         F.coalesce(F.col("m.value"), F.col("m.values")).alias("value"),
     )
+
+
+def decode_compact_batch_payloads(
+    df: DataFrame, payload_col: str = "payload", drop_undecodable: bool = True
+) -> DataFrame:
+    """Decode compact-batch publish payloads JVM-side — a pure Catalyst
+    fold, no UDF.
+
+    Wire shape (`PublishPayloads.scala:284-304` decodeCompactBatch): one
+    flattened JSON array
+    `[tableSize, ...strings, nDatapoints, (id, nTags, kIdx, vIdx...,
+    timestamp, value)*]` where tag keys/values are indexes into the
+    string table.  The variable per-record stride (4 + 2*nTags) forces a
+    sequential cursor walk, which `aggregate()` expresses as a
+    fold carrying (cursor, rows) — the whole decode stays in whole-stage
+    codegen and the same expression serves batch and streaming frames.
+
+    Output matches `decode_publish_payloads`: (tags, timestamp, value)
+    rows; undecodable payloads become one all-null row each when
+    ``drop_undecodable=False``.  The wire `id` is redundant with the tags
+    (it is the sha1 of them, ItemId.scala) and is not carried.
+    """
+    rec = (
+        "named_struct("
+        " 'tags', map_from_arrays("
+        "   transform(sequence(1, _nt), j -> element_at(_a, cast(element_at(_a, acc.p + 2*j) AS INT) + 2)),"
+        "   transform(sequence(1, _nt), j -> element_at(_a, cast(element_at(_a, acc.p + 2*j + 1) AS INT) + 2))),"
+        " 'timestamp', cast(element_at(_a, acc.p + 2*_nt + 2) AS BIGINT),"
+        " 'value', cast(element_at(_a, acc.p + 2*_nt + 3) AS DOUBLE))"
+    )
+    # `transform(array(nTags), _nt -> ...)` is the lambda-binding trick:
+    # it names the per-record tag count once instead of re-evaluating the
+    # element_at chain at every use site
+    fold = (
+        "aggregate("
+        " sequence(1, cast(element_at(_a, cast(element_at(_a, 1) AS INT) + 2) AS INT)),"
+        " named_struct('p', cast(element_at(_a, 1) AS INT) + 3,"
+        "              'rows', cast(array() AS ARRAY<STRUCT<tags MAP<STRING,STRING>, timestamp BIGINT, value DOUBLE>>)),"
+        " (acc, i) -> element_at(transform(array(cast(element_at(_a, acc.p + 1) AS INT)),"
+        f"   _nt -> named_struct('p', acc.p + 4 + 2*_nt, 'rows', array_append(acc.rows, {rec}))), 1),"
+        " acc -> acc.rows)"
+    )
+    parsed = df.select(F.from_json(F.col(payload_col), "array<string>").alias("_a"))
+    ex = F.explode if drop_undecodable else F.explode_outer
+    rows = parsed.select(ex(F.expr(fold)).alias("m"))
+    return rows.select(
+        F.col("m.tags").alias("tags"),
+        F.col("m.timestamp").alias("timestamp"),
+        F.col("m.value").alias("value"),
+    )
+
+
+def encode_compact_batch(datapoints: list) -> str:
+    """Encode (tags, timestamp, value) tuples to the compact wire format
+    (the test-side twin of `decode_compact_batch_payloads`; id = the
+    tag-map identity placeholder — the decoder ignores it, matching the
+    reference which recomputes ids from tags)."""
+    import json
+
+    table: list[str] = []
+    index: dict[str, int] = {}
+
+    def ref(s: str) -> int:
+        if s not in index:
+            index[s] = len(table)
+            table.append(s)
+        return index[s]
+
+    body: list = []
+    for tags, ts, value in datapoints:
+        body.append("-")  # id placeholder (recomputed from tags on decode)
+        body.append(len(tags))
+        for k in sorted(tags):
+            body.append(ref(k))
+            body.append(ref(tags[k]))
+        body.append(ts)
+        body.append(value)
+    return json.dumps([len(table), *table, len(datapoints), *body])

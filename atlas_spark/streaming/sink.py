@@ -34,8 +34,26 @@ from .norm import decode_publish_payloads
 from .validation import rejection_reason
 
 
+def _decode_payloads(df: DataFrame, payload_col: str, fmt: str) -> DataFrame:
+    """Wire-format dispatch (the content-type routing of
+    CustomDirectives.scala:74-108 / PublishPayloads.scala): json and the
+    compact batch decode JVM-side; smile (binary) decodes in an
+    Arrow-batched mapInPandas — the opaque-codec case."""
+    if fmt == "json":
+        return decode_publish_payloads(df, payload_col, drop_undecodable=False)
+    if fmt == "compact":
+        from .norm import decode_compact_batch_payloads
+
+        return decode_compact_batch_payloads(df, payload_col, drop_undecodable=False)
+    if fmt == "smile":
+        from .smile import decode_smile_payloads
+
+        return decode_smile_payloads(df, payload_col)
+    raise ValueError(f"unknown publish payload format {fmt!r}")
+
+
 def bronze_rows(
-    df: DataFrame, payload_col: str = "payload", step: int = 60
+    df: DataFrame, payload_col: str = "payload", step: int = 60, fmt: str = "json"
 ) -> DataFrame:
     """Bronze rows (valid and rejected, discriminated by `status`) from a
     payload frame/stream.
@@ -45,9 +63,11 @@ def bronze_rows(
     arrive in epoch millis (publish API); `t` is floored to the step so
     the bronze table is directly scannable by the datapoint sources.
     Decode and validation run ONCE per row; the keep/reject split is a
-    partition column, not a second pipeline.
+    partition column, not a second pipeline.  `fmt` picks the wire codec
+    (json | compact | smile); every format lands through the SAME
+    rejection chain and table layout.
     """
-    decoded = decode_publish_payloads(df, payload_col, drop_undecodable=False)
+    decoded = _decode_payloads(df, payload_col, fmt)
     # Rejection precedence: shape first (a payload that failed to parse or
     # lacks timestamp/value can never be stored, whatever its tags say),
     # then the tag-validation chain.  Without the shape checks such rows
@@ -85,6 +105,7 @@ def publish_to_bronze(
     checkpoint: str,
     payload_col: str = "payload",
     step: int = 60,
+    fmt: str = "json",
 ):
     """Start the bronze sink for a payload stream; returns the
     StreamingQuery handle.
@@ -98,7 +119,7 @@ def publish_to_bronze(
     exactly once.
     """
     configure_existing(stream_df.sparkSession)
-    rows = bronze_rows(stream_df, payload_col, step)
+    rows = bronze_rows(stream_df, payload_col, step, fmt)
     return (
         rows.writeStream.format("parquet")
         .option("path", f"{path}/data")

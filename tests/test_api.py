@@ -127,6 +127,87 @@ def test_tags_verbose_counts(engine):
     assert nxt.startswith("bucket,")
 
 
+def test_tags_catalog_path_no_fact_scan(engine, spark, sf_dir, tmp_path):
+    """tags() routed through a maintained series catalog returns the same
+    pages as the distinct fact scan, and its plan reads the CATALOG
+    parquet, never the fact table (TagsApi answers from the tag index,
+    TagsApi.scala:44-127 / RoaringTagIndex.scala:85-107 — a metadata
+    request must not scan datapoints at 100 TB)."""
+    from atlas_spark.api import Engine
+    from atlas_spark.sources.catalog import write_series_catalog
+
+    cat = str(tmp_path / "catalog")
+    write_series_catalog(engine.source, cat)
+    ce = Engine(spark, sf_dir, catalog=cat)
+
+    for kwargs in (
+        {},
+        {"key": "name"},
+        {"key": "name", "q": Q.EqualQuery("name", "click")},
+        {"verbose": True},
+        {"key": "name", "verbose": True, "limit": 3},
+    ):
+        a = [tuple(r) for r in engine.tags(**kwargs).collect()]
+        b = [tuple(r) for r in ce.tags(**kwargs).collect()]
+        assert a == b, (kwargs, a, b)
+
+    # plan pin: the catalog-backed scan never touches the fact parquet
+    plan = ce.tags(key="name", verbose=True)._jdf.queryExecution().executedPlan().toString()
+    assert "catalog" in plan and "events.parquet" not in plan, plan
+
+
+def test_series_catalog_stream_maintenance(spark, tmp_path):
+    """Continuous catalog maintenance from bronze: new series appear in
+    the catalog as they publish; replays/duplicates fold to one row."""
+    import json
+
+    from atlas_spark.sources.catalog import (
+        append_series_catalog_stream,
+        read_series_catalog,
+    )
+    from atlas_spark.streaming.sink import publish_to_bronze
+
+    d_in = tmp_path / "in"
+    d_in.mkdir()
+
+    def payload(name, app, ts_s):
+        return json.dumps(
+            {"metrics": [{"tags": {"name": name, "app": app}, "timestamp": ts_s * 1000, "value": 1.0}]}
+        )
+
+    (d_in / "c1.txt").write_text(
+        "\n".join(
+            [
+                payload("cpu", "www", 1700000000),
+                payload("cpu", "www", 1700000060),  # same series again
+                payload("disk", "db", 1700000000),
+            ]
+        )
+    )
+    stream = spark.readStream.schema("value string").text(str(d_in)).withColumnRenamed(
+        "value", "payload"
+    )
+    qb = publish_to_bronze(stream, str(tmp_path / "b"), str(tmp_path / "ckb"), step=60)
+    qb.processAllAvailable()
+    qb.stop()
+    qc = append_series_catalog_stream(
+        spark, str(tmp_path / "b"), str(tmp_path / "cat"), str(tmp_path / "ckc")
+    )
+    qc.processAllAvailable()
+    # second chunk: one replayed series + one new one
+    (d_in / "c2.txt").write_text(payload("cpu", "www", 1700000120) + "\n" + payload("mem", "www", 1700000000))
+    qb2 = publish_to_bronze(stream, str(tmp_path / "b"), str(tmp_path / "ckb"), step=60)
+    qb2.processAllAvailable()
+    qb2.stop()
+    qc.processAllAvailable()
+    qc.stop()
+
+    cat = read_series_catalog(spark, str(tmp_path / "cat"))
+    rows = {(r["k_name"], r["k_app"]) for r in cat.collect()}
+    assert rows == {("cpu", "www"), ("disk", "db"), ("mem", "www")}
+    assert cat.count() == 3  # duplicates folded
+
+
 def test_graph_png(engine):
     """format=png: a real PNG with plotted pixels (minimal renderer, not
     atlas-chart parity)."""

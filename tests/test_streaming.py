@@ -541,6 +541,85 @@ def test_silver_rollup_matches_batch(spark, tmp_path):
     assert len(parts) == 2, parts
 
 
+def test_publish_wire_formats_land_identically(spark, tmp_path):
+    """The three publish wire codecs (JSON object, Smile binary, compact
+    string-table batch — PublishPayloads.scala, CustomDirectives.scala:
+    74-108) land byte-identical bronze rows through the same validation
+    chain, rejects-with-reason preserved."""
+    import json
+
+    from atlas_spark.streaming.sink import publish_to_bronze
+    from atlas_spark.streaming.smile import smile_encode
+
+    day0 = 1700000000 // 86400 * 86400
+    doc = {
+        "tags": {"app": "www"},
+        "metrics": [
+            {"tags": {"name": "cpu"}, "timestamp": (day0 + 10) * 1000, "value": 1.5},
+            {"tags": {"name": "disk", "id": "xvda"}, "timestamp": (day0 + 70) * 1000, "value": 7.0},
+            # reject: reserved atlas.* key that is not an allowed suffix
+            {"tags": {"name": "bad", "atlas.nope": "x"}, "timestamp": (day0 + 10) * 1000, "value": 1.0},
+        ],
+    }
+    # compact batch carries the merged tag maps (the common-tag merge is
+    # a JSON/Smile payload feature; compact is already flattened)
+    from atlas_spark.streaming.norm import encode_compact_batch
+
+    merged = [
+        ({**doc["tags"], **m["tags"]}, m["timestamp"], m["value"])
+        for m in doc["metrics"]
+    ]
+
+    results = {}
+    for fmt in ("json", "smile", "compact"):
+        d_in = tmp_path / f"in_{fmt}"
+        d_in.mkdir()
+        if fmt == "json":
+            (d_in / "c.txt").write_text(json.dumps(doc))
+            stream = (
+                spark.readStream.schema("value string")
+                .text(str(d_in))
+                .withColumnRenamed("value", "payload")
+            )
+        elif fmt == "compact":
+            (d_in / "c.txt").write_text(encode_compact_batch(merged))
+            stream = (
+                spark.readStream.schema("value string")
+                .text(str(d_in))
+                .withColumnRenamed("value", "payload")
+            )
+        else:
+            # binary payloads: parquet-carried bytes column (the transport
+            # for non-text wire formats)
+            spark.createDataFrame(
+                [(bytearray(smile_encode(doc)),)], "payload binary"
+            ).write.parquet(str(d_in / "p"))
+            stream = spark.readStream.schema("payload binary").parquet(str(d_in / "p"))
+        q = publish_to_bronze(
+            stream, str(tmp_path / f"b_{fmt}"), str(tmp_path / f"ck_{fmt}"), step=60, fmt=fmt
+        )
+        q.processAllAvailable()
+        q.stop()
+        rows = spark.read.parquet(f"{tmp_path}/b_{fmt}/data").collect()
+        results[fmt] = {
+            (
+                r["status"],
+                r["name"],
+                r["t"],
+                r["value"],
+                tuple(sorted(r["tags"].items())),
+                r["rejection"],
+            )
+            for r in rows
+        }
+
+    assert results["json"] == results["smile"] == results["compact"], results
+    statuses = {s for s, *_ in results["json"]}
+    assert statuses == {"ok", "rejected"}
+    rej = [x for x in results["json"] if x[0] == "rejected"]
+    assert len(rej) == 1 and "atlas." in rej[0][5]
+
+
 def test_silver_rollup_gauge_aware(spark, tmp_path):
     """Mixed-type publishes: gauge-tagged series (atlas.dstype=gauge)
     roll up by MAX per cell, untyped/rate series by SUM
