@@ -83,4 +83,11 @@ SPECS: list[OpSpec] = [
     OpSpec("rel_promo_share", relational.promo_revenue_share, relational.PROMO_REVENUE_SHARE_SQL),
     OpSpec("rel_bracket_revenue", relational.bracket_revenue, relational.BRACKET_REVENUE_SQL),
     OpSpec("rel_forecast_revenue", relational.forecast_revenue, relational.FORECAST_REVENUE_SQL),
+    OpSpec("rel_volume_shipping", relational.volume_shipping, relational.VOLUME_SHIPPING_SQL),
+    OpSpec("rel_market_share", relational.market_share, relational.MARKET_SHARE_SQL),
+    OpSpec("rel_returned_items", relational.returned_items, relational.RETURNED_ITEMS_SQL),
+    OpSpec("rel_order_count_dist", relational.order_count_distribution, relational.ORDER_COUNT_DIST_SQL),
+    OpSpec("rel_small_qty_revenue", relational.small_qty_revenue, relational.SMALL_QTY_REVENUE_SQL),
+    OpSpec("rel_large_orders", relational.large_orders, relational.LARGE_ORDERS_SQL),
+    OpSpec("rel_idle_customers", relational.idle_customers, relational.IDLE_CUSTOMERS_SQL),
 ]

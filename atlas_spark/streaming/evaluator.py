@@ -67,12 +67,26 @@ class _StatePlan:
     steps: tuple  # len(chain)+1 stateless step groups, innermost-first:
     #               steps[0] before chain[0], steps[i] between chain[i-1]
     #               and chain[i]; ALL groups apply in-stream
+    renames: tuple = ()  # ((orig_key, new_key), ...) from outermost `:as`
+    #               wrappers — keys keep their SOURCE names through the
+    #               plan (key_cols lookups) and rename only at emission,
+    #               matching the batch ResultFrame's display-level rename
 
 
 def _is_gen(x) -> bool:
-    """Generators that are pure functions of the interval-start t —
-    computable in-stream as a projection (no data, no state)."""
-    return isinstance(x, (E.ConstExpr, E.TimeExpr, E.RandomExpr))
+    """Generator SUBTREES that are pure functions of the interval-start t
+    — computable in-stream as a projection (no data, no state).  Math
+    over generators is itself a generator, so macro shapes like `:cos`
+    (sin(pi/2 - x)) peel cleanly instead of forcing the buffered path."""
+    if isinstance(x, E.NamedRewrite):
+        return _is_gen(x.evaluated)
+    if isinstance(x, (E.ConstExpr, E.TimeExpr, E.RandomExpr)):
+        return True
+    if isinstance(x, E.UnaryMathExpr):
+        return _is_gen(x.expr)
+    if isinstance(x, E.BinaryMathExpr):
+        return _is_gen(x.lhs) and _is_gen(x.rhs)
+    return False
 
 
 def _peel_stateless(e: E.TimeSeriesExpr):
@@ -97,11 +111,19 @@ def _peel_stateless(e: E.TimeSeriesExpr):
             return e, tuple(reversed(steps))
 
 
-def _decompose_state_plan(expr: E.TimeSeriesExpr, step: int) -> _StatePlan | None:
+def _decompose_state_plan(
+    expr: E.TimeSeriesExpr, step: int, all_keys: tuple | None = None
+) -> _StatePlan | None:
     """Match the tree against the state-store shape; None -> caller falls
-    back to the driver-buffer path (cross-line joins only)."""
+    back to the driver-buffer path.  `all_keys` (the evaluator's full tag
+    key set) lets `q,:all` decompose as the per-series ingest rollup."""
     e = expr
     off = 0
+    renames: list[tuple] = []  # outermost `:as` key renames, display-level
+    while isinstance(e, (E.NamedRewrite, E.AsExpr)):
+        if isinstance(e, E.AsExpr):
+            renames.append((e.orig, e.repl))
+        e = e.evaluated if isinstance(e, E.NamedRewrite) else e.expr
     groups: list[tuple] = []  # stateless step groups, outermost-first
     ops: list[tuple] = []  # stateful ops, outermost-first
     while True:
@@ -122,6 +144,10 @@ def _decompose_state_plan(expr: E.TimeSeriesExpr, step: int) -> _StatePlan | Non
     ops.reverse()
     if isinstance(e, E.GroupByExpr):
         core, keys, off = ("agg", e.query, e.af.fn), tuple(e.keys), e.af.offset
+    elif isinstance(e, E.AllExpr) and all_keys is not None:
+        # `q,:all`: one line per series = the ingest SUM rollup grouped by
+        # every tag key (events-source semantic, sources/datapoints.py)
+        core, keys, off = ("agg", e.query, "sum"), tuple(all_keys), e.offset
     elif isinstance(e, E.AggrExpr):
         core, keys, off = ("agg", e.query, e.fn), (), e.offset
     elif isinstance(e, E.BinaryMathExpr):
@@ -129,8 +155,8 @@ def _decompose_state_plan(expr: E.TimeSeriesExpr, step: int) -> _StatePlan | Non
         # must be a subset of the other's (constant sides were already
         # peeled as stateless steps; the batch evaluator enforces the same
         # subset rule)
-        lp = _decompose_state_plan(e.lhs, step)
-        rp = _decompose_state_plan(e.rhs, step)
+        lp = _decompose_state_plan(e.lhs, step, all_keys)
+        rp = _decompose_state_plan(e.rhs, step, all_keys)
         if lp is None or rp is None:
             return None
         if not (set(lp.keys) <= set(rp.keys) or set(rp.keys) <= set(lp.keys)):
@@ -139,7 +165,7 @@ def _decompose_state_plan(expr: E.TimeSeriesExpr, step: int) -> _StatePlan | Non
         core, keys = ("join", e.op, lp, rp), sup_keys
     elif isinstance(e, E.AggrMathExpr):
         # second-level aggregation: pointwise fold of all inner lines
-        ip = _decompose_state_plan(e.expr, step)
+        ip = _decompose_state_plan(e.expr, step, all_keys)
         if ip is None:
             return None
         core, keys = ("fold", e.fn, ip), ()
@@ -150,7 +176,7 @@ def _decompose_state_plan(expr: E.TimeSeriesExpr, step: int) -> _StatePlan | Non
         # register series — cross-interval sketch chains (e.g. the
         # cumulative variant's :cumulative-max under the estimator, or a
         # rolling op above it) compose through the same stages
-        ip = _decompose_state_plan(e.expr, step)
+        ip = _decompose_state_plan(e.expr, step, all_keys)
         if ip is None or "distinct" not in ip.keys:
             return None
         core, keys = ("hll", ip), tuple(k for k in ip.keys if k != "distinct")
@@ -160,13 +186,13 @@ def _decompose_state_plan(expr: E.TimeSeriesExpr, step: int) -> _StatePlan | Non
         # (no cross-interval state), so it streams as a spooled watermarked
         # collect + closed-form crossing search — making chains like
         # `...,:percentiles,:rolling-max` fully state-store
-        ip = _decompose_state_plan(e.expr, step)
+        ip = _decompose_state_plan(e.expr, step, all_keys)
         if ip is None or "percentile" not in ip.keys:
             return None
         core = ("pct", tuple(sorted(set(e.pcts))), ip)
         keys = tuple(e.eval_keys()) + ("percentile",)
     elif isinstance(e, E.SampleCountExpr):
-        ip = _decompose_state_plan(e.expr, step)
+        ip = _decompose_state_plan(e.expr, step, all_keys)
         if ip is None or "percentile" not in ip.keys:
             return None
         core, keys = ("pctsc", e.lo, e.hi, ip), tuple(e.eval_keys())
@@ -176,7 +202,7 @@ def _decompose_state_plan(expr: E.TimeSeriesExpr, step: int) -> _StatePlan | Non
         # stream onto the subset series — the piece that makes
         # differently-grouped cross-line chains fully state-store
         # (formerly the last driver-buffer fallback)
-        ip = _decompose_state_plan(e.af.expr, step)
+        ip = _decompose_state_plan(e.af.expr, step, all_keys)
         if ip is None:
             return None
         if not set(e.keys) <= set(ip.keys):
@@ -194,12 +220,23 @@ def _decompose_state_plan(expr: E.TimeSeriesExpr, step: int) -> _StatePlan | Non
             return None
         ops.insert(0, ("delay", (off // step,)))
         groups.insert(0, ())
-    return _StatePlan(core, keys, tuple(ops), tuple(groups))
+    return _StatePlan(core, keys, tuple(ops), tuple(groups), tuple(renames))
 
 
 def _gen_col(gen, step: int):
-    """Value column for a pure-time generator, computed from the stream's
-    interval-start `t` (shares the batch builder's time arithmetic)."""
+    """Value column for a pure-time generator SUBTREE, computed from the
+    stream's interval-start `t` (shares the batch builder's time
+    arithmetic and NaN math)."""
+    if isinstance(gen, E.NamedRewrite):
+        return _gen_col(gen.evaluated, step)
+    if isinstance(gen, E.UnaryMathExpr):
+        if gen.op == "per-step":
+            return _gen_col(gen.expr, step) * F.lit(float(step))
+        return nanmath.unary_op(gen.op, _gen_col(gen.expr, step), gen.param)
+    if isinstance(gen, E.BinaryMathExpr):
+        return nanmath.binary_op(
+            gen.op, _gen_col(gen.lhs, step), _gen_col(gen.rhs, step)
+        )
     if isinstance(gen, E.ConstExpr):
         return F.lit(float(gen.v))
     if isinstance(gen, E.TimeExpr):
@@ -360,7 +397,9 @@ class StreamingEvaluator:
         ev = self.expr
         while isinstance(ev, E.StyleExpr):
             ev = ev.expr
-        self.state_plan = _decompose_state_plan(ev, self.step)
+        self.state_plan = _decompose_state_plan(
+            ev, self.step, all_keys=tuple(self.key_cols)
+        )
         self.lookback = min(_max_lookback_steps(self.expr), self.max_lookback)
         self._buffer = None  # rolling DISTRIBUTED buffer of finalized rows
         self._buffer_rdd_id = None  # checkpoint RDD id of the live buffer
@@ -776,7 +815,8 @@ class StreamingEvaluator:
         """Sink for the state-store path: unpack the series key (all
         stateless steps were applied in-stream).  Rows arrive exactly once
         (append mode downstream of the watermark)."""
-        keys = list(self.state_plan.keys)
+        ren = dict(self.state_plan.renames)
+        keys = [ren.get(k, k) for k in self.state_plan.keys]
         for r in batch_df.collect():
             row = {"t": r["t"], "value": r["value"]}
             if keys:

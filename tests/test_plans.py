@@ -495,3 +495,33 @@ def test_seq_pack_partitions_by_source(spark, sf_dir, queries):
     plan = _plan(queries["op_seq_pack"](spark, sf_dir))
     assert "hashpartitioning(source" in plan, plan
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_round6_tpch_shapes_join_strategy(spark, sf_dir, queries):
+    """Round-6 TPC-H shapes: dims broadcast everywhere (the fact side
+    shuffles only on join keys), Q10's returnflag/date predicates reach
+    the fact scan, Q17's correlated average is a window over the
+    partkey exchange (one fact shuffle, no aggregate self-join), and
+    Q18's HAVING pre-aggregates before any join.  No cartesian products
+    anywhere."""
+    for name in (
+        "rel_volume_shipping",
+        "rel_market_share",
+        "rel_returned_items",
+        "rel_small_qty_revenue",
+        "rel_large_orders",
+        "rel_idle_customers",
+    ):
+        plan = _plan(queries[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, (name, plan)
+        if name != "rel_idle_customers":
+            # idle_customers legitimately BNLJs its ONE-ROW scalar
+            # average-balance side (Q22's scalar subquery broadcast)
+            assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
+    plan = _plan(queries["rel_volume_shipping"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    plan = _plan(queries["rel_returned_items"](spark, sf_dir))
+    assert "PushedFilters" in plan and "l_returnflag" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    plan = _plan(queries["rel_small_qty_revenue"](spark, sf_dir))
+    assert "Window" in plan, plan

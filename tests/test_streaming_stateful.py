@@ -1093,3 +1093,179 @@ def test_generator_math_state_store(spark, stream_dir):
         else:
             assert abs(v - tv) < 1e-9, (t, v, tv)
     assert sev._buffer is None
+
+
+# ---------------------------------------------------------------- inventory
+
+
+# Registry shapes that intentionally run on the buffered lookback path:
+# whole-window semantics (:stat/:filter/:topk/:bottomk/:limit need the
+# full eval window, :consolidate regroups the rendered window) and pure
+# generators (no data core to stream).  Everything else in the registry MUST decompose to the
+# executor state store — this allowlist pins it, so a regression in
+# `_decompose_state_plan` (or a new non-decomposable registry entry)
+# fails here instead of silently falling back to driver-buffer eval.
+INTENTIONALLY_BUFFERED = {
+    # whole-window filter vocabulary
+    "f_stat_avg", "f_stat_last", "f_stat_min_mf", "f_filter_stat",
+    "f_topk", "f_bottomk", "f_topk_others", "f_bottomk_others",
+    "li_topk", "gen_stat_standalone",
+    # render-time consolidation (whole-window regroup)
+    "f_consolidate_sum", "f_consolidate_avg", "f_consolidate_max",
+    "f_consolidate_avg_gauge",
+    # pure generators: no data core
+    "gen_const", "gen_pi", "gen_random", "gen_srandom", "gen_time_hour",
+    "gen_time_dow", "gen_time_days", "gen_time_chrono", "gen_time_span",
+}
+
+
+def test_streaming_decomposition_inventory():
+    """Every registry ASL shape either decomposes to the state store or
+    is on the pinned intentionally-buffered allowlist."""
+    from atlas_spark.model import expr as E
+    from atlas_spark.registry import ASL_SPECS, SOURCES
+    from atlas_spark.streaming.evaluator import _decompose_state_plan
+
+    buffered = set()
+    for spec in ASL_SPECS:
+        step = SOURCES[spec.source].ctx.step
+        for e in spec._parse():
+            ev = e
+            while isinstance(ev, E.StyleExpr):
+                ev = ev.expr
+            if _decompose_state_plan(ev, step, all_keys=("name", "bucket")) is None:
+                buffered.add(spec.name)
+    assert buffered == INTENTIONALLY_BUFFERED, (
+        f"unexpected buffered: {sorted(buffered - INTENTIONALLY_BUFFERED)}; "
+        f"newly decomposable (remove from allowlist): "
+        f"{sorted(INTENTIONALLY_BUFFERED - buffered)}"
+    )
+
+
+def _stream_vs_batch(spark, stream_dir, asl, key_cols, pdf, step, base, n_steps):
+    import pyspark.sql.functions as F
+
+    from atlas_spark.plans.builder import Evaluator
+    from atlas_spark.plans.context import EvalContext
+    from atlas_spark.sources.datapoints import DatapointSource
+    from atlas_spark.stacklang.vocab import parse as parse_asl
+    from atlas_spark.streaming.evaluator import StreamingEvaluator
+
+    sev = StreamingEvaluator(spark, asl, step, key_cols, num_buffers=2)
+    assert sev.state_plan is not None, "expected state-store decomposition"
+    schema = ", ".join(f"{c} string" for c in key_cols.values())
+    stream = (
+        spark.readStream.schema(f"{schema}, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    half = len(pdf) // 2
+    spark.createDataFrame(pdf.iloc[:half]).coalesce(1).write.mode("append").parquet(stream_dir)
+    q = sev.start(stream)
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(pdf.iloc[half:]).coalesce(1).write.mode("append").parquet(stream_dir)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    dp = spark.createDataFrame(pdf).select(
+        *key_cols.values(),
+        (F.unix_timestamp("ts") - F.unix_timestamp("ts") % step).cast("long").alias("t"),
+        "value",
+    )
+    src = DatapointSource(df=dp, step=step, colmap=dict(key_cols), sql_cte="")
+    ctx = EvalContext(base, base + n_steps * step, step)
+    rf = Evaluator(src, ctx).eval(parse_asl(asl, step=step)[0])
+    kc = rf.key_cols
+    truth = {tuple([r[c] for c in kc] + [r["t"]]): r["value"] for r in rf.df.collect()}
+    # streaming rows carry TAG key names; map through the colmap so the
+    # tuple order matches the batch frame's key columns (`:all` has
+    # keys=None on the batch side but still emits per-series columns)
+    inv = {v: k for k, v in key_cols.items()}
+    skeys = [inv[c] for c in kc]
+    got = {
+        tuple([r[k] for k in skeys] + [r["t"]]): r["value"] for r in sev.results
+    }
+    assert got, "no streaming results"
+    for key, v in got.items():
+        tv = truth.get(key)
+        if v is None or tv is None:
+            assert v == tv or (v is None and tv is None), (key, v, tv)
+        else:
+            assert abs(v - tv) < 1e-9, (key, v, tv)
+    return got
+
+
+def test_cos_macro_gen_subtree_state_store(spark, stream_dir):
+    """`:cos` peels as a generator SUBTREE (sin(pi/2 - x)): the macro's
+    const-over-const division must not force the buffered path."""
+    base = 1704067200
+    step = 60
+    rows = [
+        {"k_name": n, "ts": pd.Timestamp(base + h * step + 3, unit="s"), "value": float(h + i)}
+        for h in range(6)
+        for i, n in enumerate(("a", "b"))
+    ]
+    got = _stream_vs_batch(
+        spark, stream_dir, ":true,:sum,(,name,),:by,:cos",
+        {"name": "k_name"}, pd.DataFrame(rows), step, base, 6,
+    )
+    assert len(got) >= 6
+
+
+def test_all_expr_state_store(spark, stream_dir):
+    """`q,:all` streams as the per-series ingest rollup (one line per
+    series), not through the driver buffer."""
+    base = 1704067200
+    step = 60
+    rows = [
+        {"k_name": n, "ts": pd.Timestamp(base + h * step + 3, unit="s"), "value": float(h + i)}
+        for h in range(6)
+        for i, n in enumerate(("a", "b"))
+    ]
+    got = _stream_vs_batch(
+        spark, stream_dir, "name,a,:eq,:all",
+        {"name": "k_name"}, pd.DataFrame(rows), step, base, 6,
+    )
+    # the trailing num_buffers intervals stay open (watermark); everything
+    # finalized matched batch above
+    assert len(got) >= 3
+
+
+def test_as_rename_state_store(spark, stream_dir):
+    """`orig,repl,:as` streams in the state store: keys keep their source
+    names through the plan and rename only at emission (matching the
+    batch ResultFrame's display-level rename)."""
+    from atlas_spark.streaming.evaluator import StreamingEvaluator
+
+    base = 1704067200
+    step = 60
+    rows = [
+        {"k_name": n, "ts": pd.Timestamp(base + h * step + 3, unit="s"), "value": float(h + i)}
+        for h in range(6)
+        for i, n in enumerate(("a", "b"))
+    ]
+    sev = StreamingEvaluator(
+        spark, ":true,:sum,(,name,),:by,name,event,:as", step, {"name": "k_name"},
+        num_buffers=2,
+    )
+    assert sev.state_plan is not None
+    assert sev.state_plan.renames == (("name", "event"),)
+    stream = (
+        spark.readStream.schema("k_name string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    pdf = pd.DataFrame(rows)
+    spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(stream_dir)
+    q = sev.start(stream)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sev.results, "no streaming results"
+    for r in sev.results:
+        assert "event" in r and "name" not in r, r
+    got = {(r["event"], r["t"]): r["value"] for r in sev.results}
+    assert got[("a", base)] == 0.0 and got[("b", base)] == 1.0
