@@ -214,3 +214,127 @@ def test_random_expr_differential(seed, spark, duck_events, ev_source):
         f"seed {seed}: {len(mismatch)} mismatches for {expr.display()}; "
         f"first: {a[mismatch[0]]} vs {b[mismatch[0]]}"
     )
+
+
+# ----------------------------------------------------- gauge differential
+
+GAUGE_CTX_FINE = EvalContext(EVENTS_START, EVENTS_END, 3600)
+GAUGE_CTX_DAY = EvalContext(EVENTS_START, EVENTS_END, 86400)
+
+
+@pytest.fixture(scope="module")
+def gauge_source(spark, sf_dir):
+    from atlas_spark.sources.datapoints import gauge_datapoints
+
+    return gauge_datapoints(spark, sf_dir)
+
+
+@pytest.mark.parametrize("seed", range(N_SAMPLES))
+def test_random_expr_gauge_differential(seed, spark, duck_events, gauge_source):
+    """Same adversarial generator over the GAUGE-typed source, half the
+    seeds at the coarse daily context — so both gauge consolidation
+    paths (`:consolidate cf-avg` render-time, and the data-level
+    storage->eval regroup with per-af default cfs) are fuzzed against
+    the oracle, not just pinned by the four hand-picked registry
+    entries."""
+    from atlas_spark.registry import ROUND_EPS
+    from atlas_spark.sources.datapoints import gauge_cte
+
+    rng = random.Random(61_000 + seed)
+    expr = rand_expr(rng)
+    ctx = GAUGE_CTX_DAY if seed % 2 else GAUGE_CTX_FINE
+
+    ev = Evaluator(gauge_source, ctx)
+    rf = ev.eval(expr)
+    import pyspark.sql.functions as F
+
+    sdf = rf.df.filter(F.col("value").isNotNull()).select(
+        *rf.key_cols, "t", F.round(F.col("value") + F.lit(ROUND_EPS), 6).alias("value")
+    )
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    gen = SqlGen(gauge_cte(), ctx, src_step=3600, ds_type="gauge")
+    sql = gen.generate(expr, drop_nulls=True)
+    sql = f"SELECT * REPLACE (round(value + {ROUND_EPS!r}, 6) AS value) FROM ({sql})"
+    d_rows = duck_events.execute(sql).fetchall()
+
+    def norm(rows):
+        out = []
+        for r in rows:
+            vals = []
+            for v in r:
+                if isinstance(v, float):
+                    if math.isnan(v):
+                        v = "NaN"
+                    elif math.isinf(v):
+                        v = "Inf" if v > 0 else "-Inf"
+                    else:
+                        v = round(v, 6)
+                        v = 0.0 if v == 0 else v
+                vals.append(v)
+            out.append(tuple(vals))
+        return sorted(out, key=repr)
+
+    a, b = norm(s_rows), norm(d_rows)
+    assert len(a) == len(b), (
+        f"seed {seed}: row count {len(a)} vs {len(b)} for {expr.display()}"
+    )
+    mismatch = [i for i, (x, y) in enumerate(zip(a, b)) if x != y]
+    assert not mismatch, (
+        f"seed {seed}: {len(mismatch)} mismatches for {expr.display()}; "
+        f"first: {a[mismatch[0]]} vs {b[mismatch[0]]}"
+    )
+
+
+@pytest.mark.parametrize("seed", range(N_SAMPLES // 2))
+def test_random_expr_rate_coarse_differential(seed, spark, duck_events, ev_source):
+    """The generator over the RATE events source at a coarse DAILY
+    context: fuzzes the data-level consolidation defaults
+    (sum/count->avg dividing by the sub-interval count, min/max->self)
+    against the oracle's mirrored regroup."""
+    from atlas_spark.registry import ROUND_EPS
+
+    rng = random.Random(63_000 + seed)
+    expr = rand_expr(rng)
+    ctx = EvalContext(EVENTS_START, EVENTS_END, 86400)
+
+    ev = Evaluator(ev_source, ctx)
+    rf = ev.eval(expr)
+    import pyspark.sql.functions as F
+
+    sdf = rf.df.filter(F.col("value").isNotNull()).select(
+        *rf.key_cols, "t", F.round(F.col("value") + F.lit(ROUND_EPS), 6).alias("value")
+    )
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    gen = SqlGen(events_cte(), ctx, src_step=3600)
+    sql = gen.generate(expr, drop_nulls=True)
+    sql = f"SELECT * REPLACE (round(value + {ROUND_EPS!r}, 6) AS value) FROM ({sql})"
+    d_rows = duck_events.execute(sql).fetchall()
+
+    def norm(rows):
+        out = []
+        for r in rows:
+            vals = []
+            for v in r:
+                if isinstance(v, float):
+                    if math.isnan(v):
+                        v = "NaN"
+                    elif math.isinf(v):
+                        v = "Inf" if v > 0 else "-Inf"
+                    else:
+                        v = round(v, 6)
+                        v = 0.0 if v == 0 else v
+                vals.append(v)
+            out.append(tuple(vals))
+        return sorted(out, key=repr)
+
+    a, b = norm(s_rows), norm(d_rows)
+    assert len(a) == len(b), (
+        f"seed {seed}: row count {len(a)} vs {len(b)} for {expr.display()}"
+    )
+    mismatch = [i for i, (x, y) in enumerate(zip(a, b)) if x != y]
+    assert not mismatch, (
+        f"seed {seed}: {len(mismatch)} mismatches for {expr.display()}; "
+        f"first: {a[mismatch[0]]} vs {b[mismatch[0]]}"
+    )
