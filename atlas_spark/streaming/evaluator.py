@@ -71,6 +71,10 @@ class _StatePlan:
     #               wrappers — keys keep their SOURCE names through the
     #               plan (key_cols lookups) and rename only at emission,
     #               matching the batch ResultFrame's display-level rename
+    consolidate: tuple | None = None  # outermost (cf, multiple): a second
+    #               watermarked window stage regroups finalized intervals
+    #               onto the coarser grid (cells align to the EPOCH, so
+    #               batch parity requires an ns-aligned eval start)
 
 
 def _is_gen(x) -> bool:
@@ -124,6 +128,15 @@ def _decompose_state_plan(
         if isinstance(e, E.AsExpr):
             renames.append((e.orig, e.repl))
         e = e.evaluated if isinstance(e, E.NamedRewrite) else e.expr
+    consolidate = None
+    if isinstance(e, E.ConsolidateExpr):
+        # outermost render-time consolidation: the reference applies it in
+        # the final eval stage (FinalExprEval); here it becomes one more
+        # watermarked window stage over the finalized stream
+        consolidate = (e.cf, e.multiple)
+        e = e.expr
+        while isinstance(e, E.NamedRewrite):
+            e = e.evaluated
     groups: list[tuple] = []  # stateless step groups, outermost-first
     ops: list[tuple] = []  # stateful ops, outermost-first
     while True:
@@ -220,7 +233,9 @@ def _decompose_state_plan(
             return None
         ops.insert(0, ("delay", (off // step,)))
         groups.insert(0, ())
-    return _StatePlan(core, keys, tuple(ops), tuple(groups), tuple(renames))
+    return _StatePlan(
+        core, keys, tuple(ops), tuple(groups), tuple(renames), consolidate
+    )
 
 
 def _gen_col(gen, step: int):
@@ -388,6 +403,7 @@ class StreamingEvaluator:
     key_cols: dict[str, str]  # tag key -> column name
     num_buffers: int = 2  # late-data window, TimeGrouped.numBuffers
     max_lookback: int = 512
+    ds_type: str = "rate"  # avg-consolidation denominator (gauge | rate)
 
     def __post_init__(self):
         exprs = parse_asl(self.asl, step=self.step)
@@ -482,6 +498,8 @@ class StreamingEvaluator:
         (`:rolling-sum,:des`) and cross-line joins (`a,b,:sub`)."""
         queries: list = []
         current = self._build_plan_stream(stream, self.state_plan, query_name, queries)
+        if self.state_plan.consolidate:
+            current = self._consolidate_stream(current, query_name, queries)
         queries.append(
             current.writeStream.outputMode("append")
             .queryName(f"{query_name}_sink")
@@ -489,6 +507,38 @@ class StreamingEvaluator:
             .start()
         )
         return _ChainedQueries(queries, self._tmp_dirs)
+
+    def _consolidate_stream(self, current: DataFrame, name: str, queries: list) -> DataFrame:
+        """Outermost `:consolidate` as its own watermarked window stage:
+        finalized step cells regroup onto the m-step grid; a coarse cell
+        closes when the watermark passes its end (its sub-intervals are
+        already final, so one step of slack suffices).  `avg` divides by
+        the sub-interval count for rates but by the PRESENT sample count
+        for gauges (TimeSeq.scala:203-210), exactly as the batch path.
+        Cells align to the epoch (`window()` default) — matching batch
+        output whenever the eval start is a multiple of the coarse step.
+        """
+        cf, m = self.state_plan.consolidate
+        ns = m * self.step
+        q, re = self._spool(current, f"{name}_precons")
+        queries.append(q)
+        rows = re.select(
+            "series", F.timestamp_seconds(F.col("t")).alias("ets"), "value"
+        ).withWatermark("ets", f"{self.step} seconds")
+        if cf == "avg":
+            val = (
+                F.avg("value")
+                if self.ds_type == "gauge"
+                else (F.sum("value") / F.lit(float(m)))
+            )
+        else:
+            val = {"sum": F.sum, "min": F.min, "max": F.max}[cf]("value")
+        agg = rows.groupBy("series", F.window("ets", f"{ns} seconds")).agg(
+            val.alias("value")
+        )
+        return agg.select(
+            "series", F.col("window.start").cast("long").alias("t"), "value"
+        )
 
     def _spool(self, df: DataFrame, name: str):
         """Write a (series, t, value) stream to a fresh parquet spool and

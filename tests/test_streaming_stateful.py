@@ -1110,9 +1110,6 @@ INTENTIONALLY_BUFFERED = {
     "f_stat_avg", "f_stat_last", "f_stat_min_mf", "f_filter_stat",
     "f_topk", "f_bottomk", "f_topk_others", "f_bottomk_others",
     "li_topk", "gen_stat_standalone",
-    # render-time consolidation (whole-window regroup)
-    "f_consolidate_sum", "f_consolidate_avg", "f_consolidate_max",
-    "f_consolidate_avg_gauge",
     # pure generators: no data core
     "gen_const", "gen_pi", "gen_random", "gen_srandom", "gen_time_hour",
     "gen_time_dow", "gen_time_days", "gen_time_chrono", "gen_time_span",
@@ -1269,3 +1266,68 @@ def test_as_rename_state_store(spark, stream_dir):
         assert "event" in r and "name" not in r, r
     got = {(r["event"], r["t"]): r["value"] for r in sev.results}
     assert got[("a", base)] == 0.0 and got[("b", base)] == 1.0
+
+
+@pytest.mark.parametrize("ds_type", ["rate", "gauge"])
+def test_consolidate_state_store(spark, stream_dir, ds_type):
+    """Outermost `:consolidate` streams as its own windowed stage; the
+    avg denominator follows the source DsType (m for rates, present
+    samples for gauges) and finalized coarse cells equal batch."""
+    import pyspark.sql.functions as F
+
+    from atlas_spark.plans.builder import Evaluator
+    from atlas_spark.plans.context import EvalContext
+    from atlas_spark.sources.datapoints import DatapointSource
+    from atlas_spark.stacklang.vocab import parse as parse_asl
+    from atlas_spark.streaming.evaluator import StreamingEvaluator
+
+    asl = ":true,:max,(,name,),:by,cf-avg,4m,:consolidate"
+    step = 60
+    base = 1704067200  # multiple of 240 -> epoch-aligned coarse cells
+    rows = []
+    for h in range(12):
+        if h % 3 == 2:
+            continue  # gaps: the case where the denominators differ
+        rows.append({"k_name": "a", "ts": pd.Timestamp(base + h * step + 5, unit="s"), "value": float(10 * (h + 1))})
+    pdf = pd.DataFrame(rows)
+
+    sev = StreamingEvaluator(
+        spark, asl, step, {"name": "k_name"}, num_buffers=2, ds_type=ds_type
+    )
+    assert sev.state_plan is not None and sev.state_plan.consolidate == ("avg", 4)
+    stream = (
+        spark.readStream.schema("k_name string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    half = len(pdf) // 2
+    spark.createDataFrame(pdf.iloc[:half]).coalesce(1).write.mode("append").parquet(stream_dir)
+    q = sev.start(stream)
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(pdf.iloc[half:]).coalesce(1).write.mode("append").parquet(stream_dir)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    dp = spark.createDataFrame(pdf).select(
+        "k_name",
+        (F.unix_timestamp("ts") - F.unix_timestamp("ts") % step).cast("long").alias("t"),
+        "value",
+    )
+    src = DatapointSource(
+        df=dp, step=step, colmap={"name": "k_name"}, sql_cte="", ds_type=ds_type
+    )
+    ctx = EvalContext(base, base + 12 * step, step)
+    rf = Evaluator(src, ctx).eval(parse_asl(asl, step=step)[0])
+    truth = {(r["k_name"], r["t"]): r["value"] for r in rf.df.collect()}
+
+    got = {(r["name"], r["t"]): r["value"] for r in sev.results}
+    assert got, "no streaming results"
+    for key, v in got.items():
+        tv = truth.get(key)
+        assert tv is not None and abs(v - tv) < 1e-9, (key, v, tv)
+    # the gap-y fixture discriminates: each coarse cell has 3 of 4
+    # sub-intervals present, so the two denominators differ by 4/3 and a
+    # wrong branch would have failed the truth comparison above
+    assert any(t for (_, t) in got), got
