@@ -209,3 +209,143 @@ def sessionize_stream(
             - gap
         ).alias("duration_s"),
     )
+
+
+def cascade_rollup_stream(
+    spark: SparkSession,
+    fine_silver_path: str,
+    factor: int,
+    fine_step: int = 60,
+    tag_keys=("name", "app"),
+    late: int = 120,
+) -> DataFrame:
+    """Streaming frame of FOUR-FOLD coarse cells from a fine silver
+    table — the reference's rollup-on-write block
+    (`Block.scala:823-900` RollupBlock keeps sum/count/min/max per cell
+    so ANY consolidation function is answerable from the rollup without
+    re-reading raw data).
+
+    Input rows are finalized fine cells (one `value` per series/step),
+    so the coarse folds are exact: coarse sum of fine sums == raw sum
+    (rate semantics), coarse max of fine maxes == raw max (gauge), and
+    `count` counts REPORTING fine intervals — exactly the non-NaN
+    sub-interval count the gauge `avg` denominator needs
+    (TimeSeq.scala:203-210).  A fine cell appears exactly once (append
+    sink upstream), so no double counting on replay.
+    """
+    configure_existing(spark)
+    kcols = [sanitize(k) for k in tag_keys]
+    stream = spark.readStream.schema(
+        ", ".join(f"{c} string" for c in kcols)
+        + ", ds_type string, t long, value double, date date"
+    ).parquet(fine_silver_path)
+    ns = factor * fine_step
+    agg = (
+        stream.select(
+            *kcols, "ds_type", F.timestamp_seconds(F.col("t")).alias("ets"), "value"
+        )
+        .withWatermark("ets", f"{late} seconds")
+        .groupBy(F.window("ets", f"{ns} seconds"), *kcols, "ds_type")
+        .agg(
+            F.sum("value").alias("sum"),
+            F.count("value").cast("long").alias("count"),
+            F.min("value").alias("min"),
+            F.max("value").alias("max"),
+        )
+    )
+    t = F.col("window.start").cast("long")
+    return agg.select(
+        *kcols,
+        "ds_type",
+        t.alias("t"),
+        "sum",
+        "count",
+        "min",
+        "max",
+        F.to_date(F.col("window.start")).alias("date"),
+    )
+
+
+def start_cascade_rollup(
+    spark: SparkSession,
+    fine_silver_path: str,
+    coarse_path: str,
+    checkpoint: str,
+    factor: int,
+    fine_step: int = 60,
+    tag_keys=("name", "app"),
+    late: int = 120,
+):
+    """Continuous fine->coarse rollup maintenance (append mode: a coarse
+    cell is written once, when the watermark finalizes it)."""
+    cells = cascade_rollup_stream(
+        spark, fine_silver_path, factor, fine_step, tag_keys, late
+    )
+    return (
+        cells.writeStream.format("parquet")
+        .option("path", coarse_path)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy("date")
+        .outputMode("append")
+        .queryName("cascade_rollup")
+        .start()
+    )
+
+
+def rollup_datapoints(
+    spark: SparkSession,
+    coarse_path: str,
+    step: int,
+    tag_keys=("name", "app"),
+    cf: str = "sum",
+    ds_type: str | None = None,
+):
+    """DatapointSource over a four-fold rollup table, serving the value
+    column that answers `cf` exactly: sum/min/max/count directly, and
+    `avg` as sum/count for gauges (present-interval denominator) vs
+    sum/m-at-eval for rates (the Evaluator's rate branch divides by the
+    multiple, so the stored SUM is the right input).  This is the
+    query-time leg of rollup-on-write: a coarse-step graph reads cells
+    at its own resolution — scan volume drops by the rollup factor and
+    no read-time re-aggregation happens at all.
+    """
+    from ..sources.datapoints import DatapointSource, date_t_range, sanitize
+
+    configure_existing(spark)
+    df = spark.read.parquet(coarse_path)
+    if ds_type is not None:
+        df = df.filter(F.col("ds_type") == ds_type)
+    kcols = {k: sanitize(k) for k in tag_keys}
+    if cf == "avg" and (ds_type or "rate") == "gauge":
+        val = (F.col("sum") / F.col("count")).alias("value")
+    elif cf == "avg":
+        val = F.col("sum").alias("value")  # evaluator divides by m (rate)
+    elif cf == "count":
+        val = F.col("count").cast("double").alias("value")
+    else:
+        val = F.col(cf).alias("value")
+
+    def _range(lo: int, hi: int):
+        return date_t_range(df, lo, hi).select(*kcols.values(), "t", val)
+
+    return DatapointSource(
+        df=df.select(*kcols.values(), "t", val),
+        step=step,
+        colmap=dict(zip(tag_keys, kcols.values())),
+        sql_cte="",
+        ranged=_range,
+        raw_ranged=_range if cf == "sum" else None,
+        ds_type=ds_type or "rate",
+    )
+
+
+def pick_rollup_step(available_steps, ctx_step: int) -> int:
+    """Coarsest maintained rollup resolution that can serve a query at
+    `ctx_step` exactly: the largest step <= ctx_step that divides it
+    (the remaining factor, if any, is the Evaluator's data-level
+    consolidation).  The scan-volume analogue of the reference reading
+    rollup blocks instead of raw blocks for coarse graphs."""
+    fits = [s for s in available_steps if s <= ctx_step and ctx_step % s == 0]
+    if not fits:
+        raise ValueError(f"no rollup step divides {ctx_step}: {available_steps}")
+    return max(fits)

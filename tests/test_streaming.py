@@ -928,3 +928,94 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
     streamed = set(got)
     finalized_batch = {b for b in batch if b[0] != 3}
     assert streamed == finalized_batch, (streamed, finalized_batch)
+
+
+def test_cascade_rollup_four_fold(spark, tmp_path):
+    """Fine silver -> coarse four-fold rollup (RollupBlock parity,
+    Block.scala:823-900): coarse sum/count/min/max cells equal the
+    direct aggregation of fine cells, the count is the REPORTING
+    fine-interval count (the gauge avg denominator), and
+    `rollup_datapoints` serves each cf from the right column."""
+    import json
+
+    from atlas_spark.streaming.rollup import (
+        pick_rollup_step,
+        rollup_datapoints,
+        start_cascade_rollup,
+        start_silver_rollup,
+    )
+    from atlas_spark.streaming.sink import publish_to_bronze
+
+    d_in = tmp_path / "in"
+    d_in.mkdir()
+    day0 = 1700000000 // 86400 * 86400
+
+    def payload(name, ts_s, value, dstype=None):
+        tags = {"name": name, "app": "www"}
+        if dstype:
+            tags["atlas.dstype"] = dstype
+        return json.dumps(
+            {"metrics": [{"tags": tags, "timestamp": ts_s * 1000, "value": value}]}
+        )
+
+    # rate series: minutes 0,1,3 of the first 5-minute cell; gauge
+    # series: minutes 0,2 (gaps -> count discriminates the denominators)
+    (d_in / "c1.txt").write_text(
+        "\n".join(
+            [
+                payload("reqs", day0 + 0 * 60 + 5, 1.0),
+                payload("reqs", day0 + 1 * 60 + 5, 2.0),
+                payload("reqs", day0 + 3 * 60 + 5, 4.0),
+                payload("temp", day0 + 0 * 60 + 5, 50.0, "gauge"),
+                payload("temp", day0 + 2 * 60 + 5, 90.0, "gauge"),
+                # two pushers: the first finalizes the data cells in
+                # SILVER; the second finalizes the first's own fine cell
+                # so it reaches the cascade and pushes the COARSE
+                # watermark past the data cells
+                payload("reqs", day0 + 7 * 86400, 0.5),
+                payload("reqs", day0 + 14 * 86400, 0.5),
+            ]
+        )
+    )
+    stream = spark.readStream.schema("value string").text(str(d_in)).withColumnRenamed(
+        "value", "payload"
+    )
+    qb = publish_to_bronze(stream, str(tmp_path / "b"), str(tmp_path / "ckb"), step=60)
+    qb.processAllAvailable()
+    qb.stop()
+    qs = start_silver_rollup(
+        spark, str(tmp_path / "b"), str(tmp_path / "silver"), str(tmp_path / "cks"), step=60
+    )
+    qs.processAllAvailable()
+    qs.stop()
+    qc = start_cascade_rollup(
+        spark, str(tmp_path / "silver"), str(tmp_path / "coarse"), str(tmp_path / "ckc"),
+        factor=5, fine_step=60,
+    )
+    qc.processAllAvailable()
+    qc.stop()
+
+    coarse = spark.read.parquet(str(tmp_path / "coarse"))
+    cells = {
+        (r["k_name"], r["t"]): (r["sum"], r["count"], r["min"], r["max"])
+        for r in coarse.collect()
+    }
+    assert cells[("reqs", day0)] == (7.0, 3, 1.0, 4.0)
+    assert cells[("temp", day0)] == (140.0, 2, 50.0, 90.0)
+
+    # query-time leg: each cf served from its column; gauge avg uses the
+    # present-interval denominator (140/2 = 70, not 140/5 = 28)
+    assert pick_rollup_step([60, 300, 3600], 300) == 300
+    assert pick_rollup_step([60, 300], 600) == 300
+    def vals(src):
+        return {
+            (r["k_name"], r["value"])
+            for r in src.df.filter(F.col("t") == day0).collect()
+        }
+
+    src_max = rollup_datapoints(spark, str(tmp_path / "coarse"), 300, cf="max", ds_type="gauge")
+    assert vals(src_max) == {("temp", 90.0)}
+    src_avg = rollup_datapoints(spark, str(tmp_path / "coarse"), 300, cf="avg", ds_type="gauge")
+    assert vals(src_avg) == {("temp", 70.0)}
+    src_sum = rollup_datapoints(spark, str(tmp_path / "coarse"), 300, cf="sum", ds_type="rate")
+    assert vals(src_sum) == {("reqs", 7.0)}
