@@ -344,7 +344,18 @@ def pick_rollup_step(available_steps, ctx_step: int) -> int:
     `ctx_step` exactly: the largest step <= ctx_step that divides it
     (the remaining factor, if any, is the Evaluator's data-level
     consolidation).  The scan-volume analogue of the reference reading
-    rollup blocks instead of raw blocks for coarse graphs."""
+    rollup blocks instead of raw blocks for coarse graphs.
+
+    Routing is deliberately EXPLICIT (callers build the source with
+    `rollup_datapoints(cf=...)` for their workload) rather than an
+    automatic per-request swap inside the Engine: per-series rollups are
+    only exact for aggregate/cf pairs that commute with time-regrouping
+    (sum with sum/avg, max with max, min with min).  A shape like
+    `:max,:cf-avg` — avg over time of CROSS-SERIES per-primary-step
+    maxes — is not derivable from any per-series rollup column, so a
+    transparent swap could silently change semantics; the reference has
+    the same constraint (RollupBlock serves the matching aggr column,
+    Block.scala:842-849)."""
     fits = [s for s in available_steps if s <= ctx_step and ctx_step % s == 0]
     if not fits:
         raise ValueError(f"no rollup step divides {ctx_step}: {available_steps}")
