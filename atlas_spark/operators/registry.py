@@ -33,6 +33,8 @@ SPECS: list[OpSpec] = [
     OpSpec("op_repetition_ratio", text.repetition_ratio, text.REPETITION_RATIO_SQL),
     OpSpec("op_unigram_logprob", text.unigram_logprob, text.UNIGRAM_LOGPROB_SQL),
     OpSpec("op_ngram_topk", text.ngram_topk, text.NGRAM_TOPK_SQL),
+    OpSpec("op_tfidf_topk", text.tfidf_topk, text.TFIDF_TOPK_SQL),
+    OpSpec("op_length_histogram", text.length_histogram, text.LENGTH_HISTOGRAM_SQL),
     OpSpec("op_domain_mix", text.domain_mix, text.DOMAIN_MIX_SQL),
     OpSpec("op_asof_join", text.asof_join, text.ASOF_JOIN_SQL),
     OpSpec("op_text_normalize", text.text_normalize, text.TEXT_NORMALIZE_SQL),

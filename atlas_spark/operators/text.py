@@ -905,3 +905,117 @@ SELECT doc_id, source, n_tokens,
             THEN 1 ELSE 0 END AS BIGINT) AS spans_boundary
 FROM t
 """
+
+
+def tfidf_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Top-k characteristic terms per SOURCE by smoothed TF-IDF — the
+    corpus-profiling primitive behind domain descriptors and boilerplate
+    drift checks (what does each slice of a 100 TB crawl talk about?).
+
+    tf(source, term) = occurrences in the source's documents; df(term) =
+    number of sources containing the term; idf = ln((S+1)/(df+1)) + 1
+    (sklearn's smoothed variant); score = tf * idf.
+
+    Plan: tokens explode once; one (source, term) partial/final hash agg
+    (vocabulary x sources output, tiny vs the corpus); df derives from
+    that same aggregate via a term-keyed second agg re-joined broadcast;
+    the per-source top-k is a row_number window over the aggregate
+    frame, reusing its partitioning — the raw token stream shuffles
+    exactly once.  Ties break (score desc, term asc) so output is
+    deterministic.  At open-web vocabulary sizes (10^8+ terms) swap the
+    df broadcast for a plain shuffle join on `w` — both sides are
+    already vocabulary-sized aggregates, so it stays sub-corpus; the
+    source-cardinality `count()` is one tiny job at plan-build time.
+    """
+    from pyspark.sql import Window
+
+    docs = load_documents(spark, sf_dir)
+    tok = docs.select("source", F.explode(F.split(F.col("text"), " ")).alias("w"))
+    tf = tok.groupBy("source", "w").agg(F.count("*").cast("double").alias("tf"))
+    n_sources = tf.select("source").distinct().count()
+    df_ = tf.groupBy("w").agg(F.count("*").cast("double").alias("df"))
+    scored = tf.join(F.broadcast(df_), "w").select(
+        "source",
+        F.col("w").alias("term"),
+        F.round(
+            F.col("tf")
+            * (F.log((F.lit(float(n_sources)) + 1.0) / (F.col("df") + 1.0)) + 1.0),
+            6,
+        ).alias("tfidf"),
+    )
+    win = Window.partitionBy("source").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select("source", "term", "tfidf", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+TFIDF_TOPK_SQL = """
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+),
+tf AS (SELECT source, w, CAST(count(*) AS DOUBLE) AS tf FROM tok GROUP BY 1, 2),
+ns AS (SELECT CAST(count(DISTINCT source) AS DOUBLE) AS s FROM tf),
+df AS (SELECT w, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY w),
+scored AS (
+  SELECT source, w AS term,
+         round(tf * (ln((ns.s + 1.0) / (df.df + 1.0)) + 1.0), 6) AS tfidf
+  FROM tf JOIN df USING (w) CROSS JOIN ns
+)
+SELECT source, term, tfidf, rank FROM (
+  SELECT source, term, tfidf,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY tfidf DESC, term ASC) AS BIGINT) AS rank
+  FROM scored
+)
+WHERE rank <= 10
+"""
+
+
+def length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length profile: document counts and character mass per
+    power-of-two length bucket, per language — the one-glance histogram
+    every corpus intake pipeline reports (truncation cliffs, empty-doc
+    spikes, language length skews).
+
+    Pure projection + one aggregate: the bucket index is
+    floor(log2(n_chars)) computed arithmetically, so the whole plan is
+    scan -> partial/final hash agg, no shuffle beyond the rollup and no
+    second pass for the shares (a window over the aggregate-sized
+    frame)."""
+    from pyspark.sql import Window
+
+    docs = load_documents(spark, sf_dir)
+    bucket = F.when(
+        F.col("n_chars") <= 0, F.lit(-1)
+    ).otherwise(F.floor(F.log2(F.col("n_chars").cast("double")))).cast("int")
+    agg = (
+        docs.select("lang", bucket.alias("bucket"), "n_chars")
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+    share = F.col("n_docs") / F.sum("n_docs").over(Window.partitionBy("lang"))
+    return agg.select(
+        "lang", "bucket", "n_docs", "total_chars", F.round(share, 6).alias("doc_share")
+    )
+
+
+LENGTH_HISTOGRAM_SQL = """
+WITH agg AS (
+  SELECT lang,
+         CAST(CASE WHEN n_chars <= 0 THEN -1
+                   ELSE floor(log2(CAST(n_chars AS DOUBLE))) END AS INT) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars
+  FROM documents
+  GROUP BY 1, 2
+)
+SELECT lang, bucket, n_docs, total_chars,
+       round(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (PARTITION BY lang), 6) AS doc_share
+FROM agg
+"""
