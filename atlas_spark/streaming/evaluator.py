@@ -93,6 +93,51 @@ def _is_gen(x) -> bool:
     return False
 
 
+def _stat1_col(stat: str, col):
+    """Per-interval summary stat (reference streaming evaluates each
+    interval with a ONE-POINT context, FinalExprEval.scala:246 +
+    FilterExpr.scala:58-66 SummaryStats): avg/max/min/last/total of one
+    point are the point; count is 1 for a present value."""
+    if stat == "count":
+        return F.when(col.isNotNull(), F.lit(1.0)).otherwise(F.lit(0.0))
+    return col
+
+
+def _pred_streamable(pred: E.TimeSeriesExpr) -> bool:
+    """A :filter predicate streams per-interval when it is pure math over
+    stat placeholders of the filtered line, constants, and
+    time-generators — no independent data subtree."""
+    if isinstance(pred, E.NamedRewrite):
+        return _pred_streamable(pred.evaluated)
+    if isinstance(pred, (E.StatPlaceholder, E.ConstExpr, E.TimeExpr, E.RandomExpr)):
+        return True
+    if isinstance(pred, E.UnaryMathExpr):
+        return _pred_streamable(pred.expr)
+    if isinstance(pred, E.BinaryMathExpr):
+        return _pred_streamable(pred.lhs) and _pred_streamable(pred.rhs)
+    return False
+
+
+def _pred_col(pred: E.TimeSeriesExpr, value_col, step: int):
+    """Column for a streamable :filter predicate at one interval:
+    placeholders resolve to the line's own per-interval stat."""
+    if isinstance(pred, E.NamedRewrite):
+        return _pred_col(pred.evaluated, value_col, step)
+    if isinstance(pred, E.StatPlaceholder):
+        return _stat1_col(pred.stat, value_col)
+    if isinstance(pred, (E.ConstExpr, E.TimeExpr, E.RandomExpr)):
+        return _gen_col(pred, step)
+    if isinstance(pred, E.UnaryMathExpr):
+        return nanmath.unary_op(pred.op, _pred_col(pred.expr, value_col, step), pred.param)
+    if isinstance(pred, E.BinaryMathExpr):
+        return nanmath.binary_op(
+            pred.op,
+            _pred_col(pred.lhs, value_col, step),
+            _pred_col(pred.rhs, value_col, step),
+        )
+    raise TypeError(f"non-streamable predicate node {type(pred).__name__}")
+
+
 def _peel_stateless(e: E.TimeSeriesExpr):
     """Strip a chain of stateless per-point wrappers, returning (inner,
     steps innermost-first).  Supported: unary math and binary math with a
@@ -111,6 +156,15 @@ def _peel_stateless(e: E.TimeSeriesExpr):
         elif isinstance(e, E.BinaryMathExpr) and _is_gen(e.lhs):
             steps.append(("binary_l", e.op, e.lhs))
             e = e.rhs
+        elif isinstance(e, E.StatExpr):
+            # one-interval summary stat (reference streaming semantics;
+            # NOTE: differs from batch whole-window stats by design —
+            # the reference's own streaming evaluator has the same split)
+            steps.append(("stat1", e.stat, None))
+            e = e.expr
+        elif isinstance(e, E.FilterOpExpr) and _pred_streamable(e.pred):
+            steps.append(("filter1", e.pred, None))
+            e = e.expr
         else:
             return e, tuple(reversed(steps))
 
@@ -150,6 +204,13 @@ def _decompose_state_plan(
                 # duration seconds -> whole steps for the kernel window
                 params = (max(1, int(params[0]) // step),)
             ops.append((e.op, params))
+            e = e.expr
+            continue
+        if isinstance(e, E.TopKExpr) and e.others is None:
+            # per-interval top-k (the reference streaming evaluator ranks
+            # lines by their one-interval stat, FinalExprEval.scala:246);
+            # the -others- fold variants stay on the buffered path
+            ops.append(("topk1", (e.stat, e.k, e.bottom)))
             e = e.expr
             continue
         break
@@ -843,23 +904,67 @@ class StreamingEvaluator:
             )
 
         def apply_steps(df: DataFrame, steps: tuple) -> DataFrame:
-            if not steps:
-                return df
-            return df.select(
-                "series",
-                "t",
-                _stateless_col(steps, F.col("value"), self.step)
-                .cast("double")
-                .alias("value"),
-            )
+            for st in steps:
+                if st[0] == "filter1":
+                    df = df.filter(
+                        nanmath.truthy(_pred_col(st[1], F.col("value"), self.step))
+                    )
+                elif st[0] == "stat1":
+                    df = df.select(
+                        "series",
+                        "t",
+                        _stat1_col(st[1], F.col("value")).cast("double").alias("value"),
+                    )
+                else:
+                    df = df.select(
+                        "series",
+                        "t",
+                        _stateless_col((st,), F.col("value"), self.step)
+                        .cast("double")
+                        .alias("value"),
+                    )
+            return df
 
         current = apply_steps(current, plan.steps[0])
         for i, (op, params) in enumerate(plan.chain):
             q, respooled = self._spool(current, f"{name}_stage{i}")
             queries.append(q)
-            current = stateful_stream(respooled, op, params, self.step)
+            if op == "topk1":
+                current = self._topk_interval_stage(respooled, *params)
+            else:
+                current = stateful_stream(respooled, op, params, self.step)
             current = apply_steps(current, plan.steps[i + 1])
         return current
+
+    def _topk_interval_stage(
+        self, stream: DataFrame, stat: str, k: int, bottom: bool
+    ) -> DataFrame:
+        """Per-interval top/bottom-k over the finalized line stream: one
+        watermarked interval-keyed aggregation collects that interval's
+        lines (aggregate-sized: one row per live series), an array_sort
+        lambda ranks them by the one-interval stat with a deterministic
+        series tie-break, and the top k explode back out.  Emitted lines
+        carry their ORIGINAL values (the rank key is only the ordering),
+        matching FilterExpr TopK."""
+        rows = stream.select(
+            "series",
+            F.timestamp_seconds(F.col("t")).alias("ets"),
+            "t",
+            "value",
+            _stat1_col(stat, F.col("value")).alias("_rk"),
+        ).withWatermark("ets", f"{self.step} seconds")
+        agg = rows.groupBy("ets", "t").agg(
+            F.collect_list(F.struct("_rk", "series", "value")).alias("lines")
+        )
+        lt, gt = (-1, 1) if bottom else (1, -1)
+        cmp = (
+            f"(l, r) -> CASE WHEN l._rk < r._rk THEN {lt} WHEN l._rk > r._rk THEN {gt} "
+            "WHEN l.series < r.series THEN -1 WHEN l.series > r.series THEN 1 ELSE 0 END"
+        )
+        topk = F.slice(F.expr(f"array_sort(lines, {cmp})"), 1, k)
+        return agg.select("t", F.explode(topk).alias("x")).select(
+            F.col("x.series").alias("series"), "t", F.col("x.value").alias("value")
+        )
 
     def _collect_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """Sink for the state-store path: unpack the series key (all

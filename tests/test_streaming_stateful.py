@@ -1099,18 +1099,19 @@ def test_generator_math_state_store(spark, stream_dir):
 
 
 # Registry shapes that intentionally run on the buffered lookback path:
-# whole-window semantics (:stat/:filter/:topk/:bottomk/:limit need the
-# full eval window, :consolidate regroups the rendered window) and pure
-# generators (no data core to stream).  Everything else in the registry MUST decompose to the
-# executor state store — this allowlist pins it, so a regression in
-# `_decompose_state_plan` (or a new non-decomposable registry entry)
-# fails here instead of silently falling back to driver-buffer eval.
+# the -others- top-k variants (cross-line fold of the non-top remainder)
+# and pure generators (no data core to stream).  Everything else MUST
+# decompose to the executor state store — :stat/:filter/:topk stream
+# with the reference's ONE-INTERVAL semantics (FinalExprEval.scala:246),
+# :consolidate as its own window stage.  This allowlist pins it, so a
+# regression in `_decompose_state_plan` (or a new non-decomposable
+# registry entry) fails here instead of silently falling back to
+# driver-buffer eval.
 INTENTIONALLY_BUFFERED = {
-    # whole-window filter vocabulary
-    "f_stat_avg", "f_stat_last", "f_stat_min_mf", "f_filter_stat",
-    "f_topk", "f_bottomk", "f_topk_others", "f_bottomk_others",
-    "li_topk", "gen_stat_standalone",
-    # pure generators: no data core
+    # -others- top-k variants: cross-line fold of the non-top remainder
+    "f_topk_others", "f_bottomk_others", "li_topk",
+    # pure generators / standalone placeholder: no data core to stream
+    "gen_stat_standalone",
     "gen_const", "gen_pi", "gen_random", "gen_srandom", "gen_time_hour",
     "gen_time_dow", "gen_time_days", "gen_time_chrono", "gen_time_span",
 }
@@ -1331,3 +1332,75 @@ def test_consolidate_state_store(spark, stream_dir, ds_type):
     # sub-intervals present, so the two denominators differ by 4/3 and a
     # wrong branch would have failed the truth comparison above
     assert any(t for (_, t) in got), got
+
+
+def test_per_interval_stat_filter_topk_state_store(spark, stream_dir):
+    """:stat / :filter / :topk stream with the reference's ONE-INTERVAL
+    semantics (FinalExprEval.scala:246 evaluates each timestamp with
+    EvalContext(t, t+step); FilterExpr SummaryStats over one point is the
+    point itself).  NOTE: intentionally different from the batch
+    whole-window evaluation — the reference's own streaming evaluator has
+    the same batch/streaming split."""
+    from atlas_spark.streaming.evaluator import StreamingEvaluator
+
+    base = 1704067200
+    step = 60
+    # 6 intervals so the 2-step watermark still finalizes h 0..3
+    vals = {
+        "a": [10.0, 80.0, 30.0, 70.0, 55.0, 1.0],
+        "b": [40.0, 20.0, 60.0, 50.0, 15.0, 2.0],
+        "c": [5.0, 90.0, 10.0, 60.0, 85.0, 3.0],
+    }
+    rows = [
+        {"k_name": n, "ts": pd.Timestamp(base + h * step + 3, unit="s"), "value": v}
+        for n, vs in vals.items()
+        for h, v in enumerate(vs)
+    ]
+    pdf = pd.DataFrame(rows)
+
+    def run(asl):
+        import shutil
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="atlas_pi_")
+        try:
+            sev = StreamingEvaluator(spark, asl, step, {"name": "k_name"}, num_buffers=2)
+            assert sev.state_plan is not None, asl
+            stream = (
+                spark.readStream.schema("k_name string, ts timestamp, value double")
+                .option("maxFilesPerTrigger", "1")
+                .parquet(d)
+            )
+            spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(d)
+            q = sev.start(stream)
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+            return sev.results
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    # :stat-avg over one interval is the value itself -> filter keeps a
+    # line at exactly the intervals where its own value > 45
+    got = run(":true,:sum,(,name,),:by,:stat-avg,45,:gt,:filter")
+    kept = {(r["name"], (r["t"] - base) // step) for r in got}
+    want = {(n, h) for n, vs in vals.items() for h, v in enumerate(vs) if v > 45}
+    # only finalized intervals are visible; everything emitted must match
+    assert kept <= want and kept, (kept, want)
+
+    # per-interval top-2 by the interval's value
+    got = run(":true,:sum,(,name,),:by,max,2,:topk")
+    by_t = {}
+    for r in got:
+        by_t.setdefault((r["t"] - base) // step, set()).add(r["name"])
+    for h, names in by_t.items():
+        ranked = sorted(vals, key=lambda n: (-vals[n][h], n))[:2]
+        assert names == set(ranked), (h, names, ranked)
+    assert by_t, "no finalized intervals"
+
+    # :stat last/avg as a value transform: identity per interval
+    got = run(":true,:sum,(,name,),:by,last,:stat")
+    for r in got:
+        h = (r["t"] - base) // step
+        assert r["value"] == vals[r["name"]][h], r
