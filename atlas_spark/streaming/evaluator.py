@@ -206,11 +206,11 @@ def _decompose_state_plan(
             ops.append((e.op, params))
             e = e.expr
             continue
-        if isinstance(e, E.TopKExpr) and e.others is None:
+        if isinstance(e, E.TopKExpr):
             # per-interval top-k (the reference streaming evaluator ranks
             # lines by their one-interval stat, FinalExprEval.scala:246);
-            # the -others- fold variants stay on the buffered path
-            ops.append(("topk1", (e.stat, e.k, e.bottom)))
+            # the -others- variants fold the remainder per interval
+            ops.append(("topk1", (e.stat, e.k, e.bottom, e.others)))
             e = e.expr
             continue
         break
@@ -937,7 +937,7 @@ class StreamingEvaluator:
         return current
 
     def _topk_interval_stage(
-        self, stream: DataFrame, stat: str, k: int, bottom: bool
+        self, stream: DataFrame, stat: str, k: int, bottom: bool, others: str | None
     ) -> DataFrame:
         """Per-interval top/bottom-k over the finalized line stream: one
         watermarked interval-keyed aggregation collects that interval's
@@ -945,7 +945,9 @@ class StreamingEvaluator:
         lambda ranks them by the one-interval stat with a deterministic
         series tie-break, and the top k explode back out.  Emitted lines
         carry their ORIGINAL values (the rank key is only the ordering),
-        matching FilterExpr TopK."""
+        matching FilterExpr TopK.  The -others- variants fold the
+        remainder into one `--others--` line per interval with the
+        requested aggregate — all inside the same array expressions."""
         rows = stream.select(
             "series",
             F.timestamp_seconds(F.col("t")).alias("ets"),
@@ -961,7 +963,48 @@ class StreamingEvaluator:
             f"(l, r) -> CASE WHEN l._rk < r._rk THEN {lt} WHEN l._rk > r._rk THEN {gt} "
             "WHEN l.series < r.series THEN -1 WHEN l.series > r.series THEN 1 ELSE 0 END"
         )
-        topk = F.slice(F.expr(f"array_sort(lines, {cmp})"), 1, k)
+        ranked = F.expr(f"array_sort(lines, {cmp})")
+        topk = F.slice(ranked, 1, k)
+        if others:
+            # fold the non-top remainder into one line; the series key is
+            # '--others--' for every tag key (the batch fold's labels)
+            n_keys = max(1, len(self.state_plan.keys))
+            others_series = _SERIES_SEP.join(["--others--"] * n_keys)
+            rest = F.expr(
+                f"CASE WHEN size(array_sort(lines, {cmp})) > {k} "
+                f"THEN slice(array_sort(lines, {cmp}), {k + 1}, size(lines)) "
+                "ELSE array() END"
+            ).cast("array<struct<_rk double, series string, value double>>")
+            vals = F.expr(
+                "filter(transform(_rest, x -> x.value), v -> v IS NOT NULL)"
+            )
+            total = F.aggregate(vals, F.lit(0.0), lambda a, x: a + x)
+            if others == "sum":
+                ov = total
+            elif others == "avg":
+                ov = total / F.size(vals)
+            elif others == "min":
+                ov = F.array_min(vals)
+            else:
+                ov = F.array_max(vals)
+            with_rest = agg.withColumn("_rest", rest)
+            folded = with_rest.select(
+                "t",
+                F.when(
+                    F.size("_rest") > 0,
+                    F.array_append(
+                        F.slice(ranked, 1, k),
+                        F.struct(
+                            F.lit(0.0).alias("_rk"),
+                            F.lit(others_series).alias("series"),
+                            ov.cast("double").alias("value"),
+                        ),
+                    ),
+                ).otherwise(F.slice(ranked, 1, k)).alias("out"),
+            )
+            return folded.select("t", F.explode("out").alias("x")).select(
+                F.col("x.series").alias("series"), "t", F.col("x.value").alias("value")
+            )
         return agg.select("t", F.explode(topk).alias("x")).select(
             F.col("x.series").alias("series"), "t", F.col("x.value").alias("value")
         )

@@ -1108,8 +1108,6 @@ def test_generator_math_state_store(spark, stream_dir):
 # registry entry) fails here instead of silently falling back to
 # driver-buffer eval.
 INTENTIONALLY_BUFFERED = {
-    # -others- top-k variants: cross-line fold of the non-top remainder
-    "f_topk_others", "f_bottomk_others", "li_topk",
     # pure generators / standalone placeholder: no data core to stream
     "gen_stat_standalone",
     "gen_const", "gen_pi", "gen_random", "gen_srandom", "gen_time_hour",
@@ -1404,3 +1402,17 @@ def test_per_interval_stat_filter_topk_state_store(spark, stream_dir):
     for r in got:
         h = (r["t"] - base) // step
         assert r["value"] == vals[r["name"]][h], r
+
+    # -others- variant: top-1 per interval + the remainder folded into a
+    # --others-- line with the requested aggregate
+    got = run(":true,:sum,(,name,),:by,total,1,:topk-others-sum")
+    by_h = {}
+    for r in got:
+        by_h.setdefault((r["t"] - base) // step, {})[r["name"]] = r["value"]
+    assert by_h, "no finalized intervals"
+    for h, lines in by_h.items():
+        top = max(vals, key=lambda n: (vals[n][h], n))
+        rest = sorted(vals[n][h] for n in vals if n != top)
+        assert lines[top] == vals[top][h], (h, lines)
+        assert abs(lines["--others--"] - sum(rest)) < 1e-9, (h, lines)
+        assert set(lines) == {top, "--others--"}
