@@ -89,6 +89,7 @@ class SqlGen:
         ctx: EvalContext,
         src_step: int | None = None,
         ds_type: str = "rate",
+        all_key_cols: tuple[str, ...] = ("k_name", "k_bucket"),
     ):
         self.dp_cte = dp_cte
         self.ctx = ctx
@@ -96,6 +97,8 @@ class SqlGen:
         # data exprs consolidate onto the ctx grid (DataExpr.scala:52-59)
         self.src_step = src_step or ctx.step
         self.ds_type = ds_type
+        # key columns of the dp relation, for `:all` (every series)
+        self.all_key_cols = list(all_key_cols)
         self._ctes: list[tuple[str, str]] = []
         self._n = 0
         self._recursive = False
@@ -127,8 +130,12 @@ class SqlGen:
 
     def _grid(self) -> str:
         c = self.ctx
+        # whole steps only: EvalContext.n_steps floors (end-start)/step, so
+        # a window that is not a step multiple must NOT grow a partial
+        # trailing grid cell here (DuckDB range() would emit one)
+        end = c.start + c.n_steps * c.step
         return self._add(
-            f"SELECT unnest(range({c.start}, {c.end}, {c.step})) AS t"
+            f"SELECT unnest(range({c.start}, {end}, {c.step})) AS t"
         )
 
     def _densify(self, rel: str, keys: list[str]) -> str:
@@ -216,8 +223,8 @@ class SqlGen:
                 f"SELECT * FROM dp WHERE t >= {c.start} AND t < {c.end} AND {where}"
             )
             if consolidating:
-                rel = self._consolidate_rel(rel, ["k_name", "k_bucket"], "sum")
-            return rel, ["k_name", "k_bucket"]
+                rel = self._consolidate_rel(rel, self.all_key_cols, "sum")
+            return rel, self.all_key_cols
 
         if isinstance(e, E.ConstExpr):
             g = self._grid()

@@ -139,7 +139,7 @@ def rand_expr(rng: random.Random, depth: int = 0) -> E.TimeSeriesExpr:
     if roll < 0.94:
         # :cg common group-by tree rewrite over arbitrary subtrees
         inner = rand_expr(rng, depth + 1)
-        keys = rng.choice([("name",), ("bucket",)])
+        keys = rng.choice([(KEYS[0],), (KEYS[1],)])
         try:
             return E.add_common_keys(inner, keys)
         except (ValueError, TypeError):
