@@ -20,6 +20,9 @@ def get_spark(app: str = "atlas-spark", cpus: int | None = None) -> SparkSession
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # skewed band-bucket joins (LSH candidates) and hot series keys
+        # split at runtime instead of stalling one task
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )
@@ -35,6 +38,11 @@ def configure_existing(spark: SparkSession) -> SparkSession:
     # right-size shuffles for the local bench footprint; AQE coalesces
     # further at runtime (a cluster deployment overrides via spark-submit)
     spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    except Exception:
+        pass
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
