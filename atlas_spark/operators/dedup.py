@@ -606,3 +606,80 @@ CROSS JOIN (
   FROM ({DEDUP_CLUSTERS_SQL}) cl
 ) c
 """
+
+
+def cross_split_contamination(
+    spark: SparkSession, sf_dir: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Train/test split contamination report: training documents that
+    near-duplicate a held-out document (n-gram Jaccard >= threshold) —
+    the leakage check every eval pipeline runs before trusting scores.
+
+    Split assignment is deterministic (doc_id % 10 == 0 -> test), so the
+    check is reproducible and the oracle computes the identical split.
+    The pair generation REUSES the MinHash-LSH candidate path
+    (`ngram_jaccard_pairs`): sub-quadratic banding, exact verification on
+    candidates only, then a cross-split filter — at 100 TB the cost is
+    the near-dup pass, not an extra scan.  Output: one row per
+    contaminated TRAIN doc with its worst-offending test doc.
+    """
+    pairs = ngram_jaccard_pairs(spark, sf_dir, n, threshold)
+    is_test = lambda c: (c % 10) == 0  # noqa: E731
+    a_test = is_test(F.col("id_a"))
+    b_test = is_test(F.col("id_b"))
+    cross = pairs.filter(a_test != b_test).select(
+        F.when(a_test, F.col("id_b")).otherwise(F.col("id_a")).alias("train_doc"),
+        F.when(a_test, F.col("id_a")).otherwise(F.col("id_b")).alias("test_doc"),
+        "jaccard",
+    )
+    # worst offender per train doc: max similarity, ties to the lower
+    # test id — one agg over the (tiny) verified-pair set
+    return cross.groupBy("train_doc").agg(
+        F.max("jaccard").alias("max_jaccard"),
+        F.max_by("test_doc", F.struct(F.col("jaccard"), -F.col("test_doc"))).alias(
+            "test_doc"
+        ),
+        F.count("*").cast("long").alias("n_test_matches"),
+    ).select("train_doc", "test_doc", "max_jaccard", "n_test_matches")
+
+
+CROSS_SPLIT_CONTAMINATION_SQL = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+             i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])) AS shingles
+  FROM documents
+),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+jac AS (
+  SELECT p.id_a, p.id_b,
+         round(CAST(p.shared AS DOUBLE) / (sa.n + sb.n - p.shared), 6) AS jaccard
+  FROM pairs p
+  JOIN sz sa ON p.id_a = sa.doc_id
+  JOIN sz sb ON p.id_b = sb.doc_id
+  WHERE round(CAST(p.shared AS DOUBLE) / (sa.n + sb.n - p.shared), 6) >= 0.5
+),
+cross_pairs AS (
+  SELECT CASE WHEN id_a % 10 = 0 THEN id_b ELSE id_a END AS train_doc,
+         CASE WHEN id_a % 10 = 0 THEN id_a ELSE id_b END AS test_doc,
+         jaccard
+  FROM jac
+  WHERE (id_a % 10 = 0) != (id_b % 10 = 0)
+)
+SELECT train_doc, test_doc, max_jaccard, n_test_matches FROM (
+  SELECT train_doc, test_doc,
+         max(jaccard) OVER (PARTITION BY train_doc) AS max_jaccard,
+         CAST(count(*) OVER (PARTITION BY train_doc) AS BIGINT) AS n_test_matches,
+         row_number() OVER (PARTITION BY train_doc
+                            ORDER BY jaccard DESC, test_doc ASC) AS rn
+  FROM cross_pairs
+)
+WHERE rn = 1
+"""

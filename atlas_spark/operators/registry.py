@@ -41,6 +41,11 @@ SPECS: list[OpSpec] = [
     OpSpec("op_seq_pack", text.seq_pack, text.SEQ_PACK_SQL),
     OpSpec("op_cosine_topk", similarity.cosine_topk, similarity.cosine_topk_sql()),
     OpSpec("op_ngram_jaccard", dedup.ngram_jaccard_pairs, dedup.NGRAM_JACCARD_SQL),
+    OpSpec(
+        "op_cross_split_contamination",
+        dedup.cross_split_contamination,
+        dedup.CROSS_SPLIT_CONTAMINATION_SQL,
+    ),
     # Set-equality vs the exact all-pairs oracle rests on 24x2 banding
     # having recall 1.0 over the CURRENT deterministic corpus (an
     # empirical property, not a guarantee: P[miss] = (1-j^2)^24 per pair).
