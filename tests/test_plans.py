@@ -525,3 +525,19 @@ def test_round6_tpch_shapes_join_strategy(spark, sf_dir, queries):
     assert "TakeOrderedAndProject" in plan, plan
     plan = _plan(queries["rel_small_qty_revenue"](spark, sf_dir))
     assert "Window" in plan, plan
+
+
+def test_corpus_profiling_ops_plan_shape(spark, sf_dir, queries):
+    """tfidf: the raw token stream shuffles once (source,term agg); the
+    df side joins BROADCAST; no cartesian.  length_histogram: scan ->
+    hash agg -> window, no joins at all.  cross-split contamination
+    inherits the banded near-dup path (no cartesian, no BNLJ)."""
+    plan = _plan(queries["op_tfidf_topk"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    plan = _plan(queries["op_length_histogram"](spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert "Window" in plan, plan
+    plan = _plan(queries["op_cross_split_contamination"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
