@@ -109,6 +109,16 @@ class SqlGen:
         self._ctes.append((name, sql))
         return name
 
+    def _wrap(self, rel: str, sql: str) -> str:
+        """_add + zero-LINES propagation: any per-line transform of a
+        relation known to have zero lines still has zero lines — without
+        this, a downstream densify would manufacture a grid line for a
+        result the reference defines as empty (FilterExpr.scala:69-87)."""
+        out = self._add(sql)
+        if rel in self._empty:
+            self._empty.add(out)
+        return out
+
     # ------------------------------------------------------------------ api
 
     def generate(self, e: E.TimeSeriesExpr, drop_nulls: bool = True) -> str:
@@ -269,11 +279,10 @@ class SqlGen:
         if isinstance(e, E.UnaryMathExpr):
             rel, keys = self._gen(e.expr)
             expr = _unary_sql(e.op, "value", e.param, c.step)
-            out = self._add(
-                f"SELECT {', '.join(keys + ['t'])}, CAST({expr} AS DOUBLE) AS value FROM {rel}"
+            out = self._wrap(
+                rel,
+                f"SELECT {', '.join(keys + ['t'])}, CAST({expr} AS DOUBLE) AS value FROM {rel}",
             )
-            if rel in self._empty:
-                self._empty.add(out)
             return out, keys
 
         if isinstance(e, E.BinaryMathExpr):
@@ -282,18 +291,17 @@ class SqlGen:
         if isinstance(e, E.AggrMathExpr):
             rel, _ = self._gen(e.expr)
             agg = _AGG_SQL[e.fn].format(v="value")
-            out = self._add(f"SELECT t, {agg} AS value FROM {rel} GROUP BY t")
-            if rel in self._empty:
-                self._empty.add(out)
+            out = self._wrap(rel, f"SELECT t, {agg} AS value FROM {rel} GROUP BY t")
             return out, []
 
         if isinstance(e, E.MathGroupByExpr):
             rel, _ = self._gen(e.af.expr)
             keys = [sanitize(k) for k in e.keys]
             agg = _AGG_SQL[e.af.fn].format(v="value")
-            out = self._add(
+            out = self._wrap(
+                rel,
                 f"SELECT {', '.join(keys)}, t, {agg} AS value FROM {rel} "
-                f"GROUP BY {', '.join(keys)}, t"
+                f"GROUP BY {', '.join(keys)}, t",
             )
             return out, keys
 
@@ -303,7 +311,7 @@ class SqlGen:
             if old not in keys:
                 return rel, keys
             sel = [f"{k} AS {new}" if k == old else k for k in keys]
-            out = self._add(f"SELECT {', '.join(sel)}, t, value FROM {rel}")
+            out = self._wrap(rel, f"SELECT {', '.join(sel)}, t, value FROM {rel}")
             return out, [new if k == old else k for k in keys]
 
         if isinstance(e, E.NamedRewrite):
@@ -325,8 +333,9 @@ class SqlGen:
             rel, keys = self._gen(e.expr)
             part = f"PARTITION BY {', '.join(keys)}" if keys else ""
             stat = _stat_over(e.stat, part)
-            out = self._add(
-                f"SELECT {', '.join(keys + ['t'])}, CAST({stat} AS DOUBLE) AS value FROM {rel}"
+            out = self._wrap(
+                rel,
+                f"SELECT {', '.join(keys + ['t'])}, CAST({stat} AS DOUBLE) AS value FROM {rel}",
             )
             return out, keys
 
@@ -353,8 +362,8 @@ class SqlGen:
                 agg = _AGG_SQL[e.cf].format(v="value")
             sel = keys + [f"{tc} AS t", f"{agg} AS value"]
             grp = keys + [tc]
-            out = self._add(
-                f"SELECT {', '.join(sel)} FROM {rel} GROUP BY {', '.join(grp)}"
+            out = self._wrap(
+                rel, f"SELECT {', '.join(sel)} FROM {rel} GROUP BY {', '.join(grp)}"
             )
             return out, keys
 
@@ -451,8 +460,8 @@ class SqlGen:
             ), keys
         else:
             raise TypeError(f"sqlgen: stateful op {op} has no SQL oracle")
-        out = self._add(
-            f"SELECT {', '.join(keys + ['t'])}, CAST({expr} AS DOUBLE) AS value FROM {d}"
+        out = self._wrap(
+            rel, f"SELECT {', '.join(keys + ['t'])}, CAST({expr} AS DOUBLE) AS value FROM {d}"
         )
         return out, keys
 
