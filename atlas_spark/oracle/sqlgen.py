@@ -455,9 +455,12 @@ class SqlGen:
         elif op == "derivative":
             expr = f"value - lag(value, 1) {w})"
         elif op in ("des", "sdes"):
-            return self._gen_des(
+            out = self._gen_des(
                 d, keys, int(p[0]), float(p[1]), float(p[2]), sliding=(op == "sdes")
-            ), keys
+            )
+            if rel in self._empty:
+                self._empty.add(out)  # zero lines stay zero lines
+            return out, keys
         else:
             raise TypeError(f"sqlgen: stateful op {op} has no SQL oracle")
         out = self._wrap(
