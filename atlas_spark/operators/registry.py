@@ -97,4 +97,16 @@ SPECS: list[OpSpec] = [
     OpSpec("rel_small_qty_revenue", relational.small_qty_revenue, relational.SMALL_QTY_REVENUE_SQL),
     OpSpec("rel_large_orders", relational.large_orders, relational.LARGE_ORDERS_SQL),
     OpSpec("rel_idle_customers", relational.idle_customers, relational.IDLE_CUSTOMERS_SQL),
+    OpSpec("rel_top_supplier", relational.top_supplier, relational.TOP_SUPPLIER_SQL),
+    OpSpec("rel_product_profit", relational.product_profit, relational.PRODUCT_PROFIT_SQL),
+    OpSpec(
+        "rel_supplier_part_counts",
+        relational.supplier_part_counts,
+        relational.SUPPLIER_PART_COUNTS_SQL,
+    ),
+    OpSpec(
+        "rel_waiting_suppliers",
+        relational.waiting_suppliers,
+        relational.WAITING_SUPPLIERS_SQL,
+    ),
 ]

@@ -650,3 +650,193 @@ WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
   AND (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) <= 3
 GROUP BY c_nationkey
 """
+
+
+def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum revenue over one
+    quarter.
+
+    The per-supplier revenue aggregate is ONE fact shuffle on suppkey;
+    the Q15 scalar subquery (max over the view) becomes a one-row
+    aggregate of the already-aggregate-sized revenue frame, broadcast
+    back — never a global sort and never a second fact scan.  Revenue is
+    rounded before the max comparison so the equality is stable across
+    engines (matching the oracle's rounding).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "total_revenue"
+            )
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+TOP_SUPPLIER_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
+def product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and order year for a
+    part-name family.
+
+    The testdata has no partsupp table (no ps_supplycost), so cost is
+    modeled as 60%% of the part's retail price per unit — the PLAN shape
+    is Q9's: the p_name filter prunes the broadcast part dim BEFORE the
+    join (so the fact join is against the small filtered side), supplier
+    and nation broadcast, and the only fact exchanges are the
+    orders-lineitem equi-join and the final partial/final agg.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(0.6) * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(
+            F.broadcast(part.filter(F.col("p_name").contains("widget"))),
+            li.l_partkey == part.p_partkey,
+        )
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(F.round(F.sum(profit), 4).alias("sum_profit"))
+    )
+
+
+PRODUCT_PROFIT_SQL = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)
+                 - 0.6 * p_retailprice * l_quantity), 4) AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2
+"""
+
+
+def supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers can deliver each
+    (brand, type, size) part family, excluding one brand.
+
+    The testdata has no partsupp table, so "can deliver" is evidenced by
+    lineitem shipments (l_partkey, l_suppkey pairs).  The distinct pair
+    set is reduced FIRST (partial-aggregating the fact down to observed
+    pairs — sub-dim cardinality) and only then joined to the broadcast,
+    pre-filtered part dim; the count-distinct agg runs over pair-scale
+    rows, never raw fact rows.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        pairs.join(
+            F.broadcast(part.filter(F.col("p_brand") != "Brand#13")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+SUPPLIER_PART_COUNTS_SQL = """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#13'
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def waiting_suppliers(spark: SparkSession, sf_dir: str, late_days: int = 60) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper in a
+    multi-supplier finalized order.
+
+    The testdata has no commit/receipt dates, so "late" is shipping more
+    than `late_days` after the order date.  Q21's correlated
+    EXISTS/NOT-EXISTS pair collapses into ONE per-order aggregate over
+    the joined fact (distinct suppliers, distinct late suppliers, and —
+    because "exactly one late" pins it — max(late suppkey) IS the
+    culprit), so the whole query is the orderkey fact join plus two
+    aggregate-sized exchanges.  The reference query's double self-join
+    of lineitem would scan the fact three times.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        f"INTERVAL {late_days} DAYS"
+    )
+    per_order = (
+        li.join(
+            orders.filter(F.col("o_orderstatus") == "F"),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("_n_supp"),
+            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("_n_late"),
+            F.max(F.when(late, F.col("l_suppkey"))).alias("_late_supp"),
+        )
+    )
+    return (
+        per_order.filter((F.col("_n_supp") >= 2) & (F.col("_n_late") == 1))
+        .groupBy("_late_supp")
+        .agg(F.count("*").cast("long").alias("numwait"))
+        .join(F.broadcast(supp), F.col("_late_supp") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "numwait")
+    )
+
+
+WAITING_SUPPLIERS_SQL = """
+WITH per_order AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                             THEN l_suppkey END) AS n_late,
+         max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                  THEN l_suppkey END) AS late_supp
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY l_orderkey
+)
+SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM per_order JOIN supplier ON late_supp = s_suppkey
+WHERE n_supp >= 2 AND n_late = 1
+GROUP BY s_suppkey, s_name
+"""

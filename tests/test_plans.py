@@ -541,3 +541,31 @@ def test_corpus_profiling_ops_plan_shape(spark, sf_dir, queries):
     plan = _plan(queries["op_cross_split_contamination"](spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_final_tpch_shapes_join_strategy(spark, sf_dir, queries):
+    """The last four TPC-H shapes (Q15/Q9/Q16/Q21 adapted): Q15's max
+    scalar is a one-row broadcast (never a global sort); Q9's part-name
+    filter prunes the broadcast dim pre-join; Q16 reduces the fact to
+    distinct (partkey, suppkey) pairs BEFORE the dim join; Q21 is one
+    orderkey fact join + aggregate-sized follow-ups (no lineitem
+    self-join).  No cartesians anywhere."""
+    for name in (
+        "rel_top_supplier",
+        "rel_product_profit",
+        "rel_supplier_part_counts",
+        "rel_waiting_suppliers",
+    ):
+        plan = _plan(queries[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, (name, plan)
+        if name != "rel_top_supplier":
+            # top_supplier legitimately BNLJs its ONE-ROW max-revenue
+            # side (Q15's scalar subquery broadcast)
+            assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
+        assert "BroadcastHashJoin" in plan, (name, plan)
+    plan = _plan(queries["rel_product_profit"](spark, sf_dir))
+    # the p_name filter must land on the part scan, not post-join
+    assert "PushedFilters" in plan and "p_name" in plan, plan
+    plan = _plan(queries["rel_waiting_suppliers"](spark, sf_dir))
+    # the order-status predicate prunes the orders scan
+    assert "o_orderstatus" in plan, plan
