@@ -109,4 +109,15 @@ SPECS: list[OpSpec] = [
         relational.waiting_suppliers,
         relational.WAITING_SUPPLIERS_SQL,
     ),
+    OpSpec(
+        "rel_min_cost_supplier",
+        relational.min_cost_supplier,
+        relational.MIN_COST_SUPPLIER_SQL,
+    ),
+    OpSpec("rel_important_stock", relational.important_stock, relational.IMPORTANT_STOCK_SQL),
+    OpSpec(
+        "rel_excess_volume",
+        relational.excess_volume_suppliers,
+        relational.EXCESS_VOLUME_SUPPLIERS_SQL,
+    ),
 ]

@@ -840,3 +840,188 @@ FROM per_order JOIN supplier ON late_supp = s_suppkey
 WHERE n_supp >= 2 AND n_late = 1
 GROUP BY s_suppkey, s_name
 """
+
+
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each STANDARD-type part, the cheapest ASIA
+    supplier.
+
+    The testdata has no partsupp table, so the supplier's unit cost for
+    a part is its observed average unit price over lineitem history.
+    The Q2 correlated min-cost subquery becomes: reduce the fact to
+    (part, supplier) unit costs (one shuffle), restrict suppliers to the
+    region via broadcast dims, then take min(struct(cost, suppkey)) per
+    part — one aggregate-sized exchange, ties broken by lowest suppkey
+    on BOTH engines (the struct min orders lexicographically, matching
+    the oracle's min_by-with-tiebreak), never a per-part re-probe.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    costs = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias("_cost")
+    )
+    asia_supp = (
+        supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    best = (
+        costs.join(F.broadcast(asia_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.min(F.struct("_cost", "s_suppkey")).alias("_b"))
+        .select(
+            "l_partkey",
+            F.col("_b._cost").alias("unit_cost"),
+            F.col("_b.s_suppkey").alias("best_suppkey"),
+        )
+    )
+    return (
+        best.join(
+            F.broadcast(part.filter(F.col("p_type") == "STANDARD")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(asia_supp), F.col("best_suppkey") == F.col("s_suppkey"))
+        .select(
+            "p_partkey", "p_name", "s_suppkey", "s_name",
+            F.col("n_name").alias("supp_nation"), "unit_cost",
+        )
+    )
+
+
+MIN_COST_SUPPLIER_SQL = """
+WITH costs AS (
+  SELECT l_partkey, l_suppkey,
+         round(avg(l_extendedprice / l_quantity), 4) AS unit_cost
+  FROM lineitem GROUP BY 1, 2
+), asia AS (
+  SELECT s_suppkey, s_name, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+), floor_cost AS (
+  SELECT l_partkey, min(unit_cost) AS unit_cost
+  FROM costs JOIN asia ON l_suppkey = s_suppkey
+  GROUP BY l_partkey
+), best AS (
+  SELECT c.l_partkey, f.unit_cost, min(c.l_suppkey) AS best_suppkey
+  FROM costs c
+  JOIN asia ON c.l_suppkey = s_suppkey
+  JOIN floor_cost f ON c.l_partkey = f.l_partkey AND c.unit_cost = f.unit_cost
+  GROUP BY 1, 2
+)
+SELECT p_partkey, p_name, s_suppkey, s_name, n_name AS supp_nation, unit_cost
+FROM best
+JOIN part ON best.l_partkey = p_partkey AND p_type = 'STANDARD'
+JOIN asia ON best_suppkey = s_suppkey
+"""
+
+
+def important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose shipped value through one nation's
+    suppliers exceeds a fixed share of that nation's total.
+
+    Without ps_availqty, "stock value" is the shipped value (price x
+    (1 - discount)) through the nation's suppliers.  Q11's scalar
+    subquery (the nation-total threshold) becomes a ONE-ROW broadcast
+    aggregate of the per-part frame (not an unpartitioned window, which
+    would single-partition the per-part rows) — the fact is scanned
+    once, shuffled once on (partkey), and the share filter runs on
+    aggregate rows.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    nat_supp = supp.join(
+        F.broadcast(nation.filter(F.col("n_name") == "NATION_7")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    per_part = (
+        li.join(F.broadcast(nat_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("part_value")
+        )
+    )
+    total = per_part.agg(F.sum("part_value").alias("_tot"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("part_value") > 0.001 * F.col("_tot"))
+        .select("l_partkey", "part_value")
+    )
+
+
+IMPORTANT_STOCK_SQL = """
+WITH per_part AS (
+  SELECT l_partkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 4) AS part_value
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7'
+  GROUP BY l_partkey
+)
+SELECT l_partkey, part_value
+FROM per_part
+WHERE part_value > 0.001 * (SELECT sum(part_value) FROM per_part)
+"""
+
+
+def excess_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who moved an outsized volume of one
+    part family in one year.
+
+    Without ps_availqty, Q20's "has excess stock" test becomes "shipped
+    more than 1.5x the average per-supplier quantity of widget parts in
+    1996".  The semi-join chain keeps Q20's nesting: the part-family
+    filter prunes a broadcast dim, the fact aggregates per supplier
+    (one shuffle), the threshold is a one-row broadcast scalar, and the
+    supplier/nation decoration joins aggregate-sized rows only.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    widget = part.filter(F.col("p_name").contains("widget")).select("p_partkey")
+    per_supp = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(widget), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("qty"))
+    )
+    thresh = per_supp.agg((F.lit(1.5) * F.avg("qty")).alias("_th"))
+    return (
+        per_supp.join(F.broadcast(thresh))
+        .filter(F.col("qty") > F.col("_th"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", F.col("n_name").alias("supp_nation"), "qty")
+    )
+
+
+EXCESS_VOLUME_SUPPLIERS_SQL = """
+WITH per_supp AS (
+  SELECT l_suppkey, round(sum(l_quantity), 4) AS qty
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '%widget%'
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-01-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, n_name AS supp_nation, qty
+FROM per_supp
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE qty > 1.5 * (SELECT avg(qty) FROM per_supp)
+"""

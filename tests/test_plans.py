@@ -569,3 +569,21 @@ def test_final_tpch_shapes_join_strategy(spark, sf_dir, queries):
     plan = _plan(queries["rel_waiting_suppliers"](spark, sf_dir))
     # the order-status predicate prunes the orders scan
     assert "o_orderstatus" in plan, plan
+
+
+def test_adapted_partsupp_shapes_join_strategy(spark, sf_dir, queries):
+    """Q2/Q11/Q20 adapted (no partsupp table in the testdata): every
+    scalar threshold (Q11 nation total, Q20 average volume) is a
+    one-row broadcast, Q2's per-part min-cost pick is a struct-min over
+    the pair aggregate (no per-part re-probe, no global sort), and all
+    dims broadcast.  The only non-broadcast exchanges are the fact
+    aggregations."""
+    for name in ("rel_min_cost_supplier", "rel_important_stock", "rel_excess_volume"):
+        plan = _plan(queries[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, (name, plan)
+        assert "BroadcastHashJoin" in plan, (name, plan)
+        # no unpartitioned window / global sort anywhere in these
+        assert "Exchange SinglePartition" not in plan or "BroadcastNested" in plan, (
+            name,
+            plan,
+        )
