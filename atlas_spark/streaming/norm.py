@@ -186,25 +186,55 @@ def decode_compact_batch_payloads(
     rows; undecodable payloads become one all-null row each when
     ``drop_undecodable=False``.  The wire `id` is redundant with the tags
     (it is the sha1 of them, ItemId.scala) and is not carried.
+
+    Malformed wire data must never fail the micro-batch (a streaming
+    sink restart is a fleet-wide outage; one publisher's corrupt payload
+    is not): every count/index access goes through ``try_cast`` /
+    ``try_element_at`` so corruption degrades to null fields or an
+    all-null reject row, the datapoint-count iteration is guarded
+    (``sequence(1, 0)`` is the *descending* [1,0] in Spark, and a
+    negative or absurd count would otherwise throw or OOM — counts are
+    clamped to what the payload could physically hold), and tag pairs
+    whose string-table index is dangling are dropped instead of
+    poisoning ``map_from_arrays`` with a null key.
     """
+    # Tag pairs are built as entries and null-key entries filtered out:
+    # a dangling string-table reference yields a null from
+    # try_element_at, and map_from_entries would reject a null key.
     rec = (
         "named_struct("
-        " 'tags', map_from_arrays("
-        "   transform(sequence(1, _nt), j -> element_at(_a, cast(element_at(_a, acc.p + 2*j) AS INT) + 2)),"
-        "   transform(sequence(1, _nt), j -> element_at(_a, cast(element_at(_a, acc.p + 2*j + 1) AS INT) + 2))),"
-        " 'timestamp', cast(element_at(_a, acc.p + 2*_nt + 2) AS BIGINT),"
-        " 'value', cast(element_at(_a, acc.p + 2*_nt + 3) AS DOUBLE))"
+        " 'tags', map_from_entries(filter("
+        "   transform(sequence(1, _nt), j -> named_struct("
+        "     'key', try_element_at(_a, try_cast(try_element_at(_a, acc.p + 2*j) AS INT) + 2),"
+        "     'value', try_element_at(_a, try_cast(try_element_at(_a, acc.p + 2*j + 1) AS INT) + 2))),"
+        "   e -> e.key IS NOT NULL)),"
+        " 'timestamp', try_cast(try_element_at(_a, acc.p + 2*_nt + 2) AS BIGINT),"
+        " 'value', try_cast(try_element_at(_a, acc.p + 2*_nt + 3) AS DOUBLE))"
     )
     # `transform(array(nTags), _nt -> ...)` is the lambda-binding trick:
     # it names the per-record tag count once instead of re-evaluating the
-    # element_at chain at every use site
+    # element_at chain at every use site.  nTags is clamped to [0,
+    # size/2] — each tag pair needs two slots — so a corrupt count can't
+    # build an unbounded sequence.
+    # nDatapoints likewise clamped to [empty, size/4] (min record stride
+    # is 4); n < 1 must yield an *empty* iteration, not sequence(1, 0).
+    # least()/greatest() skip nulls in Spark, so a bare clamp would turn
+    # a corrupt (null) count into the bound itself; CASE on nullness
+    # first so corruption stays null and cascades to a null reject row.
+    n_raw = "try_cast(try_element_at(_a, try_cast(try_element_at(_a, 1) AS INT) + 2) AS INT)"
+    n_dp = f"CASE WHEN {n_raw} IS NULL THEN NULL ELSE least({n_raw}, cast(size(_a) / 4 AS INT) + 1) END"
+    nt_clamped = (
+        "CASE WHEN _ntr IS NULL THEN NULL"
+        " ELSE greatest(0, least(_ntr, cast(size(_a) / 2 AS INT))) END"
+    )
     fold = (
         "aggregate("
-        " sequence(1, cast(element_at(_a, cast(element_at(_a, 1) AS INT) + 2) AS INT)),"
-        " named_struct('p', cast(element_at(_a, 1) AS INT) + 3,"
+        f" CASE WHEN {n_dp} < 1 THEN cast(array() AS ARRAY<INT>) ELSE sequence(1, {n_dp}) END,"
+        " named_struct('p', try_cast(try_element_at(_a, 1) AS INT) + 3,"
         "              'rows', cast(array() AS ARRAY<STRUCT<tags MAP<STRING,STRING>, timestamp BIGINT, value DOUBLE>>)),"
-        " (acc, i) -> element_at(transform(array(cast(element_at(_a, acc.p + 1) AS INT)),"
-        f"   _nt -> named_struct('p', acc.p + 4 + 2*_nt, 'rows', array_append(acc.rows, {rec}))), 1),"
+        " (acc, i) -> element_at(transform(array(try_cast(try_element_at(_a, acc.p + 1) AS INT)),"
+        f"   _ntr -> element_at(transform(array({nt_clamped}),"
+        f"     _nt -> named_struct('p', acc.p + 4 + 2*_nt, 'rows', array_append(acc.rows, {rec}))), 1)), 1),"
         " acc -> acc.rows)"
     )
     parsed = df.select(F.from_json(F.col(payload_col), "array<string>").alias("_a"))

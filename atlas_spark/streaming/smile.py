@@ -92,12 +92,20 @@ class _Reader:
 
 def _share_name(r: _Reader, name: str) -> str:
     if len(name.encode("utf-8")) <= 64:
+        # Jackson resets the table at 1024 entries and restarts indices
+        # from 0 (SmileGenerator._findSeenName / SmileParser); without
+        # the reset a >1024-name document decodes back references
+        # against the wrong slots, silently corrupting tag names.
+        if len(r.shared_names) >= 1024:
+            r.shared_names.clear()
         r.shared_names.append(name)
     return name
 
 
 def _share_value(r: _Reader, s: str) -> str:
     if len(s.encode("utf-8")) <= 64:
+        if len(r.shared_values) >= 1024:  # same Jackson reset rule
+            r.shared_values.clear()
         r.shared_values.append(s)
     return s
 
@@ -150,6 +158,8 @@ def _read_value(r: _Reader, tok: int) -> Any:
         return r.until_end_marker().decode("ascii")
     if tok == 0xE4:  # long unicode, end-marked
         return r.until_end_marker().decode("utf-8")
+    if 0xEC <= tok <= 0xEF:  # long shared value reference, 10-bit index
+        return r.shared_values[((tok & 0x03) << 8) | r.byte()]
     if tok == 0xF8:  # array
         out = []
         while True:

@@ -137,3 +137,89 @@ def test_cross_format_equivalence_random(spark):
 
     assert via_json == via_smile == via_compact
     assert len(via_json) == len(flat)
+
+
+def test_compact_batch_zero_datapoints(spark):
+    """A zero-datapoint compact payload must not fail the job
+    (sequence(1, 0) is the DESCENDING [1, 0] in Spark — unguarded it
+    walks the cursor out of bounds and ANSI element_at throws): with
+    drop_undecodable=True it yields no rows, with False one all-null
+    reject row (the documented audit contract)."""
+    import json as _json
+
+    from atlas_spark.streaming.norm import decode_compact_batch_payloads
+
+    empty = _json.dumps([0, 0])  # tableSize=0, nDatapoints=0
+    df = spark.createDataFrame([(empty,)], "payload string")
+    assert decode_compact_batch_payloads(df).count() == 0
+    rows = decode_compact_batch_payloads(df, drop_undecodable=False).collect()
+    assert len(rows) == 1
+    assert rows[0]["tags"] is None and rows[0]["value"] is None
+
+
+def test_compact_batch_corrupt_payloads_degrade(spark):
+    """Corrupt counts/indexes degrade to null rows, never exceptions, and
+    never unbounded work: non-numeric nDatapoints, absurdly large
+    nDatapoints (clamped to payload capacity), dangling string-table
+    indexes (pair dropped), and unparseable JSON."""
+    import json as _json
+
+    from atlas_spark.streaming.norm import (
+        decode_compact_batch_payloads,
+        encode_compact_batch,
+    )
+
+    good = encode_compact_batch([({"name": "ok"}, 5, 1.5)])
+    corrupt_count = _json.dumps([2, "name", "ok", "NOPE", "-", 1, 0, 1, 5, 1.5])
+    huge_count = _json.dumps([2, "name", "ok", 999999999, "-", 1, 0, 1, 5, 1.5])
+    dangling_idx = _json.dumps([2, "name", "ok", 1, "-", 1, 50, 1, 5, 1.5])
+    not_json = "this is not json"
+    df = spark.createDataFrame(
+        [(good,), (corrupt_count,), (huge_count,), (dangling_idx,), (not_json,)],
+        "payload string",
+    )
+    rows = decode_compact_batch_payloads(df, drop_undecodable=False).collect()
+    # good payload decodes normally
+    assert ({"name": "ok"}, 5, 1.5) in [
+        (r["tags"], r["timestamp"], r["value"]) for r in rows if r["tags"]
+    ]
+    # corrupt-count and not-json payloads each yield >=1 all-null row
+    assert sum(1 for r in rows if r["tags"] is None and r["value"] is None) >= 2
+    # dangling index: the tag pair is dropped, value survives
+    assert any(r["tags"] == {} and r["value"] == 1.5 for r in rows)
+    # huge count is clamped: total rows bounded by payload capacity
+    assert len(rows) < 20
+    # drop_undecodable=True keeps only fully-decoded rows and still runs
+    assert decode_compact_batch_payloads(df).count() >= 1
+
+
+def test_smile_shared_name_table_resets_at_1024():
+    """Jackson clears the shared-name table at 1024 entries and restarts
+    indices from 0; a >1024-name document must decode back refs against
+    the post-reset table, not the stale one."""
+    out = bytearray(HEADER)
+    out.append(FLAG_SHARED_NAMES)
+    out.append(0xF8)  # [
+    # 1024 distinct short-ascii keys fill the table exactly
+    for i in range(1024):
+        k = f"k{i:04d}"
+        out += bytes([0xFA, 0x80 + len(k) - 1]) + k.encode() + bytes([0xC0, 0xFB])
+    # the 1025th key triggers the reset and lands at index 0
+    out += bytes([0xFA, 0x80 + 4]) + b"fresh" + bytes([0xC0, 0xFB])
+    # short back ref #0 must now resolve to "fresh", not "k0000"
+    out += bytes([0xFA, 0x40 + 0, 0xC0 + 2, 0xFB])
+    out.append(0xF9)  # ]
+    docs = smile_decode(bytes(out))
+    assert docs[-1] == {"fresh": 1}
+
+
+def test_smile_long_shared_value_reference():
+    """Token 0xEC-0xEF: long shared STRING value back reference with a
+    10-bit index ((tok & 3) << 8 | next byte)."""
+    out = bytearray(HEADER)
+    out.append(FLAG_SHARED_VALUES)
+    out.append(0xF8)  # [
+    out += bytes([0x40 + 2]) + b"abc"  # shared value #0
+    out += bytes([0xEC, 0x00])  # long back ref to index 0
+    out.append(0xF9)  # ]
+    assert smile_decode(bytes(out)) == ["abc", "abc"]
