@@ -527,25 +527,47 @@ def _sampled_centroids(emb: DataFrame, n_cells: int) -> dict:
 
 def _assign_sampled_cells(emb: DataFrame, cents: dict) -> DataFrame:
     """Adds `cell` = argmin centroid (squared L2, ties to the lower cell
-    id) — `n_cells` x dim fused multiply-adds per row, all in codegen."""
+    id).
 
-    def dist2(vec, cent: list) -> "F.Column":
-        carr = F.array(*[F.lit(float(x)) for x in cent])
-        return F.aggregate(
-            F.zip_with(vec, carr, lambda x, y: (x.cast("double") - y.cast("double")) ** 2),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    The centroids ride in as BROADCAST DATA — a one-row frame holding
+    the (cell, centroid) array, cross-joined in (BroadcastNestedLoopJoin
+    of a single row = a free per-partition variable) — and the argmin is
+    one `transform` lambda over that runtime array.  An earlier version
+    embedded every centroid as literal expression subtrees, which made
+    the plan O(n_cells x dim) in SIZE: at the self-scaled cell count a
+    1 M-vector corpus (244 cells) would have produced a ~15k-literal
+    codegen unit and a multi-MB plan shipped with every task.  Data
+    scales; plans must not.
 
-    cell_structs = F.array(
-        *[
-            F.struct(
-                dist2(F.col("embedding"), cents[c]).alias("d"), F.lit(c).alias("c")
-            )
-            for c in sorted(cents)
-        ]
+    Row-local end to end: no shuffle, no groupBy — the per-row work is
+    still n_cells x dim fused multiply-adds in codegen, and the fold
+    order (cells ascending, elements left-to-right) is unchanged, so the
+    DuckDB oracles' doubles match bit-for-bit.
+    """
+    spark = emb.sparkSession
+    cent_list = [(int(c), [float(x) for x in cents[c]]) for c in sorted(cents)]
+    cent_df = spark.createDataFrame(
+        [(cent_list,)], "_cents array<struct<cell:int, centroid:array<double>>>"
     )
-    return emb.withColumn("cell", F.array_min(cell_structs)["c"])
+    d2 = lambda vec, cent: F.aggregate(  # noqa: E731
+        F.zip_with(vec, cent, lambda x, y: (x.cast("double") - y) ** 2),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    best = F.array_min(
+        F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                d2(F.col("embedding"), c["centroid"]).alias("d"),
+                c["cell"].alias("c"),
+            ),
+        )
+    )["c"]
+    return (
+        emb.crossJoin(F.broadcast(cent_df))
+        .withColumn("cell", best)
+        .drop("_cents")
+    )
 
 
 def ivf_topk_deterministic(

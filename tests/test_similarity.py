@@ -29,3 +29,27 @@ def test_lsh_results_subset_of_corpus(spark, sf_dir, exact_ids):
     # LSH probes one bucket: results are valid similarities, ordered desc
     sims = [r["cos_sim"] for r in rows]
     assert sims == sorted(sims, reverse=True)
+
+
+def test_sampled_cell_assignment_plan_size_invariant(spark, sf_dir):
+    """The sampled-centroid cell assignment must carry centroids as
+    broadcast DATA, not literal expression subtrees: at the self-scaled
+    cell count a 1 M-vector corpus means ~244 cells, and a plan that is
+    O(n_cells x dim) in size ships a multi-MB codegen unit with every
+    task.  Pin: plan text size does not grow with n_cells, and the
+    centroids arrive via a broadcast join."""
+    from atlas_spark.operators.similarity import (
+        _assign_sampled_cells,
+        _sampled_centroids,
+        load_embeddings,
+    )
+
+    emb = load_embeddings(spark, sf_dir)
+    p16 = _assign_sampled_cells(
+        emb, _sampled_centroids(emb, 16)
+    )._jdf.queryExecution().executedPlan().toString()
+    p128 = _assign_sampled_cells(
+        emb, _sampled_centroids(emb, 128)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert len(p128) <= len(p16) * 1.2, (len(p16), len(p128))
+    assert "Broadcast" in p16
