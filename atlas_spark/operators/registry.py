@@ -60,7 +60,10 @@ SPECS: list[OpSpec] = [
     OpSpec("op_frame_sample", multimodal.frame_sample, multimodal.FRAME_SAMPLE_SQL),
     OpSpec("op_media_resize", multimodal.resize_media_query, multimodal.RESIZE_MEDIA_SQL),
     OpSpec("op_lsh_topk", similarity.lsh_bucketed_topk, similarity.LSH_TOPK_SQL),
-    OpSpec("op_ivf_topk", similarity.ivf_topk, None),
+    # the fitted-KMeans IVF is driver-checked via its recall property
+    # (the quantizer is not SQL-reproducible; the raw top-k runner stays
+    # the library/test surface, similarity.ivf_topk)
+    OpSpec("op_ivf_topk", similarity.ivf_recall, similarity.IVF_RECALL_SQL),
     OpSpec(
         "op_ivf_topk_det",
         similarity.ivf_topk_deterministic,

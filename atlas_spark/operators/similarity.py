@@ -15,6 +15,13 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 
+# The corpus embedding dimensionality — the ONE default threaded through
+# every engine function AND its oracle-SQL twin.  A non-64-dim corpus
+# passes the matching dim to BOTH sides (pinned by
+# tests/test_similarity.py::test_non64_dim_corpus_matches_oracles).
+EMBEDDING_DIM = 64
+
+
 def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
@@ -60,7 +67,7 @@ def cosine_topk(
     return sims.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()).limit(k)
 
 
-def cosine_topk_sql(query_id: int = 0, k: int = 10, dim: int = 64) -> str:
+def cosine_topk_sql(query_id: int = 0, k: int = 10, dim: int = EMBEDDING_DIM) -> str:
     dot = (
         "list_sum(list_transform(range(1, {d} + 1), "
         "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))"
@@ -122,7 +129,7 @@ def _band_keys_col(dots: list, rows: int, bands: int):
 
 def near_dup_candidates(
     emb: DataFrame,
-    dim: int = 64,
+    dim: int = EMBEDDING_DIM,
     rows: int = NEAR_DUP_ROWS,
     bands: int = NEAR_DUP_BANDS,
 ) -> DataFrame:
@@ -185,6 +192,7 @@ def embedding_near_dup(
     threshold: float = 0.35,
     rows: int = NEAR_DUP_ROWS,
     bands: int = NEAR_DUP_BANDS,
+    dim: int = EMBEDDING_DIM,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs.
 
@@ -196,7 +204,7 @@ def embedding_near_dup(
     against ground truth.
     """
     emb = load_embeddings(spark, sf_dir)
-    cands = near_dup_candidates(emb, rows=rows, bands=bands)
+    cands = near_dup_candidates(emb, dim=dim, rows=rows, bands=bands)
     # per-vector norm computed ONCE (identical expression to the oracle's
     # sqrt(sum(x^2)) so the float result is bit-equal); verify then needs a
     # single dot per candidate pair
@@ -240,7 +248,9 @@ STRICT_NEAR_DUP_ROWS = 8
 STRICT_NEAR_DUP_BANDS = 16
 
 
-def embedding_near_dup_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embedding_near_dup_strict(
+    spark: SparkSession, sf_dir: str, dim: int = EMBEDDING_DIM
+) -> DataFrame:
     """`embedding_near_dup` at a realistic near-dup threshold (0.85) with
     banding tight enough to actually prune (8 sign bits x 16 bands)."""
     return embedding_near_dup(
@@ -249,10 +259,11 @@ def embedding_near_dup_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.85,
         rows=STRICT_NEAR_DUP_ROWS,
         bands=STRICT_NEAR_DUP_BANDS,
+        dim=dim,
     )
 
 
-def embedding_near_dup_sql(threshold: float = 0.35, dim: int = 64) -> str:
+def embedding_near_dup_sql(threshold: float = 0.35, dim: int = EMBEDDING_DIM) -> str:
     dot = (
         "list_sum(list_transform(range(1, {d} + 1), "
         "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
@@ -275,7 +286,7 @@ WHERE a.vec_id < b.vec_id
 """
 
 
-def _lsh_topk_sql(query_id: int = 0, k: int = 10, planes: int = 6, dim: int = 64) -> str:
+def _lsh_topk_sql(query_id: int = 0, k: int = 10, planes: int = 6, dim: int = EMBEDDING_DIM) -> str:
     """DuckDB oracle computing the identical md5-derived LSH buckets +
     exact cosine rerank (mirrors `lsh_bucketed_topk`)."""
     def weight(p: int) -> str:
@@ -447,7 +458,7 @@ def _md5_plane_weight(i: int, p: int) -> float:
     return (h % 2000 - 1000) / 1000.0
 
 
-def _md5_lsh_bucket_col(vec, planes: int, dim: int = 64):
+def _md5_lsh_bucket_col(vec, planes: int, dim: int = EMBEDDING_DIM):
     """Sign-bit LSH bucket id from md5-derived hyperplanes — fully
     deterministic, no stored model, and computable identically by the
     DuckDB oracles.
@@ -475,7 +486,7 @@ def _md5_lsh_bucket_col(vec, planes: int, dim: int = 64):
 
 def lsh_bucketed_topk(
     spark: SparkSession, sf_dir: str, query_id: int = 0, k: int = 10,
-    planes: int = 6, dim: int = 64,
+    planes: int = 6, dim: int = EMBEDDING_DIM,
 ) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH.
 
@@ -635,7 +646,7 @@ def _ivf_topk_det_sql(
     k: int = 10,
     n_cells: "int | str | None" = None,
     n_probe: int = 4,
-    dim: int = 64,
+    dim: int = EMBEDDING_DIM,
 ) -> str:
     """DuckDB oracle reproducing the deterministic IVF pipeline: same
     sampled centroids, same left-to-right double-fold distances (list_sum
@@ -760,7 +771,7 @@ def semantic_dedup(
 
 
 def _semantic_dedup_sql(
-    threshold: float = 0.35, n_cells: "int | str | None" = None, dim: int = 64
+    threshold: float = 0.35, n_cells: "int | str | None" = None, dim: int = EMBEDDING_DIM
 ) -> str:
     d2 = (
         "list_sum(list_transform(range(1, {d} + 1), "
@@ -801,7 +812,7 @@ SEMANTIC_DEDUP_SQL = _semantic_dedup_sql()
 
 
 def knn_join(
-    spark: SparkSession, sf_dir: str, k: int = 5, planes: int = 6, dim: int = 64
+    spark: SparkSession, sf_dir: str, k: int = 5, planes: int = 6, dim: int = EMBEDDING_DIM
 ) -> DataFrame:
     """Approximate k-NN self-join: every vector's top-k cosine neighbours
     among the vectors sharing its LSH bucket (the batch companion to the
@@ -852,7 +863,7 @@ def knn_join(
     )
 
 
-def _knn_join_sql(k: int = 5, planes: int = 6, dim: int = 64) -> str:
+def _knn_join_sql(k: int = 5, planes: int = 6, dim: int = EMBEDDING_DIM) -> str:
     def weight(p: int) -> str:
         h = f"('0x' || substr(md5(CAST(i - 1 AS VARCHAR) || ':{p}'), 1, 15))::BIGINT"
         return f"(CAST({h} % 2000 AS DOUBLE) - 1000) / 1000.0"
@@ -906,7 +917,7 @@ def pq_topk(
     k: int = 10,
     m: int = _PQ_M,
     ncodes: int = _PQ_K,
-    dim: int = 64,
+    dim: int = EMBEDDING_DIM,
 ) -> DataFrame:
     """Product-quantization ANN (Jégou et al. 2011): compress each vector
     to `m` sub-codes (argmin sub-centroid per subspace), answer top-k by
@@ -984,7 +995,7 @@ def _pq_topk_sql(
     k: int = 10,
     m: int = _PQ_M,
     ncodes: int = _PQ_K,
-    dim: int = 64,
+    dim: int = EMBEDDING_DIM,
 ) -> str:
     sub = dim // m
     d2 = (
@@ -1052,7 +1063,7 @@ def pq_recall(
     )
 
 
-def _pq_recall_sql(query_id: int = 0, k: int = 10, dim: int = 64) -> str:
+def _pq_recall_sql(query_id: int = 0, k: int = 10, dim: int = EMBEDDING_DIM) -> str:
     d2 = (
         f"list_sum(list_transform(range(1, {dim} + 1), "
         "i -> (CAST(a.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE)) ** 2))"
@@ -1074,8 +1085,42 @@ JOIN (
 PQ_RECALL_SQL = _pq_recall_sql()
 
 
+def ivf_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    query_id: int = 0,
+    k: int = 10,
+    bound: float = 0.7,
+) -> DataFrame:
+    """Recall@k of the fitted-KMeans IVF index against the exact cosine
+    top-k, thresholded against `bound` ENGINE-side.
+
+    The fitted quantizer cannot be reproduced in SQL, so the driver
+    oracle for this entry pins the PROPERTY instead of the rows: the
+    index must recover >= bound of the true neighbours (the quality
+    metric a pipeline tracks when tuning n_cells/n_probe — same role as
+    `pq_recall`, whose deterministic index permits a full value oracle).
+    The exact side uses cosine — the metric the IVF re-rank itself
+    uses — so a miss means the probe skipped the right cells, not a
+    metric mismatch.  At the driver's gate SF (0.01) measured recall is
+    1.0; bound 0.7 leaves margin for KMeans partitioning jitter.
+    (`IVF_RECALL_SQL` is the constant twin.)
+    """
+    exact = cosine_topk(spark, sf_dir, query_id, k).select("vec_id")
+    approx = ivf_topk(spark, sf_dir, query_id=query_id, k=k).select("vec_id")
+    return approx.join(exact, "vec_id").agg(
+        F.lit(k).cast("int").alias("k"),
+        (F.count("*") >= F.lit(bound) * F.lit(k)).cast("int").alias("recall_ge_bound"),
+    )
+
+
+IVF_RECALL_SQL = (
+    "SELECT CAST(10 AS INT) AS k, CAST(1 AS INT) AS recall_ge_bound"
+)
+
+
 def random_projection(
-    spark: SparkSession, sf_dir: str, out_dim: int = 16, dim: int = 64
+    spark: SparkSession, sf_dir: str, out_dim: int = 16, dim: int = EMBEDDING_DIM
 ) -> DataFrame:
     """Johnson-Lindenstrauss random projection: embed 64-dim vectors into
     `out_dim` dims with the md5-derived deterministic weight matrix the
@@ -1103,7 +1148,7 @@ def random_projection(
     return emb.select("vec_id", F.array(*comps).alias("projected"))
 
 
-def _random_projection_sql(out_dim: int = 16, dim: int = 64) -> str:
+def _random_projection_sql(out_dim: int = 16, dim: int = EMBEDDING_DIM) -> str:
     import math as _math
 
     scale = repr(1.0 / _math.sqrt(out_dim))
@@ -1153,7 +1198,7 @@ def cluster_purity(
     )
 
 
-def _cluster_purity_sql(n_cells: int = 16, dim: int = 64) -> str:
+def _cluster_purity_sql(n_cells: int = 16, dim: int = EMBEDDING_DIM) -> str:
     d2 = (
         "list_sum(list_transform(range(1, {d} + 1), "
         "i -> (CAST(a.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)) ** 2))"

@@ -13,8 +13,9 @@ def test_registry_names_unique_and_oracles_subset():
     missing = set(os_) - set(qs)
     assert not missing, f"oracles without queries: {missing}"
     rows_only = set(qs) - set(os_)
-    # only the fitted-KMeans IVF index is allowed to be rows-only
-    assert rows_only == {"op_ivf_topk"}, rows_only
+    # every entry is oracle-checkable (the fitted-KMeans IVF pins its
+    # recall@k property engine-side against a constant-bound oracle)
+    assert rows_only == set(), rows_only
 
 
 def test_registry_callables_and_sql_shapes():

@@ -53,3 +53,92 @@ def test_sampled_cell_assignment_plan_size_invariant(spark, sf_dir):
     )._jdf.queryExecution().executedPlan().toString()
     assert len(p128) <= len(p16) * 1.2, (len(p16), len(p128))
     assert "Broadcast" in p16
+
+
+def test_non64_dim_corpus_matches_oracles(spark, tmp_path):
+    """One `dim` threads through the engine AND its oracle-SQL twin: a
+    32-dim synthetic corpus must match DuckDB for every similarity
+    operator family when both sides get dim=32 (guards against a
+    hardcoded-64 weight matrix or fold bound silently diverging on a
+    non-default corpus)."""
+    import math
+
+    import duckdb
+    import pytest
+
+    from atlas_spark.operators import similarity as sim
+
+    DIM, N = 32, 120
+    rows = []
+    for v in range(N):
+        rows.append(
+            (
+                v,
+                [float(round(math.sin(v * 0.37 + i * 0.11), 6)) for i in range(DIM)],
+                v % 4,
+            )
+        )
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    sf_dir = str(tmp_path)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet/*.parquet'"
+    )
+
+    cases = [
+        (sim.cosine_topk(spark, sf_dir), sim.cosine_topk_sql(dim=DIM)),
+        (
+            sim.lsh_bucketed_topk(spark, sf_dir, dim=DIM),
+            sim._lsh_topk_sql(dim=DIM),
+        ),
+        (sim.knn_join(spark, sf_dir, dim=DIM), sim._knn_join_sql(dim=DIM)),
+        (
+            sim.random_projection(spark, sf_dir, dim=DIM),
+            sim._random_projection_sql(dim=DIM),
+        ),
+        (
+            sim.ivf_topk_deterministic(spark, sf_dir),
+            sim._ivf_topk_det_sql(dim=DIM),
+        ),
+        (
+            sim.semantic_dedup(spark, sf_dir),
+            sim._semantic_dedup_sql(dim=DIM),
+        ),
+        (sim.pq_topk(spark, sf_dir, dim=DIM), sim._pq_topk_sql(dim=DIM)),
+        (
+            sim.embedding_near_dup(spark, sf_dir, dim=DIM),
+            sim.embedding_near_dup_sql(dim=DIM),
+        ),
+        (
+            sim.cluster_purity(spark, sf_dir),
+            sim._cluster_purity_sql(dim=DIM),
+        ),
+    ]
+    for df, sql in cases:
+        cols = sorted(df.columns)
+
+        def canon(vals):
+            out = []
+            for v in vals:
+                if isinstance(v, float):
+                    v = round(v, 6)
+                    v = 0.0 if v == 0 else v
+                elif isinstance(v, list):
+                    v = tuple(round(float(x), 6) for x in v)
+                out.append(v)
+            return tuple(out)
+
+        s = sorted((canon(tuple(r[c] for c in cols)) for r in df.collect()), key=repr)
+        cur = con.execute(sql)
+        dcols = [c[0] for c in cur.description]
+        d = sorted(
+            (canon(tuple(row[dcols.index(c)] for c in cols)) for row in cur.fetchall()),
+            key=repr,
+        )
+        if s != d:
+            diff = [(a, b) for a, b in zip(s, d) if a != b][:2]
+            pytest.fail(f"{sql[:60]}...: {len(s)} vs {len(d)} rows; diffs {diff}")
+    con.close()
