@@ -233,6 +233,14 @@ def _decompose_state_plan(
         rp = _decompose_state_plan(e.rhs, step, all_keys)
         if lp is None or rp is None:
             return None
+        if lp.renames or rp.renames:
+            # `:as` inside a binary branch rewrites result tags BEFORE the
+            # reference's key matching (MathExpr.scala binary grouping), so
+            # the join would have to run on post-rename keys; sub-plan
+            # renames are only applied at the top-level sink, so stream
+            # this shape via the buffered batch-planner fallback instead of
+            # silently joining on pre-rename keys
+            return None
         if not (set(lp.keys) <= set(rp.keys) or set(rp.keys) <= set(lp.keys)):
             return None
         sup_keys = lp.keys if set(rp.keys) <= set(lp.keys) else rp.keys
@@ -930,14 +938,20 @@ class StreamingEvaluator:
             q, respooled = self._spool(current, f"{name}_stage{i}")
             queries.append(q)
             if op == "topk1":
-                current = self._topk_interval_stage(respooled, *params)
+                current = self._topk_interval_stage(respooled, *params, plan.keys)
             else:
                 current = stateful_stream(respooled, op, params, self.step)
             current = apply_steps(current, plan.steps[i + 1])
         return current
 
     def _topk_interval_stage(
-        self, stream: DataFrame, stat: str, k: int, bottom: bool, others: str | None
+        self,
+        stream: DataFrame,
+        stat: str,
+        k: int,
+        bottom: bool,
+        others: str | None,
+        plan_keys: tuple,
     ) -> DataFrame:
         """Per-interval top/bottom-k over the finalized line stream: one
         watermarked interval-keyed aggregation collects that interval's
@@ -967,8 +981,12 @@ class StreamingEvaluator:
         topk = F.slice(ranked, 1, k)
         if others:
             # fold the non-top remainder into one line; the series key is
-            # '--others--' for every tag key (the batch fold's labels)
-            n_keys = max(1, len(self.state_plan.keys))
+            # '--others--' for every tag key (the batch fold's labels).
+            # Arity comes from the ENCLOSING plan's keys, not the top-level
+            # state_plan: a top-k inside a join/fold branch may carry a
+            # different key set, and a wrong segment count would misalign
+            # key unpacking in every downstream stage
+            n_keys = max(1, len(plan_keys))
             others_series = _SERIES_SEP.join(["--others--"] * n_keys)
             rest = F.expr(
                 f"CASE WHEN size(array_sort(lines, {cmp})) > {k} "
@@ -1099,6 +1117,20 @@ class StreamingEvaluator:
                     sorted(batch_ts),
                 )
             return
+        if len(new_ts) < len(batch_ts):
+            # partial replay: merge ONLY the unseen intervals — rows for
+            # already-finalized intervals would double-count in every
+            # later lookback evaluation (the buffer sums overlapping rows)
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "streaming evaluator: batch mixes new intervals %s with "
+                "replayed already-finalized intervals %s; replayed rows "
+                "dropped (exactly-once premise)",
+                new_ts,
+                sorted(batch_ts - set(new_ts)),
+            )
+            batch_df = batch_df.filter(F.col("t").isin(new_ts))
         self.intervals_seen.update(new_ts)
         buf = (
             batch_df

@@ -8,6 +8,7 @@ NaN ticks through gaps.
 from __future__ import annotations
 
 import math
+import os
 import shutil
 import tempfile
 
@@ -684,7 +685,8 @@ def test_differently_grouped_regroup_chain_state_store(spark, stream_dir):
     step = 60
     base = 1704067200
     rows = []
-    for h in range(6):
+    n_h = 6
+    for h in range(n_h):
         for name in ("a", "b"):
             for bucket, v in (("x", float(h + 1)), ("y", 3.0 * (h + 1))):
                 rows.append(
@@ -729,7 +731,7 @@ def test_differently_grouped_regroup_chain_state_store(spark, stream_dir):
     src = DatapointSource(
         df=dp, step=step, colmap={"name": "k_name", "bucket": "k_bucket"}, sql_cte=""
     )
-    ctx = EvalContext(base, base + 6 * step, step)
+    ctx = EvalContext(base, base + n_h * step, step)
     rf = Evaluator(src, ctx).eval(parse_asl(asl, step=step)[0])
     truth = {(r["k_name"], r["k_bucket"], r["t"]): r["value"] for r in rf.df.collect()}
 
@@ -1416,3 +1418,175 @@ def test_per_interval_stat_filter_topk_state_store(spark, stream_dir):
         assert lines[top] == vals[top][h], (h, lines)
         assert abs(lines["--others--"] - sum(rest)) < 1e-9, (h, lines)
         assert set(lines) == {top, "--others--"}
+
+
+def test_buffered_path_replay_does_not_double_count(spark, caplog):
+    """Exactly-once premise guard (driver-buffer path): a micro-batch
+    replaying already-finalized intervals — fully or mixed with new
+    ones — must not merge the replayed rows into the lookback buffer
+    (they would double-count in every later evaluation) and must log the
+    drop so a violated premise is observable."""
+    import logging
+
+    from atlas_spark.streaming.evaluator import StreamingEvaluator
+
+    step = 60
+    base = 1704067200
+    asl = ":true,:sum,3,:rolling-sum"
+    sev = StreamingEvaluator(spark, asl, step, {"name": "k_name"}, num_buffers=2)
+
+    def batch(ts_vals):
+        return spark.createDataFrame(
+            [("a", t, v) for t, v in ts_vals], "k_name string, t long, value double"
+        )
+
+    t0, t1, t2 = base, base + step, base + 2 * step
+    sev._on_batch(batch([(t0, 1.0), (t1, 2.0)]), 0)
+    with caplog.at_level(logging.WARNING, "atlas_spark.streaming.evaluator"):
+        # full replay of finalized intervals: dropped entirely
+        sev._on_batch(batch([(t0, 1.0), (t1, 2.0)]), 1)
+        # mixed batch: only the new interval merges
+        sev._on_batch(batch([(t1, 2.0), (t2, 4.0)]), 2)
+    assert any("replayed" in r.message for r in caplog.records)
+
+    got = {r["t"]: r["value"] for r in sev.results}
+    # rolling-sum(3) with clean (1, 2, 4): t2 = 1+2+4; a double-counted
+    # t1 replay would have produced 9
+    assert got[t0] == 1.0 and got[t1] == 3.0 and got[t2] == 7.0
+    # replay produced no duplicate result rows
+    assert len(sev.results) == 3
+
+
+def test_nested_topk_others_arity_in_regroup(spark, tmp_path):
+    """A `:topk-others-*` nested INSIDE a regroup's inner plan must build
+    its `--others--` series with the INNER plan's key arity, not the
+    top-level plan's: the regroup projects inner series segments by
+    index, and a one-segment others key under a two-key inner plan makes
+    the projected segment null (silent series corruption).  Streaming
+    must equal the batch evaluator."""
+    import pyspark.sql.functions as F
+
+    from atlas_spark.plans.builder import Evaluator
+    from atlas_spark.plans.context import EvalContext
+    from atlas_spark.sources.datapoints import DatapointSource
+    from atlas_spark.stacklang.vocab import parse as parse_asl
+    from atlas_spark.streaming.evaluator import StreamingEvaluator
+
+    # inner keyed by (name, zone); top-1 + others; second-level sum
+    # regrouped onto zone (index 1 of the inner series)
+    asl = ":true,:sum,(,name,zone,),:by,total,1,:topk-others-sum,:sum,(,zone,),:by"
+    step = 60
+    base = 1704067200
+    rows = []
+    n_h = 12  # enough intervals for the chained spool watermarks to flush
+    for h in range(n_h):
+        for name in ("a", "b", "c"):
+            for zone in ("e", "w"):
+                v = float((h + 1) * (ord(name) - 96) + (7 if zone == "w" else 0))
+                rows.append(
+                    {
+                        "k_name": name,
+                        "k_zone": zone,
+                        "ts": pd.Timestamp(base + h * step + 5, unit="s"),
+                        "value": v,
+                    }
+                )
+    pdf = pd.DataFrame(rows)
+
+    colmap = {"name": "k_name", "zone": "k_zone"}
+    sev = StreamingEvaluator(spark, asl, step, colmap, num_buffers=2)
+    assert sev.state_plan is not None and sev.state_plan.core[0] == "regroup"
+    d = str(tmp_path / "stream")
+    os.makedirs(d, exist_ok=True)
+    stream = (
+        spark.readStream.schema("k_name string, k_zone string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(d)
+    q = sev.start(stream)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        shutil.rmtree(d, ignore_errors=True)
+
+    dp = spark.createDataFrame(pdf).select(
+        "k_name",
+        "k_zone",
+        (F.unix_timestamp("ts") - F.unix_timestamp("ts") % step).cast("long").alias("t"),
+        "value",
+    )
+    src = DatapointSource(df=dp, step=step, colmap=colmap, sql_cte="")
+    ctx = EvalContext(base, base + 6 * step, step)
+    rf = Evaluator(src, ctx).eval(parse_asl(asl, step=step)[0])
+    kcol = rf.key_cols[rf.keys.index("zone")] if rf.keys else None
+    truth = {(r[kcol], r["t"]): r["value"] for r in rf.df.collect()}
+
+    got = {(r["zone"], r["t"]): r["value"] for r in sev.results}
+    assert got, "no streaming results"
+    # the --others-- regroup line must exist and match batch
+    assert any(z == "--others--" for z, _ in got), got
+    for key, v in got.items():
+        assert key in truth, (key, sorted(truth))
+        assert abs(v - truth[key]) < 1e-9, (key, v, truth[key])
+
+
+def test_as_inside_binary_branch_falls_back_to_buffered(spark, tmp_path):
+    """`:as` inside a binary-op branch rewrites result tags BEFORE the
+    reference's join-key matching; the state-store join cannot apply
+    sub-plan renames, so the shape must NOT decompose (buffered
+    batch-planner fallback) and streaming must equal batch — including
+    the renamed output key."""
+    import pyspark.sql.functions as F
+
+    from atlas_spark.plans.builder import Evaluator
+    from atlas_spark.plans.context import EvalContext
+    from atlas_spark.sources.datapoints import DatapointSource
+    from atlas_spark.stacklang.vocab import parse as parse_asl
+    from atlas_spark.streaming.evaluator import StreamingEvaluator
+
+    asl = ":true,:sum,(,name,),:by,name,who,:as,:true,:sum,:add"
+    step = 60
+    base = 1704067200
+    rows = [
+        {"k_name": n, "ts": pd.Timestamp(base + h * step + 5, unit="s"), "value": float(h + 1) * m}
+        for h in range(6)
+        for n, m in (("a", 1.0), ("b", 2.0))
+    ]
+    pdf = pd.DataFrame(rows)
+
+    sev = StreamingEvaluator(spark, asl, step, {"name": "k_name"}, num_buffers=2)
+    assert sev.state_plan is None, "must fall back: sub-plan :as renames"
+
+    d = str(tmp_path / "stream")
+    os.makedirs(d, exist_ok=True)
+    stream = (
+        spark.readStream.schema("k_name string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(d)
+    q = sev.start(stream)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    dp = spark.createDataFrame(pdf).select(
+        "k_name",
+        (F.unix_timestamp("ts") - F.unix_timestamp("ts") % step).cast("long").alias("t"),
+        "value",
+    )
+    src = DatapointSource(df=dp, step=step, colmap={"name": "k_name"}, sql_cte="")
+    ctx = EvalContext(base, base + 6 * step, step)
+    rf = Evaluator(src, ctx).eval(parse_asl(asl, step=step)[0])
+    assert "who" in (rf.keys or ()), rf.keys
+    kcol = rf.key_cols[rf.keys.index("who")]
+    truth = {(r[kcol], r["t"]): r["value"] for r in rf.df.collect()}
+
+    assert sev.results, "no streaming results"
+    for r in sev.results:
+        assert "who" in r, r  # renamed key must survive streaming
+        key = (r["who"], r["t"])
+        assert key in truth and abs(r["value"] - truth[key]) < 1e-9, (r, truth.get(key))
