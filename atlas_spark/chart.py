@@ -204,13 +204,20 @@ class Canvas:
         for x in range(min(x0, x1), max(x0, x1) + 1):
             self.put(x, y, rgb, alpha)
 
-    def line(self, x0: int, y0: int, x1: int, y1: int, rgb) -> None:
-        """Bresenham segment."""
+    def line(self, x0: int, y0: int, x1: int, y1: int, rgb, width: int = 1) -> None:
+        """Bresenham segment.  `width` > 1 thickens the stroke by
+        stamping a vertical run centered on each pixel (LineDef.lineWidth
+        / BasicStroke in the reference renderer, PngGraphEngine)."""
         dx, dy = abs(x1 - x0), -abs(y1 - y0)
         sx, sy = (1 if x0 < x1 else -1), (1 if y0 < y1 else -1)
         err = dx + dy
+        half_up = (width - 1) // 2
         while True:
-            self.put(x0, y0, rgb)
+            if width <= 1:
+                self.put(x0, y0, rgb)
+            else:
+                for off in range(-half_up, width - half_up):
+                    self.put(x0, y0 + off, rgb)
             if x0 == x1 and y0 == y1:
                 return
             e2 = 2 * err
@@ -730,6 +737,12 @@ def render_png(result, width: int = 700, height: int = 300) -> bytes:
             except ValueError:
                 pass
         style = _style(ln)
+        # `:lw` stroke width (LineDef.lineWidth; only LINE style strokes
+        # are widened, matching TimeSeriesLine)
+        try:
+            lw = max(1, min(10, int(round(float(settings.get("lw", 1))))))
+        except (TypeError, ValueError):
+            lw = 1
         aid = axis_of(ln)
         ty = tys[aid]
         zero_y = zero_ys[aid]
@@ -771,7 +784,7 @@ def render_png(result, width: int = 700, height: int = 300) -> bytes:
             else:
                 y = ty(v)
                 if prev is not None:
-                    cv.line(prev[0], prev[1], x, y, color)
+                    cv.line(prev[0], prev[1], x, y, color, width=lw)
                 else:
                     cv.put(x, y, color)
                 prev = (x, y)

@@ -1,0 +1,364 @@
+"""Structural sanity vs the REFERENCE renderer's golden images.
+
+Pixel parity with atlas-chart is a declared non-goal (SURVEY §7): the
+reference renders with Java2D/what fonts the JVM ships, we render with
+our own rasterizer.  What CAN be pinned cross-renderer is structure —
+for a handful of scenarios from PngGraphEngineSuite.scala:232-470 we
+re-express the scenario's data as an ASL generator query, render it
+through our engine, decode BOTH PNGs, and assert renderer-agnostic
+facts:
+
+- the drawn waveform has the same shape (column-wise trace correlation)
+- theme background luminance class (light/dark) matches
+- line multiplicity (distinct strong-hue clusters) matches
+- area/stack fills, a wider `:lw` stroke thickens, a constant is flat
+- legend swatches / title text appear and disappear with the params
+  in BOTH renderers
+
+The reference goldens are read directly from
+atlas-chart/src/test/resources/graphengine/DefaultGraphEngineSuite; the
+whole module skips when that tree is absent.  Scenario data recipe
+(waves with 1-day wavelength sampled on the 2012-01-01 UTC day at
+step=60s) mirrors PngGraphEngineSuite.simpleWave/constant exactly.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+GOLDEN = (
+    "/root/reference/atlas-chart/src/test/resources/graphengine/"
+    "DefaultGraphEngineSuite"
+)
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(GOLDEN), reason="reference golden images not available"
+)
+
+W, H = 480, 320
+WINDOW = "s=2012-01-01&e=2012-01-02"
+_LAMBDA = 2 * math.pi / 86400  # wave(1 day) in SECOND_OF_DAY radians
+
+
+def _wave(mx: float) -> str:
+    """ASL for PngGraphEngineSuite.simpleWave(0, mx): amp*sin(2*pi*t/1d)
+    + amp over the 2012-01-01 UTC window (phase 0 at midnight)."""
+    return (
+        f"SECOND_OF_DAY,:time,{_LAMBDA!r},:mul,:sin,"
+        f"{mx / 2!r},:mul,{mx / 2!r},:add"
+    )
+
+
+# scenario -> (reference golden name, our graph URI query string)
+CASES = {
+    "single_line": ("default_single_line", f"q={_wave(400)}&{WINDOW}"),
+    "single_line_dark": (
+        "dark_default_single_line",
+        f"q={_wave(400)}&theme=dark&{WINDOW}",
+    ),
+    "double_line": (
+        "default_double_line",
+        f"q={_wave(400)},{_wave(150)}&{WINDOW}",
+    ),
+    "single_line_area": (
+        "default_single_line_area",
+        f"q={_wave(400)},:area&{WINDOW}",
+    ),
+    "double_line_stack": (
+        "default_double_line_stack",
+        f"q={_wave(400)},:stack,{_wave(150)},:stack&{WINDOW}",
+    ),
+    "single_line_logarithmic": (
+        "default_single_line_logarithmic",
+        f"q={_wave(400)}&scale=log&{WINDOW}",
+    ),
+    "single_line_sqrt": (
+        "default_single_line_sqrt",
+        f"q={_wave(400)}&scale=sqrt&{WINDOW}",
+    ),
+    "single_line_no_legend": (
+        "default_single_line_no_legend",
+        f"q={_wave(400)}&no_legend=1&{WINDOW}",
+    ),
+    "single_line_title": (
+        "default_single_line_title",
+        f"q={_wave(400)}&title=A+sample+title&{WINDOW}",
+    ),
+    "single_line_linewidth": (
+        "default_single_line_linewidth",
+        f"q={_wave(400)},3,:lw&{WINDOW}",
+    ),
+    "constant_line_lower_bound_4": (
+        "default_constant_line_lower_bound_4",
+        f"q=4,:const&l=4&{WINDOW}",
+    ),
+}
+
+
+# --------------------------------------------------------------- decoding
+
+
+def _decode_png(data: bytes) -> np.ndarray:
+    """Decode a non-interlaced 8-bit PNG (gray/RGB/palette/gray+alpha/
+    RGBA, filters 0-4, any IDAT chunking) to an (h, w, 4) RGBA array.
+    Handles both our single-IDAT writer and the reference's ImageIO
+    output."""
+    assert data[:8] == b"\x89PNG\r\n\x1a\n", "not a PNG"
+    pos, idat, palette, trns = 8, b"", None, None
+    w = h = ct = None
+    while pos < len(data):
+        ln, typ = struct.unpack(">I4s", data[pos : pos + 8])
+        body = data[pos + 8 : pos + 8 + ln]
+        if typ == b"IHDR":
+            w, h, bd, ct, _c, _f, inter = struct.unpack(">IIBBBBB", body)
+            assert bd == 8 and inter == 0, f"unsupported PNG (bd={bd})"
+        elif typ == b"PLTE":
+            palette = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif typ == b"tRNS":
+            trns = np.frombuffer(body, np.uint8)
+        elif typ == b"IDAT":
+            idat += body
+        pos += 12 + ln
+    raw = zlib.decompress(idat)
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ct]
+    stride = w * nch
+    out = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    ipos = 0
+    for y in range(h):
+        f = raw[ipos]
+        cur = np.frombuffer(raw[ipos + 1 : ipos + 1 + stride], np.uint8).copy()
+        ipos += 1 + stride
+        if f == 1:
+            for i in range(nch, stride):
+                cur[i] = (cur[i] + cur[i - nch]) & 0xFF
+        elif f == 2:
+            cur = (cur.astype(np.int16) + prev).astype(np.uint8)
+        elif f == 3:
+            for i in range(stride):
+                a = cur[i - nch] if i >= nch else 0
+                cur[i] = (cur[i] + ((int(a) + int(prev[i])) >> 1)) & 0xFF
+        elif f == 4:
+            for i in range(stride):
+                a = int(cur[i - nch]) if i >= nch else 0
+                b = int(prev[i])
+                c = int(prev[i - nch]) if i >= nch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (cur[i] + pr) & 0xFF
+        elif f != 0:
+            raise ValueError(f"bad filter {f}")
+        out[y] = cur
+        prev = cur
+    px = out.reshape(h, w, nch)
+    rgba = np.empty((h, w, 4), np.uint8)
+    if ct == 6:
+        rgba[:] = px
+    elif ct == 2:
+        rgba[..., :3], rgba[..., 3] = px, 255
+    elif ct == 0:
+        rgba[..., 0] = rgba[..., 1] = rgba[..., 2] = px[..., 0]
+        rgba[..., 3] = 255
+    elif ct == 3:
+        idx = px[..., 0]
+        rgba[..., :3], rgba[..., 3] = palette[idx], 255
+        if trns is not None:
+            a = np.full(256, 255, np.uint8)
+            a[: len(trns)] = trns
+            rgba[..., 3] = a[idx]
+    else:  # ct == 4
+        rgba[..., 0] = rgba[..., 1] = rgba[..., 2] = px[..., 0]
+        rgba[..., 3] = px[..., 1]
+    return rgba
+
+
+# --------------------------------------------------------- structure probes
+
+
+def _strong(img: np.ndarray) -> np.ndarray:
+    """Mask of data-line pixels: saturation >= 100 excludes background,
+    grayscale text/axis AND the translucent red major-grid dashes
+    (5FFF5B5B over bg blends to saturation ~61, reference.conf theme)."""
+    rgb = img[..., :3].astype(np.int16)
+    sat = rgb.max(-1) - rgb.min(-1)
+    return (sat >= 100) & (img[..., 3] > 128)
+
+
+def _trace(img: np.ndarray):
+    """Topmost strong pixel per column over the central x span (skips
+    the y-axis label gutter and the legend swatch column), y-up."""
+    m = _strong(img)
+    h, w = m.shape
+    xs, ys = [], []
+    for x in range(int(w * 0.2), int(w * 0.95)):
+        col = np.nonzero(m[:, x])[0]
+        if len(col):
+            xs.append(x)
+            ys.append(h - float(col.min()))
+    return np.array(xs, float), np.array(ys, float)
+
+
+def _corr(t1, t2, n: int = 200) -> float:
+    (x1, y1), (x2, y2) = t1, t2
+    assert len(x1) >= 10 and len(x2) >= 10, "trace too sparse"
+    g = np.linspace(0, 1, n)
+    r1 = np.interp(g, (x1 - x1[0]) / (x1[-1] - x1[0]), y1)
+    r2 = np.interp(g, (x2 - x2[0]) / (x2[-1] - x2[0]), y2)
+    return float(np.corrcoef(r1, r2)[0, 1])
+
+
+def _bg_lum(img: np.ndarray) -> float:
+    """Median corner luminance — corners are canvas background in both
+    renderers (titles are centered, legends left-aligned past x=2)."""
+    h, w, _ = img.shape
+    corners = [img[2, 2, :3], img[2, w - 3, :3], img[h - 3, w - 3, :3]]
+    return float(np.median([c.astype(int).mean() for c in corners]))
+
+
+def _hue_clusters(img: np.ndarray, min_px: int = 30) -> int:
+    """Distinct strong-pixel color families (coarse RGB quantization)."""
+    m = _strong(img)
+    if not m.any():
+        return 0
+    q = (img[m][:, :3] // 86).astype(np.int16)
+    keys, counts = np.unique(q, axis=0, return_counts=True)
+    return int((counts >= min_px).sum())
+
+
+def _swatch_px(img: np.ndarray) -> int:
+    """Strong pixels in the legend-swatch region (left gutter, bottom
+    30% of the canvas) — the line itself never enters the gutter."""
+    m = _strong(img)
+    h, w = m.shape
+    return int(m[int(h * 0.7) :, :40].sum())
+
+
+def _text_above_plot(img: np.ndarray) -> int:
+    """Text-luminance pixels strictly ABOVE the plot area (plot top =
+    first row containing a strong data-line pixel; the 0..400 wave is
+    axis-tight so its peak touches the plot top in both renderers).
+    With a title the plot shifts down and the freed band holds the
+    title text; without one the band is empty canvas."""
+    m = _strong(img)
+    rows = np.nonzero(m.any(axis=1))[0]
+    top = int(rows.min()) if len(rows) else 0
+    if top <= 1:
+        return 0
+    band = img[: top - 1, :, :3].astype(int).mean(-1)
+    if _bg_lum(img) < 128:  # dark theme: text is light
+        return int((band > 160).sum())
+    return int((band < 100).sum())
+
+
+# ----------------------------------------------------------------- fixtures
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    from atlas_spark.api import Engine
+
+    return Engine(spark, "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def images(engine):
+    """scenario -> (reference RGBA, ours RGBA), rendered once."""
+    out = {}
+    for name, (golden, qs) in CASES.items():
+        with open(os.path.join(GOLDEN, f"{golden}.png"), "rb") as fh:
+            ref = _decode_png(fh.read())
+        ours = _decode_png(
+            engine.graph_png("/api/v1/graph?" + qs, width=W, height=H)
+        )
+        out[name] = (ref, ours)
+    return out
+
+
+# -------------------------------------------------------------------- tests
+
+_CORR_CASES = [
+    "single_line",
+    "single_line_dark",
+    "double_line",
+    "single_line_area",
+    "single_line_logarithmic",
+    "single_line_sqrt",
+]
+
+
+@pytest.mark.parametrize("name", _CORR_CASES)
+def test_waveform_correlates(images, name):
+    ref, ours = images[name]
+    c = _corr(_trace(ref), _trace(ours))
+    assert c >= 0.8, f"{name}: waveform corr {c:.3f} < 0.8 vs reference"
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_background_theme_class(images, name):
+    ref, ours = images[name]
+    assert (_bg_lum(ref) < 128) == (_bg_lum(ours) < 128), (
+        f"{name}: theme background class diverges "
+        f"(ref lum {_bg_lum(ref)}, ours {_bg_lum(ours)})"
+    )
+
+
+def test_line_multiplicity(images):
+    for name, expected in (("single_line", 1), ("double_line", 2)):
+        ref, ours = images[name]
+        assert _hue_clusters(ref) == expected, f"ref {name}"
+        assert _hue_clusters(ours) == expected, f"ours {name}"
+
+
+def test_area_and_stack_fill(images):
+    for base, filled in (
+        ("single_line", "single_line_area"),
+        ("double_line", "double_line_stack"),
+    ):
+        for side in (0, 1):
+            b = _strong(images[base][side]).mean()
+            f = _strong(images[filled][side]).mean()
+            who = "ref" if side == 0 else "ours"
+            assert f >= 10 * b, f"{who}: {filled} fill {f:.4f} vs line {b:.4f}"
+
+
+def test_legend_swatch_toggles(images):
+    for side in (0, 1):
+        who = "ref" if side == 0 else "ours"
+        assert _swatch_px(images["single_line"][side]) > 10, f"{who}: no swatch"
+        assert _swatch_px(images["single_line_no_legend"][side]) == 0, (
+            f"{who}: swatch drawn despite no_legend"
+        )
+
+
+def test_title_adds_text(images):
+    for side in (0, 1):
+        who = "ref" if side == 0 else "ours"
+        base = _text_above_plot(images["single_line"][side])
+        tit = _text_above_plot(images["single_line_title"][side])
+        assert tit - base > 30, f"{who}: title band {tit} vs base {base}"
+
+
+def test_constant_line_is_flat(images):
+    for side in (0, 1):
+        who = "ref" if side == 0 else "ours"
+        _, ys = _trace(images["constant_line_lower_bound_4"][side])
+        assert len(ys) > 100 and float(np.std(ys)) < 1.5, (
+            f"{who}: constant line trace not flat (std {np.std(ys):.2f})"
+        )
+
+
+def test_linewidth_thickens(images):
+    for side in (0, 1):
+        who = "ref" if side == 0 else "ours"
+        base = _strong(images["single_line"][side]).sum()
+        wide = _strong(images["single_line_linewidth"][side]).sum()
+        assert wide >= 1.8 * base, (
+            f"{who}: 3,:lw stroke {wide} px vs 1px stroke {base}"
+        )
