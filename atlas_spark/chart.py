@@ -206,15 +206,21 @@ class Canvas:
 
     def line(self, x0: int, y0: int, x1: int, y1: int, rgb, width: int = 1) -> None:
         """Bresenham segment.  `width` > 1 thickens the stroke by
-        stamping a vertical run centered on each pixel (LineDef.lineWidth
-        / BasicStroke in the reference renderer, PngGraphEngine)."""
+        stamping a run perpendicular to the segment's dominant direction
+        (vertical run for shallow segments, horizontal for steep), the
+        raster analogue of BasicStroke's perpendicular widening in the
+        reference renderer (TimeSeriesGraph.scala:139, PngGraphEngine)."""
         dx, dy = abs(x1 - x0), -abs(y1 - y0)
         sx, sy = (1 if x0 < x1 else -1), (1 if y0 < y1 else -1)
+        steep = -dy > dx
         err = dx + dy
         half_up = (width - 1) // 2
         while True:
             if width <= 1:
                 self.put(x0, y0, rgb)
+            elif steep:
+                for off in range(-half_up, width - half_up):
+                    self.put(x0 + off, y0, rgb)
             else:
                 for off in range(-half_up, width - half_up):
                     self.put(x0, y0 + off, rgb)
@@ -738,9 +744,11 @@ def render_png(result, width: int = 700, height: int = 300) -> bytes:
                 pass
         style = _style(ln)
         # `:lw` stroke width (LineDef.lineWidth; only LINE style strokes
-        # are widened, matching TimeSeriesLine)
+        # are widened, matching TimeSeriesLine).  The reference passes the
+        # raw double to BasicStroke unclamped; a raster stamp needs an int,
+        # so round, with a defensive cap well above any sane chart width.
         try:
-            lw = max(1, min(10, int(round(float(settings.get("lw", 1))))))
+            lw = max(1, min(100, int(round(float(settings.get("lw", 1))))))
         except (TypeError, ValueError):
             lw = 1
         aid = axis_of(ln)

@@ -1131,6 +1131,12 @@ def random_projection(
     codegen, no shuffle, no stored model — any engine derives the same
     matrix, so the output is value-oracled.  Scaled by 1/sqrt(out_dim)
     to preserve expected norms (the JL convention).
+
+    Output shape is one scalar column per projected dimension
+    (`p0..p{out_dim-1}`) rather than a single `array<double>` column:
+    downstream consumers (and the driver's hash canonicalizer) want
+    flat columnar scalars, and Parquet stores them more compactly than
+    a repeated group at 100 TB.
     """
     import math as _math
 
@@ -1144,8 +1150,8 @@ def random_projection(
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        comps.append(F.round(dot * F.lit(scale), 6))
-    return emb.select("vec_id", F.array(*comps).alias("projected"))
+        comps.append(F.round(dot * F.lit(scale), 6).alias(f"p{p}"))
+    return emb.select("vec_id", *comps)
 
 
 def _random_projection_sql(out_dim: int = 16, dim: int = EMBEDDING_DIM) -> str:
@@ -1159,10 +1165,10 @@ def _random_projection_sql(out_dim: int = 16, dim: int = EMBEDDING_DIM) -> str:
 
     comps = ", ".join(
         f"round(list_sum(list_transform(range(1, {dim} + 1), "
-        f"i -> CAST(embedding[i] AS DOUBLE) * {weight(p)})) * {scale}, 6)"
+        f"i -> CAST(embedding[i] AS DOUBLE) * {weight(p)})) * {scale}, 6) AS p{p}"
         for p in range(out_dim)
     )
-    return f"SELECT vec_id, [{comps}] AS projected FROM embeddings"
+    return f"SELECT vec_id, {comps} FROM embeddings"
 
 
 RANDOM_PROJECTION_SQL = _random_projection_sql()

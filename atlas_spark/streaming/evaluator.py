@@ -250,6 +250,14 @@ def _decompose_state_plan(
         ip = _decompose_state_plan(e.expr, step, all_keys)
         if ip is None:
             return None
+        if ip.renames:
+            # `:as` inside the sub-plan rewrites result tags BEFORE this
+            # stage's key handling (same hazard as the binary-join branch
+            # above): renames are only applied at the top-level sink, so
+            # decomposing here would operate on pre-rename keys while the
+            # batch evaluator/reference operate on post-rename keys.
+            # Stream via the buffered batch-planner fallback instead.
+            return None
         core, keys = ("fold", e.fn, ip), ()
     elif isinstance(e, E.ApproxDistinctExpr):
         # HLL estimator: the register collapse is a plain per-interval
@@ -261,6 +269,14 @@ def _decompose_state_plan(
         ip = _decompose_state_plan(e.expr, step, all_keys)
         if ip is None or "distinct" not in ip.keys:
             return None
+        if ip.renames:
+            # `:as` inside the sub-plan rewrites result tags BEFORE this
+            # stage's key handling (same hazard as the binary-join branch
+            # above): renames are only applied at the top-level sink, so
+            # decomposing here would operate on pre-rename keys while the
+            # batch evaluator/reference operate on post-rename keys.
+            # Stream via the buffered batch-planner fallback instead.
+            return None
         core, keys = ("hll", ip), tuple(k for k in ip.keys if k != "distinct")
     elif isinstance(e, E.PercentilesExpr):
         # histogram percentile estimator: per finalized interval the
@@ -271,11 +287,27 @@ def _decompose_state_plan(
         ip = _decompose_state_plan(e.expr, step, all_keys)
         if ip is None or "percentile" not in ip.keys:
             return None
+        if ip.renames:
+            # `:as` inside the sub-plan rewrites result tags BEFORE this
+            # stage's key handling (same hazard as the binary-join branch
+            # above): renames are only applied at the top-level sink, so
+            # decomposing here would operate on pre-rename keys while the
+            # batch evaluator/reference operate on post-rename keys.
+            # Stream via the buffered batch-planner fallback instead.
+            return None
         core = ("pct", tuple(sorted(set(e.pcts))), ip)
         keys = tuple(e.eval_keys()) + ("percentile",)
     elif isinstance(e, E.SampleCountExpr):
         ip = _decompose_state_plan(e.expr, step, all_keys)
         if ip is None or "percentile" not in ip.keys:
+            return None
+        if ip.renames:
+            # `:as` inside the sub-plan rewrites result tags BEFORE this
+            # stage's key handling (same hazard as the binary-join branch
+            # above): renames are only applied at the top-level sink, so
+            # decomposing here would operate on pre-rename keys while the
+            # batch evaluator/reference operate on post-rename keys.
+            # Stream via the buffered batch-planner fallback instead.
             return None
         core, keys = ("pctsc", e.lo, e.hi, ip), tuple(e.eval_keys())
     elif isinstance(e, E.MathGroupByExpr):
@@ -288,6 +320,14 @@ def _decompose_state_plan(
         if ip is None:
             return None
         if not set(e.keys) <= set(ip.keys):
+            return None
+        if ip.renames:
+            # `:as` inside the sub-plan rewrites result tags BEFORE this
+            # stage's key handling (same hazard as the binary-join branch
+            # above): renames are only applied at the top-level sink, so
+            # decomposing here would operate on pre-rename keys while the
+            # batch evaluator/reference operate on post-rename keys.
+            # Stream via the buffered batch-planner fallback instead.
             return None
         core, keys = ("regroup", e.af.fn, ip), tuple(e.keys)
     else:

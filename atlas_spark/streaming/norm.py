@@ -201,13 +201,21 @@ def decode_compact_batch_payloads(
     # Tag pairs are built as entries and null-key entries filtered out:
     # a dangling string-table reference yields a null from
     # try_element_at, and map_from_entries would reject a null key.
+    # A corrupt (or adversarial) record can also repeat the same key
+    # index; map_from_entries would throw DUPLICATE_MAP_KEY under the
+    # default spark.sql.mapKeyDedupPolicy=EXCEPTION and kill the
+    # micro-batch, where the reference's Jackson decode last-write-wins
+    # (PublishPayloads.scala) — so keep only the LAST entry per key
+    # (index-lambda filter; O(nTags^2) per record, nTags is small).
     rec = (
         "named_struct("
-        " 'tags', map_from_entries(filter("
+        " 'tags', element_at(transform(array(filter("
         "   transform(sequence(1, _nt), j -> named_struct("
         "     'key', try_element_at(_a, try_cast(try_element_at(_a, acc.p + 2*j) AS INT) + 2),"
         "     'value', try_element_at(_a, try_cast(try_element_at(_a, acc.p + 2*j + 1) AS INT) + 2))),"
         "   e -> e.key IS NOT NULL)),"
+        "  _es -> map_from_entries(filter(_es,"
+        "    (en, ei) -> NOT exists(slice(_es, ei + 2, size(_es)), e2 -> e2.key = en.key)))), 1),"
         " 'timestamp', try_cast(try_element_at(_a, acc.p + 2*_nt + 2) AS BIGINT),"
         " 'value', try_cast(try_element_at(_a, acc.p + 2*_nt + 3) AS DOUBLE))"
     )
@@ -217,12 +225,13 @@ def decode_compact_batch_payloads(
     # size/2] — each tag pair needs two slots — so a corrupt count can't
     # build an unbounded sequence.
     # nDatapoints likewise clamped to [empty, size/4] (min record stride
-    # is 4); n < 1 must yield an *empty* iteration, not sequence(1, 0).
+    # is 4, so no payload can hold more than size/4 records); n < 1 must
+    # yield an *empty* iteration, not sequence(1, 0).
     # least()/greatest() skip nulls in Spark, so a bare clamp would turn
     # a corrupt (null) count into the bound itself; CASE on nullness
     # first so corruption stays null and cascades to a null reject row.
     n_raw = "try_cast(try_element_at(_a, try_cast(try_element_at(_a, 1) AS INT) + 2) AS INT)"
-    n_dp = f"CASE WHEN {n_raw} IS NULL THEN NULL ELSE least({n_raw}, cast(size(_a) / 4 AS INT) + 1) END"
+    n_dp = f"CASE WHEN {n_raw} IS NULL THEN NULL ELSE least({n_raw}, cast(size(_a) / 4 AS INT)) END"
     nt_clamped = (
         "CASE WHEN _ntr IS NULL THEN NULL"
         " ELSE greatest(0, least(_ntr, cast(size(_a) / 2 AS INT))) END"

@@ -20,6 +20,8 @@ here.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 import __spark_entry__ as entry
@@ -378,14 +380,32 @@ def test_minhash_recall_on_planted_dups(spark):
     assert not missed, missed
 
 
+def _assert_no_data_bnlj(plan: str) -> None:
+    """Allow a BroadcastNestedLoopJoin ONLY when its build side is the
+    single-row `_cents` centroid-carrier (the broadcast-data centroid
+    assignment, similarity.py): an IdentityBroadcastMode exchange over the
+    one-row `Scan ExistingRDD[_cents...]`.  Any other BNLJ is a data x data
+    all-pairs product and a scale-killer."""
+    n_bnlj = plan.count("BroadcastNestedLoopJoin")
+    n_cents = len(
+        re.findall(
+            r"BroadcastExchange IdentityBroadcastMode[^\n]*\n"
+            r"[^\n]*Scan ExistingRDD\[_cents",
+            plan,
+        )
+    )
+    assert n_bnlj == n_cents, plan
+
+
 def test_semantic_dedup_joins_within_cells(spark, sf_dir, queries):
     """Semantic dedup compares pairs ONLY within a cluster cell: the
     self-join must be a hash equi-join on `cell` — never a cartesian or
-    broadcast-nested-loop all-pairs product — so total pair work stays
-    ~n^2/n_cells and the shuffle key is the cell id."""
+    data x data broadcast-nested-loop product — so total pair work stays
+    ~n^2/n_cells and the shuffle key is the cell id.  The only permitted
+    BNLJ is the one-row `_cents` centroid carrier."""
     plan = _plan(queries["op_semantic_dedup"](spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
-    assert "BroadcastNestedLoopJoin" not in plan, plan
+    _assert_no_data_bnlj(plan)
     assert "cell" in plan
 
 
@@ -396,7 +416,7 @@ def test_knn_join_is_bucketed_and_partitioned(spark, sf_dir, queries):
     every candidate pair through one task at 100 TB."""
     plan = _plan(queries["op_knn_join"](spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
-    assert "BroadcastNestedLoopJoin" not in plan, plan
+    _assert_no_data_bnlj(plan)
     assert "Window" in plan
     assert "Exchange SinglePartition" not in plan, plan
 

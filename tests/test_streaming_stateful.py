@@ -1532,6 +1532,77 @@ def test_nested_topk_others_arity_in_regroup(spark, tmp_path):
         assert abs(v - truth[key]) < 1e-9, (key, v, truth[key])
 
 
+def test_as_inside_fold_and_regroup_falls_back_to_buffered(spark, tmp_path):
+    """`:as` inside a fold / regroup / estimator sub-plan rewrites result
+    tags BEFORE the outer stage's key handling; the state-store
+    decomposition drops sub-plan renames, so these shapes must NOT
+    decompose (same rule as the binary-join branch).  The fold shape is
+    checked end-to-end: buffered streaming equals batch."""
+    import pyspark.sql.functions as F
+
+    from atlas_spark.plans.builder import Evaluator
+    from atlas_spark.plans.context import EvalContext
+    from atlas_spark.sources.datapoints import DatapointSource
+    from atlas_spark.stacklang.vocab import parse as parse_asl
+    from atlas_spark.streaming.evaluator import StreamingEvaluator
+
+    step = 60
+    # regroup over an inner rename must fall back
+    sev_rg = StreamingEvaluator(
+        spark,
+        ":true,:sum,(,name,bucket,),:by,bucket,zone,:as,:sum,(,name,),:by",
+        step,
+        {"name": "k_name", "bucket": "k_bucket"},
+        num_buffers=2,
+    )
+    assert sev_rg.state_plan is None, "regroup over sub-plan :as must fall back"
+
+    # fold (across-lines :max) over an inner rename must fall back — and
+    # the buffered path must match batch
+    asl = ":true,:sum,(,name,),:by,name,who,:as,:max"
+    base = 1704067200
+    rows = [
+        {"k_name": n, "ts": pd.Timestamp(base + h * step + 5, unit="s"), "value": float(h + 1) * m}
+        for h in range(6)
+        for n, m in (("a", 1.0), ("b", 2.0))
+    ]
+    pdf = pd.DataFrame(rows)
+
+    sev = StreamingEvaluator(spark, asl, step, {"name": "k_name"}, num_buffers=2)
+    assert sev.state_plan is None, "fold over sub-plan :as must fall back"
+
+    d = str(tmp_path / "stream")
+    os.makedirs(d, exist_ok=True)
+    stream = (
+        spark.readStream.schema("k_name string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(d)
+    q = sev.start(stream)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    dp = spark.createDataFrame(pdf).select(
+        "k_name",
+        (F.unix_timestamp("ts") - F.unix_timestamp("ts") % step).cast("long").alias("t"),
+        "value",
+    )
+    src = DatapointSource(df=dp, step=step, colmap={"name": "k_name"}, sql_cte="")
+    ctx = EvalContext(base, base + 6 * step, step)
+    rf = Evaluator(src, ctx).eval(parse_asl(asl, step=step)[0])
+    truth = {r["t"]: r["value"] for r in rf.df.collect()}
+
+    assert sev.results, "no streaming results"
+    for r in sev.results:
+        assert r["t"] in truth and abs(r["value"] - truth[r["t"]]) < 1e-9, (
+            r,
+            truth.get(r["t"]),
+        )
+
+
 def test_as_inside_binary_branch_falls_back_to_buffered(spark, tmp_path):
     """`:as` inside a binary-op branch rewrites result tags BEFORE the
     reference's join-key matching; the state-store join cannot apply

@@ -193,6 +193,27 @@ def test_compact_batch_corrupt_payloads_degrade(spark):
     assert decode_compact_batch_payloads(df).count() >= 1
 
 
+def test_compact_batch_duplicate_tag_key_last_wins(spark):
+    """A record whose tag list repeats the same key index (corrupt or
+    adversarial) must NOT fail the micro-batch: under the default
+    spark.sql.mapKeyDedupPolicy=EXCEPTION a naive map_from_entries throws
+    DUPLICATE_MAP_KEY.  The decoder dedups entries last-write-wins per
+    key, matching the reference's Jackson decode semantics
+    (PublishPayloads.scala)."""
+    import json as _json
+
+    from atlas_spark.streaming.norm import decode_compact_batch_payloads
+
+    # table: ["name", "a", "b"]; one record, 2 tag pairs both keyed
+    # "name": (0->1) then (0->2) — last write ("b") must win
+    dup = _json.dumps([3, "name", "a", "b", 1, "-", 2, 0, 1, 0, 2, 5, 1.5])
+    df = spark.createDataFrame([(dup,)], "payload string")
+    rows = decode_compact_batch_payloads(df).collect()
+    assert len(rows) == 1
+    assert rows[0]["tags"] == {"name": "b"}
+    assert rows[0]["timestamp"] == 5 and rows[0]["value"] == 1.5
+
+
 def test_smile_shared_name_table_resets_at_1024():
     """Jackson clears the shared-name table at 1024 entries and restarts
     indices from 0; a >1024-name document must decode back refs against
