@@ -438,13 +438,31 @@ def ivf_topk(
 # a subquery, so both engines derive identical cells at every SF.
 CELL_OCCUPANCY = 4096
 
+# Cap on the self-scaled cell count.  The sampled-centroid argmin is an
+# interpreted higher-order-function fold (n_cells x dim per row — Catalyst
+# lambdas do not whole-stage-codegen), so assignment cost grows linearly
+# with n_cells while everything else in these pipelines is ~constant per
+# row.  Measured on the 4 M x 64-dim volume corpus (local[32], PERF.md
+# round 8): ~0.10 us per (row x cell), so 1024 cells ~ 6.6 ms/row-batch
+# core-cost and the argmin is already >90% of pipeline wall time — past
+# ~1k cells the deterministic variant stops being the right tool and the
+# ingest-time fitted-KMeans index (`ivf_build_index`, JVM-vectorized
+# Spark ML assignment + partition-pruned inverted lists) is the scale
+# path.  Above the cap, per-cell occupancy grows instead (the SemDeDup /
+# purity variants stay correct, just coarser), and the DuckDB oracle
+# computes the identical capped rule.
+N_CELLS_CAP = 1024
+
 
 def _auto_n_cells(n: int) -> int:
-    return max(16, n // CELL_OCCUPANCY)
+    return min(N_CELLS_CAP, max(16, n // CELL_OCCUPANCY))
 
 
 # SQL twin of `_auto_n_cells` (DuckDB `//` is integer division like Python)
-_AUTO_N_CELLS_SQL = f"(SELECT greatest(16, count(*) // {CELL_OCCUPANCY}) FROM embeddings)"
+_AUTO_N_CELLS_SQL = (
+    f"(SELECT least({N_CELLS_CAP}, greatest(16, count(*) // {CELL_OCCUPANCY}))"
+    " FROM embeddings)"
+)
 
 
 def _md5_plane_weight(i: int, p: int) -> float:
@@ -529,16 +547,20 @@ def lsh_bucketed_topk(
 def _sampled_centroids(emb: DataFrame, n_cells: int) -> dict:
     """First `n_cells` corpus vectors as centroids (the IVF-flat sampled
     training shortcut): a pure function of the data, so every engine
-    derives the identical cells.  Tiny driver collect (n_cells rows)."""
+    derives the identical cells.  Driver collect of `n_cells` rows —
+    ONLY for constant-size codebooks (the PQ code table, ncodes<=16);
+    corpus-scaled cell assignment goes through
+    `_assign_sampled_cells`, which never round-trips the centroids
+    through the driver."""
     return {
         r["vec_id"]: list(r["embedding"])
         for r in emb.filter(F.col("vec_id") < n_cells).collect()
     }
 
 
-def _assign_sampled_cells(emb: DataFrame, cents: dict) -> DataFrame:
+def _assign_sampled_cells(emb: DataFrame, n_cells: int) -> DataFrame:
     """Adds `cell` = argmin centroid (squared L2, ties to the lower cell
-    id).
+    id) against the first `n_cells` corpus vectors.
 
     The centroids ride in as BROADCAST DATA — a one-row frame holding
     the (cell, centroid) array, cross-joined in (BroadcastNestedLoopJoin
@@ -550,15 +572,29 @@ def _assign_sampled_cells(emb: DataFrame, cents: dict) -> DataFrame:
     codegen unit and a multi-MB plan shipped with every task.  Data
     scales; plans must not.
 
-    Row-local end to end: no shuffle, no groupBy — the per-row work is
-    still n_cells x dim fused multiply-adds in codegen, and the fold
-    order (cells ascending, elements left-to-right) is unchanged, so the
-    DuckDB oracles' doubles match bit-for-bit.
+    The carrier row itself is built JVM-side (filter + collect_list
+    aggregate over the n_cells centroid rows) — no driver collect, no
+    Python round-trip: at the 1 B-vector regime an uncapped cell count
+    would be a ~250 k-row collect and a ~125 MB driver literal; here the
+    centroid bytes only ever move executor->executor via the broadcast.
+    (`_auto_n_cells` caps the count at `N_CELLS_CAP` anyway — see the
+    measured crossover there.)
+
+    Row-local end to end: no shuffle beyond the broadcast — the per-row
+    work is n_cells x dim multiply-adds per row, and the fold order
+    (elements left-to-right; argmin via array_min over (d, cell) structs
+    is order-independent) is unchanged, so the DuckDB oracles' doubles
+    match bit-for-bit.
     """
-    spark = emb.sparkSession
-    cent_list = [(int(c), [float(x) for x in cents[c]]) for c in sorted(cents)]
-    cent_df = spark.createDataFrame(
-        [(cent_list,)], "_cents array<struct<cell:int, centroid:array<double>>>"
+    cent_df = (
+        emb.filter(F.col("vec_id") < n_cells)
+        .select(
+            F.struct(
+                F.col("vec_id").cast("int").alias("cell"),
+                F.col("embedding").cast("array<double>").alias("centroid"),
+            ).alias("c")
+        )
+        .agg(F.array_sort(F.collect_list("c")).alias("_cents"))
     )
     d2 = lambda vec, cent: F.aggregate(  # noqa: E731
         F.zip_with(vec, cent, lambda x, y: (x.cast("double") - y) ** 2),
@@ -609,19 +645,35 @@ def ivf_topk_deterministic(
     emb = load_embeddings(spark, sf_dir)
     if n_cells is None:
         n_cells = _auto_n_cells(emb.count())
-    cents = _sampled_centroids(emb, n_cells)
-    assigned = _assign_sampled_cells(emb, cents)
+    assigned = _assign_sampled_cells(emb, n_cells)
 
-    q_emb = cents.get(query_id) or list(
+    # query vector: one-row pushdown lookup (vec_id filter reaches the scan)
+    q_emb = list(
         emb.filter(F.col("vec_id") == query_id).head()["embedding"]
     )
-    qdists = sorted(
-        (sum((float(x) - float(y)) ** 2 for x, y in zip(q_emb, cents[c])), c)
-        for c in sorted(cents)
-    )
-    probe_cells = [c for _, c in qdists[:n_probe]]
-
     q_lit = F.array(*[F.lit(float(x)) for x in q_emb])
+    # probe selection runs AS A PLAN over the n_cells centroid rows and
+    # collects only the n_probe winners (TakeOrderedAndProject) — never
+    # the centroid table itself, which is corpus-scaled.  Same
+    # left-to-right double fold and (d, cell) tie-break as the oracle.
+    qd = (
+        emb.filter(F.col("vec_id") < n_cells)
+        .select(
+            F.col("vec_id").cast("int").alias("cell"),
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding"),
+                    q_lit,
+                    lambda x, y: (x.cast("double") - y) ** 2,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+        )
+        .orderBy("d", "cell")
+        .limit(n_probe)
+    )
+    probe_cells = [int(r["cell"]) for r in qd.collect()]
     sims = (
         assigned.filter(F.col("cell").isin(probe_cells))
         .filter(F.col("vec_id") != query_id)
@@ -733,7 +785,7 @@ def semantic_dedup(
     emb = load_embeddings(spark, sf_dir)
     if n_cells is None:
         n_cells = _auto_n_cells(emb.count())
-    assigned = _assign_sampled_cells(emb, _sampled_centroids(emb, n_cells))
+    assigned = _assign_sampled_cells(emb, n_cells)
     # norms once per VECTOR, not once per pair: the pair join multiplies
     # precomputed scalars (bit-identical to sqrt-per-pair — same fold,
     # same doubles — but ~3x less pair work)
@@ -1189,7 +1241,7 @@ def cluster_purity(
     from pyspark.sql.window import Window
 
     emb = load_embeddings(spark, sf_dir)
-    assigned = _assign_sampled_cells(emb, _sampled_centroids(emb, n_cells))
+    assigned = _assign_sampled_cells(emb, n_cells)
     by_label = assigned.groupBy("cell", "label").agg(
         F.count("*").alias("n")
     )

@@ -383,18 +383,34 @@ def test_minhash_recall_on_planted_dups(spark):
 def _assert_no_data_bnlj(plan: str) -> None:
     """Allow a BroadcastNestedLoopJoin ONLY when its build side is the
     single-row `_cents` centroid-carrier (the broadcast-data centroid
-    assignment, similarity.py): an IdentityBroadcastMode exchange over the
-    one-row `Scan ExistingRDD[_cents...]`.  Any other BNLJ is a data x data
-    all-pairs product and a scale-killer."""
+    assignment, similarity.py): an IdentityBroadcastMode exchange whose
+    input is the one-row `_cents` collect_list aggregate.  Any other BNLJ
+    is a data x data all-pairs product and a scale-killer."""
     n_bnlj = plan.count("BroadcastNestedLoopJoin")
     n_cents = len(
         re.findall(
             r"BroadcastExchange IdentityBroadcastMode[^\n]*\n"
-            r"[^\n]*Scan ExistingRDD\[_cents",
+            r"[^\n]*_cents",
             plan,
         )
     )
     assert n_bnlj == n_cents, plan
+
+
+def _assert_no_data_single_partition(plan: str) -> None:
+    """Allow an `Exchange SinglePartition` ONLY as the final step of the
+    `_cents` centroid-carrier aggregate (a partial collect_list runs
+    map-side, so only centroid-sized partial lists cross the exchange —
+    never corpus rows).  Any other single-partition exchange funnels data
+    through one task."""
+    n_sp = plan.count("Exchange SinglePartition")
+    n_cents = len(
+        re.findall(
+            r"output=\[_cents#\d+\]\)\n[^\n]*Exchange SinglePartition",
+            plan,
+        )
+    )
+    assert n_sp == n_cents, plan
 
 
 def test_semantic_dedup_joins_within_cells(spark, sf_dir, queries):
@@ -509,10 +525,11 @@ def test_cluster_purity_aggregate_sized_window(spark, sf_dir, queries):
     """Cluster purity: the argmax window runs over the (cell, label)
     AGGREGATE (n_cells x labels rows), never the raw corpus, and the
     rollups have map-side partials — no cartesian, no single-partition
-    funnel."""
+    funnel (the only permitted single-partition exchange is the
+    centroid-sized `_cents` carrier aggregate)."""
     plan = _plan(queries["op_cluster_purity"](spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
-    assert "Exchange SinglePartition" not in plan, plan
+    _assert_no_data_single_partition(plan)
     assert plan.count("HashAggregate") >= 2, plan
 
 

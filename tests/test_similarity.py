@@ -40,19 +40,21 @@ def test_sampled_cell_assignment_plan_size_invariant(spark, sf_dir):
     centroids arrive via a broadcast join."""
     from atlas_spark.operators.similarity import (
         _assign_sampled_cells,
-        _sampled_centroids,
         load_embeddings,
     )
 
     emb = load_embeddings(spark, sf_dir)
     p16 = _assign_sampled_cells(
-        emb, _sampled_centroids(emb, 16)
+        emb, 16
     )._jdf.queryExecution().executedPlan().toString()
     p128 = _assign_sampled_cells(
-        emb, _sampled_centroids(emb, 128)
+        emb, 128
     )._jdf.queryExecution().executedPlan().toString()
     assert len(p128) <= len(p16) * 1.2, (len(p16), len(p128))
     assert "Broadcast" in p16
+    # the carrier is built JVM-side: no createDataFrame round-trip, so no
+    # python-materialized ExistingRDD scan anywhere in the plan
+    assert "ExistingRDD" not in p16, p16
 
 
 def test_non64_dim_corpus_matches_oracles(spark, tmp_path):
