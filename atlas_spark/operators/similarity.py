@@ -392,8 +392,6 @@ def ivf_topk(
     """
     import os
 
-    import numpy as np
-
     path = ivf_build_index(spark, sf_dir, n_cells)
     assigned = spark.read.parquet(os.path.join(path, "assignments"))
     # query-vector lookup against the base table (vec_id pushdown), not the
@@ -405,11 +403,27 @@ def ivf_topk(
         .head()
     )
     q_emb = list(q_row["embedding"])
-    centers = spark.read.parquet(os.path.join(path, "centroids")).collect()
-
-    qv = np.array(q_emb, dtype=float)
-    dists = {r["cell"]: float(np.linalg.norm(qv - np.asarray(r["centroid"]))) for r in centers}
-    probe_cells = sorted(dists, key=lambda c: dists[c])[:n_probe]
+    q_arr = F.array(*[F.lit(float(x)) for x in q_emb])
+    # probe selection as a plan over the stored centroid table: only the
+    # n_probe winners cross to the driver (TakeOrderedAndProject), never
+    # the centroid table itself — same shape as ivf_topk_deterministic
+    probe_cells = [
+        int(r["cell"])
+        for r in spark.read.parquet(os.path.join(path, "centroids"))
+        .select(
+            "cell",
+            F.aggregate(
+                F.zip_with(
+                    F.col("centroid"), q_arr, lambda x, y: (x - y) ** 2
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+        )
+        .orderBy("d", "cell")
+        .limit(n_probe)
+        .collect()
+    ]
 
     cands = assigned.filter(F.col("cell").isin(probe_cells)).filter(
         F.col("vec_id") != query_id
@@ -442,10 +456,12 @@ CELL_OCCUPANCY = 4096
 # interpreted higher-order-function fold (n_cells x dim per row — Catalyst
 # lambdas do not whole-stage-codegen), so assignment cost grows linearly
 # with n_cells while everything else in these pipelines is ~constant per
-# row.  Measured on the 4 M x 64-dim volume corpus (local[32], PERF.md
-# round 8): ~0.10 us per (row x cell), so 1024 cells ~ 6.6 ms/row-batch
-# core-cost and the argmin is already >90% of pipeline wall time — past
-# ~1k cells the deterministic variant stops being the right tool and the
+# row.  Measured crossover (local[32], PERF.md round 8): ~11 us CORE time
+# per (row x cell) at dim=64 — 1 M x 244 cells = 84.9 s (round 7),
+# 4 M x 1024 cells = 1452 s (round 8), both ~the same per-row-cell rate —
+# so at the cap each row already costs ~11 ms core in argmin alone, 2-3
+# orders of magnitude above the scan+write cost per row.  Past ~1k cells
+# the deterministic variant stops being the right tool and the
 # ingest-time fitted-KMeans index (`ivf_build_index`, JVM-vectorized
 # Spark ML assignment + partition-pruned inverted lists) is the scale
 # path.  Above the cap, per-cell occupancy grows instead (the SemDeDup /
