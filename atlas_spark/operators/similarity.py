@@ -452,22 +452,25 @@ def ivf_topk(
 # a subquery, so both engines derive identical cells at every SF.
 CELL_OCCUPANCY = 4096
 
-# Cap on the self-scaled cell count.  The sampled-centroid argmin is an
-# interpreted higher-order-function fold (n_cells x dim per row — Catalyst
-# lambdas do not whole-stage-codegen), so assignment cost grows linearly
-# with n_cells while everything else in these pipelines is ~constant per
-# row.  Measured crossover (local[32], PERF.md round 8): ~11 us CORE time
-# per (row x cell) at dim=64 — 1 M x 244 cells = 84.9 s (round 7),
-# 4 M x 1024 cells = 1452 s (round 8), both ~the same per-row-cell rate —
-# so at the cap each row already costs ~11 ms core in argmin alone, 2-3
-# orders of magnitude above the scan+write cost per row.  Past ~1k cells
-# the deterministic variant stops being the right tool and the
-# ingest-time fitted-KMeans index (`ivf_build_index`, JVM-vectorized
-# Spark ML assignment + partition-pruned inverted lists) is the scale
-# path.  Above the cap, per-cell occupancy grows instead (the SemDeDup /
-# purity variants stay correct, just coarser), and the DuckDB oracle
-# computes the identical capped rule.
+# Cap on the self-scaled cell count.  Above the cap, per-cell occupancy
+# grows instead (the SemDeDup / purity variants stay correct, just
+# coarser), and the DuckDB oracle computes the identical capped rule.
+# Past ~1k cells the deterministic sampled-centroid variant stops being
+# the right tool regardless of kernel speed — the ingest-time
+# fitted-KMeans index (`ivf_build_index`, JVM-vectorized Spark ML
+# assignment + partition-pruned inverted lists) is the scale path, and
+# at 1 B vectors the uncapped rule would want ~250 k cells whose
+# centroid table no longer belongs in a task broadcast.
 N_CELLS_CAP = 1024
+
+# Dispatch threshold between the two bit-identical argmin kernels in
+# `_assign_sampled_cells`: at or below this the pure-Catalyst fold runs
+# (oracle-stable plan, pinned in test_plans); above it the Arrow
+# per-dim-accumulation kernel runs (same IEEE operation sequence, ~80x
+# the throughput — the Catalyst higher-order-function fold is
+# interpreted, ~11 us core per row x cell at dim=64; measured in PERF.md
+# rounds 7-8).
+_ARGMIN_ARROW_THRESHOLD = 32
 
 
 def _auto_n_cells(n: int) -> int:
@@ -574,6 +577,68 @@ def _sampled_centroids(emb: DataFrame, n_cells: int) -> dict:
     }
 
 
+def _assign_sampled_cells_arrow(emb: DataFrame, n_cells: int) -> DataFrame:
+    """Arrow-batched twin of the Catalyst argmin in
+    `_assign_sampled_cells` — BIT-IDENTICAL by construction, ~80x the
+    throughput at large cell counts.
+
+    The Catalyst fold computes, per (row, centroid), a strict
+    left-to-right accumulation acc = acc + (x_d - c_d)^2 over dims in
+    IEEE double; `array_min` over (d, cell) structs breaks ties to the
+    lower cell id.  This kernel performs the SAME operation sequence
+    with one vectorized numpy op per dim (each element-wise op rounds to
+    double exactly like the scalar), and `argmin` returns the first
+    minimum = the lowest cell id (centroids sorted by cell).  No
+    algebraic rewrite (no ||x||^2 - 2x.c + ||c||^2 GEMM — that changes
+    rounding and could flip near-ties vs the DuckDB oracles).
+
+    The centroid fetch is a `collect()` of at most `N_CELLS_CAP` rows
+    (bounded by `_auto_n_cells`), the same constant-size-codebook shape
+    as `_sampled_centroids`; the rows ship to executors inside the
+    serialized function closure, and the per-row work is row-local
+    (mapInPandas — no shuffle, no join).  Catalyst lambdas do not
+    whole-stage-codegen, so the interpreted fold costs ~11 us core per
+    (row x cell) at dim=64 (PERF.md rounds 7-8); this kernel replaces it
+    above `_ARGMIN_ARROW_THRESHOLD` cells.
+    """
+    import numpy as np
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    cents = (
+        emb.filter(F.col("vec_id") < n_cells)
+        .select(
+            F.col("vec_id").cast("int").alias("cell"),
+            F.col("embedding").cast("array<double>").alias("centroid"),
+        )
+        .collect()
+    )
+    cents.sort(key=lambda r: r["cell"])
+    cent_mat = np.array([r["centroid"] for r in cents], dtype=np.float64)
+    cell_ids = np.array([r["cell"] for r in cents], dtype=np.int64)
+    dim = cent_mat.shape[1]
+
+    out_schema = StructType(
+        list(emb.schema.fields) + [StructField("cell", IntegerType(), False)]
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array(
+                [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
+            )
+            acc = np.zeros((len(pdf), len(cell_ids)))
+            for d in range(dim):
+                diff = x[:, d : d + 1] - cent_mat[None, :, d]
+                acc += diff * diff
+            pdf = pdf.copy()
+            pdf["cell"] = cell_ids[acc.argmin(axis=1)].astype(np.int32)
+            yield pdf
+
+    return emb.mapInPandas(assign, out_schema)
+
+
 def _assign_sampled_cells(emb: DataFrame, n_cells: int) -> DataFrame:
     """Adds `cell` = argmin centroid (squared L2, ties to the lower cell
     id) against the first `n_cells` corpus vectors.
@@ -601,7 +666,14 @@ def _assign_sampled_cells(emb: DataFrame, n_cells: int) -> DataFrame:
     (elements left-to-right; argmin via array_min over (d, cell) structs
     is order-independent) is unchanged, so the DuckDB oracles' doubles
     match bit-for-bit.
+
+    Above `_ARGMIN_ARROW_THRESHOLD` cells the bit-identical Arrow kernel
+    (`_assign_sampled_cells_arrow`) runs instead — the Catalyst
+    higher-order-function fold is interpreted and its per-(row x cell)
+    cost dominates the pipeline at self-scaled cell counts.
     """
+    if n_cells > _ARGMIN_ARROW_THRESHOLD:
+        return _assign_sampled_cells_arrow(emb, n_cells)
     cent_df = (
         emb.filter(F.col("vec_id") < n_cells)
         .select(

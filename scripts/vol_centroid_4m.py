@@ -64,3 +64,9 @@ print(
 plan = assigned._jdf.queryExecution().executedPlan().toString()
 print("ExistingRDD in plan:", "ExistingRDD" in plan, flush=True)
 print("plan chars:", len(plan), flush=True)
+
+# cellsum from the round-8 Catalyst-fold run of this exact corpus — the
+# Arrow kernel must reproduce it bit-identically (same IEEE op sequence)
+CATALYST_CELLSUM = 2129410258
+assert res["cellsum"] == CATALYST_CELLSUM, (res["cellsum"], CATALYST_CELLSUM)
+print("cellsum matches catalyst-fold reference", flush=True)

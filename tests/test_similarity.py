@@ -47,14 +47,55 @@ def test_sampled_cell_assignment_plan_size_invariant(spark, sf_dir):
     p16 = _assign_sampled_cells(
         emb, 16
     )._jdf.queryExecution().executedPlan().toString()
-    p128 = _assign_sampled_cells(
-        emb, 128
+    p32 = _assign_sampled_cells(
+        emb, 32
     )._jdf.queryExecution().executedPlan().toString()
-    assert len(p128) <= len(p16) * 1.2, (len(p16), len(p128))
+    assert len(p32) <= len(p16) * 1.2, (len(p16), len(p32))
     assert "Broadcast" in p16
     # the carrier is built JVM-side: no createDataFrame round-trip, so no
     # python-materialized ExistingRDD scan anywhere in the plan
     assert "ExistingRDD" not in p16, p16
+    # above the dispatch threshold the Arrow kernel runs: row-local
+    # mapInPandas, no exchange/join of any kind in the plan
+    p128 = _assign_sampled_cells(
+        emb, 128
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in p128, p128
+    assert "Exchange" not in p128 and "Join" not in p128, p128
+
+
+def test_sampled_cell_assignment_kernels_bit_identical(spark, sf_dir):
+    """The Arrow argmin kernel performs the same IEEE operation sequence
+    as the Catalyst fold (per-dim subtract/square/accumulate in double,
+    first-minimum tie-break), so cell assignments must agree EXACTLY —
+    any drift here silently shifts every within-cell operator
+    (semantic_dedup / knn_join / cluster_purity) off its DuckDB oracle
+    at self-scaled cell counts."""
+    import atlas_spark.operators.similarity as sim
+
+    emb = sim.load_embeddings(spark, sf_dir)
+    for n_cells in (64, 200):
+        orig = sim._ARGMIN_ARROW_THRESHOLD
+        sim._ARGMIN_ARROW_THRESHOLD = 1 << 30
+        try:
+            catalyst = {
+                r["vec_id"]: r["cell"]
+                for r in sim._assign_sampled_cells(emb, n_cells)
+                .select("vec_id", "cell")
+                .collect()
+            }
+        finally:
+            sim._ARGMIN_ARROW_THRESHOLD = orig
+        arrow = {
+            r["vec_id"]: r["cell"]
+            for r in sim._assign_sampled_cells_arrow(emb, n_cells)
+            .select("vec_id", "cell")
+            .collect()
+        }
+        assert catalyst == arrow, (
+            n_cells,
+            {k: (catalyst[k], arrow.get(k)) for k in catalyst if catalyst[k] != arrow.get(k)},
+        )
 
 
 def test_non64_dim_corpus_matches_oracles(spark, tmp_path):
