@@ -1,0 +1,466 @@
+"""HTTP serving layer over the Engine — reference atlas-webapi parity.
+
+Routes (GraphApi.scala:37-58, TagsApi.scala:52-61, ExprApi.scala:55-87,
+PublishApi.scala:50-60):
+
+  GET  /api/v1/graph            rendered graph; `format` picks the engine
+                                (png | csv | txt | json | std.json |
+                                v2.json | stats.json) with the reference
+                                content types (GraphEngine.contentType)
+  GET  /api/v2/fetch            SSE stream of chunked line data
+                                (FetchRequestSource.scala:160-162 framing:
+                                `data: {json}\\n\\n`)
+  GET  /api/v1/tags[/{key}]     tag discovery with paging; next-page token
+                                in the `x-nflx-atlas-next-offset` header
+                                (TagsApi.scala:131)
+  GET  /api/v1/expr             stack-language introspection; sub-paths
+       [/debug /normalize /complete /queries /strip]
+  POST /api/v1/publish          validate + spool; 200 all-accepted,
+       /api/v1/publish-fast     202 partial (type=partial FailureMessage),
+                                400 all-rejected/empty
+                                (LocalPublishActor.scala:52-64)
+
+Errors are DiagnosticMessage JSON `{"type": "error", "message": ...}`
+with status 400 for user errors (DiagnosticMessage.scala:55-58).
+
+Spark-first split: the REQUEST plane (parse, route, per-request publish
+validation) is driver-side Python, exactly the role the reference gives
+its pekko actors; the DATA plane stays distributed — graph/tags/fetch
+execute on the shared SparkSession (Spark sessions are thread-safe for
+concurrent actions, so the threading server maps requests onto
+concurrent Spark jobs; set `spark.scheduler.mode=FAIR` in production so
+a big render can't starve tag lookups), and accepted publish payloads
+are spooled one-JSON-per-line for the Structured Streaming bronze sink
+(`streaming/sink.publish_to_bronze`), which re-runs the SAME rule set
+as Column expressions at ingest scale.  The synchronous validation here
+is a driver-side twin of `streaming/validation.py` (parity-tested in
+tests/test_http_api.py) so clients get the reference's 200/202/400
+semantics without a per-request Spark job.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import threading
+import time
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, unquote, urlparse
+
+from .api import Engine
+
+OFFSET_HEADER = "x-nflx-atlas-next-offset"
+
+# ---------------------------------------------------------------------------
+# Driver-side validation twin of streaming/validation.py (same rules, same
+# messages, same first-failure short-circuit).  The Column versions use
+# array_min over the failing keys, so "first" means lexicographically
+# smallest failing key — mirrored here.
+
+_VALID_CHARS = re.compile(r"^[-._A-Za-z0-9^~]*$")
+_RESTRICTED_PREFIXES = ("atlas.", "nf.")
+_ALLOWED_RESERVED = {
+    "atlas.": ("aggr", "dstype", "offset", "legacy"),
+    "nf.": (
+        "account", "ami", "app", "asg", "cluster", "container", "country",
+        "country.rollup", "job", "node", "process", "region", "shard1",
+        "shard2", "stack", "subnet", "task", "vmtype", "zone",
+    ),
+}
+MAX_USER_TAGS = 20
+
+# PublishApi.scala:75-80 age gate; reference default maxDatapointAge.
+MAX_DATAPOINT_AGE_MS = 86_400_000
+
+
+def rejection_reason_py(tags: dict) -> str | None:
+    """First failing rule's reason, None when valid.
+
+    Must stay message-for-message identical to
+    `streaming.validation.rejection_reason` (parity-tested)."""
+    if "name" not in tags:
+        return "missing key 'name'"
+    bad = min((k for k in tags if not 2 <= len(k) <= 60), default=None)
+    if bad is not None:
+        return f"key length out of [2,60]: [{bad}]"
+    bad = min(
+        (
+            k
+            for k, v in tags.items()
+            if not (2 <= len(v) <= 255 if k == "name" else 1 <= len(v) <= 120)
+        ),
+        default=None,
+    )
+    if bad is not None:
+        return f"value length out of range: {bad} = [{tags[bad]}]"
+    bad = min((k for k in tags if not _VALID_CHARS.match(k)), default=None)
+    if bad is not None:
+        return f"invalid characters in key: [{bad}]"
+    bad = min((k for k, v in tags.items() if not _VALID_CHARS.match(v)), default=None)
+    if bad is not None:
+        return f"invalid characters in value: {bad} = [{tags[bad]}]"
+    n_user = sum(
+        1 for k in tags if not any(k.startswith(p) for p in _RESTRICTED_PREFIXES)
+    )
+    if n_user > MAX_USER_TAGS:
+        return f"too many user tags: {n_user} > {MAX_USER_TAGS}"
+    for prefix, allowed in _ALLOWED_RESERVED.items():
+        full = {prefix + a for a in allowed}
+        bad = min(
+            (k for k in tags if k.startswith(prefix) and k not in full),
+            default=None,
+        )
+        if bad is not None:
+            return f"invalid key for reserved prefix '{prefix}': {bad}"
+    return None
+
+
+def decode_publish_batch(payload: dict) -> list[tuple[dict, int, float]]:
+    """Request-plane decode of a publish payload: merge common tags with
+    per-metric tags (metric wins — norm.decode_publish_payloads parity)
+    and return (tags, timestamp_ms, value) tuples."""
+    common = payload.get("tags") or {}
+    out = []
+    for m in payload.get("metrics") or []:
+        tags = {**common, **(m.get("tags") or {})}
+        ts = m.get("timestamp", m.get("start"))
+        value = m.get("value", m.get("values"))
+        if isinstance(value, list):
+            value = value[0] if value else None
+        out.append((tags, ts, value))
+    return out
+
+
+def validate_batch(
+    datapoints: list[tuple[dict, int, float]],
+    now_ms: int | None = None,
+    max_age_ms: int = MAX_DATAPOINT_AGE_MS,
+) -> tuple[list, list[tuple[str, dict]]]:
+    """PublishApi.validate parity: age gate first, then the rule set.
+    Returns (valid, [(reason, tags), ...])."""
+    now = int(time.time() * 1000) if now_ms is None else now_ms
+    good, bad = [], []
+    for tags, ts, value in datapoints:
+        if ts is None:
+            bad.append(("missing timestamp", tags))
+            continue
+        diff = now - int(ts)
+        if diff > max_age_ms:
+            bad.append(
+                (
+                    f"data is too old: now = {now}, timestamp = {ts}, "
+                    f"{diff} > {max_age_ms}",
+                    tags,
+                )
+            )
+            continue
+        if diff < -max_age_ms:
+            bad.append((f"data is from future: now = {now}, timestamp = {ts}", tags))
+            continue
+        reason = rejection_reason_py(tags)
+        if reason is None:
+            good.append((tags, ts, value))
+        else:
+            bad.append((reason, tags))
+    return good, bad
+
+
+def failure_message(level: str, failures: list[tuple[str, dict]]) -> dict:
+    """PublishApi.FailureMessage: level, count, first-5 summaries."""
+    summary = [
+        f"{reason} (tags={json.dumps(tags, sort_keys=True, separators=(',', ':'))})"
+        for reason, tags in failures[:5]
+    ]
+    return {"type": level, "errorCount": len(failures), "message": summary}
+
+
+# ---------------------------------------------------------------------------
+
+
+def _parse_tag_query(q: str, step: int):
+    """TagsApi `q` param: a stack program that must leave exactly one
+    query on the stack (TagsApi.toDbRequest -> expectation of a single
+    TagQuery)."""
+    from .model import query as Qm
+    from .stacklang.interpreter import Context, split_and_trim
+    from .stacklang.vocab import default_interpreter
+
+    interp = default_interpreter(step)
+    ctx = Context(interp)
+    interp.execute_program(split_and_trim(q), ctx)
+    queries = [v for v in ctx.stack if isinstance(v, Qm.Query)]
+    if len(queries) != 1:
+        raise ValueError(f"expected a single query, found {len(queries)}")
+    return queries[0]
+
+
+_GRAPH_CONTENT_TYPES = {
+    "png": "image/png",
+    "csv": "text/csv",
+    "txt": "text/plain",
+    "json": "application/json",
+    "std.json": "application/json",
+    "v2.json": "application/json",
+    "stats.json": "application/json",
+}
+
+
+class AtlasHandler(BaseHTTPRequestHandler):
+    """One request-plane handler; Spark work happens via self.server.engine."""
+
+    protocol_version = "HTTP/1.1"
+    server_version = "atlas-spark"
+
+    # silence default stderr access log (opt back in via server.verbose)
+    def log_message(self, fmt, *args):
+        if getattr(self.server, "verbose", False):
+            super().log_message(fmt, *args)
+
+    # ------------------------------------------------------------- helpers
+
+    def _send(self, status: int, body: bytes, ctype: str, headers: dict | None = None):
+        self.send_response(status)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        for k, v in (headers or {}).items():
+            self.send_header(k, v)
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _json(self, status: int, obj, headers: dict | None = None):
+        self._send(
+            status,
+            json.dumps(obj).encode(),
+            "application/json",
+            headers,
+        )
+
+    def _error(self, status: int, message: str):
+        self._json(status, {"type": "error", "message": message})
+
+    # -------------------------------------------------------------- routes
+
+    def do_GET(self):  # noqa: N802 (stdlib API)
+        parsed = urlparse(self.path)
+        path = parsed.path.rstrip("/") or "/"
+        try:
+            if path == "/api/v1/graph":
+                return self._graph()
+            if path == "/api/v2/fetch":
+                return self._fetch_sse()
+            if path == "/api/v1/tags" or path.startswith("/api/v1/tags/"):
+                return self._tags(parsed)
+            if path.startswith("/api/v1/expr"):
+                return self._expr(parsed)
+            if path == "/healthcheck":
+                return self._send(200, b"ok", "text/plain")
+            return self._error(404, f"unknown path: {path}")
+        except (ValueError, KeyError, TypeError, NotImplementedError) as e:
+            return self._error(400, f"{type(e).__name__}: {e}")
+
+    def do_POST(self):  # noqa: N802
+        path = urlparse(self.path).path.rstrip("/")
+        try:
+            if path in ("/api/v1/publish", "/api/v1/publish-fast"):
+                return self._publish()
+            return self._error(404, f"unknown path: {path}")
+        except (ValueError, KeyError, TypeError) as e:
+            return self._error(400, f"{type(e).__name__}: {e}")
+
+    # --------------------------------------------------------------- graph
+
+    def _graph(self):
+        qs = parse_qs(urlparse(self.path).query)
+        fmt = qs.get("format", ["json"])[0]
+        ctype = _GRAPH_CONTENT_TYPES.get(fmt)
+        if ctype is None:
+            return self._error(400, f"unknown graph format {fmt!r}")
+        out = self.server.engine.render(self.path)
+        if isinstance(out, bytes):
+            body = out
+        elif isinstance(out, str):
+            body = out.encode()
+        else:
+            body = json.dumps(out).encode()
+        self._send(200, body, ctype)
+
+    # ----------------------------------------------------------- fetch SSE
+
+    def _fetch_sse(self):
+        # Body framed as `data: {json}\n\n` per message and terminated by
+        # connection close (reference uses chunked; close-delimited is the
+        # stdlib-friendly equivalent and legal for HTTP/1.1 responses).
+        self.send_response(200)
+        self.send_header("Content-Type", "text/event-stream")
+        self.send_header("Connection", "close")
+        self.end_headers()
+        for msg in self.server.engine.fetch_sse(self.path):
+            self.wfile.write(b"data: " + json.dumps(msg).encode() + b"\n\n")
+            self.wfile.flush()
+        self.close_connection = True
+
+    # ---------------------------------------------------------------- tags
+
+    def _tags(self, parsed):
+        qs = parse_qs(parsed.query)
+        key = None
+        rest = parsed.path.rstrip("/")[len("/api/v1/tags") :]
+        if rest.startswith("/"):
+            key = unquote(rest[1:])
+        q = qs.get("q", [None])[0]
+        query = None
+        if q:
+            query = _parse_tag_query(q, self.server.engine.source.step)
+        fmt = qs.get("format", ["json"])[0]
+        verbose = qs.get("verbose", ["0"])[0] == "1" or key == ""
+        offset = qs.get("offset", [""])[0]
+        limit = int(qs.get("limit", ["1000"])[0])
+        eng: Engine = self.server.engine
+        rows = eng.tags(
+            q=query, key=key or None, offset=offset, limit=limit, verbose=verbose
+        ).collect()
+        next_off = Engine.tags_next_offset(rows, limit, verbose=verbose)
+        headers = {OFFSET_HEADER: next_off} if next_off else {}
+        if verbose:
+            data = [
+                {"key": r["key"], "value": r["value"], "count": r["count"]}
+                for r in rows
+            ]
+            text = "\n".join(f"{r['key']}\t{r['value']}\t{r['count']}" for r in rows)
+        else:
+            col = "value" if key else "key"
+            data = [r[col] for r in rows]
+            text = "\n".join(data)
+        if fmt == "txt":
+            return self._send(200, text.encode(), "text/plain", headers)
+        return self._json(200, data, headers)
+
+    # ---------------------------------------------------------------- expr
+
+    def _expr(self, parsed):
+        qs = parse_qs(parsed.query)
+        q = qs.get("q", [None])[0]
+        if q is None:
+            return self._error(400, "missing q parameter")
+        sub = parsed.path.rstrip("/")[len("/api/v1/expr") :].lstrip("/")
+        eng: Engine = self.server.engine
+        if sub in ("", "debug"):
+            return self._json(200, eng.debug(q))
+        if sub == "normalize":
+            return self._json(200, eng.normalize(q))
+        if sub == "queries":
+            return self._json(200, eng.queries(q))
+        if sub == "complete":
+            return self._json(200, eng.complete(q))
+        if sub == "strip":
+            keys = set(qs.get("k", []))
+            return self._json(200, eng.strip(q, keys))
+        return self._error(404, f"unknown expr endpoint: {sub}")
+
+    # ------------------------------------------------------------- publish
+
+    def _publish(self):
+        length = int(self.headers.get("Content-Length") or 0)
+        raw = self.rfile.read(length) if length else b""
+        if not raw:
+            return self._error(400, "empty payload")
+        try:
+            payload = json.loads(raw)
+        except ValueError:
+            return self._error(400, "invalid json payload")
+        datapoints = decode_publish_batch(payload)
+        if not datapoints:
+            return self._error(400, "empty payload")
+        good, bad = validate_batch(datapoints)
+        if good and self.server.spool_dir:
+            self._spool(good)
+        if not bad:
+            return self._send(200, b"", "application/json")
+        level = "error" if not good else "partial"
+        status = 400 if not good else 202
+        return self._json(status, failure_message(level, bad))
+
+    def _spool(self, datapoints):
+        """Durable handoff to the data plane: one single-line publish
+        payload per request, atomically renamed into the spool dir the
+        bronze sink watches (readStream.text -> publish_to_bronze)."""
+        spool = self.server.spool_dir
+        line = json.dumps(
+            {
+                "tags": {},
+                "metrics": [
+                    {"tags": tags, "timestamp": ts, "value": value}
+                    for tags, ts, value in datapoints
+                ],
+            },
+            separators=(",", ":"),
+        )
+        name = f"{int(time.time() * 1000)}-{uuid.uuid4().hex}.json"
+        tmp = os.path.join(spool, f".{name}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(line + "\n")
+        os.rename(tmp, os.path.join(spool, name))
+
+
+def serve(
+    engine: Engine,
+    port: int = 7101,
+    spool_dir: str | None = None,
+    verbose: bool = False,
+) -> ThreadingHTTPServer:
+    """Bind the API server (reference default port 7101, ApiSettings.port);
+    returns the server — call serve_forever() (or use start() for a
+    daemon thread)."""
+    if spool_dir:
+        os.makedirs(spool_dir, exist_ok=True)
+    srv = ThreadingHTTPServer(("127.0.0.1", port), AtlasHandler)
+    srv.engine = engine
+    srv.spool_dir = spool_dir
+    srv.verbose = verbose
+    return srv
+
+
+def start(
+    engine: Engine,
+    port: int = 0,
+    spool_dir: str | None = None,
+) -> tuple[ThreadingHTTPServer, threading.Thread]:
+    """serve() on a daemon thread; port=0 picks a free port
+    (server_address[1] has the bound port)."""
+    srv = serve(engine, port=port, spool_dir=spool_dir)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv, t
+
+
+def main(argv=None):
+    import argparse
+
+    from pyspark.sql import SparkSession
+
+    ap = argparse.ArgumentParser(description="atlas_spark HTTP API server")
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
+    ap.add_argument("--port", type=int, default=7101)
+    ap.add_argument("--spool-dir", default=None)
+    ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    args = ap.parse_args(argv)
+
+    from .session import configure_existing
+
+    spark = (
+        SparkSession.builder.master(f"local[{args.cpus}]")
+        .config("spark.ui.enabled", "false")
+        .config("spark.scheduler.mode", "FAIR")
+        .getOrCreate()
+    )
+    configure_existing(spark)
+    spark.sparkContext.setLogLevel("ERROR")
+    srv = serve(Engine(spark, args.sf_dir), port=args.port, spool_dir=args.spool_dir, verbose=True)
+    print(f"atlas_spark api on http://127.0.0.1:{srv.server_address[1]}")
+    srv.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

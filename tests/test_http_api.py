@@ -1,0 +1,288 @@
+"""HTTP serving layer tests (atlas_spark/http_api.py vs the reference's
+atlas-webapi routes: GraphApi, TagsApi, ExprApi, PublishApi)."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import urllib.request
+from urllib.error import HTTPError
+
+import pytest
+import pyspark.sql.functions as F
+
+from atlas_spark.api import Engine
+from atlas_spark import http_api
+from atlas_spark.streaming.validation import rejection_reason
+
+
+@pytest.fixture(scope="module")
+def served(spark, sf_dir, tmp_path_factory):
+    spool = str(tmp_path_factory.mktemp("spool"))
+    engine = Engine(spark, sf_dir)
+    srv, thread = http_api.start(engine, port=0, spool_dir=spool)
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    yield base, engine, spool
+    srv.shutdown()
+
+
+def _get(url: str):
+    with urllib.request.urlopen(url) as resp:
+        return resp.status, dict(resp.headers), resp.read()
+
+
+def _post(url: str, body: bytes):
+    req = urllib.request.Request(url, data=body, method="POST")
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, resp.read()
+    except HTTPError as e:
+        return e.code, e.read()
+
+
+GRAPH_Q = "q=name,click,:eq,:sum&s=2024-01-02&e=2024-01-03"
+
+
+def test_graph_png(served):
+    base, _, _ = served
+    status, headers, body = _get(f"{base}/api/v1/graph?{GRAPH_Q}&format=png")
+    assert status == 200
+    assert headers["Content-Type"] == "image/png"
+    assert body[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_graph_json_matches_engine(served):
+    base, engine, _ = served
+    status, headers, body = _get(f"{base}/api/v1/graph?{GRAPH_Q}")
+    assert status == 200
+    assert headers["Content-Type"] == "application/json"
+    assert json.loads(body) == json.loads(
+        json.dumps(engine.render(f"/api/v1/graph?{GRAPH_Q}"))
+    )
+
+
+def test_graph_csv_content_type(served):
+    base, engine, _ = served
+    status, headers, body = _get(f"{base}/api/v1/graph?{GRAPH_Q}&format=csv")
+    assert status == 200
+    assert headers["Content-Type"] == "text/csv"
+    assert body.decode() == engine.render(f"/api/v1/graph?{GRAPH_Q}&format=csv")
+
+
+def test_graph_bad_expr_is_diagnostic_message(served):
+    base, _, _ = served
+    req = urllib.request.Request(f"{base}/api/v1/graph?q=name,click,:eq,:bogusword")
+    with pytest.raises(HTTPError) as ei:
+        urllib.request.urlopen(req)
+    assert ei.value.code == 400
+    msg = json.loads(ei.value.read())
+    assert msg["type"] == "error"
+    assert "bogusword" in msg["message"]
+
+
+def test_unknown_path_404(served):
+    base, _, _ = served
+    req = urllib.request.Request(f"{base}/api/v1/nope")
+    with pytest.raises(HTTPError) as ei:
+        urllib.request.urlopen(req)
+    assert ei.value.code == 404
+
+
+# ------------------------------------------------------------------- tags
+
+
+def test_tags_keys(served):
+    base, engine, _ = served
+    status, headers, body = _get(f"{base}/api/v1/tags")
+    assert status == 200
+    keys = json.loads(body)
+    assert keys == sorted(engine.source.colmap)
+
+
+def test_tags_values_with_query_and_txt(served):
+    base, _, _ = served
+    status, headers, body = _get(
+        f"{base}/api/v1/tags/name?q=name,click,:eq&format=txt"
+    )
+    assert status == 200
+    assert headers["Content-Type"].startswith("text/plain")
+    assert body.decode() == "click"
+
+
+def test_tags_paging_offset_header(served):
+    base, _, _ = served
+    status, headers, body = _get(f"{base}/api/v1/tags/name?limit=2")
+    assert status == 200
+    page1 = json.loads(body)
+    assert len(page1) == 2
+    off = headers[http_api.OFFSET_HEADER]
+    assert off == page1[-1]
+    status, headers2, body2 = _get(f"{base}/api/v1/tags/name?limit=100&offset={off}")
+    page2 = json.loads(body2)
+    assert page1 + page2 == sorted(set(page1 + page2))
+    assert http_api.OFFSET_HEADER not in headers2
+
+
+def test_tags_verbose(served):
+    base, _, _ = served
+    status, _, body = _get(f"{base}/api/v1/tags?verbose=1&limit=5000")
+    rows = json.loads(body)
+    assert {"key", "value", "count"} == set(rows[0])
+    assert any(r["key"] == "name" and r["value"] == "click" for r in rows)
+
+
+# ------------------------------------------------------------------- expr
+
+
+def test_expr_debug_and_normalize(served):
+    base, _, _ = served
+    _, _, body = _get(f"{base}/api/v1/expr?q=name,click,:eq,:sum")
+    steps = json.loads(body)
+    assert steps and {"program", "context"} == set(steps[0])
+    _, _, body = _get(f"{base}/api/v1/expr/normalize?q=name,click,:eq,:sum")
+    assert json.loads(body) == ["name,click,:eq,:sum"]
+
+
+def test_expr_queries_and_strip(served):
+    base, _, _ = served
+    _, _, body = _get(
+        f"{base}/api/v1/expr/queries?q=name,click,:eq,:sum,name,view,:eq,:max"
+    )
+    assert json.loads(body) == ["name,click,:eq", "name,view,:eq"]
+    _, _, body = _get(f"{base}/api/v1/expr/strip?q=name,click,:eq,:sum&k=name")
+    assert json.loads(body) == [":true,:sum"]
+
+
+def test_expr_complete(served):
+    base, _, _ = served
+    _, _, body = _get(f"{base}/api/v1/expr/complete?q=name,click,:eq")
+    names = [c["name"] if isinstance(c, dict) else c for c in json.loads(body)]
+    assert "sum" in names or ":sum" in names
+
+
+def test_expr_missing_q_400(served):
+    base, _, _ = served
+    with pytest.raises(HTTPError) as ei:
+        urllib.request.urlopen(f"{base}/api/v1/expr/normalize")
+    assert ei.value.code == 400
+
+
+# -------------------------------------------------------------- fetch SSE
+
+
+def test_fetch_sse_framing_matches_engine(served):
+    base, engine, _ = served
+    uri = f"/api/v2/fetch?q=name,click,:eq,:sum&s=2024-01-02&e=2024-01-03"
+    with urllib.request.urlopen(base + uri) as resp:
+        assert resp.headers["Content-Type"] == "text/event-stream"
+        raw = resp.read().decode()
+    frames = [f for f in raw.split("\n\n") if f]
+    assert all(f.startswith("data: ") for f in frames)
+    msgs = [json.loads(f[len("data: ") :]) for f in frames]
+    direct = [json.loads(json.dumps(m)) for m in engine.fetch_sse(uri)]
+    assert msgs == direct
+    assert msgs[-1]["type"] == "close"
+
+
+# --------------------------------------------------------------- publish
+
+
+def _payload(metrics):
+    return json.dumps({"tags": {"app": "www"}, "metrics": metrics}).encode()
+
+
+def _metric(name="server.requests", ts=None, value=1.0, **extra_tags):
+    ts = int(time.time() * 1000) if ts is None else ts
+    return {"tags": {"name": name, **extra_tags}, "timestamp": ts, "value": value}
+
+
+def test_publish_ok_and_spool(served):
+    base, _, spool = served
+    before = set(os.listdir(spool))
+    status, body = _post(f"{base}/api/v1/publish", _payload([_metric()]))
+    assert status == 200
+    new = set(os.listdir(spool)) - before
+    assert len(new) == 1
+    line = json.loads(open(os.path.join(spool, new.pop())).read())
+    dp = line["metrics"][0]
+    # common tags merged in, ready for the bronze text-stream decode
+    assert dp["tags"]["app"] == "www" and dp["tags"]["name"] == "server.requests"
+
+
+def test_publish_partial_202(served):
+    base, _, spool = served
+    before = set(os.listdir(spool))
+    bad = _metric(name="server.requests")
+    bad["tags"]["x!"] = "boom"
+    status, body = _post(f"{base}/api/v1/publish", _payload([_metric(), bad]))
+    assert status == 202
+    msg = json.loads(body)
+    assert msg["type"] == "partial" and msg["errorCount"] == 1
+    assert "invalid characters in key" in msg["message"][0]
+    # valid half still spooled
+    assert len(set(os.listdir(spool)) - before) == 1
+
+
+def test_publish_all_rejected_400(served):
+    base, _, spool = served
+    before = set(os.listdir(spool))
+    status, body = _post(
+        f"{base}/api/v1/publish",
+        json.dumps({"metrics": [{"tags": {"no_name": "x"}, "timestamp": int(time.time() * 1000), "value": 1}]}).encode(),
+    )
+    assert status == 400
+    msg = json.loads(body)
+    assert msg["type"] == "error" and msg["errorCount"] == 1
+    assert set(os.listdir(spool)) == before
+
+
+def test_publish_empty_400(served):
+    base, _, _ = served
+    status, body = _post(f"{base}/api/v1/publish", b"")
+    assert status == 400
+    assert json.loads(body)["message"] == "empty payload"
+    status, _ = _post(f"{base}/api/v1/publish-fast", _payload([_metric()]))
+    assert status == 200
+
+
+def test_publish_age_gate(served):
+    base, _, _ = served
+    status, body = _post(
+        f"{base}/api/v1/publish", _payload([_metric(ts=1_000_000)])
+    )
+    assert status == 400
+    assert "data is too old" in json.loads(body)["message"][0]
+
+
+# ------------------------------------------------ validation twin parity
+
+
+CASES = [
+    {"name": "ok.metric", "app": "www"},
+    {"app": "www"},                                   # missing name
+    {"name": "ok", "k": "v"},                          # key length 1
+    {"name": "x"},                                     # name value too short
+    {"name": "ok.metric", "big": "v" * 121},           # other value too long
+    {"name": "ok.metric", "bad key": "v"},             # invalid key chars
+    {"name": "ok.metric", "k2": "bad value!"},         # invalid value chars
+    {"name": "ok.metric", **{f"k{i:02d}": "v" for i in range(21)}},  # >20 user
+    {"name": "ok.metric", "atlas.bogus": "v"},         # reserved atlas.*
+    {"name": "ok.metric", "nf.bogus": "v"},            # reserved nf.*
+    {"name": "ok.metric", "atlas.dstype": "rate", "nf.app": "www"},  # allowed
+    {"name": "a" * 255, "zz": "v" * 120},              # boundary lengths ok
+    {"name": "a" * 256},                               # name too long
+    {"aa": "v", "name": "ok.metric", "ab cd": "v", "a!a": "v"},  # min bad key
+]
+
+
+def test_rejection_reason_py_matches_column_rules(served, spark):
+    rows = [(json.dumps(t), t) for t in CASES]
+    df = spark.createDataFrame(
+        [(r[0],) for r in rows], "tags_json string"
+    ).select(F.from_json("tags_json", "map<string,string>").alias("tags"))
+    spark_reasons = [
+        r["reason"] for r in df.select(rejection_reason(F.col("tags")).alias("reason")).collect()
+    ]
+    py_reasons = [http_api.rejection_reason_py(t) for _, t in rows]
+    assert py_reasons == spark_reasons
