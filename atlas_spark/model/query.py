@@ -24,6 +24,12 @@ class Query:
     def matches(self, tags: dict[str, str]) -> bool:
         raise NotImplementedError
 
+    def could_match(self, tags: dict[str, str]) -> bool:
+        """Whether the query could match given only a PARTIAL tag map —
+        keys absent from `tags` are unconstrained (Query.scala:321-341,
+        466-501).  Used for cluster-scoped subscription routing."""
+        return self.matches(tags)
+
     def display(self) -> str:
         """Canonical ASL (RPN) string form."""
         raise NotImplementedError
@@ -77,11 +83,18 @@ class KeyQuery(Query):
 
     k: str
 
+    def could_match(self, tags):
+        return self.k not in tags or self.matches(tags)
+
 
 @dataclass(frozen=True)
 class HasKeyQuery(KeyQuery):
     def matches(self, tags):
         return self.k in tags
+
+    def could_match(self, tags):
+        # a partial map never disproves key presence (Query.scala:341)
+        return True
 
     def display(self):
         return f"{self.k},:has"
@@ -188,6 +201,9 @@ class AndQuery(Query):
     def matches(self, tags):
         return self.q1.matches(tags) and self.q2.matches(tags)
 
+    def could_match(self, tags):
+        return self.q1.could_match(tags) and self.q2.could_match(tags)
+
     def display(self):
         return f"{self.q1.display()},{self.q2.display()},:and"
 
@@ -200,6 +216,9 @@ class OrQuery(Query):
     def matches(self, tags):
         return self.q1.matches(tags) or self.q2.matches(tags)
 
+    def could_match(self, tags):
+        return self.q1.could_match(tags) or self.q2.could_match(tags)
+
     def display(self):
         return f"{self.q1.display()},{self.q2.display()},:or"
 
@@ -209,6 +228,11 @@ class NotQuery(Query):
     q: Query
 
     def matches(self, tags):
+        return not self.q.matches(tags)
+
+    def could_match(self, tags):
+        # deliberately `matches`, not `could_match` (Query.scala:501):
+        # Not(k,:has) over a map missing k must stay possible
         return not self.q.matches(tags)
 
     def display(self):
