@@ -66,12 +66,15 @@ _ALLOWED_RESERVED = {
     "nf.": (
         "account", "ami", "app", "asg", "cluster", "container", "country",
         "country.rollup", "job", "node", "process", "region", "shard1",
-        "shard2", "stack", "subnet", "task", "vmtype", "zone",
+        "shard2", "stack", "subnet", "task", "vmtype", "vpc", "zone",
     ),
 }
 MAX_USER_TAGS = 20
 
-# PublishApi.scala:75-80 age gate; reference default maxDatapointAge.
+# PublishApi.scala:75-80 age gate.  The reference default max-age is one
+# step interval (1 minute); 24h is a deliberate relaxation here because the
+# spool-based pipeline replays batches, so callers may override per-request
+# semantics via validate_batch(max_age_ms=...).
 MAX_DATAPOINT_AGE_MS = 86_400_000
 
 
@@ -254,6 +257,14 @@ class AtlasHandler(BaseHTTPRequestHandler):
                 return self._tags(parsed)
             if path.startswith("/api/v1/expr"):
                 return self._expr(parsed)
+            if path == "/lwc/api/v1/expressions" or path.startswith(
+                "/lwc/api/v1/expressions/"
+            ):
+                return self._lwc_expressions(path)
+            if path.startswith("/api/v2/subscribe/"):
+                return self._lwc_subscribe_sse(parsed)
+            if path == "/api/v1/streams" or path.startswith("/api/v1/streams/"):
+                return self._lwc_streams(path)
             if path == "/healthcheck":
                 return self._send(200, b"ok", "text/plain")
             return self._error(404, f"unknown path: {path}")
@@ -265,9 +276,23 @@ class AtlasHandler(BaseHTTPRequestHandler):
         try:
             if path in ("/api/v1/publish", "/api/v1/publish-fast"):
                 return self._publish()
+            if path == "/lwc/api/v1/evaluate":
+                return self._lwc_evaluate()
+            if path.startswith("/api/v2/subscribe/"):
+                return self._lwc_subscribe_post(path)
+            # Unconsumed body bytes would be parsed as the start of the next
+            # keep-alive request on this connection — drain before erroring.
+            self._drain_body()
             return self._error(404, f"unknown path: {path}")
         except (ValueError, KeyError, TypeError) as e:
             return self._error(400, f"{type(e).__name__}: {e}")
+
+    def _drain_body(self):
+        length = int(self.headers.get("Content-Length") or 0)
+        if length:
+            self.rfile.read(length)
+        else:
+            self.close_connection = True
 
     # --------------------------------------------------------------- graph
 
@@ -292,13 +317,33 @@ class AtlasHandler(BaseHTTPRequestHandler):
         # Body framed as `data: {json}\n\n` per message and terminated by
         # connection close (reference uses chunked; close-delimited is the
         # stdlib-friendly equivalent and legal for HTTP/1.1 responses).
+        #
+        # fetch_sse is a lazy generator, so request errors (missing q, bad
+        # expression) surface on FIRST iteration.  Pull the first message
+        # before committing the 200 status line so those become a clean 400
+        # DiagnosticMessage instead of a corrupted in-flight stream; errors
+        # after the first message can only be handled by closing the
+        # connection (the client sees a truncated stream, the SSE contract).
+        gen = self.server.engine.fetch_sse(self.path)
+        try:
+            first = next(gen, None)
+        except (ValueError, KeyError, TypeError, NotImplementedError) as e:
+            return self._error(400, f"{type(e).__name__}: {e}")
         self.send_response(200)
         self.send_header("Content-Type", "text/event-stream")
         self.send_header("Connection", "close")
         self.end_headers()
-        for msg in self.server.engine.fetch_sse(self.path):
-            self.wfile.write(b"data: " + json.dumps(msg).encode() + b"\n\n")
-            self.wfile.flush()
+        try:
+            if first is not None:
+                self.wfile.write(b"data: " + json.dumps(first).encode() + b"\n\n")
+                self.wfile.flush()
+                for msg in gen:
+                    self.wfile.write(b"data: " + json.dumps(msg).encode() + b"\n\n")
+                    self.wfile.flush()
+        except Exception:
+            # mid-stream failure: never write a second status line into the
+            # open 200 body — drop the connection instead.
+            pass
         self.close_connection = True
 
     # ---------------------------------------------------------------- tags
@@ -306,9 +351,11 @@ class AtlasHandler(BaseHTTPRequestHandler):
     def _tags(self, parsed):
         qs = parse_qs(parsed.query)
         key = None
-        rest = parsed.path.rstrip("/")[len("/api/v1/tags") :]
+        # Derive key from the UN-stripped path so a trailing-slash request
+        # (/api/v1/tags/) is distinguishable: empty key -> verbose listing.
+        rest = parsed.path[len("/api/v1/tags") :]
         if rest.startswith("/"):
-            key = unquote(rest[1:])
+            key = unquote(rest[1:].rstrip("/"))
         q = qs.get("q", [None])[0]
         query = None
         if q:
@@ -358,6 +405,144 @@ class AtlasHandler(BaseHTTPRequestHandler):
             keys = set(qs.get("k", []))
             return self._json(200, eng.strip(q, keys))
         return self._error(404, f"unknown expr endpoint: {sub}")
+
+    # ------------------------------------------------------ lwcapi routes
+    # Wire surface for the light-weight-client protocol
+    # (atlas-lwcapi): publishers fetch the expression list and POST
+    # evaluated data; consumers subscribe per stream id and receive the
+    # evaluated payloads.  Registry/routing in streaming/lwc_wire.py;
+    # SSE replaces the reference's WebSocket (SubscribeApi.scala) as the
+    # stdlib-friendly push channel.
+
+    def _lwc_expressions(self, path):
+        """ExpressionApi.scala:72-109: list all data-expression
+        subscriptions (optionally scoped to a cluster segment) with
+        ETag / If-None-Match caching."""
+        from .streaming import lwc_wire
+
+        rest = path[len("/lwc/api/v1/expressions") :].lstrip("/")
+        sm: lwc_wire.StreamSubscriptionManager = self.server.lwc
+        subs = (
+            sm.subscriptions_for_cluster(unquote(rest))
+            if rest
+            else sm.subscriptions()
+        )
+        body = json.dumps(
+            {"expressions": [s.metadata.to_json() for s in subs]},
+            separators=(",", ":"),
+        ).encode()
+        import hashlib
+
+        etag = '"' + hashlib.sha1(body).hexdigest()[:20] + '"'
+        if etag in (self.headers.get("If-None-Match") or ""):
+            return self._send(304, b"", "application/json", {"ETag": etag})
+        return self._send(200, body, "application/json", {"ETag": etag})
+
+    def _lwc_subscribe_post(self, path):
+        """Register/refresh the expression set for a stream (the message
+        the reference client sends over its WebSocket,
+        SubscribeApi.scala:191-231).  The resulting subscription-v2
+        messages are returned synchronously AND pushed onto the stream's
+        SSE channel."""
+        from .streaming import lwc_wire
+
+        stream_id = unquote(path[len("/api/v2/subscribe/") :])
+        length = int(self.headers.get("Content-Length") or 0)
+        raw = self.rfile.read(length) if length else b""
+        try:
+            payload = json.loads(raw) if raw else {}
+        except ValueError:
+            return self._error(400, "invalid json payload")
+        expressions = payload.get("expressions")
+        if not isinstance(expressions, list):
+            return self._error(400, "missing expressions array")
+        sm = self.server.lwc
+        step_ms = self.server.engine.source.step * 1000
+        messages = lwc_wire.subscribe_expressions(sm, stream_id, expressions, step_ms)
+        handler = sm.handler_for_stream(stream_id)
+        if handler is not None:
+            subs = [m for m in messages if m.get("type") == "subscription-v2"]
+            if subs:
+                handler.offer(subs)
+        return self._json(200, messages)
+
+    def _lwc_subscribe_sse(self, parsed):
+        """The push channel: register the stream and deliver queued
+        messages as SSE, with step-aligned heartbeats when idle
+        (SubscribeApi.scala:140-188; SSE in place of WebSocket)."""
+        from .streaming import lwc_wire
+
+        stream_id = unquote(parsed.path.rstrip("/")[len("/api/v2/subscribe/") :])
+        if not stream_id:
+            return self._error(400, "missing stream id")
+        qs = parse_qs(parsed.query)
+        hb_s = float(qs.get("heartbeat", ["5"])[0])
+        sm = self.server.lwc
+        meta = lwc_wire.StreamMetadata(stream_id, self.client_address[0])
+        handler = lwc_wire.QueueHandler(meta)
+        sm.register(meta, handler)
+        self.send_response(200)
+        self.send_header("Content-Type", "text/event-stream")
+        self.send_header("Connection", "close")
+        self.end_headers()
+
+        def emit(msg) -> None:
+            self.wfile.write(b"data: " + json.dumps(msg).encode() + b"\n\n")
+
+        try:
+            emit(
+                lwc_wire.diagnostic(
+                    "info", f"setup stream {stream_id} on atlas-spark"
+                )
+            )
+            self.wfile.flush()
+            while not handler.done:
+                msgs = handler.poll(timeout=hb_s)
+                if not msgs:
+                    steps = {
+                        s.metadata.frequency or 5000
+                        for s in sm.subscriptions_for_stream(stream_id)
+                    } or {5000}
+                    msgs = [lwc_wire.heartbeat(step) for step in sorted(steps)]
+                for m in msgs:
+                    emit(m)
+                self.wfile.flush()
+        except (BrokenPipeError, ConnectionResetError, OSError):
+            pass
+        finally:
+            if sm.handler_for_stream(stream_id) is handler:
+                sm.unregister(stream_id)
+        self.close_connection = True
+
+    def _lwc_evaluate(self):
+        """EvaluateApi.scala:45-83: accept evaluated datapoints from
+        publishers and route them to subscribed streams."""
+        from .streaming import lwc_wire
+
+        length = int(self.headers.get("Content-Length") or 0)
+        raw = self.rfile.read(length) if length else b""
+        try:
+            payload = json.loads(raw) if raw else {}
+        except ValueError:
+            return self._error(400, "invalid json payload")
+        if "timestamp" not in payload:
+            return self._error(400, "missing timestamp")
+        lwc_wire.evaluate(self.server.lwc, payload)
+        return self._send(200, b"", "application/json")
+
+    def _lwc_streams(self, path):
+        """StreamsApi.scala:30-50: stream metadata, 404 diagnostic for
+        unknown ids."""
+        rest = path[len("/api/v1/streams") :].lstrip("/")
+        sm = self.server.lwc
+        if not rest:
+            return self._json(200, [m.to_json() for m in sm.stream_summaries()])
+        summary = sm.stream_summary(unquote(rest))
+        if summary is None:
+            return self._json(
+                404, {"type": "info", "message": f"no stream with id: {rest}"}
+            )
+        return self._json(200, summary)
 
     # ------------------------------------------------------------- publish
 
@@ -415,10 +600,13 @@ def serve(
     daemon thread)."""
     if spool_dir:
         os.makedirs(spool_dir, exist_ok=True)
+    from .streaming.lwc_wire import StreamSubscriptionManager
+
     srv = ThreadingHTTPServer(("127.0.0.1", port), AtlasHandler)
     srv.engine = engine
     srv.spool_dir = spool_dir
     srv.verbose = verbose
+    srv.lwc = StreamSubscriptionManager(step=engine.source.step)
     return srv
 
 

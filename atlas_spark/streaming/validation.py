@@ -31,7 +31,7 @@ _ALLOWED_RESERVED = {
     "nf.": (
         "account", "ami", "app", "asg", "cluster", "container", "country",
         "country.rollup", "job", "node", "process", "region", "shard1",
-        "shard2", "stack", "subnet", "task", "vmtype", "zone",
+        "shard2", "stack", "subnet", "task", "vmtype", "vpc", "zone",
     ),
 }
 

@@ -185,6 +185,55 @@ def test_fetch_sse_framing_matches_engine(served):
     assert msgs[-1]["type"] == "close"
 
 
+def test_fetch_sse_bad_request_is_clean_400(served):
+    """fetch_sse is lazy; request errors must surface as a 400
+    DiagnosticMessage BEFORE any 200/SSE headers are committed."""
+    base, _, _ = served
+    for uri in ("/api/v2/fetch", "/api/v2/fetch?q=name,click,:eq,:bogusword"):
+        req = urllib.request.Request(base + uri)
+        with pytest.raises(HTTPError) as ei:
+            urllib.request.urlopen(req)
+        assert ei.value.code == 400
+        assert ei.value.headers["Content-Type"] == "application/json"
+        msg = json.loads(ei.value.read())
+        assert msg["type"] == "error"
+
+
+def test_post_unknown_path_keeps_connection_framing(served):
+    """A 404 on POST must drain the request body so a keep-alive
+    connection isn't corrupted; the next request on the same connection
+    must still parse."""
+    import http.client
+
+    base, _, _ = served
+    host = base[len("http://") :]
+    conn = http.client.HTTPConnection(host, timeout=10)
+    try:
+        body = json.dumps({"pad": "x" * 2048})
+        conn.request("POST", "/api/v1/nope", body=body)
+        resp = conn.getresponse()
+        assert resp.status == 404
+        resp.read()
+        # reuse the same socket: a clean second request proves the body
+        # bytes were not left in the stream
+        conn.request("GET", "/healthcheck")
+        resp2 = conn.getresponse()
+        assert resp2.status == 200
+        assert resp2.read() == b"ok"
+    finally:
+        conn.close()
+
+
+def test_tags_trailing_slash_is_verbose(served):
+    """/api/v1/tags/ (empty key segment) forces verbose key/value/count
+    rows like TagsApi's trailing-slash behavior."""
+    base, _, _ = served
+    status, headers, body = _get(f"{base}/api/v1/tags/")
+    assert status == 200
+    data = json.loads(body)
+    assert data and all(set(d) == {"key", "value", "count"} for d in data)
+
+
 # --------------------------------------------------------------- publish
 
 
@@ -270,6 +319,7 @@ CASES = [
     {"name": "ok.metric", "atlas.bogus": "v"},         # reserved atlas.*
     {"name": "ok.metric", "nf.bogus": "v"},            # reserved nf.*
     {"name": "ok.metric", "atlas.dstype": "rate", "nf.app": "www"},  # allowed
+    {"name": "ok.metric", "nf.vpc": "vpc-123"},    # nf.vpc allowed (ref conf)
     {"name": "a" * 255, "zz": "v" * 120},              # boundary lengths ok
     {"name": "a" * 256},                               # name too long
     {"aa": "v", "name": "ok.metric", "ab cd": "v", "a!a": "v"},  # min bad key
