@@ -243,6 +243,19 @@ class AtlasHandler(BaseHTTPRequestHandler):
     def _error(self, status: int, message: str):
         self._json(status, {"type": "error", "message": message})
 
+    def _set_pool(self, name: str) -> None:
+        """Tag this request thread's Spark jobs with a scheduler pool.
+        Requests run on per-connection threads, so the local property
+        scopes cleanly; under spark.scheduler.mode=FAIR (set by serve()'s
+        recommended config / main()) a long render job then round-robins
+        with tag lookups instead of starving them.  No-op under FIFO."""
+        try:
+            self.server.engine.spark.sparkContext.setLocalProperty(
+                "spark.scheduler.pool", name
+            )
+        except Exception:
+            pass
+
     # -------------------------------------------------------------- routes
 
     def do_GET(self):  # noqa: N802 (stdlib API)
@@ -250,10 +263,13 @@ class AtlasHandler(BaseHTTPRequestHandler):
         path = parsed.path.rstrip("/") or "/"
         try:
             if path == "/api/v1/graph":
+                self._set_pool("render")
                 return self._graph()
             if path == "/api/v2/fetch":
+                self._set_pool("render")
                 return self._fetch_sse()
             if path == "/api/v1/tags" or path.startswith("/api/v1/tags/"):
+                self._set_pool("interactive")
                 return self._tags(parsed)
             if path.startswith("/api/v1/expr"):
                 return self._expr(parsed)

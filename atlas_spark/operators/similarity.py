@@ -324,6 +324,12 @@ LIMIT {k}
 LSH_TOPK_SQL = _lsh_topk_sql()
 
 
+# Coarse-quantizer training-sample cap for ivf_build_index: far above any
+# test SF (so small corpora fit on every row, keeping oracle results
+# identical) and ~256 points/cell at the 1024-cell cap.
+IVF_FIT_SAMPLE_CAP = 262_144
+
+
 def _ivf_index_path(sf_dir: str, n_cells: int) -> str:
     import hashlib
     import os
@@ -354,8 +360,21 @@ def ivf_build_index(spark: SparkSession, sf_dir: str, n_cells: int = 16) -> str:
     vecs = emb.withColumn(
         "features", array_to_vector(F.col("embedding").cast("array<double>"))
     )
+    # Fit the coarse quantizer on a bounded deterministic sample (standard
+    # IVF practice: centroid quality needs ~100-1000 points per cell, not
+    # the corpus).  Below the cap the sample IS the corpus, so test-SF
+    # results are unchanged; above it the fit cost stays constant while
+    # assignment remains one JVM-vectorized pass over all rows — measured
+    # at 4M x 64-dim: full-corpus fit 810s vs sampled fit + full assign
+    # (scripts/vol_ivf_4m.py, PERF.md).
+    n = vecs.count()
+    train = (
+        vecs
+        if n <= IVF_FIT_SAMPLE_CAP
+        else vecs.sample(fraction=IVF_FIT_SAMPLE_CAP / n, seed=42)
+    )
     km = KMeans(k=n_cells, seed=42, initMode="k-means||", maxIter=10)
-    model = km.fit(vecs)
+    model = km.fit(train)
     assigned = (
         model.transform(vecs)
         .withColumnRenamed("prediction", "cell")

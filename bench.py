@@ -51,6 +51,28 @@ HEADLINE = [
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
+# Host-load defense (round-8 artifact: a loadavg-20 host inflated every
+# query a uniform ~30% with zero plan changes).  Before the timed runs,
+# wait — bounded — for the 1-min loadavg to drop below the threshold; if
+# it never does, raise the per-query pass count so min-of-n has more
+# chances to dodge contention, and mark the output host_busy so a
+# contaminated number is machine-detectable.
+QUIET_LOAD = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_LOAD", "8.0"))
+QUIET_WAIT_MAX = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_WAIT", "300"))
+BUSY_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_BUSY_RUNS", "5"))
+
+
+def _wait_for_quiet_host() -> tuple[float, bool]:
+    """Block until loadavg(1m) < QUIET_LOAD or QUIET_WAIT_MAX elapses;
+    returns (seconds waited, still_busy)."""
+    t0 = time.monotonic()
+    while True:
+        if os.getloadavg()[0] < QUIET_LOAD:
+            return round(time.monotonic() - t0, 1), False
+        if time.monotonic() - t0 >= QUIET_WAIT_MAX:
+            return round(time.monotonic() - t0, 1), True
+        time.sleep(5.0)
+
 
 def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_CPUS", CPUS)
@@ -63,23 +85,30 @@ def main() -> None:
     # warm the JVM + parquet footer caches with a trivial action
     spark.read.parquet(f"{SF_DIR}/events.parquet").count()
 
+    waited, host_busy = _wait_for_quiet_host()
+    runs = max(1, BUSY_RUNS if host_busy else RUNS)
+
     # min-of-n per query so a host-contention spike on one pass doesn't
     # contaminate the round's number (r2's 46s-vs-34s artifact)
     times: dict[str, float] = {}
+    load_at_min: dict[str, float] = {}
     errors: dict[str, str] = {}
     loadavg = []
-    for run in range(max(1, RUNS)):
+    for run in range(runs):
         loadavg.append(round(os.getloadavg()[0], 2))
         for name in HEADLINE:
             if name in errors:
                 continue
             fn = queries[name]
+            la = os.getloadavg()[0]
             t0 = time.perf_counter()
             try:
                 df = fn(spark, SF_DIR)
                 df.write.format("noop").mode("overwrite").save()
                 dt = round(time.perf_counter() - t0, 3)
-                times[name] = min(times.get(name, float("inf")), dt)
+                if dt < times.get(name, float("inf")):
+                    times[name] = dt
+                    load_at_min[name] = round(la, 2)
             except Exception as ex:  # one bad query must not kill the run
                 errors[name] = f"{type(ex).__name__}: {ex}"[:200]
                 times.pop(name, None)
@@ -91,8 +120,11 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else SF_DIR,
-        "runs": max(1, RUNS),
+        "runs": runs,
         "loadavg": loadavg,
+        "query_loadavg": load_at_min,
+        "host_busy": host_busy,
+        "quiet_wait_sec": waited,
     }
     if errors:
         out["errors"] = errors

@@ -224,6 +224,58 @@ def test_post_unknown_path_keeps_connection_framing(served):
         conn.close()
 
 
+def test_data_plane_concurrency_tags_not_serialized(served):
+    """A long graph render in flight must not serialize an /api/v1/tags
+    lookup (or a publish) behind it: the server threads map onto
+    concurrent Spark jobs (per-route scheduler pools under FAIR).  Bound:
+    tags + publish finish while the render is still running, and in a
+    small fraction of the render's wall clock."""
+    import threading
+
+    base, _, _ = served
+    # warm both paths so the measured latencies are execution, not plan
+    # compilation
+    heavy = (
+        f"{base}/api/v1/graph?q=name,:has,(,name,bucket,),:by,10,0.1,0.02,:des,"
+        f"name,:has,(,25,50,90,),:percentiles&s=2024-01-01&e=2024-01-07&format=json"
+    )
+    _get(heavy)
+    _get(f"{base}/api/v1/tags?verbose=1")
+
+    render_done = threading.Event()
+    render_t = {}
+
+    def render():
+        t0 = time.perf_counter()
+        _get(heavy)
+        render_t["sec"] = time.perf_counter() - t0
+        render_done.set()
+
+    t = threading.Thread(target=render)
+    t.start()
+    time.sleep(0.05)  # let the render job enter the scheduler first
+    t0 = time.perf_counter()
+    status, _, _ = _get(f"{base}/api/v1/tags?verbose=1")
+    tags_sec = time.perf_counter() - t0
+    assert status == 200
+    tags_finished_first = not render_done.is_set()
+    t1 = time.perf_counter()
+    status, _ = _post(f"{base}/api/v1/publish", _payload([_metric()]))
+    publish_sec = time.perf_counter() - t1
+    assert status == 200
+    t.join(timeout=60)
+    assert "sec" in render_t, "render never finished"
+    # the request plane must interleave: if tags/publish had been
+    # serialized behind the render they would take >= its remaining
+    # wall-clock; require they ran while it was still in flight (or the
+    # render was too fast for the race to mean anything)
+    assert tags_finished_first or render_t["sec"] < 0.5, (
+        f"tags waited out the render: tags={tags_sec:.2f}s "
+        f"render={render_t['sec']:.2f}s"
+    )
+    assert publish_sec < 2.0, f"publish serialized behind render: {publish_sec:.2f}s"
+
+
 def test_tags_trailing_slash_is_verbose(served):
     """/api/v1/tags/ (empty key segment) forces verbose key/value/count
     rows like TagsApi's trailing-slash behavior."""

@@ -137,6 +137,30 @@ def test_ivf_topk_has_no_fit_stage(spark, sf_dir, queries):
     assert "CartesianProduct" not in wrapped
 
 
+def test_ivf_probe_prunes_partitions(spark, sf_dir):
+    """The stored inverted lists are written partitionBy(cell); a probe's
+    candidate scan must carry PartitionFilters on `cell` (directory-level
+    pruning) rather than row-group filters over the corpus — the property
+    that makes the fitted index the 1B-vector path (reference role: the
+    index lookup in RoaringTagIndex.scala:259-281).  Volume row:
+    scripts/vol_ivf_4m.py."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from atlas_spark.operators.similarity import ivf_build_index
+
+    path = ivf_build_index(spark, sf_dir, n_cells=16)
+    assigned = spark.read.parquet(os.path.join(path, "assignments"))
+    cand = assigned.filter(F.col("cell").isin([0, 1, 2, 3]))
+    plan = _plan(cand)
+    assert "PartitionFilters" in plan
+    after = plan.split("PartitionFilters", 1)[1][:200]
+    assert "cell" in after and ("IN" in after or "INSET" in after)
+    # and no data filter over the full corpus for the cell predicate
+    assert "PushedFilters: [In(cell" not in plan
+
+
 def test_minhash_vocab_join_broadcasts(spark, sf_dir):
     """The md5-portable variant's shingle-vocabulary hash join (md5 once
     per distinct shingle) must broadcast the tiny vocab side at test
