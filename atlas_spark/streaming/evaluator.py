@@ -23,6 +23,7 @@ Spark, mirroring TimeGrouped's `droppedOld` behavior
 
 from __future__ import annotations
 
+import json
 import shutil
 import tempfile
 from dataclasses import dataclass
@@ -530,6 +531,8 @@ class StreamingEvaluator:
         self._buffer_rdd_id = None  # checkpoint RDD id of the live buffer
         self._t_max = None  # running max finalized interval (O(1) per batch)
         self.results: list[dict] = []
+        self._queries_live: list = []  # StreamingQuery handles for counters
+        self._ingest_obs: str | None = None  # observe() name of the guard
         self.intervals_seen: set[int] = set()
         self._tmp_dirs: list[str] = []
 
@@ -581,6 +584,7 @@ class StreamingEvaluator:
             filtered = stream.filter(query_to_column(query, src))
             for c in group_cols:
                 filtered = filtered.filter(F.col(c).isNotNull())
+        filtered = self._ingest_guard(filtered)
         return (
             filtered.withWatermark("ts", watermark)
             .groupBy(
@@ -594,6 +598,49 @@ class StreamingEvaluator:
                 "value",
             )
         )
+
+    def _ingest_guard(self, df: DataFrame) -> DataFrame:
+        """TimeGrouped ingest-observability parity
+        (TimeGrouped.scala:77-86,166-173): count what the subscription
+        receives and drop rows timestamped in the future (`t > now` ->
+        droppedFuture; one bogus far-future row would otherwise advance
+        the event-time watermark and make ALL honest traffic look late).
+        Rows behind the watermark are dropped by Spark itself and counted
+        from `numRowsDroppedByWatermark` (droppedOld) — both surfaced by
+        `drop_counters()`.  The observe() metrics are computed JVM-side
+        inside the existing stage (no extra stream or shuffle)."""
+        import uuid
+
+        self._ingest_obs = f"ingest_{uuid.uuid4().hex[:8]}"
+        future = F.col("ts") > F.current_timestamp()
+        return df.observe(
+            self._ingest_obs,
+            F.count(F.lit(1)).alias("received"),
+            F.count(F.when(future, 1)).alias("dropped_future"),
+        ).filter(~future)
+
+    def drop_counters(self) -> dict[str, int]:
+        """Per-subscription ingest counters: received / dropped_future
+        from the ingest guard's observed metrics, dropped_old from the
+        state operators' numRowsDroppedByWatermark — the reference's
+        droppedOld/droppedFuture/buffered counter row
+        (TimeGrouped.scala:77-86).  Sums recentProgress of every stage
+        query (Spark keeps the last ~100 progress events; for bounded
+        test/diagnostic windows that is the full history)."""
+        out = {"received": 0, "dropped_future": 0, "dropped_old": 0}
+        for q in self._queries_live:
+            for p in q.recentProgress:
+                prog = p if isinstance(p, dict) else json.loads(p.json)
+                om = prog.get("observedMetrics") or {}
+                row = om.get(self._ingest_obs)
+                if row:
+                    out["received"] += int(row.get("received") or 0)
+                    out["dropped_future"] += int(row.get("dropped_future") or 0)
+                for so in prog.get("stateOperators") or []:
+                    out["dropped_old"] += int(
+                        so.get("numRowsDroppedByWatermark") or 0
+                    )
+        return out
 
     def _start_state_store(self, stream: DataFrame, query_name: str):
         """N chained streaming stages with parquet spools between them
@@ -615,6 +662,7 @@ class StreamingEvaluator:
             .foreachBatch(self._collect_batch)
             .start()
         )
+        self._queries_live = queries
         return _ChainedQueries(queries, self._tmp_dirs)
 
     def _consolidate_stream(self, current: DataFrame, name: str, queries: list) -> DataFrame:
@@ -1094,13 +1142,15 @@ class StreamingEvaluator:
         on_batch = (
             self._on_batch_stateless if self.lookback <= 1 else self._on_batch
         )
-        return (
+        q = (
             self._windowed(stream, None)
             .writeStream.outputMode("append")
             .queryName(query_name)
             .foreachBatch(on_batch)
             .start()
         )
+        self._queries_live = [q]
+        return q
 
     # ------------------------------------------------------------ internals
 

@@ -123,6 +123,58 @@ def test_late_data_dropped(spark, stream_dirs):
     assert after[base] == finalized[base] == 1.0
     ts = [r["t"] for r in sev.results]
     assert len(ts) == len(set(ts))
+    # the drop is OBSERVABLE, not silent: TimeGrouped droppedOld parity
+    # counters (received / dropped_old / dropped_future) surface from the
+    # query's progress metrics
+    counters = sev.drop_counters()
+    assert counters["received"] == 7  # 5 + 2 rows reached the subscription
+    assert counters["dropped_old"] == 1  # the late hour-0 row
+    assert counters["dropped_future"] == 0
+
+
+def test_future_data_dropped_and_counted(spark, stream_dirs):
+    """A row timestamped in the future is dropped at ingest (TimeGrouped
+    droppedFuture) BEFORE it can advance the event-time watermark and
+    make honest traffic look late — and the drop is counted."""
+    import time as _time
+
+    import pandas as pd
+
+    d_in, d_ck = stream_dirs
+    base = 1704067200
+    mk = lambda ts_s, v: {"k_name": "a", "ts": pd.Timestamp(ts_s, unit="s"), "value": v}  # noqa: E731
+
+    sev = StreamingEvaluator(
+        spark, "name,a,:eq,:sum", STEP, {"name": "k_name"}, num_buffers=1
+    )
+    stream = (
+        spark.readStream.schema("k_name string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d_in)
+    )
+    # honest hours 0..2 plus a bogus row ten years in the future: without
+    # the guard the bogus row pushes the watermark past everything
+    far_future = int(_time.time()) + 10 * 365 * 86400
+    c1 = pd.DataFrame(
+        [mk(base + h * STEP + 60, 1.0) for h in range(3)] + [mk(far_future, 99.0)]
+    )
+    spark.createDataFrame(c1).coalesce(1).write.mode("append").parquet(d_in)
+    q = sev.start(stream, query_name="future_test")
+    try:
+        q.processAllAvailable()
+        # a later honest chunk still finalizes (watermark not poisoned)
+        c2 = pd.DataFrame([mk(base + h * STEP + 60, 1.0) for h in range(3, 5)])
+        spark.createDataFrame(c2).coalesce(1).write.mode("append").parquet(d_in)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    finalized = {r["t"]: r["value"] for r in sev.results}
+    assert base in finalized and base + STEP in finalized
+    assert far_future // STEP * STEP not in finalized
+    counters = sev.drop_counters()
+    assert counters["dropped_future"] == 1
+    assert counters["received"] == 6
+    assert counters["dropped_old"] == 0
 
 
 def _tags(d):
