@@ -243,12 +243,15 @@ class AtlasHandler(BaseHTTPRequestHandler):
     def _error(self, status: int, message: str):
         self._json(status, {"type": "error", "message": message})
 
-    def _set_pool(self, name: str) -> None:
+    def _set_pool(self, name: str | None) -> None:
         """Tag this request thread's Spark jobs with a scheduler pool.
         Requests run on per-connection threads, so the local property
         scopes cleanly; under spark.scheduler.mode=FAIR (set by serve()'s
         recommended config / main()) a long render job then round-robins
-        with tag lookups instead of starving them.  No-op under FIFO."""
+        with tag lookups instead of starving them.  No-op under FIFO.
+        Dispatch resets with None first: the thread-local otherwise
+        leaks the previous request's pool across a keep-alive
+        connection to routes that assign none."""
         try:
             self.server.engine.spark.sparkContext.setLocalProperty(
                 "spark.scheduler.pool", name
@@ -261,6 +264,7 @@ class AtlasHandler(BaseHTTPRequestHandler):
     def do_GET(self):  # noqa: N802 (stdlib API)
         parsed = urlparse(self.path)
         path = parsed.path.rstrip("/") or "/"
+        self._set_pool(None)  # clear pool inherited from a prior request
         try:
             if path == "/api/v1/graph":
                 self._set_pool("render")
@@ -289,6 +293,7 @@ class AtlasHandler(BaseHTTPRequestHandler):
 
     def do_POST(self):  # noqa: N802
         path = urlparse(self.path).path.rstrip("/")
+        self._set_pool(None)  # clear pool inherited from a prior request
         try:
             if path in ("/api/v1/publish", "/api/v1/publish-fast"):
                 return self._publish()
@@ -492,7 +497,9 @@ class AtlasHandler(BaseHTTPRequestHandler):
         if not stream_id:
             return self._error(400, "missing stream id")
         qs = parse_qs(parsed.query)
-        hb_s = float(qs.get("heartbeat", ["5"])[0])
+        # clamp: heartbeat<=0 would make poll() return immediately and
+        # turn the loop into a busy spin flooding heartbeat frames
+        hb_s = max(0.1, float(qs.get("heartbeat", ["5"])[0]))
         sm = self.server.lwc
         meta = lwc_wire.StreamMetadata(stream_id, self.client_address[0])
         handler = lwc_wire.QueueHandler(meta)
@@ -610,10 +617,13 @@ def serve(
     port: int = 7101,
     spool_dir: str | None = None,
     verbose: bool = False,
+    sub_ttl: float | None = None,
 ) -> ThreadingHTTPServer:
     """Bind the API server (reference default port 7101, ApiSettings.port);
     returns the server — call serve_forever() (or use start() for a
-    daemon thread)."""
+    daemon thread).  `sub_ttl` expires subscriptions not refreshed
+    within that many seconds (the reference's exprs-ttl,
+    ExpressionApi.scala:61)."""
     if spool_dir:
         os.makedirs(spool_dir, exist_ok=True)
     from .streaming.lwc_wire import StreamSubscriptionManager
@@ -622,7 +632,7 @@ def serve(
     srv.engine = engine
     srv.spool_dir = spool_dir
     srv.verbose = verbose
-    srv.lwc = StreamSubscriptionManager(step=engine.source.step)
+    srv.lwc = StreamSubscriptionManager(step=engine.source.step, sub_ttl=sub_ttl)
     return srv
 
 
@@ -630,10 +640,11 @@ def start(
     engine: Engine,
     port: int = 0,
     spool_dir: str | None = None,
+    sub_ttl: float | None = None,
 ) -> tuple[ThreadingHTTPServer, threading.Thread]:
     """serve() on a daemon thread; port=0 picks a free port
     (server_address[1] has the bound port)."""
-    srv = serve(engine, port=port, spool_dir=spool_dir)
+    srv = serve(engine, port=port, spool_dir=spool_dir, sub_ttl=sub_ttl)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     return srv, t

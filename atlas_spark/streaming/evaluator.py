@@ -532,7 +532,7 @@ class StreamingEvaluator:
         self._t_max = None  # running max finalized interval (O(1) per batch)
         self.results: list[dict] = []
         self._queries_live: list = []  # StreamingQuery handles for counters
-        self._ingest_obs: str | None = None  # observe() name of the guard
+        self._ingest_obs_names: set[str] = set()  # observe() names of guards
         self.intervals_seen: set[int] = set()
         self._tmp_dirs: list[str] = []
 
@@ -611,13 +611,16 @@ class StreamingEvaluator:
         inside the existing stage (no extra stream or shuffle)."""
         import uuid
 
-        self._ingest_obs = f"ingest_{uuid.uuid4().hex[:8]}"
-        future = F.col("ts") > F.current_timestamp()
+        name = f"ingest_{uuid.uuid4().hex[:8]}"
+        self._ingest_obs_names.add(name)  # one guard per join side / stage
+        null_ts = F.col("ts").isNull()
+        future = F.col("ts").isNotNull() & (F.col("ts") > F.current_timestamp())
         return df.observe(
-            self._ingest_obs,
+            name,
             F.count(F.lit(1)).alias("received"),
             F.count(F.when(future, 1)).alias("dropped_future"),
-        ).filter(~future)
+            F.count(F.when(null_ts, 1)).alias("dropped_null_ts"),
+        ).filter(~future & ~null_ts)
 
     def drop_counters(self) -> dict[str, int]:
         """Per-subscription ingest counters: received / dropped_future
@@ -627,15 +630,24 @@ class StreamingEvaluator:
         (TimeGrouped.scala:77-86).  Sums recentProgress of every stage
         query (Spark keeps the last ~100 progress events; for bounded
         test/diagnostic windows that is the full history)."""
-        out = {"received": 0, "dropped_future": 0, "dropped_old": 0}
+        out = {
+            "received": 0,
+            "dropped_future": 0,
+            "dropped_old": 0,
+            "dropped_null_ts": 0,
+        }
         for q in self._queries_live:
             for p in q.recentProgress:
                 prog = p if isinstance(p, dict) else json.loads(p.json)
                 om = prog.get("observedMetrics") or {}
-                row = om.get(self._ingest_obs)
-                if row:
-                    out["received"] += int(row.get("received") or 0)
-                    out["dropped_future"] += int(row.get("dropped_future") or 0)
+                for name, row in om.items():
+                    if name not in self._ingest_obs_names or not row:
+                        continue
+                    # recentProgress yields pyspark Row values here, not dicts
+                    vals = row.asDict() if hasattr(row, "asDict") else row
+                    out["received"] += int(vals.get("received") or 0)
+                    out["dropped_future"] += int(vals.get("dropped_future") or 0)
+                    out["dropped_null_ts"] += int(vals.get("dropped_null_ts") or 0)
                 for so in prog.get("stateOperators") or []:
                     out["dropped_old"] += int(
                         so.get("numRowsDroppedByWatermark") or 0

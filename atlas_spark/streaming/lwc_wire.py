@@ -35,19 +35,13 @@ for server-side evaluation; this layer is the client-facing protocol.
 
 from __future__ import annotations
 
-import hashlib
 import re
 import threading
 import time
 from collections import deque
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
-from .splitter import split
-
-
-def compute_id(expression: str, expr_type: str, frequency: int) -> str:
-    """ExpressionMetadata.computeId parity: sha1 of "freq~type~expr"."""
-    return hashlib.sha1(f"{frequency}~{expr_type}~{expression}".encode()).hexdigest()
+from .splitter import compute_id, split  # single id formula for both planes
 
 
 def parse_server_group(name: str) -> dict[str, str]:
@@ -189,12 +183,15 @@ class StreamSubscriptionManager:
     {stream_id -> (meta, handler, {sub_id -> WireSubscription})} and the
     routing map {sub_id -> {stream_id -> handler}}."""
 
-    def __init__(self, step: int = 60):
+    def __init__(self, step: int = 60, sub_ttl: float | None = None):
         self.step = step
+        self.sub_ttl = sub_ttl  # seconds; None = never expire (exprs-ttl)
         self._lock = threading.RLock()
         self._streams: dict[str, tuple[StreamMetadata, QueueHandler, dict]] = {}
         self._sub_handlers: dict[str, dict[str, QueueHandler]] = {}
         self._subs: dict[str, WireSubscription] = {}
+        self._sub_touched: dict[tuple[str, str], float] = {}  # (stream,sub)->t
+        self._counter_fns: dict[str, object] = {}  # stream -> ingest counters
         self.ignored_items = 0  # EvaluateApi ignoredCounter
 
     # ------------------------------------------------------------ streams
@@ -216,10 +213,12 @@ class StreamSubscriptionManager:
     def unregister(self, stream_id: str) -> QueueHandler | None:
         with self._lock:
             entry = self._streams.pop(stream_id, None)
+            self._counter_fns.pop(stream_id, None)
             if entry is None:
                 return None
             _, handler, subs = entry
             for sub_id in subs:
+                self._sub_touched.pop((stream_id, sub_id), None)
                 routes = self._sub_handlers.get(sub_id)
                 if routes:
                     routes.pop(stream_id, None)
@@ -227,6 +226,37 @@ class StreamSubscriptionManager:
                         del self._sub_handlers[sub_id]
                         self._subs.pop(sub_id, None)
             return handler
+
+    def attach_counters(self, stream_id: str, fn) -> None:
+        """Attach a server-side ingest-counter provider (e.g. a
+        StreamingEvaluator.drop_counters) for a stream whose
+        subscriptions the server evaluates itself; surfaced in
+        stream_summary the way the reference exposes its counters via
+        StreamsApi/StreamMetadata (StreamsApi.scala:30-50)."""
+        with self._lock:
+            if stream_id in self._streams:
+                self._counter_fns[stream_id] = fn
+
+    def _expire_stale(self) -> None:
+        """Drop subscriptions not refreshed within sub_ttl, mirroring the
+        reference's exprs-ttl expiry (ExpressionApi.scala:61,132-180;
+        splitter interner ExpressionSplitter.scala:58).  Caller holds
+        the lock."""
+        if self.sub_ttl is None:
+            return
+        cutoff = time.monotonic() - self.sub_ttl
+        stale = [k for k, t in self._sub_touched.items() if t < cutoff]
+        for stream_id, sub_id in stale:
+            self._sub_touched.pop((stream_id, sub_id), None)
+            entry = self._streams.get(stream_id)
+            if entry is not None:
+                entry[2].pop(sub_id, None)
+            routes = self._sub_handlers.get(sub_id)
+            if routes:
+                routes.pop(stream_id, None)
+                if not routes:
+                    del self._sub_handlers[sub_id]
+                    self._subs.pop(sub_id, None)
 
     def handler_for_stream(self, stream_id: str) -> QueueHandler | None:
         with self._lock:
@@ -239,17 +269,27 @@ class StreamSubscriptionManager:
 
     def stream_summary(self, stream_id: str) -> dict | None:
         with self._lock:
+            self._expire_stale()
             entry = self._streams.get(stream_id)
             if entry is None:
                 return None
             meta, _, subs = entry
-            return {
+            out = {
                 "metadata": meta.to_json(),
                 "subscriptions": sorted(
                     (s.metadata.to_json() for s in subs.values()),
                     key=lambda d: d["id"],
                 ),
             }
+            fn = self._counter_fns.get(stream_id)
+        if fn is not None:
+            # server-evaluated stream: surface the evaluator's ingest
+            # counters (received/droppedOld/droppedFuture — the
+            # TimeGrouped.scala:77-86 counter row) on the summary.
+            # Called outside the lock: drop_counters() walks Spark
+            # progress events and must not block the registry.
+            out["ingest"] = dict(fn())
+        return out
 
     # ------------------------------------------------------ subscriptions
 
@@ -264,8 +304,10 @@ class StreamSubscriptionManager:
                 raise ValueError(f"stream not registered: {stream_id}")
             _, handler, current = entry
             added = []
+            now = time.monotonic()
             for sub in subs:
                 sid = sub.metadata.id
+                self._sub_touched[(stream_id, sid)] = now  # refresh TTL
                 if sid not in current:
                     current[sid] = sub
                     self._subs[sid] = sub
@@ -280,6 +322,7 @@ class StreamSubscriptionManager:
                 return
             _, _, current = entry
             for sid in sub_ids:
+                self._sub_touched.pop((stream_id, sid), None)
                 if current.pop(sid, None) is not None:
                     routes = self._sub_handlers.get(sid)
                     if routes:
@@ -290,10 +333,12 @@ class StreamSubscriptionManager:
 
     def subscriptions(self) -> list[WireSubscription]:
         with self._lock:
+            self._expire_stale()
             return sorted(self._subs.values(), key=lambda s: s.metadata.id)
 
     def subscriptions_for_stream(self, stream_id: str) -> list[WireSubscription]:
         with self._lock:
+            self._expire_stale()
             entry = self._streams.get(stream_id)
             return sorted(entry[2].values(), key=lambda s: s.metadata.id) if entry else []
 

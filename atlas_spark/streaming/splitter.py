@@ -23,6 +23,14 @@ from ..stacklang.vocab import parse as parse_asl
 KEEP_KEYS = frozenset({"nf.app", "nf.cluster", "nf.shard1", "nf.shard2", "nf.stack"})
 
 
+def compute_id(expression: str, expr_type: str, frequency: int) -> str:
+    """ExpressionMetadata.computeId parity: sha1 of "freq~type~expr"
+    (ExpressionMetadata.scala:51-53).  The single id formula for BOTH
+    planes — data-plane Subscription and wire-plane ExpressionMetadata —
+    so ids are interoperable across request and data planes."""
+    return hashlib.sha1(f"{frequency}~{expr_type}~{expression}".encode()).hexdigest()
+
+
 @dataclass(frozen=True)
 class Subscription:
     """One data-expression subscription (Subscription + ExpressionMetadata)."""
@@ -35,7 +43,7 @@ class Subscription:
 
     @staticmethod
     def make(match_query: Q.Query, expr: str, expr_type: str, frequency: int) -> "Subscription":
-        sid = hashlib.sha1(f"{expr}|{expr_type}|{frequency}".encode()).hexdigest()[:16]
+        sid = compute_id(expr, expr_type, frequency)
         return Subscription(match_query, expr, expr_type, frequency, sid)
 
 

@@ -182,6 +182,72 @@ def test_heartbeat_is_step_aligned_and_delayed():
     assert hb["timestamp"] % hb["step"] == 0
 
 
+def test_data_and_wire_plane_ids_interoperate():
+    # splitter.Subscription and lwc_wire.ExpressionMetadata must derive
+    # the SAME id for the same data expression (the reference computeId
+    # formula), so publisher-fed and server-evaluated planes can route
+    # each other's payloads.
+    from atlas_spark.streaming.splitter import Subscription
+
+    expr = "name,cpu,:eq,:sum"
+    data_id = Subscription.make(None, expr, "TIME_SERIES", 60000).id
+    wire_id = lwc_wire.ExpressionMetadata.make(expr, "TIME_SERIES", 60000).id
+    assert data_id == wire_id == lwc_wire.compute_id(expr, "TIME_SERIES", 60000)
+
+
+def test_subscription_ttl_expires_unrefreshed():
+    """exprs-ttl parity (ExpressionApi.scala:61,132-180): a subscription
+    not refreshed within the TTL disappears from the expression list; a
+    refreshed one survives."""
+    import time as _time
+
+    sm = lwc_wire.StreamSubscriptionManager(step=60, sub_ttl=0.2)
+    meta = lwc_wire.StreamMetadata("s1")
+    sm.register(meta, lwc_wire.QueueHandler(meta))
+    msgs = lwc_wire.subscribe_expressions(
+        sm,
+        "s1",
+        [
+            {"expression": "name,cpu,:eq,:sum"},
+            {"expression": "name,disk,:eq,:max"},
+        ],
+        60000,
+    )
+    ids = sorted(m["subExprs"][0]["id"] for m in msgs)
+    assert len(ids) == 2
+    keep = next(
+        s for s in sm.subscriptions() if "cpu" in s.metadata.expression
+    )
+    _time.sleep(0.15)
+    sm.subscribe("s1", [keep])  # refresh only the cpu subscription
+    _time.sleep(0.15)  # disk now past TTL, cpu refreshed 0.15s ago
+    live = [s.metadata.id for s in sm.subscriptions()]
+    assert live == [keep.metadata.id]
+    assert sm.handlers_for_subscription(keep.metadata.id)
+    gone = next(i for i in ids if i != keep.metadata.id)
+    assert sm.handlers_for_subscription(gone) == []
+    summary = sm.stream_summary("s1")
+    assert [s["id"] for s in summary["subscriptions"]] == [keep.metadata.id]
+
+
+def test_attach_counters_surface_in_summary():
+    sm, _ = _sm_with_stream()
+    sm.attach_counters(
+        "s1", lambda: {"received": 6, "dropped_future": 1, "dropped_old": 0}
+    )
+    summary = sm.stream_summary("s1")
+    assert summary["ingest"] == {
+        "received": 6,
+        "dropped_future": 1,
+        "dropped_old": 0,
+    }
+    # unknown stream: attach is a no-op, summary untouched elsewhere
+    sm.attach_counters("ghost", lambda: {"received": 1})
+    assert sm.stream_summary("ghost") is None
+    sm.unregister("s1")
+    assert sm.stream_summary("s1") is None
+
+
 # ------------------------------------------------------------ live server
 
 
@@ -364,3 +430,46 @@ def test_lwc_evaluate_requires_timestamp(served):
     status, body = _post(f"{base}/lwc/api/v1/evaluate", {"metrics": []})
     assert status == 400
     assert "timestamp" in json.loads(body)["message"]
+
+
+def test_lwc_streams_summary_ingest_counters(served):
+    """A server-evaluated stream's ingest counters (the TimeGrouped
+    droppedOld/droppedFuture row) surface on /api/v1/streams/{id}."""
+    base, srv = served
+    sse = SseClient(f"{base}/api/v2/subscribe/ctrs?heartbeat=0.2")
+    try:
+        sse.next(want_type="info")
+        srv.lwc.attach_counters(
+            "ctrs",
+            lambda: {"received": 6, "dropped_future": 1, "dropped_old": 2},
+        )
+        status, _, body = _get(f"{base}/api/v1/streams/ctrs")
+        assert status == 200
+        summary = json.loads(body)
+        assert summary["ingest"] == {
+            "received": 6,
+            "dropped_future": 1,
+            "dropped_old": 2,
+        }
+    finally:
+        sse.close()
+
+
+def test_lwc_subscribe_heartbeat_clamped(served):
+    """heartbeat=0 must not busy-spin: the poll timeout is clamped, so
+    an idle ~0.5 s window carries a bounded number of heartbeat frames
+    (unclamped it would flood hundreds)."""
+    import time as _time
+
+    base, _ = served
+    sse = SseClient(f"{base}/api/v2/subscribe/hb0?heartbeat=0")
+    try:
+        sse.next(want_type="info")
+        _time.sleep(0.5)
+        n = 0
+        while not sse.messages.empty():
+            if sse.messages.get_nowait().get("type") == "heartbeat":
+                n += 1
+        assert 1 <= n <= 10  # clamped to >=0.1s -> at most ~5-6 frames
+    finally:
+        sse.close()

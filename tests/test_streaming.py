@@ -175,6 +175,17 @@ def test_future_data_dropped_and_counted(spark, stream_dirs):
     assert counters["dropped_future"] == 1
     assert counters["received"] == 6
     assert counters["dropped_old"] == 0
+    # the counters surface on the streams API summary for a
+    # server-evaluated stream (StreamsApi.scala:30-50 parity)
+    from atlas_spark.streaming import lwc_wire
+
+    sm = lwc_wire.StreamSubscriptionManager(step=STEP)
+    meta = lwc_wire.StreamMetadata("obs")
+    sm.register(meta, lwc_wire.QueueHandler(meta))
+    sm.attach_counters("obs", sev.drop_counters)
+    summary = sm.stream_summary("obs")
+    assert summary["ingest"]["dropped_future"] == 1
+    assert summary["ingest"]["received"] == 6
 
 
 def _tags(d):
