@@ -116,3 +116,103 @@ def test_corpus_render_png(spark):
         failures = [f for f in px.map(run, uris) if f]
     msg = "\n".join(f"{q}\n  -> {e}" for q, e in failures[:10])
     assert not failures, f"{len(failures)} corpus URIs failed to render:\n{msg}"
+
+
+def _check_std_json(doc, n_steps):
+    """Reference std.json shape (DefaultSettings.scala engine registry;
+    JsonGraphEngine): parallel legend/metrics/values arrays over the
+    ms-resolution window."""
+    import json as _json
+
+    assert isinstance(doc, dict)
+    for k in ("start", "end", "step"):
+        assert isinstance(doc[k], int) and doc[k] % 1000 == 0
+    assert doc["start"] < doc["end"]
+    assert isinstance(doc["timezones"], list) and doc["timezones"]
+    n = len(doc["legend"])
+    assert len(doc["metrics"]) == len(doc["values"]) == n
+    for label, tags, vals in zip(doc["legend"], doc["metrics"], doc["values"]):
+        assert isinstance(label, str)
+        assert isinstance(tags, dict)
+        assert isinstance(vals, list) and len(vals) == n_steps
+        assert all(v is None or isinstance(v, (int, float)) for v in vals)
+    _json.dumps(doc)  # serializable end-to-end (no numpy scalars)
+
+
+def _check_stats_json(doc):
+    """StatsJsonGraphEngine.scala:27-80: stats objects instead of data."""
+    import json as _json
+    import math
+
+    n = len(doc["legend"])
+    assert len(doc["metrics"]) == len(doc["stats"]) == n
+    assert doc["notices"] == []
+    for s in doc["stats"]:
+        assert isinstance(s["count"], int) and s["count"] >= 0
+        if s["count"]:
+            for k in ("avg", "total", "max", "min", "last"):
+                assert isinstance(s[k], (int, float))
+            if not any(
+                isinstance(s[k], float) and math.isnan(s[k])
+                for k in ("min", "avg", "max")
+            ):
+                assert s["min"] <= s["max"]
+    _json.dumps(doc)
+
+
+def _check_v2_json(doc, n_steps):
+    """JsonCodec.scala:44-60 message order: graph-metadata, plot-metadata,
+    then one timeseries message per line referencing its plot."""
+    import json as _json
+
+    assert isinstance(doc, list) and len(doc) >= 2
+    gm, pm = doc[0], doc[1]
+    assert gm["type"] == "graph-metadata"
+    assert gm["startTime"] < gm["endTime"] and gm["step"] > 0
+    assert pm == {"type": "plot-metadata", "id": 0}
+    for ts in doc[2:]:
+        assert ts["type"] == "timeseries"
+        assert ts["plot"] == 0
+        assert isinstance(ts["label"], str)
+        assert isinstance(ts["tags"], dict)
+        assert ts["data"]["type"] == "array"
+        assert len(ts["data"]["values"]) == n_steps
+    _json.dumps(doc)
+
+
+def test_corpus_json_render_formats(spark):
+    """Serialize every corpus graph through all three JSON render engines
+    (std.json / stats.json / v2.json) and assert the reference-shaped
+    structure per URI — one evaluation per URI, three serializations.
+    Catches format-specific serialization bugs on real-world expression
+    shapes that the single-smoke test_api checks can't."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from atlas_spark.api import Engine
+
+    eng = Engine(spark, "/root/testdata/sf0.001")
+    uris = [line.strip() for line in open(CORPUS) if line.strip()]
+
+    def run(u):
+        try:
+            sep = "&" if "?" in u else "?"
+            full = (
+                u
+                if ("s=" in u or "e=" in u)
+                else u + f"{sep}s=2024-01-02&e=2024-01-03"
+            )
+            g = eng.graph(full)
+            n_steps = (g.end - g.start) // g.step
+            _check_std_json(g.to_json(), n_steps)
+            _check_stats_json(g.to_stats_json())
+            _check_v2_json(g.to_v2_json(), n_steps)
+            # line counts agree across all three engines
+            assert len(g.to_json()["legend"]) == len(g.to_v2_json()) - 2
+            return None
+        except Exception as ex:  # noqa: BLE001
+            return (u[:110], f"{type(ex).__name__}: {str(ex)[:120]}")
+
+    with ThreadPoolExecutor(max_workers=8) as px:
+        failures = [f for f in px.map(run, uris) if f]
+    msg = "\n".join(f"{q}\n  -> {e}" for q, e in failures[:10])
+    assert not failures, f"{len(failures)} corpus URIs failed JSON formats:\n{msg}"
