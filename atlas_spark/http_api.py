@@ -285,6 +285,10 @@ class AtlasHandler(BaseHTTPRequestHandler):
                 return self._lwc_subscribe_sse(parsed)
             if path == "/api/v1/streams" or path.startswith("/api/v1/streams/"):
                 return self._lwc_streams(path)
+            if path == "/api/v1/lsp/glossary":
+                from . import lsp
+
+                return self._json(200, {"words": lsp.GLOSSARY})
             if path == "/healthcheck":
                 return self._send(200, b"ok", "text/plain")
             return self._error(404, f"unknown path: {path}")
@@ -301,6 +305,8 @@ class AtlasHandler(BaseHTTPRequestHandler):
                 return self._lwc_evaluate()
             if path.startswith("/api/v2/subscribe/"):
                 return self._lwc_subscribe_post(path)
+            if path == "/api/v1/lsp/analyze":
+                return self._lsp_analyze()
             # Unconsumed body bytes would be parsed as the start of the next
             # keep-alive request on this connection — drain before erroring.
             self._drain_body()
@@ -552,6 +558,31 @@ class AtlasHandler(BaseHTTPRequestHandler):
             return self._error(400, "missing timestamp")
         lwc_wire.evaluate(self.server.lwc, payload)
         return self._send(200, b"", "application/json")
+
+    def _lsp_analyze(self):
+        """ASL editor analysis (LSP-lite): diagnostics + semantic tokens
+        for the expression, plus hover and completions when an `offset`
+        is given — the analyzer outputs the reference serves over its
+        WebSocket LSP endpoint (atlas-lsp/.../AslDocumentAnalyzer.scala,
+        framing atlas-lspapi/.../LspApi.scala), as HTTP JSON."""
+        from . import lsp
+
+        length = int(self.headers.get("Content-Length") or 0)
+        raw = self.rfile.read(length) if length else b""
+        try:
+            payload = json.loads(raw) if raw else {}
+        except ValueError:
+            return self._error(400, "invalid json payload")
+        expression = payload.get("expression")
+        if not isinstance(expression, str):
+            return self._error(400, "missing expression")
+        step = self.server.engine.source.step
+        out = lsp.analyze(expression, step=step)
+        offset = payload.get("offset")
+        if isinstance(offset, int):
+            out["hover"] = lsp.hover(expression, offset, step=step)
+            out["completions"] = lsp.complete(expression, offset, step=step)
+        return self._json(200, out)
 
     def _lwc_streams(self, path):
         """StreamsApi.scala:30-50: stream metadata, 404 diagnostic for

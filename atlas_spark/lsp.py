@@ -1,0 +1,465 @@
+"""ASL editor tooling (LSP-lite).
+
+The reference ships a language-server module for the stack language:
+per-token diagnostics with source positions, hover documentation from a
+word glossary, completion, and semantic tokens
+(atlas-lsp/.../AslDocumentAnalyzer.scala, Glossary.scala,
+AslTokenTypes.scala:25-52), framed over a WebSocket LSP endpoint
+(atlas-lspapi/.../LspApi.scala).  This module provides the same analyzer
+outputs as plain JSON-shaped dicts, served by `http_api` under
+`/api/v1/lsp/*` (HTTP JSON in place of WebSocket LSP framing — the
+documented stdlib-equivalent substitution, like SSE for the push
+channel).
+
+Driver-side pure Python: the analyzer replays the expression through the
+stack interpreter (`stacklang/interpreter.py`), so diagnostics reflect
+the REAL vocabulary and overload matching, not a parallel grammar.
+"""
+
+from __future__ import annotations
+
+import difflib
+from dataclasses import dataclass
+from typing import Any
+
+from .stacklang.interpreter import AslError, Context, UnknownWord
+from .stacklang.vocab import WORDS, default_interpreter
+
+# Semantic token type indices (AslTokenTypes.scala:25-52; the legend the
+# reference registers maps these to LSP SemanticTokenTypes).
+TT_WORD = 0
+TT_STRING = 1
+TT_NUMBER = 2
+TT_PAREN = 3
+TT_UNKNOWN_WORD = 4
+
+TOKEN_LEGEND = ["function", "string", "number", "operator", "variable"]
+
+
+@dataclass(frozen=True)
+class Token:
+    """One source token with its character span (half-open)."""
+
+    text: str
+    start: int
+    end: int
+
+
+def tokenize(text: str) -> list[Token]:
+    """Comma-split tokenizer that keeps character offsets — the span-aware
+    variant of `split_and_trim` (Interpreter.scala:449-460): tokens are
+    trimmed, empties dropped, offsets index the ORIGINAL text."""
+    out: list[Token] = []
+    pos = 0
+    for part in text.split(","):
+        stripped = part.strip()
+        if stripped:
+            start = pos + part.index(stripped[0])
+            out.append(Token(stripped, start, start + len(stripped)))
+        pos += len(part) + 1  # +1 for the comma
+    return out
+
+
+def _position(text: str, offset: int) -> dict[str, int]:
+    """Absolute offset -> LSP Position {line, character} (the reference's
+    offsetToPosition, AslDocumentAnalyzer.scala:1370-1374)."""
+    line = text.count("\n", 0, offset)
+    nl = text.rfind("\n", 0, offset)
+    return {"line": line, "character": offset - (nl + 1)}
+
+
+def _range(text: str, start: int, end: int) -> dict:
+    return {"start": _position(text, start), "end": _position(text, end)}
+
+
+def _is_number(s: str) -> bool:
+    try:
+        float(s)
+        return True
+    except ValueError:
+        return False
+
+
+# --------------------------------------------------------------- glossary
+
+_SIG_Q = "String String -- Query"
+_SIG_TS1 = "TimeSeriesExpr -- TimeSeriesExpr"
+_SIG_TS2 = "TimeSeriesExpr TimeSeriesExpr -- TimeSeriesExpr"
+_SIG_STYLE = "TimeSeriesExpr String -- StyleExpr"
+
+
+def _entry(signature: str, summary: str, *examples: str) -> dict:
+    return {"signature": signature, "summary": summary, "examples": list(examples)}
+
+
+def _build_glossary() -> dict[str, dict]:
+    """Hover documentation for every vocabulary word — the word-docs role
+    of the reference Glossary (Glossary.scala) plus Word.signature /
+    Word.summary surfaced in wordHover (AslDocumentAnalyzer.scala:821-842).
+    Text is original; signatures use the reference's `inputs -- outputs`
+    stack-effect convention."""
+    g: dict[str, dict] = {}
+
+    # ----- query predicates
+    g["true"] = _entry("-- Query", "Query matching every datapoint.", ":true,:sum")
+    g["false"] = _entry("-- Query", "Query matching nothing.", ":false,:sum")
+    g["has"] = _entry("String -- Query", "Match series where the tag key is present.", "cluster,:has")
+    for name, op in [
+        ("eq", "equals"), ("lt", "is lexicographically less than"),
+        ("le", "is at most"), ("gt", "is greater than"), ("ge", "is at least"),
+    ]:
+        g[name] = _entry(_SIG_Q, f"Match series where the tag value {op} the given string.", f"name,cpu,:{name}")
+    g["re"] = _entry(_SIG_Q, "Match the tag value against a start-anchored regular expression.", "name,cpu.*,:re")
+    g["reic"] = _entry(_SIG_Q, "Case-insensitive start-anchored regex match on the tag value.", "name,CPU.*,:reic")
+    g["contains"] = _entry(_SIG_Q, "Match series whose tag value contains the substring.", "name,user,:contains")
+    g["starts"] = _entry(_SIG_Q, "Match series whose tag value starts with the prefix.", "name,sys,:starts")
+    g["ends"] = _entry(_SIG_Q, "Match series whose tag value ends with the suffix.", "name,Time,:ends")
+    g["in"] = _entry("String List -- Query", "Match series whose tag value is one of the listed strings.", "name,(,cpu,disk,),:in")
+    g["and"] = _entry("Query Query -- Query", "Both sub-queries must match.  On two time series: truthy intersection signal.")
+    g["or"] = _entry("Query Query -- Query", "Either sub-query may match.  On two time series: truthy union signal.")
+    g["not"] = _entry("Query -- Query", "Invert the query.")
+    g["cq"] = _entry("Expr Query -- Expr", "AND a common query onto every data query in the expression (frozen stack exempt).", "name,cpu,:eq,:sum,nf.app,www,:eq,:cq")
+
+    # ----- data expressions
+    g["all"] = _entry("Query -- DataExpr", "One line per matching series, no aggregation.")
+    for name in ("sum", "count", "min", "max"):
+        g[name] = _entry(
+            "Query -- DataExpr",
+            f"Aggregate matching series into one line with {name} (also folds N lines when applied to an expression list).",
+            f"name,cpu,:eq,:{name}",
+        )
+    g["by"] = _entry("DataExpr List -- DataExpr", "Group the aggregate by the listed tag keys; series missing a key drop out.", "name,cpu,:eq,:sum,(,nf.node,),:by")
+    g["offset"] = _entry("TimeSeriesExpr Duration -- TimeSeriesExpr", "Shift the data window back by the duration (data variant; list form is deprecated).", "name,cpu,:eq,:sum,1w,:offset")
+    for cf in ("sum", "avg", "min", "max"):
+        g[f"cf-{cf}"] = _entry("DataExpr -- DataExpr", f"Select the {cf} consolidation function for mapping step cells onto the output grid.")
+    g["avg"] = _entry("Query -- TimeSeriesExpr", "Average of matching series (sum divided by count).", "name,cpu,:eq,:avg")
+    g["stddev"] = _entry("Query -- TimeSeriesExpr", "Population standard deviation across matching series.")
+    g["pct"] = _entry("TimeSeriesExpr -- TimeSeriesExpr", "Each grouped line as a percentage of the group total per interval.")
+    g["dist-avg"] = _entry("Query -- TimeSeriesExpr", "Average from Spectator percentile-distribution counters (totalAmount/count).")
+    g["dist-max"] = _entry("Query -- TimeSeriesExpr", "Max statistic from percentile-distribution counters.")
+    g["dist-stddev"] = _entry("Query -- TimeSeriesExpr", "Standard deviation from percentile-distribution counters.")
+    g["median"] = _entry("Query -- TimeSeriesExpr", "50th percentile estimate from percentile bucket counters.")
+    g["percentiles"] = _entry("Query List -- TimeSeriesExpr", "Percentile estimates from Spectator bucket counters, one line per level.", "name,latency,:eq,(,50,90,99,),:percentiles")
+    g["sample-count"] = _entry("Query String String -- TimeSeriesExpr", "Rate of samples whose measured value falls between the two bounds, from percentile buckets.")
+    g["approx-distinct"] = _entry("Query -- TimeSeriesExpr", "Approximate distinct-value count per interval (register sketch).")
+    g["approx-distinct-cumulative"] = _entry("Query -- TimeSeriesExpr", "Running approximate distinct count from the window start.")
+
+    # ----- math
+    for name, desc in [
+        ("abs", "absolute value"), ("neg", "negation"), ("sin", "sine"),
+        ("sqrt", "square root"), ("cos", "cosine"), ("tan", "tangent"),
+        ("cot", "cotangent"), ("sec", "secant"), ("csc", "cosecant"),
+    ]:
+        g[name] = _entry(_SIG_TS1, f"Apply {desc} to each value.")
+    g["per-step"] = _entry(_SIG_TS1, "Convert a per-second rate to an amount per step interval.")
+    g["clamp-min"] = _entry("TimeSeriesExpr Double -- TimeSeriesExpr", "Raise values below the floor to the floor.")
+    g["clamp-max"] = _entry("TimeSeriesExpr Double -- TimeSeriesExpr", "Lower values above the cap to the cap.")
+    g["add"] = _entry(_SIG_TS2, "Pairwise addition treating NaN as missing (NaN+x=x).")
+    g["sub"] = _entry(_SIG_TS2, "Pairwise subtraction treating NaN as missing.")
+    g["mul"] = _entry(_SIG_TS2, "Pairwise multiplication (0*NaN rules apply).")
+    g["div"] = _entry(_SIG_TS2, "Pairwise division: 0/0 is 0, x/0 is NaN.")
+    g["pow"] = _entry(_SIG_TS2, "Pairwise exponentiation.")
+    for name in ("fadd", "fsub", "fmul", "fdiv"):
+        g[name] = _entry(_SIG_TS2, f"Strict IEEE-754 float {name[1:]} — NaN propagates.")
+    g["const"] = _entry("Double -- TimeSeriesExpr", "Constant-valued line.", "42,:const")
+    g["pi"] = _entry("-- TimeSeriesExpr", "Constant line with the value of pi.")
+    g["random"] = _entry("-- TimeSeriesExpr", "Deterministic pseudo-random noise line seeded by the timestamp.")
+    g["srandom"] = _entry("TimeSeriesExpr -- TimeSeriesExpr", "Seeded pseudo-random noise line.")
+    g["time"] = _entry("String -- TimeSeriesExpr", "Time component line (a ChronoField name, or seconds since the epoch).", "hourOfDay,:time")
+    g["time-span"] = _entry("String String -- TimeSeriesExpr", "1 inside the [start, end] span, 0 outside.", "e-30m,e,:time-span")
+    g["as"] = _entry("TimeSeriesExpr String String -- TimeSeriesExpr", "Rename a result tag key.")
+    g["named-rewrite"] = _entry("Expr Expr String -- Expr", "Wrap an expression so it displays under the original form's name.")
+    g["cg"] = _entry("TimeSeriesExpr List -- TimeSeriesExpr", "Common group-by: apply :by to every data expression within.")
+    g["stat"] = _entry("TimeSeriesExpr String -- TimeSeriesExpr", "Summary statistic of each line spread across the window (avg/max/min/last/total/count).", "name,cpu,:eq,:sum,max,:stat")
+    for s in ("avg", "max", "min", "count", "last", "total"):
+        g[f"stat-{s}"] = _entry("-- TimeSeriesExpr", f"Placeholder for the line's {s} statistic inside a :filter predicate.")
+    for s in ("avg", "max", "min"):
+        g[f"stat-{s}-mf"] = _entry("-- TimeSeriesExpr", f"Legacy alias of :stat-{s} (math-filter naming).")
+
+    # ----- stateful
+    g["delay"] = _entry("TimeSeriesExpr Int -- TimeSeriesExpr", "Shift values forward by N intervals without refetching.")
+    for s in ("count", "min", "max", "sum", "mean"):
+        g[f"rolling-{s}"] = _entry(
+            "TimeSeriesExpr Int -- TimeSeriesExpr",
+            f"Rolling {s} over the last N intervals (NaN-aware).",
+            f"name,cpu,:eq,:sum,5,:rolling-{s}" if s != "mean" else "name,cpu,:eq,:sum,5,5,:rolling-mean",
+        )
+    g["rolling-mean"]["signature"] = "TimeSeriesExpr Int Int -- TimeSeriesExpr"
+    g["trend"] = _entry("TimeSeriesExpr Duration -- TimeSeriesExpr", "Centered moving average over the duration (deprecated in favor of :rolling-mean).")
+    g["integral"] = _entry(_SIG_TS1, "Running sum from the window start.")
+    g["cumulative-max"] = _entry(_SIG_TS1, "Running maximum from the window start.")
+    g["derivative"] = _entry(_SIG_TS1, "Difference between successive values.")
+    g["des"] = _entry(
+        "TimeSeriesExpr Int Double Double -- TimeSeriesExpr",
+        "Double exponential smoothing with training window, alpha, beta.",
+        "name,cpu,:eq,:sum,10,0.1,0.02,:des",
+    )
+    g["sdes"] = _entry("TimeSeriesExpr Int Double Double -- TimeSeriesExpr", "Step-aware DES that resets each calendar day.")
+    for p in ("fast", "slow", "slower", "simple"):
+        g[f"des-{p}"] = _entry(_SIG_TS1, f"DES with the {p} preset parameters.")
+        g[f"sdes-{p}"] = _entry(_SIG_TS1, f"Step-aware DES with the {p} preset parameters.")
+    g["des-epic-signal"] = _entry(
+        "TimeSeriesExpr ... -- TimeSeriesExpr",
+        "Alerting signal comparing the line against DES prediction bands.",
+    )
+    g["des-epic-viz"] = _entry("TimeSeriesExpr ... -- Expr", "Visualization of the DES prediction bands used by :des-epic-signal.")
+
+    # ----- filter / ranking
+    g["filter"] = _entry("TimeSeriesExpr TimeSeriesExpr -- TimeSeriesExpr", "Keep grouped lines where the predicate expression is nonzero anywhere.", "name,cpu,:eq,:sum,(,nf.node,),:by,:stat-avg,5,:gt,:filter")
+    g["topk"] = _entry("TimeSeriesExpr String Int -- TimeSeriesExpr", "Keep the K highest-ranked grouped lines by the statistic.", "name,cpu,:eq,:sum,(,nf.node,),:by,max,3,:topk")
+    g["bottomk"] = _entry("TimeSeriesExpr String Int -- TimeSeriesExpr", "Keep the K lowest-ranked grouped lines by the statistic.")
+    for agg in ("sum", "min", "max", "avg"):
+        g[f"topk-others-{agg}"] = _entry("TimeSeriesExpr String Int -- TimeSeriesExpr", f"Top-K lines plus an 'others' line folding the rest with {agg}.")
+        g[f"bottomk-others-{agg}"] = _entry("TimeSeriesExpr String Int -- TimeSeriesExpr", f"Bottom-K lines plus an 'others' line folding the rest with {agg}.")
+    g["consolidate"] = _entry("TimeSeriesExpr Int -- TimeSeriesExpr", "Regrid onto a coarser step that is a multiple of the base step.")
+
+    # ----- style / presentation
+    g["sort"] = _entry("Expr String -- Expr", "Sort legend entries by a statistic or label.")
+    g["order"] = _entry("Expr String -- Expr", "Sort direction: asc or desc.")
+    g["limit"] = _entry("Expr Int -- Expr", "Keep only the first N lines after sorting.")
+    g["head"] = _entry("Expr Int -- Expr", "Deprecated alias of :limit.")
+    g["legend"] = _entry(_SIG_STYLE, "Legend label pattern; $(tag) substitutes tag values.", "name,cpu,:eq,:sum,cpu on $(nf.node),:legend")
+    g["s"] = _entry(_SIG_STYLE, "Shorthand for :sed substitution on the legend.")
+    g["decode"] = _entry(_SIG_STYLE, "Decode hex/none escapes in the legend text (deprecated).")
+    g["alpha"] = _entry(_SIG_STYLE, "Two-hex-digit alpha channel for the line color.")
+    g["color"] = _entry(_SIG_STYLE, "Explicit line color (hex RGB or named).", "name,cpu,:eq,:sum,ff0000,:color")
+    g["palette"] = _entry(_SIG_STYLE, "Color palette for this expression's lines.")
+    g["ls"] = _entry(_SIG_STYLE, "Line style: line, area, stack, or vspan.")
+    g["lw"] = _entry(_SIG_STYLE, "Line stroke width.")
+    g["axis"] = _entry(_SIG_STYLE, "Y-axis id the lines plot against.")
+    g["line"] = _entry("Expr -- StyleExpr", "Draw as a plain line.")
+    g["area"] = _entry("Expr -- StyleExpr", "Draw filled to zero.")
+    g["stack"] = _entry("Expr -- StyleExpr", "Draw stacked on previously stacked lines.")
+    g["vspan"] = _entry("Expr -- StyleExpr", "Draw nonzero spans as vertical background bands.")
+    g["heatmap"] = _entry("Expr -- StyleExpr", "Draw grouped lines as a density heatmap.")
+    g["percentiles-heatmap"] = _entry("Expr -- StyleExpr", "Heatmap from percentile bucket counters.")
+    g["strip-style"] = _entry("Expr -- Expr", "Remove presentation settings, keeping the data expression.")
+
+    # ----- events
+    g["table"] = _entry("Query List -- EventExpr", "Raw matching events projected to the listed fields.")
+    g["sample"] = _entry("Query List List -- EventExpr", "Datapoints counting matching events, with sampled projected values.")
+
+    # ----- stack manipulation & programming
+    g["dup"] = _entry("a -- a a", "Duplicate the top stack item.")
+    g["drop"] = _entry("a --", "Discard the top stack item.")
+    g["swap"] = _entry("a b -- b a", "Exchange the top two items.")
+    g["over"] = _entry("a b -- a b a", "Copy the second item to the top.")
+    g["2over"] = _entry("a b c d -- a b c d a b", "Copy the second pair to the top.")
+    g["nip"] = _entry("a b -- b", "Discard the second item.")
+    g["tuck"] = _entry("a b -- b a b", "Copy the top item below the second.")
+    g["rot"] = _entry("a b c -- b c a", "Rotate the third item to the top.")
+    g["-rot"] = _entry("a b c -- c a b", "Rotate the top item to third position.")
+    g["pick"] = _entry("... n -- ... a", "Copy the item N deep to the top.")
+    g["roll"] = _entry("... n -- ... a", "Move the item N deep to the top.")
+    g["ndrop"] = _entry("... n --", "Discard the top N items.")
+    g["nlist"] = _entry("... n -- List", "Collect the top N items into a list.")
+    g["clear"] = _entry("... --", "Empty the stack.")
+    g["depth"] = _entry("-- Int", "Push the current stack depth.")
+    g["list"] = _entry("... -- List", "Collect the whole stack into a single list.")
+    g["call"] = _entry("List --", "Execute a list as a program.")
+    g["fcall"] = _entry("String --", "Execute the named frozen program.")
+    g["each"] = _entry("List List --", "Run the program once per list element.")
+    g["map"] = _entry("List List -- List", "Transform each list element with the program.")
+    g["get"] = _entry("String -- a", "Push the value of a variable.")
+    g["set"] = _entry("String a --", "Bind a variable.")
+    g["sset"] = _entry("String --", "Bind a variable from the URI parameters (string set).")
+    g["format"] = _entry("String List -- String", "printf-style formatting of the pattern with list arguments.")
+    g["freeze"] = _entry("... --", "Move the stack to the frozen section, exempt from :cq.")
+
+    return g
+
+
+GLOSSARY: dict[str, dict] = _build_glossary()
+
+
+# --------------------------------------------------------------- analyzer
+
+
+def _classify(tok: Token, known: bool) -> int:
+    if tok.text in ("(", ")"):
+        return TT_PAREN
+    if tok.text.startswith(":"):
+        return TT_WORD if known else TT_UNKNOWN_WORD
+    return TT_NUMBER if _is_number(tok.text) else TT_STRING
+
+
+def _encode_semantic_tokens(text: str, classified: list[tuple[Token, int]]) -> list[int]:
+    """LSP delta encoding: [deltaLine, deltaStart, length, type, modifiers]
+    per token (AslDocumentAnalyzer.scala:1288-1337)."""
+    out: list[int] = []
+    prev_line = prev_col = 0
+    for tok, tt in classified:
+        p = _position(text, tok.start)
+        line, col = p["line"], p["character"]
+        delta_line = line - prev_line
+        delta_start = col - prev_col if delta_line == 0 else col
+        out.extend([delta_line, delta_start, tok.end - tok.start, tt, 0])
+        prev_line, prev_col = line, col
+    return out
+
+
+def analyze(text: str, step: int = 3600) -> dict[str, Any]:
+    """Diagnostics + semantic tokens for an ASL expression.
+
+    Replays the token stream through the real interpreter so overload
+    mismatches are detected exactly where evaluation detects them.  After
+    the first execution error, later words are classified by name lookup
+    only (the stack state is no longer trustworthy) — matching the
+    reference's single-error-per-region behavior for invalid programs.
+    """
+    interp = default_interpreter(step)
+    tokens = tokenize(text)
+    diagnostics: list[dict] = []
+    classified: list[tuple[Token, int]] = []
+    ctx = Context(interp)
+    failed = False
+    depth = 0
+    list_tokens: list[str] = []
+    open_spans: list[Token] = []
+
+    def diag(tok: Token, message: str, severity: int = 1) -> None:
+        diagnostics.append(
+            {
+                "range": _range(text, tok.start, tok.end),
+                "message": message,
+                "severity": severity,  # 1=error 2=warning 3=info
+                "source": "atlas",
+            }
+        )
+
+    for tok in tokens:
+        t = tok.text
+        known = True
+        if t == "(":
+            if depth:
+                list_tokens.append(t)
+            depth += 1
+            open_spans.append(tok)
+        elif t == ")":
+            if depth == 0:
+                diag(tok, "unmatched closing parenthesis")
+                failed = True
+            else:
+                depth -= 1
+                open_spans.pop()
+                if depth:
+                    list_tokens.append(t)
+                elif not failed:
+                    ctx.push(list(list_tokens))
+                    list_tokens = []
+        elif depth:
+            list_tokens.append(t)
+        elif t.startswith(":"):
+            name = t[1:]
+            known = name in interp.words
+            if not known:
+                msg = f"unknown word ':{name}'"
+                close = difflib.get_close_matches(name, interp.words, n=1)
+                if close:
+                    msg += f" — did you mean ':{close[0]}'?"
+                diag(tok, msg)
+                failed = True
+            elif not failed:
+                try:
+                    interp.execute_word(name, ctx)
+                except AslError as ex:
+                    diag(tok, str(ex))
+                    failed = True
+            if name in _DEPRECATED and not failed:
+                diag(tok, f":{name} is deprecated: {_DEPRECATED[name]}", severity=2)
+        elif t.startswith(";") and len(t) > 1 and t[1:] in interp.words:
+            # reference typo quick-fix shape (computeTypoCodeActions)
+            diag(tok, f"did you mean ':{t[1:]}'? (semicolon instead of colon)", severity=2)
+            known = False
+        elif not failed:
+            ctx.push(t)
+        classified.append((tok, _classify(tok, known)))
+
+    for tok in open_spans:
+        diag(tok, "unmatched opening parenthesis")
+
+    return {
+        "diagnostics": diagnostics,
+        "tokens": _encode_semantic_tokens(text, classified),
+        "legend": TOKEN_LEGEND,
+    }
+
+
+_DEPRECATED = {
+    "head": "use :limit",
+    "trend": "use :rolling-mean",
+    "decode": "legend decoding is a no-op escape hatch",
+}
+
+
+def _token_at(tokens: list[Token], offset: int) -> Token | None:
+    for tok in tokens:
+        if tok.start <= offset <= tok.end:
+            return tok
+    return None
+
+
+def hover(text: str, offset: int, step: int = 3600) -> dict | None:
+    """Glossary hover for the word under the cursor
+    (AslDocumentAnalyzer.scala:648-658,821-842): markdown with the word
+    name, stack-effect signature, summary, and examples."""
+    tok = _token_at(tokenize(text), offset)
+    if tok is None or not tok.text.startswith(":"):
+        return None
+    name = tok.text[1:]
+    entry = GLOSSARY.get(name)
+    if entry is None:
+        return None
+    md = [f"**:{name}**", "", f"`{entry['signature']}`", "", entry["summary"]]
+    if entry["examples"]:
+        md += ["", "**Examples:**"]
+        md += [f"- `{ex}`" for ex in entry["examples"]]
+    return {
+        "contents": {"kind": "markdown", "value": "\n".join(md)},
+        "range": _range(text, tok.start, tok.end),
+    }
+
+
+def complete(text: str, offset: int, step: int = 3600) -> list[dict]:
+    """Completion items at the cursor
+    (AslDocumentAnalyzer.scala:1001-1051): execute the program before the
+    token being typed, then offer every word with a matching overload,
+    prefix-filtered when the user is mid-word."""
+    before = text[: max(0, min(offset, len(text)))]
+    last_comma = before.rfind(",")
+    partial = before[last_comma + 1 :].strip()
+    if partial.startswith(":"):
+        program, prefix = before[: last_comma + 1], partial[1:]
+    else:
+        program, prefix = before, ""
+    interp = default_interpreter(step)
+    base = Context(interp)
+    try:
+        from .stacklang.interpreter import split_and_trim
+
+        interp.execute_program(split_and_trim(program), base)
+    except AslError:
+        return []  # errors before the cursor: no completions
+    items = []
+    for name in sorted({w.name for w in WORDS}):
+        if not name.startswith(prefix):
+            continue
+        trial = Context(
+            interp, stack=list(base.stack), vars=dict(base.vars),
+            frozen=list(base.frozen), initial_vars=dict(base.initial_vars),
+        )
+        try:
+            interp.execute_word(name, trial)
+        except Exception:  # noqa: BLE001 — no matching overload
+            continue
+        entry = GLOSSARY.get(name, {})
+        items.append(
+            {
+                "label": f":{name}",
+                "kind": "Function",
+                "detail": entry.get("signature", ""),
+                "documentation": entry.get("summary", ""),
+                "insertText": f":{name},",
+            }
+        )
+    return items

@@ -1,0 +1,255 @@
+"""ASL editor tooling (LSP-lite, atlas_spark/lsp.py): glossary coverage,
+span-aware diagnostics, semantic tokens, hover, completion — mirroring
+the analyzer outputs of the reference's language server
+(atlas-lsp/.../AslDocumentAnalyzer.scala, Glossary.scala) — plus the
+/api/v1/lsp/* HTTP framing (LspApi.scala, HTTP JSON in place of
+WebSocket)."""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+from urllib.error import HTTPError
+
+import pytest
+
+from atlas_spark import http_api, lsp
+from atlas_spark.api import Engine
+from atlas_spark.stacklang.vocab import WORDS
+
+CORPUS = "/root/reference/atlas-core/src/test/resources/queries.txt"
+
+
+# ---------------------------------------------------------------- glossary
+
+
+def test_glossary_covers_every_vocabulary_word():
+    names = {w.name for w in WORDS}
+    assert set(lsp.GLOSSARY) == names
+    for name, entry in lsp.GLOSSARY.items():
+        assert entry["signature"], name
+        assert entry["summary"].endswith("."), name
+        assert isinstance(entry["examples"], list), name
+
+
+# ---------------------------------------------------------------- tokenize
+
+
+def test_tokenize_spans_index_original_text():
+    text = " name , cpu ,:eq, :sum "
+    toks = lsp.tokenize(text)
+    assert [t.text for t in toks] == ["name", "cpu", ":eq", ":sum"]
+    for t in toks:
+        assert text[t.start : t.end] == t.text
+
+
+def test_position_is_line_character():
+    text = "name,cpu,:eq,\n:sum"
+    toks = lsp.tokenize(text)
+    sum_tok = toks[-1]
+    r = lsp.analyze(text)
+    assert not r["diagnostics"]
+    # semantic tokens restart the column delta on the new line
+    assert text[sum_tok.start : sum_tok.end] == ":sum"
+
+
+# -------------------------------------------------------------- diagnostics
+
+
+def test_unknown_word_diagnostic_with_suggestion():
+    r = lsp.analyze("name,cpu,:eqq,:sum")
+    (d,) = r["diagnostics"]
+    assert d["severity"] == 1
+    assert "unknown word ':eqq'" in d["message"]
+    assert "did you mean ':eq'" in d["message"]
+    assert d["range"]["start"] == {"line": 0, "character": 9}
+    assert d["range"]["end"] == {"line": 0, "character": 13}
+
+
+def test_overload_mismatch_diagnostic_positioned_on_word():
+    r = lsp.analyze("name,cpu,:eq,:by")
+    (d,) = r["diagnostics"]
+    assert "no matching overload for ':by'" in d["message"]
+    assert d["range"]["start"]["character"] == 13
+
+
+def test_unmatched_parens_diagnostics():
+    r = lsp.analyze("name,(,cpu,:eq")
+    assert any("unmatched opening" in d["message"] for d in r["diagnostics"])
+    r = lsp.analyze("name,cpu,),:eq")
+    assert any("unmatched closing" in d["message"] for d in r["diagnostics"])
+
+
+def test_semicolon_typo_warning():
+    r = lsp.analyze("name,cpu,:eq,;sum")
+    assert any(
+        "did you mean ':sum'? (semicolon instead of colon)" == d["message"]
+        and d["severity"] == 2
+        for d in r["diagnostics"]
+    )
+
+
+def test_deprecated_word_warning():
+    r = lsp.analyze("name,cpu,:eq,:sum,2,:head")
+    warns = [d for d in r["diagnostics"] if d["severity"] == 2]
+    assert warns and ":head is deprecated" in warns[0]["message"]
+    # deprecation is a warning, not an error
+    assert not [d for d in r["diagnostics"] if d["severity"] == 1]
+
+
+# ---------------------------------------------------------- semantic tokens
+
+
+def test_semantic_token_classification():
+    r = lsp.analyze("name,42,:eq,(,a,),:bogus")
+    toks = r["tokens"]
+    assert len(toks) % 5 == 0
+    types = [toks[i + 3] for i in range(0, len(toks), 5)]
+    # name=string, 42=number, :eq=word, ( paren, a string, ) paren, :bogus unknown
+    assert types == [
+        lsp.TT_STRING,
+        lsp.TT_NUMBER,
+        lsp.TT_WORD,
+        lsp.TT_PAREN,
+        lsp.TT_STRING,
+        lsp.TT_PAREN,
+        lsp.TT_UNKNOWN_WORD,
+    ]
+    assert r["legend"] == lsp.TOKEN_LEGEND
+
+
+def test_semantic_tokens_delta_encoding_multiline():
+    text = "name,cpu,:eq,\n:sum"
+    toks = lsp.analyze(text)["tokens"]
+    rows = [toks[i : i + 5] for i in range(0, len(toks), 5)]
+    # the :sum row starts a new line: deltaLine 1, absolute column 0
+    assert rows[-1][0] == 1 and rows[-1][1] == 0 and rows[-1][2] == 4
+
+
+# -------------------------------------------------------------------- hover
+
+
+def test_hover_on_word_returns_glossary_markdown():
+    text = "name,cpu,:eq,:sum"
+    h = lsp.hover(text, text.index(":eq") + 1)
+    v = h["contents"]["value"]
+    assert "**:eq**" in v
+    assert "`String String -- Query`" in v
+    assert "**Examples:**" in v
+    assert h["range"]["start"]["character"] == text.index(":eq")
+
+
+def test_hover_on_literal_or_gap_is_none():
+    assert lsp.hover("name,cpu,:eq", 1) is None  # literal
+    assert lsp.hover("name,cpu,:eq", 200) is None  # past end
+
+
+# --------------------------------------------------------------- completion
+
+
+def test_completion_prefix_filters_and_matches_stack():
+    text = "name,cpu,:e"
+    items = lsp.complete(text, len(text))
+    labels = [i["label"] for i in items]
+    assert ":eq" in labels and ":ends" in labels
+    assert ":each" not in labels  # needs two lists on the stack
+    eq = next(i for i in items if i["label"] == ":eq")
+    assert eq["detail"] == "String String -- Query"
+    assert eq["insertText"] == ":eq,"
+
+
+def test_completion_after_completed_word_offers_next_tokens():
+    text = "name,cpu,:eq,"
+    labels = [i["label"] for i in lsp.complete(text, len(text))]
+    assert ":sum" in labels and ":not" in labels
+    assert ":by" not in labels  # needs a list on the stack
+
+
+def test_completion_on_broken_program_is_empty():
+    text = "name,cpu,:bogus,:e"
+    assert lsp.complete(text, len(text)) == []
+
+
+# ------------------------------------------------------------------- corpus
+
+
+def test_corpus_expressions_analyze_clean():
+    """Every reference corpus expression must analyze with zero ERROR
+    diagnostics and produce a full semantic-token row per source token —
+    the analyzer must accept everything the evaluator accepts."""
+    from urllib.parse import parse_qs, urlparse
+
+    qs = []
+    for line in open(CORPUS):
+        q = parse_qs(urlparse(line.strip()).query).get("q", [None])[0]
+        if q:
+            qs.append(q)
+    assert len(qs) > 300
+    for q in qs:
+        r = lsp.analyze(q)
+        errors = [d for d in r["diagnostics"] if d["severity"] == 1]
+        assert not errors, (q[:100], errors[:2])
+        assert len(r["tokens"]) == 5 * len(lsp.tokenize(q))
+
+
+# --------------------------------------------------------------- http layer
+
+
+@pytest.fixture(scope="module")
+def served(spark, sf_dir):
+    engine = Engine(spark, sf_dir)
+    srv, thread = http_api.start(engine, port=0)
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _post(url: str, obj) -> tuple[int, dict]:
+    req = urllib.request.Request(url, data=json.dumps(obj).encode(), method="POST")
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, json.loads(resp.read())
+    except HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_http_lsp_analyze_diagnostics(served):
+    status, out = _post(
+        f"{served}/api/v1/lsp/analyze", {"expression": "name,cpu,:eqq,:sum"}
+    )
+    assert status == 200
+    assert "did you mean ':eq'" in out["diagnostics"][0]["message"]
+    assert out["tokens"] and out["legend"] == lsp.TOKEN_LEGEND
+    assert "hover" not in out  # no offset given
+
+
+def test_http_lsp_analyze_hover_and_completions(served):
+    expr = "name,cpu,:eq,:su"
+    status, out = _post(
+        f"{served}/api/v1/lsp/analyze",
+        {"expression": expr, "offset": len(expr)},
+    )
+    assert status == 200
+    labels = [i["label"] for i in out["completions"]]
+    # only :sum matches — :sub needs TWO series on the stack
+    assert labels == [":sum"]
+    # hover at the cursor: partial word, not in glossary -> null
+    assert out["hover"] is None
+    status, out = _post(
+        f"{served}/api/v1/lsp/analyze",
+        {"expression": "name,cpu,:eq,:sum", "offset": 10},
+    )
+    assert "**:eq**" in out["hover"]["contents"]["value"]
+
+
+def test_http_lsp_analyze_requires_expression(served):
+    status, out = _post(f"{served}/api/v1/lsp/analyze", {"offset": 3})
+    assert status == 400
+    assert "expression" in out["message"]
+
+
+def test_http_lsp_glossary(served):
+    with urllib.request.urlopen(f"{served}/api/v1/lsp/glossary") as resp:
+        assert resp.status == 200
+        words = json.loads(resp.read())["words"]
+    assert set(words) == {w.name for w in WORDS}
+    assert words["eq"]["signature"] == "String String -- Query"
