@@ -305,8 +305,8 @@ class AtlasHandler(BaseHTTPRequestHandler):
                 return self._lwc_evaluate()
             if path.startswith("/api/v2/subscribe/"):
                 return self._lwc_subscribe_post(path)
-            if path == "/api/v1/lsp/analyze":
-                return self._lsp_analyze()
+            if path in ("/api/v1/lsp/analyze", "/api/v1/lsp/analyze-uri"):
+                return self._lsp_analyze(uri_mode=path.endswith("-uri"))
             # Unconsumed body bytes would be parsed as the start of the next
             # keep-alive request on this connection — drain before erroring.
             self._drain_body()
@@ -559,12 +559,13 @@ class AtlasHandler(BaseHTTPRequestHandler):
         lwc_wire.evaluate(self.server.lwc, payload)
         return self._send(200, b"", "application/json")
 
-    def _lsp_analyze(self):
+    def _lsp_analyze(self, uri_mode: bool = False):
         """ASL editor analysis (LSP-lite): diagnostics + semantic tokens
         for the expression, plus hover and completions when an `offset`
         is given — the analyzer outputs the reference serves over its
-        WebSocket LSP endpoint (atlas-lsp/.../AslDocumentAnalyzer.scala,
-        framing atlas-lspapi/.../LspApi.scala), as HTTP JSON."""
+        WebSocket LSP endpoints (atlas-lsp/.../AslDocumentAnalyzer.scala
+        and UriDocumentAnalyzer.scala for `-uri`, framing
+        atlas-lspapi/.../LspApi.scala), as HTTP JSON."""
         from . import lsp
 
         length = int(self.headers.get("Content-Length") or 0)
@@ -577,11 +578,14 @@ class AtlasHandler(BaseHTTPRequestHandler):
         if not isinstance(expression, str):
             return self._error(400, "missing expression")
         step = self.server.engine.source.step
-        out = lsp.analyze(expression, step=step)
+        an = lsp.analyze_uri if uri_mode else lsp.analyze
+        out = an(expression, step=step)
         offset = payload.get("offset")
         if isinstance(offset, int):
-            out["hover"] = lsp.hover(expression, offset, step=step)
-            out["completions"] = lsp.complete(expression, offset, step=step)
+            hv = lsp.hover_uri if uri_mode else lsp.hover
+            cp = lsp.complete_uri if uri_mode else lsp.complete
+            out["hover"] = hv(expression, offset, step=step)
+            out["completions"] = cp(expression, offset, step=step)
         return self._json(200, out)
 
     def _lwc_streams(self, path):

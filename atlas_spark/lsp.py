@@ -32,8 +32,15 @@ TT_STRING = 1
 TT_NUMBER = 2
 TT_PAREN = 3
 TT_UNKNOWN_WORD = 4
+TT_COMMENT = 5
+TT_PARAMETER = 6
+TT_URI_OPERATOR = 7
+TT_PATH = 8
 
-TOKEN_LEGEND = ["function", "string", "number", "operator", "variable"]
+TOKEN_LEGEND = [
+    "function", "string", "number", "operator", "variable",
+    "comment", "parameter", "operator", "namespace",
+]
 
 
 @dataclass(frozen=True)
@@ -463,3 +470,290 @@ def complete(text: str, offset: int, step: int = 3600) -> list[dict]:
             }
         )
     return items
+
+
+# ------------------------------------------------------------ URI analyzer
+#
+# The reference's second analyzer works over full graph URIs
+# (`/api/v1/graph?q=...&s=e-3h`), delegating `q`/`cq` values to the
+# expression analyzer with positions shifted through a percent-decoding
+# offset map (atlas-lsp/.../UriDocumentAnalyzer.scala).  The document
+# model is a single-line compact URI: every position is line 0.
+
+EXPRESSION_PARAMS = frozenset({"q", "cq"})
+
+# graph-parameter glossary (UriDocumentAnalyzer.scala:134-172 knownParams)
+KNOWN_PARAMS: dict[str, str] = {
+    "q": "Atlas Stack Language query expression.",
+    "cq": "Common query ANDed onto every expression.",
+    "s": "Start time (e.g. e-3h, 2024-01-01T00:00).",
+    "e": "End time (e.g. now, 2024-01-01T06:00).",
+    "tz": "Time zone (e.g. US/Pacific, UTC); repeatable.",
+    "step": "Step size (e.g. 1m, 60s), rounded to a multiple of the source step.",
+    "format": "Output format (png, json, std.json, v2.json, stats.json, csv, txt).",
+    "w": "Image width in pixels.",
+    "h": "Image height in pixels.",
+    "zoom": "Zoom factor applied to the rendered image.",
+    "layout": "Graph layout (canvas, image).",
+    "title": "Title displayed above the graph.",
+    "palette": "Color palette name or (,hex,...,) list.",
+    "theme": "Graph theme (light, dark).",
+    "no_legend": "Disable the legend (1 to enable).",
+    "no_legend_stats": "Disable legend statistics (1 to enable).",
+    "only_graph": "Show only the graph area (1 to enable).",
+    "no_border": "Disable the border (1 to enable).",
+    "axis_per_line": "One axis per line (1 to enable).",
+    "u": "Upper bound for the Y axis.",
+    "l": "Lower bound for the Y axis (or auto-data).",
+    "scale": "Y-axis scale (linear, log, log-linear, pow2, sqrt).",
+    "o": "Legacy log scale flag (1 to enable).",
+    "stack": "Stack lines by default (1 to enable).",
+    "ylabel": "Label for the Y axis.",
+    "tick_labels": "Tick label mode (decimal, binary, duration, off).",
+    "sort": "Legend sort mode (name, min, max, avg, last, count).",
+    "order": "Legend sort order (asc, desc).",
+    "features": "Vocabulary feature set (stable, unstable).",
+    "id": "Identifier for the graph.",
+    "vision": "Color vision simulation (protanopia, deuteranopia, tritanopia, ...).",
+    "hints": "Rendering hints.",
+    "heatmap_palette": "Color palette for heatmap cells.",
+    "heatmap_scale": "Scale for the heatmap color axis.",
+    "heatmap_u": "Upper bound for the heatmap color axis.",
+    "heatmap_l": "Lower bound for the heatmap color axis.",
+    "heatmap_label": "Label for the heatmap color axis.",
+}
+
+# parameters accepting a `.N` per-axis suffix (u.1, scale.0, ...)
+AXIS_SUFFIX_PARAMS = frozenset(
+    {
+        "u", "l", "scale", "o", "stack", "ylabel", "tick_labels", "sort",
+        "order", "palette", "heatmap_palette", "heatmap_scale", "heatmap_u",
+        "heatmap_l", "heatmap_label",
+    }
+)
+
+
+def _param_description(name: str) -> str | None:
+    if name in KNOWN_PARAMS:
+        return KNOWN_PARAMS[name]
+    base, dot, suffix = name.partition(".")
+    if dot and suffix.isdigit() and base in AXIS_SUFFIX_PARAMS:
+        return f"{KNOWN_PARAMS[base]} (axis {suffix})"
+    return None
+
+
+@dataclass(frozen=True)
+class QueryParam:
+    """One key=value with raw spans and the percent-decoded value plus a
+    decoded-index -> raw-offset map (UriParser.buildOffsetMap role)."""
+
+    key: str
+    key_start: int
+    key_end: int
+    value: str  # RAW (encoded) text
+    value_start: int
+    value_end: int
+    decoded: str
+    offset_map: tuple[int, ...]  # decoded char index -> raw offset
+
+    def raw_to_decoded(self, raw_offset: int) -> int:
+        rel = raw_offset - self.value_start
+        di = 0
+        m = self.offset_map
+        while di + 1 < len(m) and m[di + 1] <= rel:
+            di += 1
+        return di
+
+    def decoded_to_raw(self, decoded_offset: int) -> int:
+        m = self.offset_map
+        rel = m[decoded_offset] if decoded_offset < len(m) else (
+            m[-1] if m else 0
+        )
+        return self.value_start + rel
+
+
+def _decode_with_map(raw: str) -> tuple[str, tuple[int, ...]]:
+    out, offsets = [], []
+    i = 0
+    while i < len(raw):
+        c = raw[i]
+        offsets.append(i)
+        if c == "%" and i + 3 <= len(raw):
+            hx = raw[i + 1 : i + 3]
+            if len(hx) == 2 and all(ch in "0123456789abcdefABCDEF" for ch in hx):
+                out.append(chr(int(hx, 16)))
+                i += 3
+                continue
+        if c == "+":
+            out.append(" ")
+        else:
+            out.append(c)
+        i += 1
+    offsets.append(len(raw))  # sentinel: one past the last decoded char
+    return "".join(out), tuple(offsets)
+
+
+@dataclass(frozen=True)
+class ParsedUri:
+    path: str
+    path_start: int
+    path_end: int
+    query: tuple[QueryParam, ...]
+
+
+def parse_uri(text: str) -> ParsedUri:
+    qpos = text.find("?")
+    path_end = qpos if qpos >= 0 else len(text)
+    params: list[QueryParam] = []
+    if qpos >= 0:
+        pos = qpos + 1
+        for part in text[qpos + 1 :].split("&"):
+            eq = part.find("=")
+            if eq >= 0:
+                key, raw_val = part[:eq], part[eq + 1 :]
+                vstart = pos + eq + 1
+            else:
+                key, raw_val = part, ""
+                vstart = pos + len(part)
+            decoded, omap = _decode_with_map(raw_val)
+            if key:
+                params.append(
+                    QueryParam(
+                        key, pos, pos + len(key),
+                        raw_val, vstart, vstart + len(raw_val),
+                        decoded, omap,
+                    )
+                )
+            pos += len(part) + 1
+    return ParsedUri(text[:path_end], 0, path_end, tuple(params))
+
+
+def _find_param(parsed: ParsedUri, offset: int) -> QueryParam | None:
+    for p in parsed.query:
+        if p.key_start <= offset <= p.value_end:
+            return p
+    return None
+
+
+def _shift_range(rng: dict, param: QueryParam) -> dict:
+    def shift(pos: dict) -> dict:
+        if pos["line"] == 0:
+            return {"line": 0, "character": param.decoded_to_raw(pos["character"])}
+        return pos
+
+    return {"start": shift(rng["start"]), "end": shift(rng["end"])}
+
+
+def analyze_uri(text: str, step: int = 3600) -> dict[str, Any]:
+    """Diagnostics + semantic tokens for a full graph URI
+    (UriDocumentAnalyzer.scala:303-354,497-545): missing-q error,
+    unknown-parameter warnings, expression params delegated to the ASL
+    analyzer with ranges shifted back to raw URI offsets."""
+    parsed = parse_uri(text)
+    diagnostics: list[dict] = []
+    tokens: list[tuple[int, int, int]] = []  # (offset, length, type)
+
+    if parsed.query and not any(p.key == "q" for p in parsed.query):
+        diagnostics.append(
+            {
+                "range": _range(text, 0, len(text)),
+                "message": "Missing required 'q' parameter",
+                "severity": 1,
+                "source": "atlas-uri",
+            }
+        )
+    if parsed.path_end > 0:
+        tokens.append((0, parsed.path_end, TT_PATH))
+    qpos = text.find("?")
+    if qpos >= 0:
+        tokens.append((qpos, 1, TT_URI_OPERATOR))
+    for p in parsed.query:
+        if p.key_start > parsed.path_end + 1 and text[p.key_start - 1] == "&":
+            tokens.append((p.key_start - 1, 1, TT_URI_OPERATOR))
+        tokens.append((p.key_start, p.key_end - p.key_start, TT_PARAMETER))
+        if p.key_end < p.value_start:
+            tokens.append((p.key_end, 1, TT_URI_OPERATOR))
+        if _param_description(p.key) is None:
+            diagnostics.append(
+                {
+                    "range": _range(text, p.key_start, p.key_end),
+                    "message": f"Unknown parameter '{p.key}'",
+                    "severity": 2,
+                    "source": "atlas-uri",
+                }
+            )
+        if p.key in EXPRESSION_PARAMS:
+            sub = analyze(p.decoded, step=step)
+            for d in sub["diagnostics"]:
+                diagnostics.append({**d, "range": _shift_range(d["range"], p)})
+            # re-base the expression's delta-encoded tokens to raw offsets
+            col = 0
+            data = sub["tokens"]
+            for i in range(0, len(data), 5):
+                dl, ds, ln, tt, _mods = data[i : i + 5]
+                col = ds if dl > 0 else col + ds
+                start = p.decoded_to_raw(col)
+                end = p.decoded_to_raw(col + ln)
+                tokens.append((start, end - start, tt))
+        elif p.value_end > p.value_start:
+            tokens.append((p.value_start, p.value_end - p.value_start, TT_STRING))
+
+    tokens.sort(key=lambda t: t[0])
+    encoded: list[int] = []
+    prev = 0
+    for start, length, tt in tokens:
+        encoded.extend([0, start - prev, length, tt, 0])
+        prev = start
+    return {"diagnostics": diagnostics, "tokens": encoded, "legend": TOKEN_LEGEND}
+
+
+def hover_uri(text: str, offset: int, step: int = 3600) -> dict | None:
+    """Hover over a full graph URI (UriDocumentAnalyzer.scala:222-248):
+    path, parameter descriptions, and expression-word hovers shifted to
+    raw positions."""
+    parsed = parse_uri(text)
+    if parsed.path_start <= offset < parsed.path_end:
+        return {
+            "contents": {
+                "kind": "markdown",
+                "value": f"**Path:** `{parsed.path}`",
+            }
+        }
+    p = _find_param(parsed, offset)
+    if p is None:
+        return None
+    if p.key_start <= offset < p.key_end or p.key not in EXPRESSION_PARAMS:
+        desc = _param_description(p.key)
+        if desc is None:
+            return None
+        return {
+            "contents": {"kind": "markdown", "value": f"**{p.key}:** {desc}"}
+        }
+    h = hover(p.decoded, p.raw_to_decoded(offset), step=step)
+    if h is not None and "range" in h:
+        h = {**h, "range": _shift_range(h["range"], p)}
+    return h
+
+
+def complete_uri(text: str, offset: int, step: int = 3600) -> list[dict]:
+    """Completions over a full graph URI
+    (UriDocumentAnalyzer.scala:260-297): inside q/cq values delegate to
+    the expression completer; elsewhere offer known parameter names."""
+    parsed = parse_uri(text)
+    p = _find_param(parsed, offset)
+    if p is not None and p.key in EXPRESSION_PARAMS and offset >= p.value_start:
+        return complete(p.decoded, p.raw_to_decoded(offset), step=step)
+    start = offset
+    while start > 0 and text[start - 1] not in "?&":
+        start -= 1
+    prefix = text[start:offset]
+    return [
+        {
+            "label": name,
+            "kind": "Property",
+            "detail": desc,
+            "insertText": f"{name}=",
+        }
+        for name, desc in sorted(KNOWN_PARAMS.items())
+        if name.startswith(prefix)
+    ]

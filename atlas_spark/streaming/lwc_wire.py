@@ -265,6 +265,7 @@ class StreamSubscriptionManager:
 
     def stream_summaries(self) -> list[StreamMetadata]:
         with self._lock:
+            self._expire_stale()
             return [meta for meta, _, _ in self._streams.values()]
 
     def stream_summary(self, stream_id: str) -> dict | None:

@@ -192,6 +192,108 @@ def test_corpus_expressions_analyze_clean():
         assert len(r["tokens"]) == 5 * len(lsp.tokenize(q))
 
 
+# ------------------------------------------------------------- URI analyzer
+
+
+def test_parse_uri_spans_and_decoding():
+    text = "/api/v1/graph?q=name,a%20b,:eq&w=700"
+    parsed = lsp.parse_uri(text)
+    assert parsed.path == "/api/v1/graph"
+    q, w = parsed.query
+    assert (q.key, w.key) == ("q", "w")
+    assert q.decoded == "name,a b,:eq"
+    assert text[q.value_start : q.value_end] == "name,a%20b,:eq"
+    # offset round-trip through the %20: decoded index of ':' in ':eq'
+    di = q.decoded.index(":eq")
+    raw = q.decoded_to_raw(di)
+    assert text[raw : raw + 3] == ":eq"
+    assert q.raw_to_decoded(raw) == di
+
+
+def test_uri_missing_q_is_error():
+    r = lsp.analyze_uri("/api/v1/graph?w=700")
+    assert any(
+        d["message"] == "Missing required 'q' parameter" and d["severity"] == 1
+        for d in r["diagnostics"]
+    )
+
+
+def test_uri_unknown_param_warning_known_axis_suffix_ok():
+    r = lsp.analyze_uri("/api/v1/graph?q=name,a,:eq,:sum&bogus=1&u.1=5")
+    msgs = [d["message"] for d in r["diagnostics"]]
+    assert "Unknown parameter 'bogus'" in msgs
+    assert not any("u.1" in m for m in msgs)
+
+
+def test_uri_expression_diagnostics_shift_to_raw_offsets():
+    text = "/api/v1/graph?w=700&q=name,cpu,:eqq"
+    r = lsp.analyze_uri(text)
+    d = next(d for d in r["diagnostics"] if "unknown word" in d["message"])
+    start = d["range"]["start"]["character"]
+    end = d["range"]["end"]["character"]
+    assert text[start:end] == ":eqq"
+
+
+def test_uri_semantic_tokens_classify_path_params_expression():
+    text = "/api/v1/graph?q=name,42,:eq&w=700"
+    r = lsp.analyze_uri(text)
+    rows = [r["tokens"][i : i + 5] for i in range(0, len(r["tokens"]), 5)]
+    types = [row[3] for row in rows]
+    # path, ?, q, =, name, 42, :eq, &, w, =, 700
+    assert types == [
+        lsp.TT_PATH,
+        lsp.TT_URI_OPERATOR,
+        lsp.TT_PARAMETER,
+        lsp.TT_URI_OPERATOR,
+        lsp.TT_STRING,
+        lsp.TT_NUMBER,
+        lsp.TT_WORD,
+        lsp.TT_URI_OPERATOR,
+        lsp.TT_PARAMETER,
+        lsp.TT_URI_OPERATOR,
+        lsp.TT_STRING,
+    ]
+    # absolute offsets reconstruct from the deltas (all line 0)
+    offs, pos = [], 0
+    for row in rows:
+        pos += row[1]
+        offs.append(pos)
+    assert offs[0] == 0 and text[offs[2]] == "q" and text[offs[8]] == "w"
+
+
+def test_uri_hover_path_param_and_expression():
+    text = "/api/v1/graph?q=name,cpu,:eq,:sum&tz=UTC"
+    assert "**Path:**" in lsp.hover_uri(text, 3)["contents"]["value"]
+    h = lsp.hover_uri(text, text.index("tz="))
+    assert "**tz:**" in h["contents"]["value"]
+    h = lsp.hover_uri(text, text.index(":eq") + 1)
+    assert "**:eq**" in h["contents"]["value"]
+    start = h["range"]["start"]["character"]
+    assert text[start : start + 3] == ":eq"
+
+
+def test_uri_completion_params_and_expression():
+    text = "/api/v1/graph?q=name,cpu,:eq,:sum&the"
+    items = lsp.complete_uri(text, len(text))
+    assert [i["label"] for i in items] == ["theme"]
+    assert items[0]["insertText"] == "theme="
+    text2 = "/api/v1/graph?q=name,cpu,:e"
+    labels = [i["label"] for i in lsp.complete_uri(text2, len(text2))]
+    assert ":eq" in labels and ":ends" in labels
+
+
+def test_uri_corpus_analyzes_clean():
+    """Every reference corpus URI analyzes with zero ERROR diagnostics
+    (warnings for unknown params are allowed — the corpus includes
+    legacy params by design)."""
+    uris = [line.strip() for line in open(CORPUS) if line.strip()]
+    assert len(uris) > 300
+    for u in uris:
+        r = lsp.analyze_uri(u)
+        errors = [d for d in r["diagnostics"] if d["severity"] == 1]
+        assert not errors, (u[:100], errors[:2])
+
+
 # --------------------------------------------------------------- http layer
 
 
@@ -245,6 +347,24 @@ def test_http_lsp_analyze_requires_expression(served):
     status, out = _post(f"{served}/api/v1/lsp/analyze", {"offset": 3})
     assert status == 400
     assert "expression" in out["message"]
+
+
+def test_http_lsp_analyze_uri(served):
+    text = "/api/v1/graph?w=700&q=name,cpu,:eqq"
+    status, out = _post(
+        f"{served}/api/v1/lsp/analyze-uri",
+        {"expression": text, "offset": text.index(":eqq") + 1},
+    )
+    assert status == 200
+    d = next(d for d in out["diagnostics"] if "unknown word" in d["message"])
+    s, e = d["range"]["start"]["character"], d["range"]["end"]["character"]
+    assert text[s:e] == ":eqq"
+    assert out["hover"] is None  # unknown word has no glossary hover
+    status, out = _post(
+        f"{served}/api/v1/lsp/analyze-uri",
+        {"expression": "/api/v1/graph?q=name,cpu,:eq,:sum&f", "offset": 35},
+    )
+    assert [i["label"] for i in out["completions"]] == ["features", "format"]
 
 
 def test_http_lsp_glossary(served):
