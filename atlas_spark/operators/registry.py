@@ -28,6 +28,8 @@ SPECS: list[OpSpec] = [
     OpSpec("op_token_mix", text.token_mix, text.TOKEN_MIX_SQL),
     OpSpec("op_decontaminate", text.decontaminate, text.DECONTAMINATE_SQL),
     OpSpec("op_stratified_sample", text.stratified_sample, text.STRATIFIED_SAMPLE_SQL),
+    OpSpec("op_hash_split", text.hash_split, text.HASH_SPLIT_SQL),
+    OpSpec("op_quality_deciles", text.quality_deciles, text.QUALITY_DECILES_SQL),
     OpSpec("op_sessionize", text.sessionize, text.SESSIONIZE_SQL),
     OpSpec("op_pii_scrub", text.pii_scrub, text.PII_SCRUB_SQL),
     OpSpec("op_repetition_ratio", text.repetition_ratio, text.REPETITION_RATIO_SQL),

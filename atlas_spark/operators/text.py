@@ -363,6 +363,88 @@ WHERE {_MD5_UNIFORM_SQL.format(col='doc_id')}
 """
 
 
+def hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (80/10/10) from a content
+    hash of the document id — the canonical reproducible split a training
+    pipeline fixes once and reuses across every downstream job.
+
+    `_md5_uniform(doc_id)` makes the assignment engine-portable
+    (value-level oracle) and independent of partitioning, row order, and
+    cluster size: the same document lands in the same split on a laptop
+    and on 1000 executors.  Pure projection, zero shuffle — at 100 TB
+    this is a narrow column stamped during one map pass, prunable by
+    anything reading a single split downstream."""
+    docs = load_documents(spark, sf_dir)
+    u = _md5_uniform(F.col("doc_id"))
+    split = (
+        F.when(u < 0.8, F.lit("train"))
+        .when(u < 0.9, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.select("doc_id", "lang", split.alias("split"))
+
+
+_HS_U = _MD5_UNIFORM_SQL.format(col="doc_id")
+
+HASH_SPLIT_SQL = f"""
+SELECT doc_id, lang,
+       CASE WHEN {_HS_U} < 0.8 THEN 'train'
+            WHEN {_HS_U} < 0.9 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-length deciles: NTILE(10) over a deterministic
+    total order (token count, then doc_id) with per-decile document
+    count, token bounds, and mean — the length-distribution profile a
+    curriculum / data-mix design reads before choosing cutoffs.
+
+    NTILE follows the standard first-(n%10)-buckets-get-one-extra rule
+    in both engines, and the doc_id tiebreak makes the bucketing exact,
+    so the oracle is value-level.  One shuffle (window partition by
+    lang) then a partial-aggregated groupBy — at 100 TB the window key
+    is low-cardinality but each partition only sorts its own language's
+    (token,id) pairs, and AQE splits a skewed language across tasks for
+    the aggregation stage."""
+    docs = load_documents(spark, sf_dir)
+    from pyspark.sql.window import Window
+
+    n_tokens = F.size(F.split(F.col("text"), " ")).cast("long")
+    w = Window.partitionBy("lang").orderBy(n_tokens, F.col("doc_id"))
+    tiled = docs.select(
+        "lang", n_tokens.alias("n_tokens"), F.ntile(10).over(w).alias("decile")
+    )
+    return (
+        tiled.groupBy("lang", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.round(F.avg("n_tokens") + ROUND_EPS_TXT, 6).alias("avg_tokens"),
+        )
+    )
+
+
+# identical dither as the ASL registry (registry.py ROUND_EPS): mean of
+# integer token counts can land exactly on a rounding half-point
+ROUND_EPS_TXT = 1.2345e-9
+
+QUALITY_DECILES_SQL = f"""
+WITH t AS (
+  SELECT lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         ntile(10) OVER (PARTITION BY lang ORDER BY len(string_split(text, ' ')), doc_id) AS decile
+  FROM documents
+)
+SELECT lang, decile, count(*) AS n_docs,
+       min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens,
+       round(avg(n_tokens) + 1.2345e-9, 6) AS avg_tokens
+FROM t GROUP BY lang, decile
+"""
+
+
 def sessionize(spark: SparkSession, sf_dir: str, gap: int = 1800) -> DataFrame:
     """Sessionize the event stream per user: a new session starts when
     the gap since the user's previous event exceeds `gap` seconds.

@@ -656,3 +656,25 @@ def test_adapted_partsupp_shapes_join_strategy(spark, sf_dir, queries):
             name,
             plan,
         )
+
+
+def test_hash_split_is_zero_shuffle_pruned_projection(spark, sf_dir):
+    """The split assignment must be a pure map pass: no exchange, and
+    the scan reads only the two projected columns (at 100 TB this is
+    the difference between a metadata-cheap stamp and a corpus sort)."""
+    from atlas_spark.operators.text import hash_split
+
+    plan = _plan(hash_split(spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "ReadSchema: struct<doc_id:bigint,lang:string>" in plan, plan
+
+
+def test_quality_deciles_single_window_exchange(spark, sf_dir):
+    """One shuffle for the per-language window, partial aggregation
+    before the final group-by, no global (single-partition) sort."""
+    from atlas_spark.operators.text import quality_deciles
+
+    plan = _plan(quality_deciles(spark, sf_dir))
+    assert plan.count("Exchange") <= 2, plan  # window + agg re-use or two
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "partial" in plan.lower(), plan
