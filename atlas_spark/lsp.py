@@ -367,10 +367,15 @@ def analyze(text: str, step: int = 3600) -> dict[str, Any]:
                 diag(tok, msg)
                 failed = True
             elif not failed:
+                # executors can raise raw ValueError (bad numeric literal,
+                # invalid duration, ...) — an analyzer must turn EVERY
+                # execution failure into a positioned diagnostic, never a
+                # 500/400 on the endpoint
                 try:
                     interp.execute_word(name, ctx)
-                except AslError as ex:
-                    diag(tok, str(ex))
+                except Exception as ex:  # noqa: BLE001
+                    msg = str(ex) if isinstance(ex, AslError) else f"{type(ex).__name__}: {ex}"
+                    diag(tok, msg)
                     failed = True
             if name in _DEPRECATED and not failed:
                 diag(tok, f":{name} is deprecated: {_DEPRECATED[name]}", severity=2)
@@ -445,8 +450,8 @@ def complete(text: str, offset: int, step: int = 3600) -> list[dict]:
         from .stacklang.interpreter import split_and_trim
 
         interp.execute_program(split_and_trim(program), base)
-    except AslError:
-        return []  # errors before the cursor: no completions
+    except Exception:  # noqa: BLE001 — any error before the cursor: no completions
+        return []
     items = []
     for name in sorted({w.name for w in WORDS}):
         if not name.startswith(prefix):
@@ -573,24 +578,42 @@ class QueryParam:
 
 
 def _decode_with_map(raw: str) -> tuple[str, tuple[int, ...]]:
-    out, offsets = [], []
+    """Percent-decode with a decoded-char -> raw-offset map.  %XX escapes
+    decode as BYTES, so multi-byte UTF-8 sequences collapse to one char —
+    matching urllib's unquote, which the real graph endpoint uses; each
+    decoded char maps to the raw offset of its first byte (undecodable
+    bytes survive as surrogate escapes, one raw byte each)."""
+    byte_vals: list[int] = []
+    byte_offs: list[int] = []
     i = 0
+    hexd = "0123456789abcdefABCDEF"
     while i < len(raw):
         c = raw[i]
-        offsets.append(i)
-        if c == "%" and i + 3 <= len(raw):
-            hx = raw[i + 1 : i + 3]
-            if len(hx) == 2 and all(ch in "0123456789abcdefABCDEF" for ch in hx):
-                out.append(chr(int(hx, 16)))
-                i += 3
-                continue
-        if c == "+":
-            out.append(" ")
-        else:
-            out.append(c)
+        if (
+            c == "%"
+            and i + 3 <= len(raw)
+            and raw[i + 1] in hexd
+            and raw[i + 2] in hexd
+        ):
+            byte_vals.append(int(raw[i + 1 : i + 3], 16))
+            byte_offs.append(i)
+            i += 3
+            continue
+        for bv in (" " if c == "+" else c).encode("utf-8"):
+            byte_vals.append(bv)
+            byte_offs.append(i)
         i += 1
+    decoded = bytes(byte_vals).decode("utf-8", errors="surrogateescape")
+    offsets: list[int] = []
+    bpos = 0
+    for ch in decoded:
+        offsets.append(byte_offs[bpos])
+        if 0xDC80 <= ord(ch) <= 0xDCFF:  # surrogateescape: one raw byte
+            bpos += 1
+        else:
+            bpos += len(ch.encode("utf-8"))
     offsets.append(len(raw))  # sentinel: one past the last decoded char
-    return "".join(out), tuple(offsets)
+    return decoded, tuple(offsets)
 
 
 @dataclass(frozen=True)
@@ -635,11 +658,25 @@ def _find_param(parsed: ParsedUri, offset: int) -> QueryParam | None:
     return None
 
 
+def _line_starts(s: str) -> list[int]:
+    starts = [0]
+    for i, ch in enumerate(s):
+        if ch == "\n":
+            starts.append(i + 1)
+    return starts
+
+
 def _shift_range(rng: dict, param: QueryParam) -> dict:
+    """Decoded-expression (line, character) -> raw URI offset.  The raw
+    URI is a single line, but the DECODED expression may contain %0A
+    newlines, so positions on line > 0 must be flattened through the
+    decoded line-start table before mapping to raw offsets."""
+    starts = _line_starts(param.decoded)
+
     def shift(pos: dict) -> dict:
-        if pos["line"] == 0:
-            return {"line": 0, "character": param.decoded_to_raw(pos["character"])}
-        return pos
+        line = min(pos["line"], len(starts) - 1)
+        abs_off = starts[line] + pos["character"]
+        return {"line": 0, "character": param.decoded_to_raw(abs_off)}
 
     return {"start": shift(rng["start"]), "end": shift(rng["end"])}
 
@@ -686,14 +723,22 @@ def analyze_uri(text: str, step: int = 3600) -> dict[str, Any]:
             sub = analyze(p.decoded, step=step)
             for d in sub["diagnostics"]:
                 diagnostics.append({**d, "range": _shift_range(d["range"], p)})
-            # re-base the expression's delta-encoded tokens to raw offsets
-            col = 0
+            # re-base the expression's delta-encoded tokens to raw offsets;
+            # the decoded value may contain %0A newlines, so track the
+            # (line, col) pair and flatten through the line-start table
+            starts = _line_starts(p.decoded)
+            line = col = 0
             data = sub["tokens"]
             for i in range(0, len(data), 5):
                 dl, ds, ln, tt, _mods = data[i : i + 5]
-                col = ds if dl > 0 else col + ds
-                start = p.decoded_to_raw(col)
-                end = p.decoded_to_raw(col + ln)
+                if dl > 0:
+                    line += dl
+                    col = ds
+                else:
+                    col += ds
+                abs_off = starts[min(line, len(starts) - 1)] + col
+                start = p.decoded_to_raw(abs_off)
+                end = p.decoded_to_raw(abs_off + ln)
                 tokens.append((start, end - start, tt))
         elif p.value_end > p.value_start:
             tokens.append((p.value_start, p.value_end - p.value_start, TT_STRING))

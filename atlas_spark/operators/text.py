@@ -395,6 +395,12 @@ FROM documents
 """
 
 
+# identical dither as the ASL registry (registry.py ROUND_EPS): mean of
+# integer token counts can land exactly on a rounding half-point.
+# Interpolated into QUALITY_DECILES_SQL — single source for both engines.
+ROUND_EPS_TXT = 1.2345e-9
+
+
 def quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language token-length deciles: NTILE(10) over a deterministic
     total order (token count, then doc_id) with per-decile document
@@ -427,10 +433,6 @@ def quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# identical dither as the ASL registry (registry.py ROUND_EPS): mean of
-# integer token counts can land exactly on a rounding half-point
-ROUND_EPS_TXT = 1.2345e-9
-
 QUALITY_DECILES_SQL = f"""
 WITH t AS (
   SELECT lang,
@@ -440,7 +442,7 @@ WITH t AS (
 )
 SELECT lang, decile, count(*) AS n_docs,
        min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens,
-       round(avg(n_tokens) + 1.2345e-9, 6) AS avg_tokens
+       round(avg(n_tokens) + {ROUND_EPS_TXT!r}, 6) AS avg_tokens
 FROM t GROUP BY lang, decile
 """
 

@@ -288,8 +288,13 @@ class StreamSubscriptionManager:
             # counters (received/droppedOld/droppedFuture — the
             # TimeGrouped.scala:77-86 counter row) on the summary.
             # Called outside the lock: drop_counters() walks Spark
-            # progress events and must not block the registry.
-            out["ingest"] = dict(fn())
+            # progress events and must not block the registry.  A failing
+            # provider (e.g. torn-down session) degrades to an error
+            # field — the summary itself must always serve.
+            try:
+                out["ingest"] = dict(fn())
+            except Exception as e:  # noqa: BLE001
+                out["ingest"] = {"error": f"{type(e).__name__}: {e}"}
         return out
 
     # ------------------------------------------------------ subscriptions

@@ -192,6 +192,20 @@ def test_corpus_expressions_analyze_clean():
         assert len(r["tokens"]) == 5 * len(lsp.tokenize(q))
 
 
+def test_executor_value_errors_become_diagnostics_not_exceptions():
+    """Word executors can raise raw ValueError (bad numeric literal in
+    :percentiles etc.) — the analyzer must yield a positioned diagnostic,
+    never propagate (the HTTP endpoint would 400 with no tokens)."""
+    text = "name,cpu,:eq,:sum,(,a,),:percentiles"
+    r = lsp.analyze(text)
+    (d,) = [d for d in r["diagnostics"] if d["severity"] == 1]
+    start = d["range"]["start"]["character"]
+    assert text[start:].startswith(":percentiles")
+    assert len(r["tokens"]) == 5 * len(lsp.tokenize(text))
+    # completion over the same broken prefix degrades to empty, not a raise
+    assert lsp.complete(text + ",:e", len(text) + 3) == []
+
+
 # ------------------------------------------------------------- URI analyzer
 
 
@@ -280,6 +294,57 @@ def test_uri_completion_params_and_expression():
     text2 = "/api/v1/graph?q=name,cpu,:e"
     labels = [i["label"] for i in lsp.complete_uri(text2, len(text2))]
     assert ":eq" in labels and ":ends" in labels
+
+
+def test_uri_utf8_percent_decoding_offsets():
+    """%XX escapes decode as UTF-8 BYTES: café is 4 decoded chars from 6
+    raw ones, and offsets after the escape map to the right raw spans."""
+    text = "/api/v1/graph?q=name,caf%C3%A9,:eq"
+    parsed = lsp.parse_uri(text)
+    q = parsed.query[0]
+    assert q.decoded == "name,café,:eq"
+    di = q.decoded.index(":eq")
+    raw = q.decoded_to_raw(di)
+    assert text[raw : raw + 3] == ":eq"
+    assert q.raw_to_decoded(raw) == di
+    r = lsp.analyze_uri(text)
+    assert not [d for d in r["diagnostics"] if d["severity"] == 1]
+
+
+def test_uri_encoded_newline_positions():
+    """A %0A inside q makes the DECODED expression multi-line; token
+    spans and diagnostic ranges must still land on the right raw URI
+    characters (flattened through the decoded line starts)."""
+    text = "/api/v1/graph?q=name,cpu,:eq%0A,:summ"
+    r = lsp.analyze_uri(text)
+    d = next(d for d in r["diagnostics"] if "unknown word" in d["message"])
+    s, e = d["range"]["start"]["character"], d["range"]["end"]["character"]
+    assert text[s:e] == ":summ"
+    assert d["range"]["start"]["line"] == 0  # raw URI is single-line
+    # the :summ token's span covers the raw characters
+    rows = [r["tokens"][i : i + 5] for i in range(0, len(r["tokens"]), 5)]
+    offs, pos = [], 0
+    for row in rows:
+        pos += row[1]
+        offs.append((pos, row[2]))
+    spans = [text[o : o + ln] for o, ln in offs]
+    assert ":summ" in spans and ":eq" in spans
+
+
+def test_uri_counter_summary_never_raises():
+    from atlas_spark.streaming import lwc_wire
+
+    sm = lwc_wire.StreamSubscriptionManager(step=60)
+    meta = lwc_wire.StreamMetadata("s1")
+    sm.register(meta, lwc_wire.QueueHandler(meta))
+
+    def boom():
+        raise RuntimeError("session torn down")
+
+    sm.attach_counters("s1", boom)
+    summary = sm.stream_summary("s1")
+    assert summary["ingest"]["error"] == "RuntimeError: session torn down"
+    assert summary["metadata"]["streamId"] == "s1"
 
 
 def test_uri_corpus_analyzes_clean():

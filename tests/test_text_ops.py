@@ -125,3 +125,26 @@ def test_publish_decoder_edge_shapes(spark):
     rows = decode_publish_payloads(df).collect()
     assert len(rows) == 1
     assert rows[0]["tags"] == {} and rows[0]["timestamp"] == 5
+
+
+def test_band_candidates_pairs_and_degenerate_bucket(spark):
+    """The streamed generator chain emits exactly the in-bucket pairs
+    (cross-band duplicates collapsed), including for a large degenerate
+    bucket where the per-row state must stay O(bucket): 2000 ids in one
+    bucket -> C(2000,2) pairs with no single O(b^2) value."""
+    from atlas_spark.operators import dedup
+
+    rows = (
+        [(d, 0, 111) for d in range(5)]
+        + [(7, 1, 222), (8, 1, 222)]
+        + [(7, 2, 333), (8, 2, 333)]  # same pair via a second band
+    )
+    bands = spark.createDataFrame(rows, "doc_id long, band int, bucket long")
+    want = {(a, b) for a in range(5) for b in range(a + 1, 5)} | {(7, 8)}
+    got = {tuple(r) for r in dedup._band_candidates(bands).collect()}
+    assert got == want
+    big = spark.range(2000).select(
+        F.col("id").alias("doc_id"), F.lit(0).alias("band"), F.lit(9).alias("bucket")
+    )
+    n = dedup._band_candidates(big).count()
+    assert n == 2000 * 1999 // 2
