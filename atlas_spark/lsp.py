@@ -477,6 +477,204 @@ def complete(text: str, offset: int, step: int = 3600) -> list[dict]:
     return items
 
 
+# ------------------------------------------------- symbols + code actions
+
+
+def _arity(name: str) -> int | None:
+    """Input arity parsed from the glossary stack-effect signature —
+    the role TypedWord.parameters plays for the reference's symbol tree
+    (AslDocumentAnalyzer.scala:407-455).  None = variadic/unknown."""
+    entry = GLOSSARY.get(name)
+    if entry is None:
+        return None
+    ins = entry["signature"].split("--")[0].split()
+    if "..." in ins:
+        return None
+    return len(ins)
+
+
+def document_symbols(text: str) -> list[dict]:
+    """Hierarchical document symbols (computeDocumentSymbols parity):
+    literals are Number/String leaves, lists are Array nodes with
+    children, words are Function nodes consuming `arity` prior symbols
+    as children (range spans from the first consumed child to the word;
+    selectionRange is the word token itself)."""
+    tokens = tokenize(text)
+    stack: list[dict] = []
+    marks: list[int] = []  # indices of open "(" in `stack`
+
+    def rng(start: int, end: int) -> dict:
+        return _range(text, start, end)
+
+    for tok in tokens:
+        t = tok.text
+        if t == "(":
+            marks.append(len(stack))
+            stack.append({"_open": tok.start})
+        elif t == ")":
+            if not marks:
+                continue  # unmatched — diagnostics cover it
+            at = marks.pop()
+            children = [s for s in stack[at + 1 :] if "_open" not in s]
+            open_start = stack[at]["_open"]
+            del stack[at:]
+            stack.append(
+                {
+                    "name": "(...)",
+                    "kind": "Array",
+                    "range": rng(open_start, tok.end),
+                    "selectionRange": rng(open_start, open_start + 1),
+                    "children": children,
+                    "_abs_start": open_start,
+                }
+            )
+        elif t.startswith(":"):
+            name = t[1:]
+            known = name in {w.name for w in WORDS}
+            arity = _arity(name) if known else None
+            n = 0 if arity is None else min(arity, len(stack))
+            children = []
+            if n:
+                take = stack[-n:]
+                if all("_open" not in s for s in take):
+                    children = take
+                    del stack[-n:]
+            start = (
+                # children ranges are absolute offsets encoded as positions;
+                # recover the raw start from the first child token we saw
+                children[0]["_abs_start"]
+                if children
+                else tok.start
+            )
+            sym = {
+                "name": t,
+                "kind": "Function",
+                "range": rng(start, tok.end),
+                "selectionRange": rng(tok.start, tok.end),
+                "detail": GLOSSARY.get(name, {}).get("signature", "")
+                if known
+                else "unresolved",
+                "children": children,
+                "_abs_start": start,
+            }
+            stack.append(sym)
+        else:
+            kind = "Number" if _is_number(t) else "String"
+            stack.append(
+                {
+                    "name": t,
+                    "kind": kind,
+                    "range": rng(tok.start, tok.end),
+                    "selectionRange": rng(tok.start, tok.end),
+                    "children": [],
+                    "_abs_start": tok.start,
+                }
+            )
+
+    def strip(sym: dict) -> dict:
+        sym.pop("_abs_start", None)
+        for c in sym.get("children", []):
+            strip(c)
+        return sym
+
+    return [strip(s) for s in stack if "_open" not in s]
+
+
+def compress_expression(text: str) -> str:
+    """Strip whitespace, empty tokens, and line breaks
+    (compressExpression parity): the canonical compact comma form."""
+    return ",".join(t.text for t in tokenize(text))
+
+
+def format_expression(text: str) -> str:
+    """Multi-line pretty form (formatExpression parity, simplified):
+    each word groups with its consumed arguments; groups whose
+    arguments are all simple render inline, groups containing nested
+    command groups break across lines; top-level expressions separate
+    with a blank line.  compress(format(x)) == compress(x) always."""
+    syms = document_symbols(text)
+
+    def render(sym: dict) -> str:
+        if sym["kind"] == "Array":
+            inner = ",".join(render(c) for c in sym["children"])
+            return f"(,{inner},)" if inner else "(,)"
+        if sym["kind"] != "Function" or not sym["children"]:
+            return sym["name"]
+        args = [render(c) for c in sym["children"]]
+        complex_args = any(
+            c["kind"] == "Function" and c["children"] for c in sym["children"]
+        )
+        sep = ",\n" if complex_args else ","
+        return sep.join(args) + f"{sep if complex_args else ','}{sym['name']}"
+
+    return ",\n\n".join(render(s) for s in syms)
+
+
+def normalize_expression(text: str, step: int = 3600) -> str | None:
+    """Canonical normalized display of the parsed expressions (the
+    reference's Normalize code action via ExprNormalizer); None when
+    the program does not parse/execute."""
+    try:
+        from .stacklang.vocab import parse as parse_asl
+
+        return ",".join(se.display() for se in parse_asl(text, step=step))
+    except Exception:  # noqa: BLE001
+        return None
+
+
+def code_actions(text: str, step: int = 3600) -> list[dict]:
+    """Code actions (computeCodeActions parity): semicolon-typo quick
+    fixes, then whole-document Format / Compress / Normalize rewrites
+    when they change the text (refactor actions are suppressed while
+    the program has error diagnostics, like the reference)."""
+    actions: list[dict] = []
+    analysis = analyze(text, step=step)
+    for d in analysis["diagnostics"]:
+        msg = d["message"]
+        if msg.startswith("did you mean ':") and msg.endswith(
+            "'? (semicolon instead of colon)"
+        ):
+            name = msg[len("did you mean ':") : -len("'? (semicolon instead of colon)")]
+            actions.append(
+                {
+                    "title": f"Replace with ':{name}'",
+                    "kind": "quickfix",
+                    "edit": {"range": d["range"], "newText": f":{name}"},
+                }
+            )
+    if any(d["severity"] == 1 for d in analysis["diagnostics"]):
+        return actions
+    full = _range(text, 0, len(text))
+    formatted = format_expression(text)
+    if formatted != text:
+        actions.append(
+            {
+                "title": "Format expression",
+                "kind": "refactor.rewrite",
+                "edit": {"range": full, "newText": formatted},
+            }
+        )
+    compressed = compress_expression(text)
+    if compressed != text:
+        actions.append(
+            {
+                "title": "Compress expression",
+                "kind": "refactor.rewrite",
+                "edit": {"range": full, "newText": compressed},
+            }
+        )
+    normalized = normalize_expression(text, step=step)
+    if normalized is not None and normalized != text:
+        actions.append(
+            {
+                "title": "Normalize expression",
+                "kind": "refactor.rewrite",
+                "edit": {"range": full, "newText": normalized},
+            }
+        )
+    return actions
+
+
 # ------------------------------------------------------------ URI analyzer
 #
 # The reference's second analyzer works over full graph URIs

@@ -206,6 +206,67 @@ def test_executor_value_errors_become_diagnostics_not_exceptions():
     assert lsp.complete(text + ",:e", len(text) + 3) == []
 
 
+# ------------------------------------------------- symbols + code actions
+
+
+def test_document_symbols_consumption_tree():
+    text = "name,sps,:eq,:sum,(,nf.asg,),:by"
+    (by,) = lsp.document_symbols(text)
+    assert by["name"] == ":by" and by["kind"] == "Function"
+    agg, arr = by["children"]
+    assert agg["name"] == ":sum" and arr["kind"] == "Array"
+    assert arr["children"][0] == {
+        "name": "nf.asg",
+        "kind": "String",
+        "range": lsp._range(text, 20, 26),
+        "selectionRange": lsp._range(text, 20, 26),
+        "children": [],
+    }
+    (eq,) = agg["children"]
+    assert [c["name"] for c in eq["children"]] == ["name", "sps"]
+    # the :by range spans from its first consumed child to the word
+    assert by["range"]["start"]["character"] == 0
+    assert by["range"]["end"]["character"] == len(text)
+
+
+def test_format_compress_roundtrip_on_corpus():
+    """format() breaks groups across lines, compress() restores the
+    compact form: for every corpus expression the compress(format(q))
+    round-trip must be token-identical to compress(q), and the formatted
+    text must re-analyze without NEW errors."""
+    from urllib.parse import parse_qs, urlparse
+
+    qs = []
+    for line in open(CORPUS):
+        q = parse_qs(urlparse(line.strip()).query).get("q", [None])[0]
+        if q:
+            qs.append(q)
+    for q in qs:
+        f = lsp.format_expression(q)
+        assert lsp.compress_expression(f) == lsp.compress_expression(q), q[:80]
+
+
+def test_code_actions_typo_and_rewrites():
+    acts = lsp.code_actions("name,cpu,:eq,;sum")
+    assert acts[0]["title"] == "Replace with ':sum'"
+    assert acts[0]["kind"] == "quickfix"
+    text = "name , cpu,:eq,:sum"
+    titles = [a["title"] for a in lsp.code_actions(text)]
+    assert "Compress expression" in titles
+    comp = next(a for a in lsp.code_actions(text) if a["title"] == "Compress expression")
+    assert comp["edit"]["newText"] == "name,cpu,:eq,:sum"
+    # error programs get quickfixes only, no refactor rewrites
+    assert all(
+        a["kind"] == "quickfix" for a in lsp.code_actions("name,cpu,:eq,:pow")
+    )
+
+
+def test_normalize_action_canonicalizes():
+    n = lsp.normalize_expression("name,cpu,:eq,:true,:and,:sum")
+    assert n == "name,cpu,:eq,:sum"  # :true folds away
+    assert lsp.normalize_expression("name,cpu,:bogus") is None
+
+
 # ------------------------------------------------------------- URI analyzer
 
 
