@@ -499,3 +499,53 @@ def test_http_lsp_glossary(served):
         words = json.loads(resp.read())["words"]
     assert set(words) == {w.name for w in WORDS}
     assert words["eq"]["signature"] == "String String -- Query"
+
+
+# ------------------------------------------------------------------ fuzzing
+
+
+def test_analyzer_total_over_corrupted_corpus():
+    """Editors feed the analyzer every intermediate keystroke state: all
+    entry points must be TOTAL over corrupted input — never raise.
+    Deterministic corruption sweep: for a sample of corpus expressions,
+    delete/duplicate/swap characters, inject stray colons/semicolons/
+    parens/percent junk, truncate mid-token; run analyze/hover/complete/
+    symbols/actions and the URI layer on every variant."""
+    import random
+    from urllib.parse import parse_qs, urlparse
+
+    rng = random.Random(20260815)
+    qs = []
+    for line in open(CORPUS):
+        q = parse_qs(urlparse(line.strip()).query).get("q", [None])[0]
+        if q:
+            qs.append(q)
+    sample = rng.sample(qs, 40)
+    junk = [":", ";", ",", "(", ")", "%", "%2", "\\u0", "\n", " ", ":bogus"]
+
+    def corruptions(q):
+        yield q[: rng.randrange(len(q))]  # truncate
+        i = rng.randrange(len(q))
+        yield q[:i] + q[i + 1 :]  # delete
+        yield q[:i] + rng.choice(junk) + q[i:]  # inject
+        yield q[::-1]  # reverse
+        yield q + ","  # trailing comma
+        yield "," + q
+
+    checked = 0
+    for q in sample:
+        for c in corruptions(q):
+            r = lsp.analyze(c)
+            assert isinstance(r["diagnostics"], list)
+            assert len(r["tokens"]) % 5 == 0
+            off = rng.randrange(len(c) + 1) if c else 0
+            lsp.hover(c, off)
+            lsp.complete(c, off)
+            lsp.document_symbols(c)
+            lsp.code_actions(c)
+            uri = f"/api/v1/graph?q={c}&s=e-3h"
+            lsp.analyze_uri(uri)
+            lsp.hover_uri(uri, min(off + 16, len(uri)))
+            lsp.complete_uri(uri, min(off + 16, len(uri)))
+            checked += 1
+    assert checked >= 200
