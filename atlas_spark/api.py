@@ -280,6 +280,43 @@ class Engine:
             )
         return out
 
+    def rewrite(self, q: str) -> list[str]:
+        """Phase out the deprecated list-form style offset
+        (ExprApi.scala:330-385 /api/v1/expr/rewrite): no offsets -> the
+        canonical display; a single zero offset -> setting removed; a
+        single non-zero offset -> the data-variant `dur,:offset`;
+        multiple offsets -> the base expression bound to a `QueryN`
+        variable and one `:get`(+`:offset`) per duration.  Durations
+        keep their original spelling (the setting stores them
+        verbatim)."""
+        out = []
+        for i, se in enumerate(parse_asl(q, step=self.source.step)):
+            out.append(self._rewrite_offset(se, i))
+        return out
+
+    def _rewrite_offset(self, se, i: int) -> str:
+        s = se.settings_dict() if isinstance(se, E.StyleExpr) else {}
+        off = s.get("offset", "")
+        if not (off.startswith("(,") and off.endswith(",)")):
+            return se.display()
+        durs = [t for t in off[2:-2].split(",") if t]
+        base = E.StyleExpr(
+            se.expr, tuple((k, v) for k, v in se.settings if k != "offset")
+        )
+        if len(durs) == 1:
+            d = durs[0]
+            if parse_duration(d) == 0:
+                return base.display()
+            return f"{base.display()},{d},:offset"
+        var = f"Query{i}"
+        gets = ",".join(
+            f"{var},:get"
+            if parse_duration(d) == 0
+            else f"{var},:get,{d},:offset"
+            for d in durs
+        )
+        return f"{var},{base.display()},:set,{gets}"
+
     def complete(self, q: str) -> list[str]:
         """Candidate next words for the program's current stack
         (ExprApi.scala:160-182 /api/v1/expr/complete): a word is offered

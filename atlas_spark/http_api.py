@@ -14,7 +14,7 @@ PublishApi.scala:50-60):
                                 in the `x-nflx-atlas-next-offset` header
                                 (TagsApi.scala:131)
   GET  /api/v1/expr             stack-language introspection; sub-paths
-       [/debug /normalize /complete /queries /strip]
+       [/debug /normalize /complete /queries /strip /rewrite]
   POST /api/v1/publish          validate + spool; 200 all-accepted,
        /api/v1/publish-fast     202 partial (type=partial FailureMessage),
                                 400 all-rejected/empty
@@ -431,6 +431,8 @@ class AtlasHandler(BaseHTTPRequestHandler):
         if sub == "strip":
             keys = set(qs.get("k", []))
             return self._json(200, eng.strip(q, keys))
+        if sub == "rewrite":
+            return self._json(200, eng.rewrite(q))
         return self._error(404, f"unknown expr endpoint: {sub}")
 
     # ------------------------------------------------------ lwcapi routes

@@ -302,6 +302,34 @@ def test_expr_strip_endpoint(engine):
     assert out2 == [":true,:sum"]
 
 
+def test_expr_rewrite_endpoint(engine):
+    """ExprApi.rewrite parity (ExprApi.scala:350-385): migrate the
+    deprecated list-form style offset to the data variant."""
+    # no offsets: canonical display
+    assert engine.rewrite("name,cpu,:eq,:sum") == ["name,cpu,:eq,:sum"]
+    # single zero offset: setting removed
+    assert engine.rewrite("name,cpu,:eq,:sum,(,0h,),:offset") == [
+        "name,cpu,:eq,:sum"
+    ]
+    # single non-zero: data-variant :offset, spelling preserved
+    assert engine.rewrite("name,cpu,:eq,:sum,(,1w,),:offset") == [
+        "name,cpu,:eq,:sum,1w,:offset"
+    ]
+    # multiple: base bound to QueryN, one :get per duration
+    assert engine.rewrite("name,cpu,:eq,:sum,(,0h,1w,),:offset") == [
+        "Query0,name,cpu,:eq,:sum,:set,Query0,:get,Query0,:get,1w,:offset"
+    ]
+    # other style settings survive on the base expression
+    assert engine.rewrite("name,cpu,:eq,:sum,2,:lw,(,1d,),:offset") == [
+        "name,cpu,:eq,:sum,2,:lw,1d,:offset"
+    ]
+    # multi-expression programs index their variables
+    out = engine.rewrite(
+        "name,a,:eq,:sum,(,0h,1w,),:offset,name,b,:eq,:max,(,0h,1d,),:offset"
+    )
+    assert out[0].startswith("Query0,") and out[1].startswith("Query1,")
+
+
 def test_expr_complete_endpoint(engine):
     words = engine.complete("name,click,:eq")
     assert "sum" in words and "count" in words and "not" in words

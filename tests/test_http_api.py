@@ -152,6 +152,10 @@ def test_expr_queries_and_strip(served):
     assert json.loads(body) == ["name,click,:eq", "name,view,:eq"]
     _, _, body = _get(f"{base}/api/v1/expr/strip?q=name,click,:eq,:sum&k=name")
     assert json.loads(body) == [":true,:sum"]
+    _, _, body = _get(
+        f"{base}/api/v1/expr/rewrite?q=name,click,:eq,:sum,(,1w,),:offset"
+    )
+    assert json.loads(body) == ["name,click,:eq,:sum,1w,:offset"]
 
 
 def test_expr_complete(served):
