@@ -588,6 +588,8 @@ class AtlasHandler(BaseHTTPRequestHandler):
             cp = lsp.complete_uri if uri_mode else lsp.complete
             out["hover"] = hv(expression, offset, step=step)
             out["completions"] = cp(expression, offset, step=step)
+            if not uri_mode:
+                out["definition"] = lsp.definition(expression, offset)
         if not uri_mode:
             out["symbols"] = lsp.document_symbols(expression)
             out["actions"] = lsp.code_actions(expression, step=step)

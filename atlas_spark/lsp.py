@@ -477,6 +477,87 @@ def complete(text: str, offset: int, step: int = 3600) -> list[dict]:
     return items
 
 
+def definition(text: str, offset: int, step: int = 3600) -> dict | None:
+    """Go-to-definition for variable references
+    (AslDocumentAnalyzer.scala:901-965): from a `:get` word (or the
+    variable-name literal before it), return the range of the most
+    recent `:set`/`:sset` that binds the same name before the cursor.
+    Resolution is SEMANTIC — the bound name comes from the replayed
+    pre-execution stack (`name,value,:set` binds stack[-2] even when the
+    value is a multi-token expression), matching the reference's
+    setVarName over recorded word stacks."""
+    interp = default_interpreter(step)
+    tokens = tokenize(text)
+    idx = next(
+        (i for i, t in enumerate(tokens) if t.start <= offset <= t.end), None
+    )
+    if idx is None:
+        return None
+    tok = tokens[idx]
+    ctx = Context(interp)
+    bindings: list[tuple[str, Token]] = []  # (var name, :set/:sset token)
+    var: str | None = None
+    if (
+        not tok.text.startswith(":")
+        and idx + 1 < len(tokens)
+        and tokens[idx + 1].text == ":get"
+    ):
+        var = tok.text
+    depth = 0
+    list_tokens: list[str] = []
+    for i, t in enumerate(tokens):
+        txt = t.text
+        if txt == "(":
+            if depth:
+                list_tokens.append(txt)
+            depth += 1
+            continue
+        if txt == ")":
+            if depth == 0:
+                break
+            depth -= 1
+            if depth:
+                list_tokens.append(txt)
+            else:
+                ctx.push(list(list_tokens))
+                list_tokens = []
+            continue
+        if depth:
+            list_tokens.append(txt)
+            continue
+        if txt.startswith(":"):
+            name = txt[1:]
+            if i == idx and name == "get":
+                top = ctx.stack[-1] if ctx.stack else None
+                var = top if isinstance(top, str) else None
+            if name == "set" and len(ctx.stack) >= 2 and isinstance(ctx.stack[-2], str):
+                if t.end <= offset:
+                    bindings.append((ctx.stack[-2], t))
+            elif name == "sset" and ctx.stack and isinstance(ctx.stack[-1], str):
+                if t.end <= offset:
+                    bindings.append((ctx.stack[-1], t))
+            try:
+                interp.execute_word(name, ctx)
+            except Exception:  # noqa: BLE001 — resolve with what we have
+                break
+        else:
+            ctx.push(txt)
+        if i >= idx and var is not None:
+            break
+    if var is None and tok.text == ":get" and idx > 0:
+        # replay can stop early (e.g. :sset without URI params); fall back
+        # to the literal token before the :get
+        prev = tokens[idx - 1].text
+        if not prev.startswith(":") and prev not in ("(", ")"):
+            var = prev
+    if var is None:
+        return None
+    for bound, t in reversed(bindings):
+        if bound == var:
+            return {"range": _range(text, t.start, t.end)}
+    return None
+
+
 # ------------------------------------------------- symbols + code actions
 
 

@@ -206,6 +206,30 @@ def test_executor_value_errors_become_diagnostics_not_exceptions():
     assert lsp.complete(text + ",:e", len(text) + 3) == []
 
 
+# --------------------------------------------------------------- definition
+
+
+def test_definition_get_resolves_to_latest_set():
+    text = "v,name,a,:eq,:set,v,name,b,:eq,:set,v,:get,:sum"
+    # cursor on the :get word
+    off = text.rindex(":get") + 1
+    d = lsp.definition(text, off)
+    s = d["range"]["start"]["character"]
+    # resolves to the SECOND (latest preceding) :set
+    assert text[:s].count(":set") == 1 and text[s : s + 4] == ":set"
+    # cursor on the variable literal before :get resolves identically
+    d2 = lsp.definition(text, text.rindex("v,:get"))
+    assert d2 == d
+
+
+def test_definition_sset_and_misses():
+    text = "u,:sset,u,:get"
+    d = lsp.definition(text, text.index(":get") + 1)
+    assert text[d["range"]["start"]["character"] :].startswith(":sset")
+    assert lsp.definition("w,:get", 3) is None  # no binding
+    assert lsp.definition("name,cpu,:eq", 2) is None  # not a reference
+
+
 # ------------------------------------------------- symbols + code actions
 
 
