@@ -334,6 +334,27 @@ def analyze(text: str, step: int = 3600) -> dict[str, Any]:
             }
         )
 
+    # parallel span stack: which source token produced each stack item —
+    # the reference's buildStackSourceMap role
+    # (AslDocumentAnalyzer.scala:184-232), maintained during the replay
+    # instead of reconstructed backwards
+    span_stack: list[Token | None] = []
+
+    def word_effect(tok: Token, name: str) -> None:
+        """Advance span_stack using the glossary stack effect."""
+        entry = GLOSSARY.get(name)
+        delta = len(ctx.stack) - len(span_stack)
+        if entry is None or "..." in entry["signature"]:
+            # variadic/unknown effect: resync with unknown provenance
+            span_stack[:] = [None] * len(ctx.stack)
+            return
+        ins, _, outs = entry["signature"].partition("--")
+        n_in, n_out = len(ins.split()), len(outs.split())
+        del span_stack[len(span_stack) - min(n_in, len(span_stack)) :]
+        span_stack.extend([tok] * n_out)
+        if len(span_stack) != len(ctx.stack):  # defensive resync
+            span_stack[:] = [None] * len(ctx.stack)
+
     for tok in tokens:
         t = tok.text
         known = True
@@ -348,11 +369,12 @@ def analyze(text: str, step: int = 3600) -> dict[str, Any]:
                 failed = True
             else:
                 depth -= 1
-                open_spans.pop()
+                opened = open_spans.pop()
                 if depth:
                     list_tokens.append(t)
                 elif not failed:
                     ctx.push(list(list_tokens))
+                    span_stack.append(opened)
                     list_tokens = []
         elif depth:
             list_tokens.append(t)
@@ -373,9 +395,13 @@ def analyze(text: str, step: int = 3600) -> dict[str, Any]:
                 # 500/400 on the endpoint
                 try:
                     interp.execute_word(name, ctx)
+                    word_effect(tok, name)
                 except Exception as ex:  # noqa: BLE001
                     msg = str(ex) if isinstance(ex, AslError) else f"{type(ex).__name__}: {ex}"
                     diag(tok, msg)
+                    if "no matching overload" in msg:
+                        for arg in _argument_mismatches(name, ctx.stack, span_stack):
+                            diag(arg[0] or tok, arg[1])
                     failed = True
             if name in _DEPRECATED and not failed:
                 diag(tok, f":{name} is deprecated: {_DEPRECATED[name]}", severity=2)
@@ -385,6 +411,7 @@ def analyze(text: str, step: int = 3600) -> dict[str, Any]:
             known = False
         elif not failed:
             ctx.push(t)
+            span_stack.append(tok)
         classified.append((tok, _classify(tok, known)))
 
     for tok in open_spans:
@@ -402,6 +429,74 @@ _DEPRECATED = {
     "trend": "use :rolling-mean",
     "decode": "legend decoding is a no-op escape hatch",
 }
+
+
+def _type_ok(ptype: str, v: Any) -> bool:
+    """Best-effort stack-value check against a glossary signature type
+    name (the TypedWord parameter-type role)."""
+    from .model import expr as Em
+    from .model import query as Qm
+    from .stacklang.interpreter import is_ts_like
+
+    t = ptype.strip()
+    if t == "String":
+        return isinstance(v, str)
+    if t in ("Int", "Double"):
+        return isinstance(v, (int, float)) or (isinstance(v, str) and _is_number(v))
+    if t == "Duration":
+        if isinstance(v, (int, float)):
+            return True
+        try:
+            from .util.strings import parse_duration
+
+            parse_duration(str(v))
+            return True
+        except Exception:  # noqa: BLE001
+            return False
+    if t == "Query":
+        return isinstance(v, Qm.Query)
+    if t in ("TimeSeriesExpr", "DataExpr"):
+        return is_ts_like(v) or isinstance(v, Em.StyleExpr)
+    if t in ("Expr", "StyleExpr"):
+        return is_ts_like(v) or isinstance(v, (Em.StyleExpr, Qm.Query))
+    if t == "List":
+        return isinstance(v, list)
+    return True  # a/b/c placeholders, EventExpr, anything else
+
+
+def _brief(v: Any) -> str:
+    """Short value description for argument diagnostics
+    (formatValueBrief, AslDocumentAnalyzer.scala:234-247)."""
+    if isinstance(v, str):
+        s = v if len(v) <= 37 else v[:37] + "..."
+        return f'String "{s}"'
+    if isinstance(v, (int, float)):
+        return f"{type(v).__name__} {v}"
+    if isinstance(v, list):
+        return f"List ({len(v)} items)"
+    s = str(v)
+    return f"{type(v).__name__} {s[:37] + '...' if len(s) > 40 else s}"
+
+
+def _argument_mismatches(
+    name: str, stack: list, span_stack: list
+) -> list[tuple["Token | None", str]]:
+    """Per-argument type mismatches for a word that matched no overload
+    (computeParameterDiagnostics parity): compare the signature's input
+    types against the actual stack items and point each mismatch at the
+    token that PRODUCED the offending value."""
+    entry = GLOSSARY.get(name)
+    if entry is None or "..." in entry["signature"]:
+        return []
+    ins = entry["signature"].split("--")[0].split()
+    out: list[tuple[Token | None, str]] = []
+    for k in range(min(len(ins), len(stack))):
+        ptype = ins[len(ins) - 1 - k]  # deepest first in the signature
+        value = stack[-1 - k]
+        if not _type_ok(ptype, value):
+            span = span_stack[-1 - k] if k < len(span_stack) else None
+            out.append((span, f"expected {ptype}, got {_brief(value)}"))
+    return out
 
 
 def _token_at(tokens: list[Token], offset: int) -> Token | None:

@@ -67,10 +67,26 @@ def test_unknown_word_diagnostic_with_suggestion():
 
 
 def test_overload_mismatch_diagnostic_positioned_on_word():
-    r = lsp.analyze("name,cpu,:eq,:by")
-    (d,) = r["diagnostics"]
-    assert "no matching overload for ':by'" in d["message"]
-    assert d["range"]["start"]["character"] == 13
+    text = "name,cpu,:eq,:by"
+    r = lsp.analyze(text)
+    word, arg = r["diagnostics"]
+    assert "no matching overload for ':by'" in word["message"]
+    assert word["range"]["start"]["character"] == 13
+    # argument-level diagnostic (computeParameterDiagnostics parity):
+    # :by wants a List on top; the Query produced by :eq is flagged AT
+    # the token that produced it
+    assert arg["message"].startswith("expected List, got")
+    s = arg["range"]["start"]["character"]
+    assert text[s : s + 3] == ":eq"
+
+
+def test_argument_mismatch_points_at_offending_literal():
+    text = "name,cpu,:eq,:sum,xyz,:clamp-min"
+    r = lsp.analyze(text)
+    arg = next(d for d in r["diagnostics"] if d["message"].startswith("expected"))
+    assert arg["message"] == 'expected Double, got String "xyz"'
+    s, e = arg["range"]["start"]["character"], arg["range"]["end"]["character"]
+    assert text[s:e] == "xyz"
 
 
 def test_unmatched_parens_diagnostics():
