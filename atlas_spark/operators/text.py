@@ -402,28 +402,76 @@ ROUND_EPS_TXT = 1.2345e-9
 
 
 def quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-language token-length deciles: NTILE(10) over a deterministic
-    total order (token count, then doc_id) with per-decile document
-    count, token bounds, and mean — the length-distribution profile a
-    curriculum / data-mix design reads before choosing cutoffs.
+    """Per-language token-length deciles: exact NTILE(10) semantics over
+    a deterministic total order (token count, then doc_id) with
+    per-decile document count, token bounds, and mean — the
+    length-distribution profile a curriculum / data-mix design reads
+    before choosing cutoffs.
 
-    NTILE follows the standard first-(n%10)-buckets-get-one-extra rule
-    in both engines, and the doc_id tiebreak makes the bucketing exact,
-    so the oracle is value-level.  One shuffle (window partition by
-    lang) then a partial-aggregated groupBy — at 100 TB the window key
-    is low-cardinality but each partition only sorts its own language's
-    (token,id) pairs, and AQE splits a skewed language across tasks for
-    the aggregation stage."""
+    Scale design — two-pass distributed exact rank, NOT a per-language
+    window.  ``ntile(10) OVER (PARTITION BY lang ...)`` puts every row
+    of a language in ONE task, which at 100 TB makes the dominant
+    language a multi-TB single-partition sort.  Instead:
+
+      1. Global range-partitioned sort on (lang, n_tokens, doc_id) —
+         a skewed language is spread across MANY contiguous slices,
+         each bounded by the range-partition size.  The slice id is
+         stamped with ``spark_partition_id()``; the slice is persisted
+         (3 narrow columns) so both downstream passes read the SAME
+         materialized pid assignment.
+      2. Per-(slice, lang) row counts → prefix offsets + language
+         totals via windows over the COUNTS frame (≤ partitions×langs
+         rows — constant-size, never the data).  Broadcast back.
+      3. rank = prefix offset + local row_number within (slice, lang);
+         every window group is bounded by one range slice, so no task
+         ever sorts more than one slice regardless of language skew.
+      4. decile = the closed-form NTILE bucket formula on
+         (rank, language total): first ``n % 10`` buckets get
+         ``n div 10 + 1`` rows, the rest ``n div 10``.
+
+    Values are identical to the NTILE oracle (the doc_id tiebreak makes
+    the total order, hence the bucketing, exact)."""
     docs = load_documents(spark, sf_dir)
     from pyspark.sql.window import Window
 
     n_tokens = F.size(F.split(F.col("text"), " ")).cast("long")
-    w = Window.partitionBy("lang").orderBy(n_tokens, F.col("doc_id"))
-    tiled = docs.select(
-        "lang", n_tokens.alias("n_tokens"), F.ntile(10).over(w).alias("decile")
+    slices = (
+        docs.select("lang", n_tokens.alias("n_tokens"), "doc_id")
+        .orderBy("lang", "n_tokens", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
     )
+
+    counts = slices.groupBy("pid", "lang").agg(F.count(F.lit(1)).alias("c"))
+    w_off = (
+        Window.partitionBy("lang")
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "pid",
+        "lang",
+        F.coalesce(F.sum("c").over(w_off), F.lit(0)).alias("off"),
+        F.sum("c").over(Window.partitionBy("lang")).alias("n_lang"),
+    )
+
+    w_local = Window.partitionBy("pid", "lang").orderBy("n_tokens", "doc_id")
+    ranked = slices.withColumn("rn", F.row_number().over(w_local).cast("long"))
+    j = ranked.join(F.broadcast(offsets), ["pid", "lang"])
+
+    rank = F.col("off") + F.col("rn")
+    n = F.col("n_lang")
+    bsize = F.floor(n / 10).cast("long")
+    rem = n % 10
+    thr = rem * (bsize + 1)
+    decile = (
+        F.when(rank <= thr, F.floor((rank - 1) / (bsize + 1)) + 1)
+        .otherwise(rem + F.floor((rank - thr - 1) / F.greatest(bsize, F.lit(1))) + 1)
+    ).cast("int")
+
     return (
-        tiled.groupBy("lang", "decile")
+        j.select("lang", "n_tokens", decile.alias("decile"))
+        .groupBy("lang", "decile")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.min("n_tokens").alias("min_tokens"),
