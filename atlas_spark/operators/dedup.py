@@ -173,7 +173,22 @@ def _minhash_bands(feats: DataFrame, num_hashes: int = 32, bands: int = 16) -> D
     ).select("doc_id", "bb.band", "bb.bucket")
 
 
-def _band_candidates(bands_df: DataFrame) -> DataFrame:
+# Degenerate-bucket guard (standard MinHash practice): a boilerplate
+# bucket of B docs would emit C(B,2) candidate pairs — quadratic pair
+# explosion is THE near-dup scale failure at 100 TB.  Buckets above the
+# cap are dropped (and counted); truly identical docs are the exact-dedup
+# pass's job (`dedup_exact`), so skipping their LSH bucket loses nothing a
+# sane pipeline needs.  1000 is ~100x the largest genuine bucket observed
+# at the oracle scales (max 12 at sf0.1), so the registered queries stay
+# set-equal to the exact all-pairs oracles.
+LSH_MAX_BUCKET = 1000
+
+
+def _band_candidates(
+    bands_df: DataFrame,
+    max_bucket: int | None = LSH_MAX_BUCKET,
+    skip_observation=None,
+) -> DataFrame:
     """Candidate pairs = docs sharing a (band, bucket): ONE hash-aggregate
     collects each bucket's sorted doc list, then a two-stage generator
     chain emits the in-bucket pairs — `posexplode` one row per (element,
@@ -188,12 +203,32 @@ def _band_candidates(bands_df: DataFrame) -> DataFrame:
     to sort-merge (the rejected self-join, measured slower AND
     shuffle-heavier).  Still strictly faster than the join shape at
     sf0.1 (1.12 s vs 1.14 s candidates, 1.06 s vs 1.28 s with verify);
-    pair set pinned by the md5-banding value oracle."""
-    return (
+    pair set pinned by the md5-banding value oracle.
+
+    Buckets larger than `max_bucket` are dropped AFTER the aggregate
+    (the transient collect_set state stays O(bucket) — same order as any
+    group state, and the sort-fallback-capable ObjectHashAggregate holds
+    it), so the quadratic pair stage never sees them.  When
+    `skip_observation` (a `pyspark.sql.Observation`) is passed, the
+    number of skipped buckets and their total member rows are published
+    as query metrics (`skipped_buckets` / `skipped_ids`) at zero extra
+    passes; `lsh_bucket_stats` is the driver-checked accounting query."""
+    buckets = (
         bands_df.groupBy("band", "bucket")
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
         .filter(F.size("ids") > 1)
-        .select(F.posexplode("ids").alias("i", "id_a"), "ids")
+    )
+    if max_bucket is not None:
+        over = F.size("ids") > max_bucket
+        if skip_observation is not None:
+            buckets = buckets.observe(
+                skip_observation,
+                F.sum(over.cast("long")).alias("skipped_buckets"),
+                F.sum(F.when(over, F.size("ids")).otherwise(0)).alias("skipped_ids"),
+            )
+        buckets = buckets.filter(~over)
+    return (
+        buckets.select(F.posexplode("ids").alias("i", "id_a"), "ids")
         .select(
             "id_a",
             F.explode(F.slice("ids", F.col("i") + 2, F.size("ids"))).alias("id_b"),
@@ -253,17 +288,22 @@ def minhash_lsh_pairs(
     num_hashes: int = 48,
     bands: int = 24,
     threshold: float = 0.5,
+    max_bucket: int | None = LSH_MAX_BUCKET,
+    skip_observation=None,
 ) -> DataFrame:
     """Core MinHash+LSH pipeline over an arbitrary (doc_id, text) frame —
     split out so planted-duplicate recall tests can drive it with
     synthetic corpora (the recall-1.0 property the registered oracle
     depends on is empirical, so it must be pinned on adversarial data,
-    not just the driver corpus)."""
+    not just the driver corpus).  `max_bucket` / `skip_observation`
+    forward to `_band_candidates`' degenerate-bucket guard."""
     sh = ngram_shingles(docs, n, hash_fn=F.xxhash64).persist()
     cand = _band_candidates(
         _minhash_bands(
             sh.select("doc_id", F.explode("shingles").alias("s")), num_hashes, bands
-        )
+        ),
+        max_bucket=max_bucket,
+        skip_observation=skip_observation,
     )
     return _verified_pairs(sh, cand, threshold).select("id_a", "id_b")
 
@@ -304,9 +344,10 @@ def minhash_lsh_candidates_md5(
     return _band_candidates(_minhash_bands(_md5_feats(docs, n), num_hashes, bands))
 
 
-def _minhash_candidates_sql(n: int = 3, num_hashes: int = 32, bands: int = 16) -> str:
-    """DuckDB oracle reproducing the identical MinHash banding: md5-derived
-    shingle ids + universal-hash permutations (exact 64-bit arithmetic)."""
+def _minhash_bb_cte(n: int = 3, num_hashes: int = 32, bands: int = 16) -> str:
+    """Shared DuckDB CTE prefix reproducing the identical MinHash banding:
+    md5-derived shingle ids + universal-hash permutations (exact 64-bit
+    arithmetic), ending with `bb(doc_id, band, bucket)`."""
     rows_per_band = num_hashes // bands
     h60 = "('0x' || substr(md5({v}), 1, 15))::BIGINT"
     shingle = (
@@ -337,13 +378,72 @@ WITH sh AS (
 ),
 ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
 sig AS (SELECT doc_id, {mins} FROM ex GROUP BY doc_id),
-bb AS ({band_rows})
+bb AS ({band_rows})"""
+
+
+def _minhash_candidates_sql(n: int = 3, num_hashes: int = 32, bands: int = 16) -> str:
+    return f"""{_minhash_bb_cte(n, num_hashes, bands)}
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
 """
 
 
 MINHASH_PERM_ORACLE_SQL = _minhash_candidates_sql()
+
+
+def lsh_bucket_stats(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    max_bucket: int = 2,
+) -> DataFrame:
+    """One-row LSH bucket-population accounting over the portable md5
+    banding: multi-doc bucket count, buckets over the degenerate-bucket
+    cap, member rows those skipped buckets would have contributed, and
+    the largest bucket observed — the drop-counter surface for the
+    `LSH_MAX_BUCKET` guard in `_band_candidates` (r10 verdict #2).
+
+    Registered with a deliberately LOW cap (2) so the over-cap branch is
+    EXERCISED and value-checked by the DuckDB oracle at driver scale,
+    not just dead-zero.  One partial-aggregated groupBy on fixed-width
+    (band, bucket) keys then a one-row fold — no pair generation, so the
+    accounting itself is immune to the quadratic blowup it measures."""
+    sizes = (
+        _minhash_bands(_md5_feats(_spread(load_documents(spark, sf_dir)), n),
+                       num_hashes, bands)
+        .groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+    )
+    over = F.col("c") > max_bucket
+    return sizes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum(over.cast("long")).cast("long").alias("n_over_cap"),
+        F.coalesce(F.sum(F.when(over, F.col("c"))), F.lit(0))
+        .cast("long")
+        .alias("skipped_ids"),
+        F.max("c").cast("long").alias("max_bucket_size"),
+    )
+
+
+def _lsh_bucket_stats_sql(
+    n: int = 3, num_hashes: int = 32, bands: int = 16, max_bucket: int = 2
+) -> str:
+    return f"""{_minhash_bb_cte(n, num_hashes, bands)},
+sz AS (
+  SELECT band, bucket, count(*) AS c FROM bb GROUP BY 1, 2 HAVING count(*) > 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(CASE WHEN c > {max_bucket} THEN 1 ELSE 0 END) AS BIGINT) AS n_over_cap,
+       CAST(coalesce(sum(CASE WHEN c > {max_bucket} THEN c END), 0) AS BIGINT) AS skipped_ids,
+       CAST(max(c) AS BIGINT) AS max_bucket_size
+FROM sz
+"""
+
+
+LSH_BUCKET_STATS_SQL = _lsh_bucket_stats_sql()
 
 
 def ngram_jaccard_pairs(
@@ -371,7 +471,7 @@ def ngram_jaccard_pairs(
     # quadratic in J (single-row bands flood verification).
     cand = _band_candidates(
         _minhash_bands(sh.select("doc_id", F.explode("shingles").alias("s")), 48, 24)
-    )
+    )  # default LSH_MAX_BUCKET cap applies
     return _verified_pairs(sh, cand, threshold).select("id_a", "id_b", "jaccard")
 
 

@@ -55,6 +55,9 @@ SPECS: list[OpSpec] = [
     # property on planted near-dups so a corpus/banding change that
     # breaks it fails loudly instead of silently losing pairs.
     OpSpec("op_minhash_candidates", dedup.minhash_lsh_candidates, dedup.MINHASH_CANDIDATES_SQL),
+    # degenerate-bucket drop accounting (low cap so the over-cap branch
+    # is value-exercised at driver scale, not dead-zero)
+    OpSpec("op_lsh_bucket_stats", dedup.lsh_bucket_stats, dedup.LSH_BUCKET_STATS_SQL),
     OpSpec("op_simhash", dedup.simhash, dedup.SIMHASH_SQL),
     OpSpec("op_dedup_clusters", dedup.dedup_clusters, dedup.DEDUP_CLUSTERS_SQL),
     OpSpec("op_dedup_reduction", dedup.dedup_reduction, dedup.DEDUP_REDUCTION_SQL),

@@ -404,6 +404,50 @@ def test_minhash_recall_on_planted_dups(spark):
     assert not missed, missed
 
 
+def test_lsh_bucket_cap_skips_degenerate_buckets(spark):
+    """Degenerate-bucket guard (r10 verdict #2): plant a boilerplate group
+    of 9 IDENTICAL docs (identical signature -> every bucket containing
+    one contains all 9) plus one genuine near-dup pair.  With
+    max_bucket=5 the boilerplate pairs are dropped and counted via the
+    Observation; pairs outside the capped buckets are unchanged; with
+    the default cap (1000 >> 9) the boilerplate pairs come back."""
+    import random
+
+    from pyspark.sql import Observation
+
+    from atlas_spark.operators.dedup import minhash_lsh_pairs
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(400)]
+    docs = [(i, " ".join(rng.choice(vocab) for _ in range(40))) for i in range(30)]
+    boiler = " ".join(rng.choice(vocab) for _ in range(40))
+    docs += [(100 + i, boiler) for i in range(9)]  # the degenerate bucket
+    near = docs[3][1].split(" ")
+    near[5] = "zz"  # 1 of 40 words -> Jaccard ~0.85
+    docs.append((200, " ".join(near)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    obs = Observation("lsh_skips")
+    capped = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(df, max_bucket=5, skip_observation=obs).collect()
+    }
+    boiler_ids = {100 + i for i in range(9)}
+    assert not [p for p in capped if p[0] in boiler_ids or p[1] in boiler_ids], capped
+    assert (3, 200) in capped, capped
+    m = obs.get
+    assert m["skipped_buckets"] >= 1, m
+    assert m["skipped_ids"] >= 9, m
+
+    uncapped = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(df).collect()}
+    assert {(a, b) for a in sorted(boiler_ids) for b in sorted(boiler_ids) if a < b} <= uncapped
+    assert capped <= uncapped
+    # everything the cap removed involved the boilerplate group
+    assert all(
+        p[0] in boiler_ids or p[1] in boiler_ids for p in uncapped - capped
+    ), uncapped - capped
+
+
 def _assert_no_data_bnlj(plan: str) -> None:
     """Allow a BroadcastNestedLoopJoin ONLY when its build side is the
     single-row `_cents` centroid-carrier (the broadcast-data centroid
