@@ -27,7 +27,7 @@ from .plans.builder import Evaluator, ResultFrame
 from .plans.context import EvalContext
 from .sources.datapoints import DatapointSource, EVENTS_END, EVENTS_START, events_datapoints
 from .stacklang.vocab import parse as parse_asl
-from .util.strings import parse_duration, parse_time_ref
+from .util.strings import duration_to_string, parse_duration, parse_time_ref
 
 
 @dataclass
@@ -286,9 +286,10 @@ class Engine:
         canonical display; a single zero offset -> setting removed; a
         single non-zero offset -> the data-variant `dur,:offset`;
         multiple offsets -> the base expression bound to a `QueryN`
-        variable and one `:get`(+`:offset`) per duration.  Durations
-        keep their original spelling (the setting stores them
-        verbatim)."""
+        variable and one `:get`(+`:offset`) per duration.  Durations are
+        re-rendered canonically via `duration_to_string`
+        (Strings.toString(d), e.g. `120s` -> `2m`), matching the
+        reference's migrated output."""
         out = []
         for i, se in enumerate(parse_asl(q, step=self.source.step)):
             out.append(self._rewrite_offset(se, i))
@@ -299,20 +300,24 @@ class Engine:
         off = s.get("offset", "")
         if not (off.startswith("(,") and off.endswith(",)")):
             return se.display()
-        durs = [t for t in off[2:-2].split(",") if t]
+        durs = [parse_duration(t) for t in off[2:-2].split(",") if t]
+        if not durs:
+            # Nil offsets: expression returned unchanged
+            # (ExprApi.scala:360-363 rewriteOffset)
+            return se.display()
         base = E.StyleExpr(
             se.expr, tuple((k, v) for k, v in se.settings if k != "offset")
         )
         if len(durs) == 1:
             d = durs[0]
-            if parse_duration(d) == 0:
+            if d == 0:
                 return base.display()
-            return f"{base.display()},{d},:offset"
+            return f"{base.display()},{duration_to_string(d)},:offset"
         var = f"Query{i}"
         gets = ",".join(
             f"{var},:get"
-            if parse_duration(d) == 0
-            else f"{var},:get,{d},:offset"
+            if d == 0
+            else f"{var},:get,{duration_to_string(d)},:offset"
             for d in durs
         )
         return f"{var},{base.display()},:set,{gets}"

@@ -343,7 +343,6 @@ def analyze(text: str, step: int = 3600) -> dict[str, Any]:
     def word_effect(tok: Token, name: str) -> None:
         """Advance span_stack using the glossary stack effect."""
         entry = GLOSSARY.get(name)
-        delta = len(ctx.stack) - len(span_stack)
         if entry is None or "..." in entry["signature"]:
             # variadic/unknown effect: resync with unknown provenance
             span_stack[:] = [None] * len(ctx.stack)

@@ -193,6 +193,11 @@ class StreamSubscriptionManager:
         self._sub_touched: dict[tuple[str, str], float] = {}  # (stream,sub)->t
         self._counter_fns: dict[str, object] = {}  # stream -> ingest counters
         self.ignored_items = 0  # EvaluateApi ignoredCounter
+        # expiry callback (stream_id, sub_id) — lets a layered plane (the
+        # streaming data plane) release per-subscription resources when
+        # TTL expiry drops a subscription.  Called with the lock held;
+        # keep it cheap and non-reentrant.
+        self.on_expire = None
 
     # ------------------------------------------------------------ streams
 
@@ -240,8 +245,10 @@ class StreamSubscriptionManager:
     def _expire_stale(self) -> None:
         """Drop subscriptions not refreshed within sub_ttl, mirroring the
         reference's exprs-ttl expiry (ExpressionApi.scala:61,132-180;
-        splitter interner ExpressionSplitter.scala:58).  Caller holds
-        the lock."""
+        splitter interner ExpressionSplitter.scala:58).  Runs on EVERY
+        registry touch — reads, subscribe, and the evaluate routing path
+        — so expiry never depends on read traffic.  Caller holds the
+        lock."""
         if self.sub_ttl is None:
             return
         cutoff = time.monotonic() - self.sub_ttl
@@ -257,6 +264,8 @@ class StreamSubscriptionManager:
                 if not routes:
                     del self._sub_handlers[sub_id]
                     self._subs.pop(sub_id, None)
+            if self.on_expire is not None:
+                self.on_expire(stream_id, sub_id)
 
     def handler_for_stream(self, stream_id: str) -> QueueHandler | None:
         with self._lock:
@@ -305,6 +314,7 @@ class StreamSubscriptionManager:
         """Add subscriptions to a registered stream; returns (handler,
         newly-added subs) (SubscriptionManager.scala:190-205)."""
         with self._lock:
+            self._expire_stale()
             entry = self._streams.get(stream_id)
             if entry is None:
                 raise ValueError(f"stream not registered: {stream_id}")
@@ -362,7 +372,11 @@ class StreamSubscriptionManager:
         return out
 
     def handlers_for_subscription(self, sub_id: str) -> list[QueueHandler]:
+        # the evaluate routing path: expire here too, so a stale
+        # subscription stops receiving data even when no one polls the
+        # read endpoints
         with self._lock:
+            self._expire_stale()
             routes = self._sub_handlers.get(sub_id)
             return list(routes.values()) if routes else []
 

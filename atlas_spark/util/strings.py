@@ -89,6 +89,16 @@ def parse_duration(s: str) -> int:
     return int(parse_duration_td(s).total_seconds())
 
 
+def duration_to_string(seconds: int) -> str:
+    """Canonical duration rendering (Strings.scala:657-666): the largest
+    unit that divides evenly — weeks, days, hours, minutes, else seconds
+    (e.g. 120s -> `2m`, 3600s -> `1h`)."""
+    for unit, suffix in ((604800, "w"), (86400, "d"), (3600, "h"), (60, "m")):
+        if seconds % unit == 0 and seconds != 0:
+            return f"{seconds // unit}{suffix}"
+    return f"{seconds}s"
+
+
 def is_relative_date(s: str, custom_ref: bool = False) -> bool:
     """Strings.scala:461-471."""
     m = _RELATIVE.match(s)

@@ -57,7 +57,7 @@ RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 # it never does, raise the per-query pass count so min-of-n has more
 # chances to dodge contention, and mark the output host_busy so a
 # contaminated number is machine-detectable.
-QUIET_LOAD = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_LOAD", "8.0"))
+QUIET_LOAD = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_LOAD", "2.0"))
 QUIET_WAIT_MAX = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_WAIT", "300"))
 BUSY_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_BUSY_RUNS", "5"))
 

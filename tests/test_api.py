@@ -328,6 +328,20 @@ def test_expr_rewrite_endpoint(engine):
         "name,a,:eq,:sum,(,0h,1w,),:offset,name,b,:eq,:max,(,0h,1d,),:offset"
     )
     assert out[0].startswith("Query0,") and out[1].startswith("Query1,")
+    # EMPTY offset list: expression returned unchanged (canonical display
+    # — Nil renders as `(,,)`, Scala mkString("(,", ",", ",)") on Nil),
+    # never a dangling :set with no :get (ExprApi.scala:360-363 Nil case)
+    assert engine.rewrite("name,cpu,:eq,:sum,(,),:offset") == [
+        "name,cpu,:eq,:sum,(,,),:offset"
+    ]
+    # durations re-render canonically (Strings.toString: 120s -> 2m,
+    # 86400s -> 1d) in both single and multi forms
+    assert engine.rewrite("name,cpu,:eq,:sum,(,120s,),:offset") == [
+        "name,cpu,:eq,:sum,2m,:offset"
+    ]
+    assert engine.rewrite("name,cpu,:eq,:sum,(,0h,PT120S,),:offset") == [
+        "Query0,name,cpu,:eq,:sum,:set,Query0,:get,Query0,:get,2m,:offset"
+    ]
 
 
 def test_expr_complete_endpoint(engine):

@@ -230,6 +230,32 @@ def test_subscription_ttl_expires_unrefreshed():
     assert [s["id"] for s in summary["subscriptions"]] == [keep.metadata.id]
 
 
+def test_ttl_expiry_fires_on_evaluate_path_without_reads():
+    """TTL expiry must not depend on read traffic: with NO calls to the
+    read endpoints, data offered via evaluate() after the TTL elapses is
+    ignored (the routing path itself expires stale subscriptions)."""
+    import time as _time
+
+    sm = lwc_wire.StreamSubscriptionManager(step=60, sub_ttl=0.1)
+    meta = lwc_wire.StreamMetadata("s1")
+    handler = lwc_wire.QueueHandler(meta)
+    sm.register(meta, handler)
+    msgs = lwc_wire.subscribe_expressions(
+        sm, "s1", [{"expression": "name,cpu,:eq,:sum"}], 60000
+    )
+    sub_id = msgs[0]["subExprs"][0]["id"]
+    payload = {
+        "timestamp": 60_000,
+        "metrics": [{"id": sub_id, "tags": {"name": "cpu"}, "value": 1.0}],
+    }
+    assert lwc_wire.evaluate(sm, payload) == 0
+    assert handler.poll(timeout=0.1)
+    _time.sleep(0.15)  # past TTL; no read-endpoint calls in between
+    assert lwc_wire.evaluate(sm, payload) == 1
+    assert handler.poll(timeout=0.05) == []
+    assert sm.ignored_items == 1
+
+
 def test_attach_counters_surface_in_summary():
     sm, _ = _sm_with_stream()
     sm.attach_counters(

@@ -104,6 +104,38 @@ def test_subscription_lifecycle(spark, stream_dir):
             else:
                 assert abs(v - tv) < 1e-9, (entry.expression, key, v, tv)
 
-    # unsubscribe removes the entry and its data subscriptions
+    # unsubscribe removes the entry and its data subscriptions — from the
+    # SHARED wire-plane registry too
     assert mgr.unsubscribe(e2.sub_id)
     assert len(mgr.subscriptions) == 1
+    from atlas_spark.streaming.subscriptions import DATA_PLANE_STREAM
+
+    wire_ids = {
+        s.metadata.id for s in mgr.wire.subscriptions_for_stream(DATA_PLANE_STREAM)
+    }
+    assert wire_ids == {e1.sub_id}
+
+
+def test_data_plane_shares_wire_registry_and_ttl(spark):
+    """One registry for both planes (r10 verdict #6): the data plane's
+    subscriptions live in the wire-plane StreamSubscriptionManager, and
+    its TTL expiry drops the data plane's evaluator entry too — with no
+    read traffic, just registry touches."""
+    import time as _time
+
+    from atlas_spark.streaming.subscriptions import DATA_PLANE_STREAM
+
+    mgr = SubscriptionManager(spark, STEP, {"name": "k_name"}, sub_ttl=0.1)
+    e1 = mgr.subscribe("name,click,:eq,:sum")
+    assert {
+        s.metadata.id for s in mgr.wire.subscriptions_for_stream(DATA_PLANE_STREAM)
+    } == {e1.sub_id}
+    _time.sleep(0.15)
+    # a registry touch (new subscribe) triggers expiry of the stale sub
+    e2 = mgr.subscribe(":true,:max")
+    ids = {s.metadata.id for s in mgr.wire.subscriptions_for_stream(DATA_PLANE_STREAM)}
+    assert ids == {e2.sub_id}
+    assert {s.id for s in mgr.subscriptions} == {s.id for s in e2.data_subs}
+    # re-subscribing the expired expression creates a FRESH entry
+    e1b = mgr.subscribe("name,click,:eq,:sum")
+    assert e1b.sub_id == e1.sub_id and e1b is not e1
