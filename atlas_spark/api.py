@@ -158,6 +158,50 @@ class GraphResult:
         return out
 
 
+def _type_summary(stack: list) -> str:
+    """Interpreter.typeSummary parity (Interpreter.scala:388-397):
+    bottom-first `[Type1,Type2]` with lists collapsed to `List`."""
+
+    def name(v) -> str:
+        if isinstance(v, list):
+            return "List"
+        if isinstance(v, str):
+            return "String"
+        return type(v).__name__
+
+    return "[" + ",".join(name(v) for v in stack) + "]"
+
+
+def _verify_stack_contents(vocab: str, stack: list) -> None:
+    """Result-contract check per vocabulary layer
+    (ExprApi.verifyStackContents, ExprApi.scala:94-123): `std` accepts
+    anything; `query` requires exactly one query; every other layer
+    requires a non-empty stack of presentation-coercible items."""
+    from .model import query as Qm
+    from .stacklang.interpreter import is_number
+
+    if vocab == "std":
+        return
+    if vocab == "query":
+        if not stack:
+            raise ValueError("expected a single query, stack is empty")
+        if len(stack) > 1:
+            raise ValueError(
+                f"expected a single query, found {_type_summary(stack)}"
+            )
+        return
+    for item in stack:
+        ok = isinstance(item, (E.TimeSeriesExpr, Qm.Query)) or (
+            isinstance(item, str) and is_number(item)
+        )
+        if not ok:
+            raise ValueError(
+                f"expected an expression, found {_type_summary([item])}"
+            )
+    if not stack:
+        raise ValueError("expected an expression, stack is empty")
+
+
 class Engine:
     """Evaluation engine bound to a datapoint source."""
 
@@ -228,19 +272,20 @@ class Engine:
         them (Interpreter.scala:44-47)."""
         return parse_asl(q, step=self.source.step, features=features)
 
-    def normalize(self, q: str) -> list[str]:
+    def normalize(self, q: str, vocab: str | None = None) -> list[str]:
         """Canonical normalized expression strings (ExprApi.scala:305-325):
         parse, simplify leaf queries to canonical simplified form, emit the
-        canonical display of each expression."""
+        canonical display of each expression.  `vocab` scopes parsing to
+        a layered vocabulary (ExprApi.scala:47-73)."""
         from .model import query as Qm
 
         out = []
-        for se in parse_asl(q, step=self.source.step):
+        for se in parse_asl(q, step=self.source.step, vocab=vocab):
             norm = se.rewrite_queries(Qm.simplify)
             out.append(norm.display())
         return out
 
-    def queries(self, q: str) -> list[str]:
+    def queries(self, q: str, vocab: str | None = None) -> list[str]:
         """Distinct data queries used by an expression, sorted
         (ExprApi.scala:184-206 /api/v1/expr/queries) — for UIs exploring
         the tag space behind a graph expression."""
@@ -250,7 +295,7 @@ class Engine:
             seen.add(qq.display())
             return qq
 
-        for se in parse_asl(q, step=self.source.step):
+        for se in parse_asl(q, step=self.source.step, vocab=vocab):
             se.rewrite_queries(collect)
         return sorted(seen)
 
@@ -322,18 +367,25 @@ class Engine:
         )
         return f"{var},{base.display()},:set,{gets}"
 
-    def complete(self, q: str) -> list[str]:
+    def complete(self, q: str, vocab: str | None = None) -> list[str]:
         """Candidate next words for the program's current stack
         (ExprApi.scala:160-182 /api/v1/expr/complete): a word is offered
-        when one of its overloads matches AND actually executes."""
+        when one of its overloads matches AND actually executes.  With
+        `vocab`, both the parse and the candidate pool are scoped to that
+        layered vocabulary."""
         from .stacklang.interpreter import Context, split_and_trim
-        from .stacklang.vocab import WORDS, default_interpreter
+        from .stacklang.vocab import (
+            WORDS,
+            interpreter_for_vocab,
+            words_for_vocab,
+        )
 
-        interp = default_interpreter(self.source.step)
+        interp = interpreter_for_vocab(vocab, self.source.step)
+        pool = WORDS if vocab is None else words_for_vocab(vocab)
         base = Context(interp)
         interp.execute_program(split_and_trim(q), base)
         names = []
-        for name in sorted({w.name for w in WORDS}):
+        for name in sorted({w.name for w in pool}):
             trial = Context(
                 interp, stack=list(base.stack), vars=dict(base.vars),
                 frozen=list(base.frozen), initial_vars=dict(base.initial_vars),
@@ -345,21 +397,27 @@ class Engine:
                 continue
         return names
 
-    def debug(self, q: str, features: str = "stable") -> list[dict]:
+    def debug(
+        self, q: str, features: str = "stable", vocab: str | None = None
+    ) -> list[dict]:
         """Token-by-token execution trace (ExprApi.scala:137-152
         /api/v1/expr/debug): remaining program + stack display after each
         step, exprs rendered via their canonical display.  Unstable words
-        fail the trace unless `features=unstable`."""
+        fail the trace unless `features=unstable`.  An explicit `vocab`
+        scopes the interpreter to that layered vocabulary AND verifies
+        the final stack against the layer's result contract
+        (verifyStackContents, ExprApi.scala:94-123); the default (no
+        vocab) keeps the historical unverified trace."""
         from .model import query as Qm
         from .stacklang.interpreter import Context, split_and_trim
-        from .stacklang.vocab import default_interpreter
+        from .stacklang.vocab import interpreter_for_vocab
 
         def disp(v) -> str:
             if isinstance(v, (E.TimeSeriesExpr, Qm.Query)):
                 return v.display()
             return str(v)
 
-        interp = default_interpreter(self.source.step)
+        interp = interpreter_for_vocab(vocab, self.source.step)
         ctx = Context(interp, features=features)
         tokens = split_and_trim(q)
         steps = []
@@ -384,6 +442,8 @@ class Engine:
                     },
                 }
             )
+        if vocab is not None:
+            _verify_stack_contents(vocab, ctx.stack)
         return steps
 
     # ---------------------------------------------------------------- graph

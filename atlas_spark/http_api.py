@@ -420,14 +420,18 @@ class AtlasHandler(BaseHTTPRequestHandler):
             return self._error(400, "missing q parameter")
         sub = parsed.path.rstrip("/")[len("/api/v1/expr") :].lstrip("/")
         eng: Engine = self.server.engine
+        # layered-vocabulary scoping for debug/normalize/complete/queries
+        # (ExprApi.scala:47-73: parameters("q", "vocab" ? default));
+        # rewrite/strip take no vocab, matching the reference routes
+        vocab = qs.get("vocab", [None])[0]
         if sub in ("", "debug"):
-            return self._json(200, eng.debug(q))
+            return self._json(200, eng.debug(q, vocab=vocab))
         if sub == "normalize":
-            return self._json(200, eng.normalize(q))
+            return self._json(200, eng.normalize(q, vocab=vocab))
         if sub == "queries":
-            return self._json(200, eng.queries(q))
+            return self._json(200, eng.queries(q, vocab=vocab))
         if sub == "complete":
-            return self._json(200, eng.complete(q))
+            return self._json(200, eng.complete(q, vocab=vocab))
         if sub == "strip":
             keys = set(qs.get("k", []))
             return self._json(200, eng.strip(q, keys))

@@ -85,6 +85,10 @@ class Word:
     matcher: Callable[[list[Any]], bool]
     executor: Callable[[Context], None]
     stable: bool = True
+    # owning vocabulary layer (std/query/data/math/stateful/filter/
+    # style/event) — the reference's Vocabulary membership, used by the
+    # /api/v1/expr `vocab` parameter to build layered interpreters
+    vocab: str = "std"
 
 
 class Interpreter:

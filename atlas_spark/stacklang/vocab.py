@@ -82,9 +82,42 @@ def _steps(tok: str, step: int) -> int:
 
 WORDS: list[Word] = []
 
+# Layered vocabulary tracking (Vocabulary.scala dependsOn chains): each
+# section below stamps its words with the owning vocabulary name, so
+# /api/v1/expr can build an interpreter scoped to any layer
+# (ExprApi.scala:47-73 `vocab` parameter).  The dependency chain is the
+# reference's: std <- query <- data <- math <- stateful <- filter <-
+# style; event depends on query only (EventVocabulary.scala:33).
+_CURRENT_VOCAB = "std"
+
+_VOCAB_DEPS: dict[str, tuple[str, ...]] = {
+    "std": ("std",),
+    "query": ("std", "query"),
+    "data": ("std", "query", "data"),
+    "math": ("std", "query", "data", "math"),
+    "stateful": ("std", "query", "data", "math", "stateful"),
+    "filter": ("std", "query", "data", "math", "stateful", "filter"),
+    "style": ("std", "query", "data", "math", "stateful", "filter", "style"),
+    "event": ("std", "query", "event"),
+}
+
+
+def words_for_vocab(name: str) -> list[Word]:
+    """All words of the named vocabulary plus its dependency chain
+    (Vocabulary.allWords).  Unknown names raise ValueError (the
+    reference's vocabularies(name) lookup failure)."""
+    layers = _VOCAB_DEPS.get(name)
+    if layers is None:
+        raise ValueError(
+            f"unknown vocabulary: {name!r} (expected one of "
+            f"{', '.join(sorted(_VOCAB_DEPS))})"
+        )
+    keep = set(layers)
+    return [word for word in WORDS if word.vocab in keep]
+
 
 def w(name: str, matcher, executor, stable: bool = True) -> None:
-    WORDS.append(Word(name, matcher, executor, stable=stable))
+    WORDS.append(Word(name, matcher, executor, stable=stable, vocab=_CURRENT_VOCAB))
 
 
 def macro(name: str, body: str, stable: bool = True) -> None:
@@ -255,6 +288,8 @@ macro("head", ":limit")
 
 # ----------------------------------------------------------------- query
 
+_CURRENT_VOCAB = "query"
+
 w("true", lambda s: True, lambda c: c.push(Q.TRUE))
 w("false", lambda s: True, lambda c: c.push(Q.FALSE))
 w("has", _match(STR), lambda c: c.push(Q.HasKeyQuery(c.pop())))
@@ -332,6 +367,8 @@ def _cq(c: Context) -> None:
 w("cq", _match(QRY, ANY), _cq)
 
 # ------------------------------------------------------------------ data
+
+_CURRENT_VOCAB = "data"
 
 w("all", _match(QRY), lambda c: c.push(E.AllExpr(c.pop())))
 
@@ -451,6 +488,8 @@ for _c in ("sum", "avg", "min", "max"):
     w(f"cf-{_c}", _match(lambda v: isinstance(v, (E.AggrExpr, E.GroupByExpr))), _cf(_c))
 
 # ------------------------------------------------------------------ math
+
+_CURRENT_VOCAB = "math"
 
 
 def _unary(op: str):
@@ -663,6 +702,8 @@ w("sample-count", _match(STR, STR), _sample_count)
 
 # ------------------------------------------------------------- stateful
 
+_CURRENT_VOCAB = "stateful"
+
 
 def _stateful1(op: str):
     def run(c: Context) -> None:
@@ -759,6 +800,8 @@ for _nm, _ps in (
 
 # --------------------------------------------------------------- filter
 
+_CURRENT_VOCAB = "filter"
+
 _STATS = ("avg", "max", "min", "last", "total", "count")
 
 
@@ -835,6 +878,8 @@ w("consolidate", _match(DUR, STR, TS), _consolidate)
 
 # ---------------------------------------------------------------- style
 
+_CURRENT_VOCAB = "style"
+
 
 def _style_setting(key: str):
     def run(c: Context) -> None:
@@ -871,6 +916,8 @@ w("strip-style", _match(PRES), _strip_style)
 
 # ---------------------------------------------------------------- events
 
+_CURRENT_VOCAB = "event"
+
 
 def _ev_table(c: Context) -> None:
     cols = tuple(string_list(c.pop()))
@@ -898,15 +945,25 @@ def default_interpreter(step: int = 3600) -> Interpreter:
     return Interpreter(WORDS, step=step)
 
 
+def interpreter_for_vocab(name: str | None, step: int = 3600) -> Interpreter:
+    """Interpreter scoped to the named vocabulary layer + dependencies
+    (ExprApi.newInterpreter, ExprApi.scala:89-92); None = the full
+    default vocabulary (all layers — unchanged default behavior)."""
+    if name is None:
+        return default_interpreter(step)
+    return Interpreter(words_for_vocab(name), step=step)
+
+
 def parse(
     program: str,
     step: int = 3600,
     vars: dict | None = None,
     features: str = "stable",
+    vocab: str | None = None,
 ) -> list[E.TimeSeriesExpr]:
     """Execute a program and coerce the result stack to expressions the way
     the graph API does (bottom-first plot order)."""
-    interp = default_interpreter(step)
+    interp = interpreter_for_vocab(vocab, step)
     ctx = Context(interp, vars=dict(vars or {}), features=features)
     from .interpreter import split_and_trim
 

@@ -352,6 +352,45 @@ def test_expr_complete_endpoint(engine):
     assert "dup" not in empty  # empty stack: nothing to dup
 
 
+def test_expr_vocab_scoping(engine):
+    """Layered `vocab` parameter (ExprApi.scala:47-73): the interpreter
+    and, for complete, the candidate pool are scoped to the named
+    vocabulary + its dependency chain; debug additionally verifies the
+    result stack against the layer's contract (verifyStackContents)."""
+    import pytest
+
+    # a data word under the query-only vocabulary is unknown
+    with pytest.raises(ValueError, match="unknown word ':sum'"):
+        engine.debug("name,cpu,:eq,:sum", vocab="query")
+    with pytest.raises(ValueError, match="unknown word ':sum'"):
+        engine.normalize("name,cpu,:eq,:sum", vocab="query")
+    # query vocab: exactly one query must remain on the stack
+    steps = engine.debug("name,cpu,:eq", vocab="query")
+    assert steps[-1]["context"]["stack"] == ["name,cpu,:eq"]
+    with pytest.raises(ValueError, match="expected a single query"):
+        engine.debug("name,cpu,:eq,name,disk,:eq", vocab="query")
+    with pytest.raises(ValueError, match="stack is empty"):
+        engine.debug(":clear", vocab="query")
+    # std vocab accepts any stack; data words are still unknown there
+    assert engine.debug("a,b", vocab="std")
+    with pytest.raises(ValueError, match="unknown word ':eq'"):
+        engine.debug("name,cpu,:eq", vocab="std")
+    # full chain works under its own layer
+    assert engine.debug("name,cpu,:eq,:sum", vocab="data")
+    assert engine.normalize("name,cpu,:eq,:sum,$name,:legend", vocab="style")
+    # complete scopes the candidate pool: with a query on the stack the
+    # query layer offers :not but never :sum; the default pool offers both
+    q_words = engine.complete("name,cpu,:eq", vocab="query")
+    assert "not" in q_words and "sum" not in q_words
+    full = engine.complete("name,cpu,:eq")
+    assert "not" in full and "sum" in full
+    # queries endpoint under a scoped vocab
+    assert engine.queries("name,cpu,:eq,:sum", vocab="data") == ["name,cpu,:eq"]
+    # unknown vocabulary name is a clear error
+    with pytest.raises(ValueError, match="unknown vocabulary"):
+        engine.debug("name,cpu,:eq", vocab="bogus")
+
+
 def test_expr_debug_endpoint(engine):
     steps = engine.debug("name,click,:eq,:sum")
     assert len(steps) == 4

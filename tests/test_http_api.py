@@ -172,6 +172,30 @@ def test_expr_missing_q_400(served):
     assert ei.value.code == 400
 
 
+def test_expr_vocab_param(served):
+    """`vocab` scoping on /api/v1/expr/* (ExprApi.scala:47-73): a data
+    word under vocab=query is the reference-shaped 400 error; the same
+    program passes under its own layer and the default is unchanged."""
+    base, _, _ = served
+    q = "name,click,:eq,:sum"
+    with pytest.raises(HTTPError) as ei:
+        urllib.request.urlopen(f"{base}/api/v1/expr/debug?q={q}&vocab=query")
+    assert ei.value.code == 400
+    err = json.loads(ei.value.read())
+    assert err["type"] == "error" and "unknown word ':sum'" in err["message"]
+    _, _, body = _get(f"{base}/api/v1/expr/debug?q={q}&vocab=data")
+    assert json.loads(body)
+    _, _, body = _get(f"{base}/api/v1/expr/debug?q={q}")
+    assert json.loads(body)
+    # complete: the query layer never offers data words
+    _, _, body = _get(f"{base}/api/v1/expr/complete?q=name,click,:eq&vocab=query")
+    names = [c["name"] if isinstance(c, dict) else c for c in json.loads(body)]
+    assert "sum" not in names and "not" in names
+    with pytest.raises(HTTPError) as ei:
+        urllib.request.urlopen(f"{base}/api/v1/expr/normalize?q={q}&vocab=bogus")
+    assert ei.value.code == 400
+
+
 # -------------------------------------------------------------- fetch SSE
 
 
