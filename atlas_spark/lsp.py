@@ -526,12 +526,114 @@ def hover(text: str, offset: int, step: int = 3600) -> dict | None:
     }
 
 
+# Curated unicode characters commonly needed in ASL
+# (AslDocumentAnalyzer.scala:1209-1219 curatedUnicode).
+_CURATED_UNICODE: list[tuple[int, str]] = [
+    (0x0020, "Space"),
+    (0x0009, "Tab"),
+    (0x000A, "Newline"),
+    (0x002C, "Comma"),
+    (0x003A, "Colon"),
+    (0x0028, "Left Parenthesis"),
+    (0x0029, "Right Parenthesis"),
+    (0x005C, "Backslash"),
+]
+
+_HEX_DIGITS = set("0123456789abcdef")
+
+
+def _unicode_prefix(before: str) -> tuple[str, int] | None:
+    """If the cursor sits inside a `\\`, `\\u`, or `\\uXXXX` sequence in
+    the current token, return (prefix after `\\u`, absolute offset of the
+    backslash) (AslDocumentAnalyzer.scala:981-1000 unicodePrefix)."""
+    token_start = before.rfind(",") + 1
+    token = before[token_start:]
+    idx = token.rfind("\\")
+    if idx < 0:
+        return None
+    after = token[idx + 1 :]
+    backslash_offset = token_start + idx
+    if after == "":
+        return ("", backslash_offset)
+    if after.startswith("u"):
+        return (after[1:], backslash_offset)
+    return None
+
+
+def _unicode_item(cp: int, desc: str, text: str, start: int, end: int) -> dict:
+    """One `\\uXXXX` completion item
+    (AslDocumentAnalyzer.scala:1268-1282 unicodeCompletionItem)."""
+    hx = f"{cp:04X}"
+    display = "" if cp < 0x21 else f"{chr(cp)} "
+    return {
+        "label": f"{display}\\u{hx} {desc}",
+        "kind": "Text",
+        "detail": f"U+{hx}",
+        "filterText": f"\\u{hx} {desc}",
+        "textEdit": {"range": _range(text, start, end), "newText": f"\\u{hx}"},
+    }
+
+
+def _unicode_name(cp: int) -> str | None:
+    """Character name, None for undefined code points (the Python twin of
+    Character.isDefined/getName)."""
+    import unicodedata
+
+    ch = chr(cp)
+    if unicodedata.category(ch) == "Cn":
+        return None
+    return unicodedata.name(ch, "")
+
+
+def _unicode_completions(
+    prefix: str, text: str, start: int, end: int
+) -> list[dict]:
+    """Completions inside a unicode escape
+    (AslDocumentAnalyzer.scala:1221-1266): bare `\\u` offers the curated
+    set; a hex prefix filters the curated set by code (plus the exact
+    code point at 4 digits); anything else searches character names
+    across the BMP (capped at 50)."""
+    lower = prefix.lower()
+    if not lower:
+        return [_unicode_item(cp, d, text, start, end) for cp, d in _CURATED_UNICODE]
+    if all(c in _HEX_DIGITS for c in lower):
+        items = [
+            _unicode_item(cp, d, text, start, end)
+            for cp, d in _CURATED_UNICODE
+            if f"{cp:04x}".startswith(lower)
+        ]
+        if len(lower) == 4:
+            cp = int(lower, 16)
+            name = _unicode_name(cp)
+            if name is not None and all(c != cp for c, _ in _CURATED_UNICODE):
+                items.append(_unicode_item(cp, name, text, start, end))
+        return items
+    terms = lower.split()
+    items = []
+    for cp in range(0x20, 0x10000):
+        name = _unicode_name(cp)
+        if not name:
+            continue
+        lname = name.lower()
+        if all(t in lname for t in terms):
+            items.append(_unicode_item(cp, name, text, start, end))
+            if len(items) >= 50:
+                break
+    return items
+
+
 def complete(text: str, offset: int, step: int = 3600) -> list[dict]:
     """Completion items at the cursor
     (AslDocumentAnalyzer.scala:1001-1051): execute the program before the
     token being typed, then offer every word with a matching overload,
-    prefix-filtered when the user is mid-word."""
+    prefix-filtered when the user is mid-word.  Inside a `\\uXXXX`
+    escape, unicode completions take over
+    (AslDocumentAnalyzer.scala:967-978)."""
     before = text[: max(0, min(offset, len(text)))]
+    up = _unicode_prefix(before)
+    if up is not None:
+        prefix, backslash_offset = up
+        return _unicode_completions(prefix, text, backslash_offset, len(before))
     last_comma = before.rfind(",")
     partial = before[last_comma + 1 :].strip()
     if partial.startswith(":"):

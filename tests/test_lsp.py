@@ -186,6 +186,67 @@ def test_completion_on_broken_program_is_empty():
     assert lsp.complete(text, len(text)) == []
 
 
+def test_unicode_completion_curated_after_backslash_u():
+    """`\\` or `\\u` at the cursor offers the curated set
+    (AslDocumentAnalyzer.scala:967-978, 1221-1230)."""
+    for text in ("name,a\\", "name,a\\u"):
+        items = lsp.complete(text, len(text))
+        assert len(items) == 8
+        labels = [i["label"] for i in items]
+        assert "\\u0020 Space" in labels  # cp < 0x21: no display char
+        assert ", \\u002C Comma" in labels
+        comma = next(i for i in items if "Comma" in i["label"])
+        assert comma["textEdit"]["newText"] == "\\u002C"
+        assert comma["detail"] == "U+002C"
+        # the edit replaces from the backslash to the cursor
+        assert comma["textEdit"]["range"]["start"]["character"] == 6
+        assert comma["textEdit"]["range"]["end"]["character"] == len(text)
+
+
+def test_unicode_completion_hex_prefix_and_exact():
+    """A hex prefix filters the curated set; four digits add the exact
+    code point when not already curated."""
+    text = "name,a\\u00"
+    items = lsp.complete(text, len(text))
+    assert len(items) == 8  # all curated chars are U+00XX
+    text = "name,a\\u0041"
+    items = lsp.complete(text, len(text))
+    assert len(items) == 1
+    assert items[0]["textEdit"]["newText"] == "\\u0041"
+    assert "LATIN CAPITAL LETTER A" in items[0]["label"]
+    # an exact match that IS curated does not duplicate
+    text = "name,a\\u0020"
+    items = lsp.complete(text, len(text))
+    assert len(items) == 1 and "Space" in items[0]["label"]
+
+
+def test_unicode_completion_name_search():
+    """A non-hex prefix searches character names across the BMP, all
+    terms must match, capped at 50."""
+    text = "name,a\\uleft arrow"
+    items = lsp.complete(text, len(text))
+    assert items and len(items) <= 50
+    assert all(
+        "LEFT" in i["label"].upper() and "ARROW" in i["label"].upper()
+        for i in items
+    )
+    labels = [i["label"] for i in items]
+    assert any("LEFTWARDS ARROW" in l for l in labels)
+    # a broad term hits the cap
+    assert len(lsp.complete("name,a\\uletter", len("name,a\\uletter"))) == 50
+
+
+def test_unicode_completion_only_inside_escape():
+    """A backslash followed by a non-u char is not an escape context and
+    word completions proceed normally."""
+    text = "name,cpu,:e"
+    assert all(i["label"].startswith(":") for i in lsp.complete(text, len(text)))
+    items = lsp.complete("name,a\\x", 8)
+    # plain word completions (the token is just a string literal here),
+    # never unicode items
+    assert items and all(i["label"].startswith(":") for i in items)
+
+
 # ------------------------------------------------------------------- corpus
 
 
