@@ -1101,14 +1101,16 @@ def test_generator_math_state_store(spark, stream_dir):
 
 
 # Registry shapes that intentionally run on the buffered lookback path:
-# the -others- top-k variants (cross-line fold of the non-top remainder)
-# and pure generators (no data core to stream).  Everything else MUST
+# ONLY pure generators (no data core to stream).  Everything else MUST
 # decompose to the executor state store — :stat/:filter/:topk stream
 # with the reference's ONE-INTERVAL semantics (FinalExprEval.scala:246),
-# :consolidate as its own window stage.  This allowlist pins it, so a
-# regression in `_decompose_state_plan` (or a new non-decomposable
-# registry entry) fails here instead of silently falling back to
-# driver-buffer eval.
+# :consolidate as its own window stage, and the -others- top-k variants
+# fold their remainder executor-side inside the watermarked interval
+# aggregation (evaluator._topk_interval_stage; batch parity pinned in
+# test_per_interval_stat_filter_topk_state_store above).  This allowlist pins
+# it, so a regression in `_decompose_state_plan` (or a new
+# non-decomposable registry entry) fails here instead of silently
+# falling back to driver-buffer eval.
 INTENTIONALLY_BUFFERED = {
     # pure generators / standalone placeholder: no data core to stream
     "gen_stat_standalone",
