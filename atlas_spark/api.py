@@ -299,10 +299,16 @@ class Engine:
             se.rewrite_queries(collect)
         return sorted(seen)
 
-    def strip(self, q: str, keys: set[str]) -> list[str]:
+    def strip(
+        self, q: str, keys: set[str], vocabs: tuple[str, ...] = ()
+    ) -> list[str]:
         """Strip query clauses mentioning any key in `keys`
         (ExprApi.scala:208-238 /api/v1/expr/strip): the clause becomes
-        :true and is then simplified away with OR-ignore semantics."""
+        :true and is then simplified away with OR-ignore semantics.
+        `vocabs` (the repeated `r` parameter) additionally strips whole
+        vocabulary layers (ExprApi.scala:238-261 stripVocabulary):
+        `filter` unwraps :stat/:filter/:topk-family nodes, `style`
+        unwraps the top-level style settings; anything else errors."""
         from .model import query as Qm
 
         def strip_q(qq: Qm.Query) -> Qm.Query:
@@ -316,13 +322,27 @@ class Engine:
                 return Qm.TRUE
             return qq
 
+        def strip_filter_node(e):
+            if isinstance(e, (E.StatExpr, E.TopKExpr, E.FilterOpExpr)):
+                return e.expr
+            return e
+
+        def strip_vocabs(e):
+            for v in vocabs:
+                if v == "filter":
+                    e = E.rewrite_tree(e, strip_filter_node)
+                elif v == "style":
+                    e = e.expr if isinstance(e, E.StyleExpr) else e
+                else:
+                    raise ValueError(f"vocabulary '{v}' not supported")
+            return e
+
         out = []
         for se in parse_asl(q, step=self.source.step):
-            out.append(
-                se.rewrite_queries(
-                    lambda qq: Qm.simplify(strip_q(qq), ignore=True)
-                ).display()
+            stripped = se.rewrite_queries(
+                lambda qq: Qm.simplify(strip_q(qq), ignore=True)
             )
+            out.append(strip_vocabs(stripped).display())
         return out
 
     def rewrite(self, q: str) -> list[str]:

@@ -434,7 +434,8 @@ class AtlasHandler(BaseHTTPRequestHandler):
             return self._json(200, eng.complete(q, vocab=vocab))
         if sub == "strip":
             keys = set(qs.get("k", []))
-            return self._json(200, eng.strip(q, keys))
+            vocabs = tuple(qs.get("r", []))  # repeated: vocab layers to strip
+            return self._json(200, eng.strip(q, keys, vocabs))
         if sub == "rewrite":
             return self._json(200, eng.rewrite(q))
         return self._error(404, f"unknown expr endpoint: {sub}")

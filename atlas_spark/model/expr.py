@@ -710,6 +710,33 @@ class EventSampleExpr(TimeSeriesExpr):
 # ---------------------------------------------------------------------------
 
 
+def rewrite_tree(e: TimeSeriesExpr, f) -> TimeSeriesExpr:
+    """Bottom-up structural rewrite (the reference core's `Expr.rewrite`):
+    rebuild every TimeSeriesExpr-typed field (and tuples of them) through
+    the rewrite, then apply `f` to the rebuilt node.  Query leaves are
+    untouched — use `rewrite_queries` for those."""
+    import dataclasses
+
+    if dataclasses.is_dataclass(e):
+        changes = {}
+        for fld in dataclasses.fields(e):
+            v = getattr(e, fld.name)
+            if isinstance(v, TimeSeriesExpr):
+                nv = rewrite_tree(v, f)
+                if nv is not v:
+                    changes[fld.name] = nv
+            elif isinstance(v, tuple) and any(
+                isinstance(x, TimeSeriesExpr) for x in v
+            ):
+                changes[fld.name] = tuple(
+                    rewrite_tree(x, f) if isinstance(x, TimeSeriesExpr) else x
+                    for x in v
+                )
+        if changes:
+            e = dataclasses.replace(e, **changes)
+    return f(e)
+
+
 def _fmt_num(v: float | None) -> str:
     if v is None:
         return ""

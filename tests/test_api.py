@@ -302,6 +302,43 @@ def test_expr_strip_endpoint(engine):
     assert out2 == [":true,:sum"]
 
 
+def test_expr_strip_vocab_layers(engine):
+    """Repeated `r` parameter (ExprApi.scala:238-261 stripVocabulary):
+    `filter` unwraps :stat/:filter/:topk-family nodes anywhere in the
+    tree, `style` unwraps the style settings, both compose with `k`
+    stripping; unsupported layers error."""
+    import pytest
+
+    # :stat stripped
+    assert engine.strip(
+        "name,click,:eq,:sum,max,:stat", set(), ("filter",)
+    ) == ["name,click,:eq,:sum"]
+    # :topk (priority filter) stripped, group-by kept
+    assert engine.strip(
+        "name,click,:eq,:sum,(,name,),:by,max,2,:topk", set(), ("filter",)
+    ) == ["name,click,:eq,:sum,(,name,),:by"]
+    # :filter stripped (predicate side dropped with the node)
+    assert engine.strip(
+        "name,click,:eq,:sum,:stat-avg,50,:gt,:filter", set(), ("filter",)
+    ) == ["name,click,:eq,:sum"]
+    # style settings unwrapped
+    assert engine.strip(
+        "name,click,:eq,:sum,2,:lw", set(), ("style",)
+    ) == ["name,click,:eq,:sum"]
+    # both layers + key strip compose
+    assert engine.strip(
+        "name,click,:eq,bucket,u1,:eq,:and,:sum,max,:stat,2,:lw",
+        {"bucket"},
+        ("filter", "style"),
+    ) == ["name,click,:eq,:sum"]
+    # no r params: unchanged behavior
+    assert engine.strip("name,click,:eq,:sum,max,:stat", set()) == [
+        "name,click,:eq,:sum,max,:stat"
+    ]
+    with pytest.raises(ValueError, match="vocabulary 'math' not supported"):
+        engine.strip("name,click,:eq,:sum", set(), ("math",))
+
+
 def test_expr_rewrite_endpoint(engine):
     """ExprApi.rewrite parity (ExprApi.scala:350-385): migrate the
     deprecated list-form style offset to the data variant."""

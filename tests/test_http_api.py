@@ -152,6 +152,17 @@ def test_expr_queries_and_strip(served):
     assert json.loads(body) == ["name,click,:eq", "name,view,:eq"]
     _, _, body = _get(f"{base}/api/v1/expr/strip?q=name,click,:eq,:sum&k=name")
     assert json.loads(body) == [":true,:sum"]
+    # repeated r params strip vocabulary layers (filter then style)
+    _, _, body = _get(
+        f"{base}/api/v1/expr/strip?q=name,click,:eq,:sum,max,:stat,2,:lw"
+        "&r=filter&r=style"
+    )
+    assert json.loads(body) == ["name,click,:eq,:sum"]
+    with pytest.raises(HTTPError) as ei:
+        urllib.request.urlopen(
+            f"{base}/api/v1/expr/strip?q=name,click,:eq,:sum&r=query"
+        )
+    assert ei.value.code == 400
     _, _, body = _get(
         f"{base}/api/v1/expr/rewrite?q=name,click,:eq,:sum,(,1w,),:offset"
     )
