@@ -146,5 +146,9 @@ def test_band_candidates_pairs_and_degenerate_bucket(spark):
     big = spark.range(2000).select(
         F.col("id").alias("doc_id"), F.lit(0).alias("band"), F.lit(9).alias("bucket")
     )
-    n = dedup._band_candidates(big).count()
+    # cap disabled: the generator chain must stream C(2000,2) pairs with
+    # per-row state O(bucket) (the memory-shape property this pins)
+    n = dedup._band_candidates(big, max_bucket=None).count()
     assert n == 2000 * 1999 // 2
+    # default cap (LSH_MAX_BUCKET=1000): the degenerate bucket is dropped
+    assert dedup._band_candidates(big).count() == 0
