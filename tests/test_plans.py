@@ -404,6 +404,58 @@ def test_minhash_recall_on_planted_dups(spark):
     assert not missed, missed
 
 
+def test_quality_deciles_ntile_formula_uneven_sizes(spark, tmp_path):
+    """The closed-form NTILE bucket formula must match true NTILE for
+    language sizes that exercise BOTH branches — n < 10, n % 10 != 0
+    (first-rem-buckets-get-one-extra), and n % 10 == 0 — sizes the
+    driver corpora may not cover if their language counts happen to be
+    divisible by 10."""
+    import random
+
+    rows = []
+    rng = random.Random(3)
+    sizes = {"l7": 7, "l13": 13, "l25": 25, "l30": 30, "l101": 101}
+    for lang, n in sizes.items():
+        for i in range(n):
+            ntok = rng.randrange(1, 40)
+            rows.append((len(rows), " ".join(["w"] * ntok), lang, "s", 0))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "sf")
+    df.coalesce(1).write.parquet(f"{d}/documents.parquet")
+
+    from atlas_spark.operators.text import ROUND_EPS_TXT, quality_deciles
+
+    got = {
+        (r["lang"], r["decile"]): (r["n_docs"], r["min_tokens"], r["max_tokens"], r["avg_tokens"])
+        for r in quality_deciles(spark, d).collect()
+    }
+
+    # python reference NTILE over the same deterministic order
+    want = {}
+    for lang, n in sizes.items():
+        toks = sorted(
+            (len(t.split(" ")), did) for did, t, lg, _, _ in rows if lg == lang
+        )
+        base, rem = divmod(n, 10)
+        idx = 0
+        for tile in range(1, 11):
+            size = base + (1 if tile <= rem else 0)
+            if size == 0:
+                continue
+            chunk = toks[idx : idx + size]
+            idx += size
+            vals = [c[0] for c in chunk]
+            want[(lang, tile)] = (
+                len(vals),
+                min(vals),
+                max(vals),
+                round(sum(vals) / len(vals) + ROUND_EPS_TXT, 6),
+            )
+    assert got == want
+
+
 def test_lsh_bucket_cap_skips_degenerate_buckets(spark):
     """Degenerate-bucket guard (r10 verdict #2): plant a boilerplate group
     of 9 IDENTICAL docs (identical signature -> every bucket containing
