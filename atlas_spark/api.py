@@ -202,6 +202,31 @@ def _verify_stack_contents(vocab: str, stack: list) -> None:
         raise ValueError("expected an expression, stack is empty")
 
 
+# Words excluded from /api/v1/expr/complete suggestions — always-matching
+# stack words, deprecated spellings, and internal placeholders
+# (atlas-webapi reference.conf:160-227 `expr.complete.excluded-words`,
+# consumed via ApiSettings.excludedWords in ExprApi.matches).
+EXCLUDED_COMPLETE_WORDS = frozenset(
+    {
+        # stack manipulation
+        "-rot", "2over", "call", "clear", "depth", "drop", "dup", "each",
+        "fcall", "format", "freeze", "get", "list", "map", "ndrop", "nip",
+        "nlist", "over", "pick", "roll", "rot", "set", "sset", "swap",
+        "tuck",
+        # queries
+        "true", "false", "reic", "not",
+        # data aggregations
+        "all", "cf-avg", "cf-sum", "cf-min", "cf-max", "head",
+        # math
+        "des", "des-simple", "des-fast", "des-slow", "des-slower",
+        "des-epic-signal", "des-epic-viz", "random",
+        # filter
+        "stat-avg", "stat-max", "stat-min", "stat-last", "stat-count",
+        "stat-total", "stat-min-mf", "stat-max-mf", "stat-avg-mf",
+    }
+)
+
+
 class Engine:
     """Evaluation engine bound to a datapoint source."""
 
@@ -390,7 +415,9 @@ class Engine:
     def complete(self, q: str, vocab: str | None = None) -> list[str]:
         """Candidate next words for the program's current stack
         (ExprApi.scala:160-182 /api/v1/expr/complete): a word is offered
-        when one of its overloads matches AND actually executes.  With
+        when one of its overloads matches AND actually executes, minus
+        the reference's excluded-words list (always-matching stack words
+        and deprecated spellings, reference.conf expr.complete).  With
         `vocab`, both the parse and the candidate pool are scoped to that
         layered vocabulary."""
         from .stacklang.interpreter import Context, split_and_trim
@@ -405,7 +432,9 @@ class Engine:
         base = Context(interp)
         interp.execute_program(split_and_trim(q), base)
         names = []
-        for name in sorted({w.name for w in pool}):
+        for name in sorted(
+            {w.name for w in pool} - EXCLUDED_COMPLETE_WORDS
+        ):
             trial = Context(
                 interp, stack=list(base.stack), vars=dict(base.vars),
                 frozen=list(base.frozen), initial_vars=dict(base.initial_vars),

@@ -383,9 +383,13 @@ def test_expr_rewrite_endpoint(engine):
 
 def test_expr_complete_endpoint(engine):
     words = engine.complete("name,click,:eq")
-    assert "sum" in words and "count" in words and "not" in words
+    assert "sum" in words and "count" in words
+    # excluded-words parity (reference.conf expr.complete.excluded-words):
+    # always-matching / deprecated words are never suggested
+    assert "not" not in words and "des" not in words
     empty = engine.complete("")
-    assert "true" in empty  # nullary words always apply
+    assert "pi" in empty  # nullary words always apply
+    assert "true" not in empty  # excluded (always matches)
     assert "dup" not in empty  # empty stack: nothing to dup
 
 
@@ -415,12 +419,12 @@ def test_expr_vocab_scoping(engine):
     # full chain works under its own layer
     assert engine.debug("name,cpu,:eq,:sum", vocab="data")
     assert engine.normalize("name,cpu,:eq,:sum,$name,:legend", vocab="style")
-    # complete scopes the candidate pool: with a query on the stack the
-    # query layer offers :not but never :sum; the default pool offers both
-    q_words = engine.complete("name,cpu,:eq", vocab="query")
-    assert "not" in q_words and "sum" not in q_words
+    # complete scopes the candidate pool: the query layer offers :eq on
+    # two strings but never :sum on a query; the default pool offers :sum
+    q_words = engine.complete("name,cpu", vocab="query")
+    assert "eq" in q_words and "sum" not in q_words
     full = engine.complete("name,cpu,:eq")
-    assert "not" in full and "sum" in full
+    assert "sum" in full
     # queries endpoint under a scoped vocab
     assert engine.queries("name,cpu,:eq,:sum", vocab="data") == ["name,cpu,:eq"]
     # unknown vocabulary name is a clear error

@@ -199,9 +199,9 @@ def test_expr_vocab_param(served):
     _, _, body = _get(f"{base}/api/v1/expr/debug?q={q}")
     assert json.loads(body)
     # complete: the query layer never offers data words
-    _, _, body = _get(f"{base}/api/v1/expr/complete?q=name,click,:eq&vocab=query")
+    _, _, body = _get(f"{base}/api/v1/expr/complete?q=name,click&vocab=query")
     names = [c["name"] if isinstance(c, dict) else c for c in json.loads(body)]
-    assert "sum" not in names and "not" in names
+    assert "sum" not in names and "eq" in names
     with pytest.raises(HTTPError) as ei:
         urllib.request.urlopen(f"{base}/api/v1/expr/normalize?q={q}&vocab=bogus")
     assert ei.value.code == 400
