@@ -36,6 +36,7 @@ SPECS: list[OpSpec] = [
     OpSpec("op_unigram_logprob", text.unigram_logprob, text.UNIGRAM_LOGPROB_SQL),
     OpSpec("op_ngram_topk", text.ngram_topk, text.NGRAM_TOPK_SQL),
     OpSpec("op_tfidf_topk", text.tfidf_topk, text.TFIDF_TOPK_SQL),
+    OpSpec("op_bm25_topk", text.bm25_topk, text.BM25_TOPK_SQL),
     OpSpec("op_length_histogram", text.length_histogram, text.LENGTH_HISTOGRAM_SQL),
     OpSpec("op_domain_mix", text.domain_mix, text.DOMAIN_MIX_SQL),
     OpSpec("op_asof_join", text.asof_join, text.ASOF_JOIN_SQL),

@@ -1106,6 +1106,95 @@ WHERE rank <= 10
 """
 
 
+# Fixed retrieval query for the BM25 demo operator: mixed document
+# frequencies ('dup' is rare in the synthetic corpus -> high idf).
+BM25_TERMS = ("spark", "vector", "dup", "merge")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """Top-k documents for a fixed term query under BM25 (Robertson
+    idf ln(1 + (N - df + 0.5)/(df + 0.5)), k1=1.2, b=0.75) — the lexical
+    retrieval primitive of a training-data curation stack (dataset
+    search, targeted subset extraction, eval-set sourcing).
+
+    Plan shape for 100 TB: ONE narrow scan explodes tokens carrying the
+    doc length alongside, the term filter (literal IN over the query
+    terms) drops everything but query-term occurrences BEFORE the
+    shuffle, the (doc, term) tf aggregate is query-bounded, corpus stats
+    (N, avgdl) are a one-row aggregate cross-joined in, per-term df is a
+    |terms|-row broadcast, and the final top-k is orderBy+limit
+    (TakeOrdered — distributed partial top-k per partition, never a
+    single-partition global sort).  Scores are dither-rounded to 6
+    decimals on BOTH engines so libm-vs-JVM ln ulp noise cannot flip the
+    ordering; ties break by doc_id."""
+    docs = load_documents(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    tok = docs.select(
+        "doc_id",
+        F.size(words).cast("double").alias("dl"),
+        F.explode(words).alias("w"),
+    ).filter(F.col("w").isin(*BM25_TERMS))
+    tf = tok.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).cast("double").alias("tf"), F.min("dl").alias("dl")
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg(F.size(F.split(F.col("text"), " "))).alias("avgdl"),
+    )
+    df_ = tf.groupBy("w").agg(F.countDistinct("doc_id").cast("double").alias("df"))
+    idf = F.log(1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    term_score = idf * F.col("tf") * (BM25_K1 + 1.0) / (
+        F.col("tf") + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "w")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(term_score) + ROUND_EPS_TXT, 6).alias("score"))
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .select("doc_id", "score")
+    )
+
+
+def _bm25_sql(k: int = 20) -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
+         unnest(string_split(text, ' ')) AS w
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS tf, min(dl) AS dl
+  FROM tok WHERE w IN ({terms}) GROUP BY 1, 2
+),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         avg(CAST(len(string_split(text, ' ')) AS DOUBLE)) AS avgdl
+  FROM documents
+),
+df AS (SELECT w, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY w),
+sc AS (
+  SELECT t.doc_id,
+         round(sum(ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                   * t.tf * ({BM25_K1} + 1.0)
+                   / (t.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * t.dl / s.avgdl)))
+               + {ROUND_EPS_TXT!r}, 6) AS score
+  FROM tf t JOIN df d USING (w) CROSS JOIN stats s
+  GROUP BY t.doc_id
+)
+SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+BM25_TOPK_SQL = _bm25_sql()
+
+
 def length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus length profile: document counts and character mass per
     power-of-two length bucket, per language — the one-glance histogram

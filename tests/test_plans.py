@@ -404,6 +404,23 @@ def test_minhash_recall_on_planted_dups(spark):
     assert not missed, missed
 
 
+def test_bm25_topk_plan_shape(spark, sf_dir):
+    """BM25 stays distributed: the term filter lands before the tf
+    aggregate, the df side broadcasts, the corpus stats are a one-row
+    broadcast cross join, and the final top-k is TakeOrdered — never a
+    single-partition global sort."""
+    from atlas_spark.operators.text import bm25_topk
+
+    plan = _plan(bm25_topk(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    # the ONLY single-partition exchange is the one-row corpus-stats
+    # aggregate (N, avgdl) — the standard scalar-aggregate shape; the
+    # top-k itself must never be a global sort
+    assert plan.count("Exchange SinglePartition") <= 1, plan
+    assert "Sort " not in plan.split("TakeOrderedAndProject")[0], plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_quality_deciles_ntile_formula_uneven_sizes(spark, tmp_path):
     """The closed-form NTILE bucket formula must match true NTILE for
     language sizes that exercise BOTH branches — n < 10, n % 10 != 0
