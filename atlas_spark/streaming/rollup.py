@@ -211,6 +211,32 @@ def sessionize_stream(
     )
 
 
+def dedup_exact_stream(docs_stream: DataFrame, within: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup for continuous corpus intake — the
+    streaming twin of `operators/dedup.py::dedup_exact`: each distinct
+    text's FIRST arrival passes through; re-arrivals are dropped
+    executor-side by `dropDuplicatesWithinWatermark` keyed on the
+    256-bit content hash.
+
+    Scale shape: state is one row per distinct hash seen WITHIN the
+    watermark window (`within`), expired automatically as the watermark
+    advances — bounded by the dedup horizon, never by corpus history;
+    the hash key is uniformly distributed so the state store has no hot
+    partitions.  Batch keeps min(doc_id) per hash; streaming keeps the
+    first ARRIVAL (arrival order replaces id order), emitting
+    (h, doc_id) — the survivor assignment an ingest pipeline applies
+    before landing documents.  Expects columns
+    [doc_id long, text string, ts timestamp]."""
+    hashed = docs_stream.select(
+        F.sha2(F.col("text").cast("binary"), 256).alias("h"), "doc_id", "ts"
+    )
+    return (
+        hashed.withWatermark("ts", within)
+        .dropDuplicatesWithinWatermark(["h"])
+        .select("h", "doc_id")
+    )
+
+
 def cascade_rollup_stream(
     spark: SparkSession,
     fine_silver_path: str,

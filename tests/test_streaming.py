@@ -993,6 +993,63 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
     assert streamed == finalized_batch, (streamed, finalized_batch)
 
 
+def test_dedup_exact_stream_matches_batch(spark, tmp_path):
+    """Streaming exact dedup (dropDuplicatesWithinWatermark on the
+    content hash) passes each distinct text's first arrival and drops
+    re-arrivals ACROSS microbatches; with arrival order == doc_id order
+    the survivors equal the batch dedup_exact keep_ids."""
+    import pandas as pd
+
+    from atlas_spark.operators.dedup import dedup_exact
+    from atlas_spark.streaming.rollup import dedup_exact_stream
+
+    base = 1704067200
+    # chunk 1: docs 0-3 (one internal duplicate); chunk 2: docs 4-6
+    # (4 and 5 duplicate texts from chunk 1 -> cross-microbatch drops)
+    c1 = [(0, "alpha beta"), (1, "gamma"), (2, "alpha beta"), (3, "delta")]
+    c2 = [(4, "gamma"), (5, "delta"), (6, "epsilon")]
+
+    def pdf(rows, t0):
+        return pd.DataFrame(
+            {
+                "doc_id": [r[0] for r in rows],
+                "text": [r[1] for r in rows],
+                "ts": [pd.Timestamp(t0 + i, unit="s") for i, _ in enumerate(rows)],
+            }
+        )
+
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(pdf(c1, base)).coalesce(1).write.mode("append").parquet(d)
+    spark.createDataFrame(pdf(c2, base + 100)).coalesce(1).write.mode("append").parquet(d)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    got = []
+    q = (
+        dedup_exact_stream(stream)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, _: got.extend((r["h"], r["doc_id"]) for r in df.collect()))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    # batch truth over the same rows (documents.parquet layout)
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    all_rows = [(i, t, "en", "s", 0) for i, t in c1 + c2]
+    spark.createDataFrame(
+        all_rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(sf / "documents.parquet"))
+    batch = {(r["h"], r["keep_id"]) for r in dedup_exact(spark, str(sf)).collect()}
+
+    assert set(got) == batch, (sorted(got), sorted(batch))
+    assert len(got) == 4  # alpha-beta, gamma, delta, epsilon
+
+
 def test_cascade_rollup_four_fold(spark, tmp_path):
     """Fine silver -> coarse four-fold rollup (RollupBlock parity,
     Block.scala:823-900): coarse sum/count/min/max cells equal the
