@@ -59,7 +59,9 @@ def _h60(col) -> "F.Column":
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
-def ngram_shingles(df: DataFrame, n: int = 3, hash_fn=None) -> DataFrame:
+def ngram_shingles(
+    df: DataFrame, n: int = 3, hash_fn=None, extra_cols: tuple = ()
+) -> DataFrame:
     """Word n-gram shingle set per doc, hashed to fixed-width ids (input
     for Jaccard / MinHash).  Hashing keeps shuffle keys and
     set-intersection elements fixed-width.
@@ -68,7 +70,9 @@ def ngram_shingles(df: DataFrame, n: int = 3, hash_fn=None) -> DataFrame:
     sketches built from the ids have value-level DuckDB oracles.  Callers
     whose oracle does not depend on the hash VALUES (e.g. exact Jaccard
     verification, which only needs set identity) should pass
-    `F.xxhash64` — ~3x cheaper per shingle."""
+    `F.xxhash64` — ~3x cheaper per shingle.  `extra_cols` carries
+    additional columns through (e.g. the event time of a streaming
+    corpus)."""
     h = hash_fn or _h60
     words = F.split(F.col("text"), " ")
     # guard: Spark sequence(0, k) with k<0 generates DESCENDING indexes —
@@ -81,7 +85,9 @@ def ngram_shingles(df: DataFrame, n: int = 3, hash_fn=None) -> DataFrame:
     strs = F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws("\x1f", F.slice(words, i + 1, n)))
     )
-    return df.select("doc_id", F.transform(strs, lambda s: h(s)).alias("shingles"))
+    return df.select(
+        "doc_id", F.transform(strs, lambda s: h(s)).alias("shingles"), *extra_cols
+    )
 
 
 # Universal-hash permutations for MinHash: h_i(s) = (a_i * s28 + b_i) mod P
@@ -234,6 +240,105 @@ def _band_candidates(
             F.explode(F.slice("ids", F.col("i") + 2, F.size("ids"))).alias("id_b"),
         )
         .distinct()
+    )
+
+
+def minhash_bands_map(
+    df: DataFrame,
+    n: int = 3,
+    num_hashes: int = 48,
+    bands: int = 24,
+    extra_cols: tuple = (),
+) -> DataFrame:
+    """(doc_id, text, ...) -> exploded (doc_id, band, bucket) with the
+    MinHash signature computed per ROW via array folds — ZERO shuffle,
+    so it composes with Structured Streaming (no aggregation before the
+    candidate join).  Produces the identical (band, bucket) keys as the
+    batch `_minhash_bands` hash-aggregate (same permutation constants,
+    same 28-bit masking, same two-minima packing) — pinned by a
+    differential test.  Docs shorter than the shingle width emit no
+    bands (the batch aggregate likewise never sees them)."""
+    rows_per_band = num_hashes // bands
+    assert rows_per_band <= 2, "bucket packing holds at most two 31-bit minima"
+    consts = _perm_consts(num_hashes)
+    sh = ngram_shingles(df, n, hash_fn=F.xxhash64, extra_cols=extra_cols).filter(
+        F.size("shingles") > 0
+    )
+
+    def perm_min(a: int, b: int):
+        return F.array_min(
+            F.transform(
+                F.col("shingles"),
+                lambda s: (F.lit(a) * s.bitwiseAND(F.lit(_MASK28)) + F.lit(b))
+                % F.lit(_PERM_P),
+            )
+        )
+
+    def bucket(bi: int):
+        out = F.lit(0).cast("long")
+        for r in range(rows_per_band):
+            a, b = consts[bi * rows_per_band + r]
+            out = out * F.lit(1 << 31) + perm_min(a, b)
+        return out
+
+    return sh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(bi).alias("band"), bucket(bi).alias("bucket"))
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+        *extra_cols,
+    ).select("doc_id", "bb.band", "bb.bucket", *extra_cols)
+
+
+def minhash_candidate_stream(
+    docs_stream: DataFrame,
+    n: int = 3,
+    num_hashes: int = 48,
+    bands: int = 24,
+    within: str = "10 minutes",
+) -> DataFrame:
+    """Continuous MinHash-LSH candidate pairs over a document stream —
+    the streaming twin of the batch banding: each arriving document's
+    per-row signature (`minhash_bands_map`, zero shuffle) joins against
+    every document seen within the `within` horizon that shares a
+    (band, bucket), via a watermark-bounded stream-stream self-join;
+    cross-band duplicates collapse with dropDuplicatesWithinWatermark.
+
+    Scale shape: join state holds each doc's `bands` rows for the
+    horizon only (watermark-expired, uniformly hash-distributed keys);
+    candidates are emitted UNVERIFIED, like the reference banding —
+    a real intake pipeline verifies them against the landed corpus with
+    a stream-static jaccard join downstream.  Expects columns
+    [doc_id long, text string, ts timestamp]."""
+    bands_df = minhash_bands_map(
+        docs_stream, n, num_hashes, bands, extra_cols=("ts",)
+    ).withWatermark("ts", within)
+    a, b = bands_df.alias("a"), bands_df.alias("b")
+    pairs = a.join(
+        b,
+        F.expr(
+            "a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id "
+            f"AND b.ts BETWEEN a.ts - INTERVAL {within} AND a.ts + INTERVAL {within}"
+        ),
+    )
+    return (
+        # keep one side's ts AS-IS: it carries the watermark tag through
+        # the join (an expression like greatest(a.ts, b.ts) would strip
+        # it, and re-stamping after a stateful operator is disallowed);
+        # cross-band duplicates of a pair share identical timestamps, so
+        # either side works for the dedup's expiry
+        pairs.select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("b.ts").alias("ts"),
+        )
+        .dropDuplicatesWithinWatermark(["id_a", "id_b"])
+        .select("id_a", "id_b")
     )
 
 

@@ -404,6 +404,38 @@ def test_minhash_recall_on_planted_dups(spark):
     assert not missed, missed
 
 
+def test_minhash_bands_map_equals_aggregate(spark, sf_dir):
+    """The per-row (zero-shuffle, streaming-composable) signature of
+    minhash_bands_map must emit the IDENTICAL (doc_id, band, bucket) set
+    as the batch hash-aggregate `_minhash_bands` — same permutation
+    constants, masking, and packing; and its plan has no exchange before
+    the explode."""
+    import pyspark.sql.functions as F
+
+    from atlas_spark.operators.dedup import (
+        _minhash_bands,
+        minhash_bands_map,
+        ngram_shingles,
+    )
+    from atlas_spark.operators.text import load_documents
+
+    docs = load_documents(spark, sf_dir)
+    sh = ngram_shingles(docs, 3, hash_fn=F.xxhash64)
+    agg = {
+        (r["doc_id"], r["band"], r["bucket"])
+        for r in _minhash_bands(
+            sh.select("doc_id", F.explode("shingles").alias("s")), 48, 24
+        ).collect()
+    }
+    mapped = {
+        (r["doc_id"], r["band"], r["bucket"])
+        for r in minhash_bands_map(docs, 3, 48, 24).collect()
+    }
+    assert mapped == agg
+    plan = _plan(minhash_bands_map(docs, 3, 48, 24))
+    assert "Exchange" not in plan, plan
+
+
 def test_bm25_topk_plan_shape(spark, sf_dir):
     """BM25 stays distributed: the term filter lands before the tf
     aggregate, the df side broadcasts, the corpus stats are a one-row

@@ -1050,6 +1050,71 @@ def test_dedup_exact_stream_matches_batch(spark, tmp_path):
     assert len(got) == 4  # alpha-beta, gamma, delta, epsilon
 
 
+def test_minhash_candidate_stream_matches_batch(spark, tmp_path):
+    """Continuous LSH candidates: the watermark-bounded stream-stream
+    self-join over per-row band signatures emits exactly the batch
+    banding's candidate pairs when all docs arrive within the horizon —
+    including pairs that span microbatches."""
+    import random
+
+    import pandas as pd
+
+    from atlas_spark.operators.dedup import (
+        _band_candidates,
+        minhash_bands_map,
+        minhash_candidate_stream,
+    )
+
+    rng = random.Random(5)
+    vocab = [f"w{i}" for i in range(300)]
+    docs = [(i, " ".join(rng.choice(vocab) for _ in range(40))) for i in range(40)]
+    # plant near-dups, half inside chunk 2 so candidate pairs cross batches
+    for j in range(8):
+        words = docs[j * 3][1].split(" ")
+        words[rng.randrange(len(words))] = rng.choice(vocab)
+        docs.append((100 + j, " ".join(words)))
+
+    base = 1704067200
+
+    def pdf(rows, t0):
+        return pd.DataFrame(
+            {
+                "doc_id": [r[0] for r in rows],
+                "text": [r[1] for r in rows],
+                "ts": [pd.Timestamp(t0 + i, unit="s") for i in range(len(rows))],
+            }
+        )
+
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(pdf(docs[:30], base)).coalesce(1).write.mode("append").parquet(d)
+    spark.createDataFrame(pdf(docs[30:], base + 60)).coalesce(1).write.mode("append").parquet(d)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    got: set = set()
+    q = (
+        minhash_candidate_stream(stream, within="10 minutes")
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, _: got.update((r["id_a"], r["id_b"]) for r in df.collect()))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    batch_df = spark.createDataFrame(docs, "doc_id long, text string")
+    want = {
+        tuple(r)
+        for r in _band_candidates(
+            minhash_bands_map(batch_df), max_bucket=None
+        ).collect()
+    }
+    assert want, "corpus construction drifted: no candidate pairs"
+    assert got == want, (sorted(got ^ want))
+
+
 def test_cascade_rollup_four_fold(spark, tmp_path):
     """Fine silver -> coarse four-fold rollup (RollupBlock parity,
     Block.scala:823-900): coarse sum/count/min/max cells equal the
