@@ -342,6 +342,31 @@ def minhash_candidate_stream(
     )
 
 
+def minhash_verified_stream(
+    docs_stream: DataFrame,
+    corpus_df: DataFrame,
+    n: int = 3,
+    num_hashes: int = 48,
+    bands: int = 24,
+    threshold: float = 0.5,
+    within: str = "10 minutes",
+) -> DataFrame:
+    """End-to-end streaming near-dup pairs: the watermarked LSH
+    candidate stream (`minhash_candidate_stream`) verified by exact
+    n-gram Jaccard against the LANDED corpus — two stream-static joins
+    on doc_id pulling each side's shingle set from `corpus_df` (the
+    bronze documents table a real intake pipeline maintains; at scale
+    this is the same broadcast-or-shuffle verify join as batch, with
+    the static side served by the lake).
+
+    Emits (id_a, id_b, jaccard) for pairs at or above `threshold`,
+    exactly the batch `ngram_jaccard_pairs` rows for documents within
+    the stream horizon."""
+    sh = ngram_shingles(corpus_df, n, hash_fn=F.xxhash64)
+    cand = minhash_candidate_stream(docs_stream, n, num_hashes, bands, within)
+    return _verified_pairs(sh, cand, threshold).select("id_a", "id_b", "jaccard")
+
+
 def _verified_pairs(sh: DataFrame, cand: DataFrame, threshold: float) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs only: join the (small)
     candidate list back to the shingle frame twice and intersect hashed

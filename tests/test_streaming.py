@@ -1114,6 +1114,45 @@ def test_minhash_candidate_stream_matches_batch(spark, tmp_path):
     assert want, "corpus construction drifted: no candidate pairs"
     assert got == want, (sorted(got ^ want))
 
+    # end-to-end: candidates verified by exact jaccard against the
+    # landed corpus (stream-static joins) equal the batch verified set
+    from atlas_spark.operators.dedup import (
+        _verified_pairs,
+        minhash_verified_stream,
+        ngram_shingles,
+    )
+    import pyspark.sql.functions as F
+
+    stream2 = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    got_v: set = set()
+    qv = (
+        minhash_verified_stream(stream2, batch_df, threshold=0.5)
+        .writeStream.outputMode("append")
+        .foreachBatch(
+            lambda df, _: got_v.update(
+                (r["id_a"], r["id_b"], r["jaccard"]) for r in df.collect()
+            )
+        )
+        .start()
+    )
+    qv.processAllAvailable()
+    qv.stop()
+    sh = ngram_shingles(batch_df, 3, hash_fn=F.xxhash64)
+    want_v = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in _verified_pairs(
+            sh,
+            _band_candidates(minhash_bands_map(batch_df), max_bucket=None),
+            0.5,
+        ).select("id_a", "id_b", "jaccard").collect()
+    }
+    assert want_v, "corpus construction drifted: no verified pairs"
+    assert got_v == want_v, sorted(got_v ^ want_v)
+
 
 def test_cascade_rollup_four_fold(spark, tmp_path):
     """Fine silver -> coarse four-fold rollup (RollupBlock parity,
