@@ -11,6 +11,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from ..util.caching import scoped_persist
 from .text import load_documents
 
 # Local-bench parallelism guard: the test corpus is a single small parquet
@@ -295,50 +296,115 @@ def minhash_bands_map(
     ).select("doc_id", "bb.band", "bb.bucket", *extra_cols)
 
 
+def _window_buckets(
+    docs_stream: DataFrame,
+    n: int = 3,
+    num_hashes: int = 48,
+    bands: int = 24,
+    within: str = "10 minutes",
+    slide: str | None = None,
+) -> DataFrame:
+    """Windowed (band, bucket) membership aggregation over a document
+    stream — the streaming twin of the batch `_band_candidates`
+    hash-aggregate, evaluated inside each `within` event-time interval:
+    per-row band signatures (`minhash_bands_map`, zero shuffle) feed a
+    watermark-bounded window aggregation collecting each bucket's sorted
+    doc list.  State per (window, band, bucket) key is O(bucket) and is
+    evicted when the watermark passes the window — exactly the batch
+    aggregate's memory shape, bounded by the horizon.
+
+    `slide=None` gives tumbling intervals (a pair straddling a boundary
+    is detected only if a third co-bucketed arrival lands with one of
+    them); pass e.g. `slide` = half of `within` for overlapping windows,
+    which guarantees detection of any pair within `within - slide` of
+    each other (the pair dedup downstream collapses the overlap
+    duplicates)."""
+    bands_df = minhash_bands_map(
+        docs_stream, n, num_hashes, bands, extra_cols=("ts",)
+    ).withWatermark("ts", within)
+    win = F.window("ts", within, slide) if slide else F.window("ts", within)
+    return (
+        bands_df.groupBy(win.alias("window"), "band", "bucket")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+
+
 def minhash_candidate_stream(
     docs_stream: DataFrame,
     n: int = 3,
     num_hashes: int = 48,
     bands: int = 24,
     within: str = "10 minutes",
+    slide: str | None = None,
+    max_bucket: int | None = LSH_MAX_BUCKET,
 ) -> DataFrame:
     """Continuous MinHash-LSH candidate pairs over a document stream —
-    the streaming twin of the batch banding: each arriving document's
-    per-row signature (`minhash_bands_map`, zero shuffle) joins against
-    every document seen within the `within` horizon that shares a
-    (band, bucket), via a watermark-bounded stream-stream self-join;
-    cross-band duplicates collapse with dropDuplicatesWithinWatermark.
+    the streaming twin of the batch banding, with the SAME
+    degenerate-bucket guard: per-interval bucket membership
+    (`_window_buckets`), buckets above `max_bucket` dropped BEFORE pair
+    generation, then the batch posexplode/slice pair chain (O(bucket)
+    per row, never O(bucket^2) in one value) and a watermark-bounded
+    pair dedup collapsing cross-band (and cross-slide) duplicates.
 
-    Scale shape: join state holds each doc's `bands` rows for the
-    horizon only (watermark-expired, uniformly hash-distributed keys);
-    candidates are emitted UNVERIFIED, like the reference banding —
-    a real intake pipeline verifies them against the landed corpus with
-    a stream-static jaccard join downstream.  Expects columns
-    [doc_id long, text string, ts timestamp]."""
-    bands_df = minhash_bands_map(
-        docs_stream, n, num_hashes, bands, extra_cols=("ts",)
-    ).withWatermark("ts", within)
-    a, b = bands_df.alias("a"), bands_df.alias("b")
-    pairs = a.join(
-        b,
-        F.expr(
-            "a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id "
-            f"AND b.ts BETWEEN a.ts - INTERVAL {within} AND a.ts + INTERVAL {within}"
-        ),
-    )
+    The cap matters MORE here than in batch: an uncapped shape (e.g. a
+    stream-stream self-join on (band, bucket)) turns a hot boilerplate
+    bucket recurring at rate r into O((r*horizon)^2) join output and
+    state — the quadratic blowup the batch `LSH_MAX_BUCKET` guard
+    exists for.  Dropped buckets are observable via the companion
+    `minhash_bucket_drops_stream` accounting stream (same aggregation,
+    over-cap side), mirroring the reference's dropped-and-counted
+    datapoint limits (AggrDatapoint.scala:94-159).
+
+    Candidates are emitted UNVERIFIED, like the reference banding — a
+    real intake pipeline verifies them against the landed corpus with a
+    stream-static jaccard join downstream (`minhash_verified_stream`).
+    Expects columns [doc_id long, text string, ts timestamp]."""
+    buckets = _window_buckets(docs_stream, n, num_hashes, bands, within, slide)
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket)
     return (
-        # keep one side's ts AS-IS: it carries the watermark tag through
-        # the join (an expression like greatest(a.ts, b.ts) would strip
-        # it, and re-stamping after a stateful operator is disallowed);
-        # cross-band duplicates of a pair share identical timestamps, so
-        # either side works for the dedup's expiry
-        pairs.select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.col("b.ts").alias("ts"),
+        # keep the window column through the pair explode: after the
+        # aggregation it carries the event-time tag, which the pair
+        # dedup needs for state expiry (dropping it would make the
+        # dedup state unbounded)
+        buckets.select("window", F.posexplode("ids").alias("i", "id_a"), "ids")
+        .select(
+            "window",
+            "id_a",
+            F.explode(F.slice("ids", F.col("i") + 2, F.size("ids"))).alias("id_b"),
         )
         .dropDuplicatesWithinWatermark(["id_a", "id_b"])
         .select("id_a", "id_b")
+    )
+
+
+def minhash_bucket_drops_stream(
+    docs_stream: DataFrame,
+    n: int = 3,
+    num_hashes: int = 48,
+    bands: int = 24,
+    within: str = "10 minutes",
+    slide: str | None = None,
+    max_bucket: int | None = LSH_MAX_BUCKET,
+) -> DataFrame:
+    """Accounting stream for the streaming LSH degenerate-bucket guard:
+    one row per (interval, band, bucket) whose membership exceeded
+    `max_bucket` and was therefore dropped by `minhash_candidate_stream`
+    before pair generation — the streaming twin of the batch
+    `skip_observation` counters (`lsh_bucket_stats`).  Emits
+    (interval_start, band, bucket, bucket_size); a production intake
+    pipeline runs it as a second query over the same source/topic and
+    alarms on sustained drops."""
+    return (
+        _window_buckets(docs_stream, n, num_hashes, bands, within, slide)
+        .filter(F.size("ids") > (max_bucket if max_bucket is not None else _MASK28))
+        .select(
+            F.col("window.start").alias("interval_start"),
+            "band",
+            "bucket",
+            F.size("ids").alias("bucket_size"),
+        )
     )
 
 
@@ -350,9 +416,11 @@ def minhash_verified_stream(
     bands: int = 24,
     threshold: float = 0.5,
     within: str = "10 minutes",
+    max_bucket: int | None = LSH_MAX_BUCKET,
 ) -> DataFrame:
-    """End-to-end streaming near-dup pairs: the watermarked LSH
-    candidate stream (`minhash_candidate_stream`) verified by exact
+    """End-to-end streaming near-dup pairs: the watermarked (and
+    degenerate-bucket-capped) LSH candidate stream
+    (`minhash_candidate_stream`) verified by exact
     n-gram Jaccard against the LANDED corpus — two stream-static joins
     on doc_id pulling each side's shingle set from `corpus_df` (the
     bronze documents table a real intake pipeline maintains; at scale
@@ -363,7 +431,9 @@ def minhash_verified_stream(
     exactly the batch `ngram_jaccard_pairs` rows for documents within
     the stream horizon."""
     sh = ngram_shingles(corpus_df, n, hash_fn=F.xxhash64)
-    cand = minhash_candidate_stream(docs_stream, n, num_hashes, bands, within)
+    cand = minhash_candidate_stream(
+        docs_stream, n, num_hashes, bands, within, max_bucket=max_bucket
+    )
     return _verified_pairs(sh, cand, threshold).select("id_a", "id_b", "jaccard")
 
 
@@ -427,7 +497,7 @@ def minhash_lsh_pairs(
     depends on is empirical, so it must be pinned on adversarial data,
     not just the driver corpus).  `max_bucket` / `skip_observation`
     forward to `_band_candidates`' degenerate-bucket guard."""
-    sh = ngram_shingles(docs, n, hash_fn=F.xxhash64).persist()
+    sh = scoped_persist(ngram_shingles(docs, n, hash_fn=F.xxhash64))
     cand = _band_candidates(
         _minhash_bands(
             sh.select("doc_id", F.explode("shingles").alias("s")), num_hashes, bands
@@ -590,10 +660,11 @@ def ngram_jaccard_pairs(
     """
     docs = _spread(load_documents(spark, sf_dir))
     # the shingle frame feeds candidate generation AND both verify joins;
-    # cache it so the three consumers share one computation.  xxhash64
+    # cache it so the three consumers share one computation (scoped: the
+    # registry releases it when the next query is built).  xxhash64
     # shingle ids: the oracle verifies raw-string shingle SETS, so hash
     # values never cross engines and the cheap hash is safe
-    sh = ngram_shingles(docs, n, hash_fn=F.xxhash64).persist()
+    sh = scoped_persist(ngram_shingles(docs, n, hash_fn=F.xxhash64))
     # 24 bands x 2 rows: P(miss) = (1 - J^2)^24 ~ 1e-3 at the 0.5
     # threshold; the hashes are deterministic, so recall 1.0 is VERIFIED
     # (not just probable) at the oracle scales: 25/25 at sf0.01, 256/256

@@ -401,7 +401,9 @@ FROM documents
 ROUND_EPS_TXT = 1.2345e-9
 
 
-def quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def quality_deciles(
+    spark: SparkSession, sf_dir: str, _materialize: bool = True
+) -> DataFrame:
     """Per-language token-length deciles: exact NTILE(10) semantics over
     a deterministic total order (token count, then doc_id) with
     per-decile document count, token bounds, and mean — the
@@ -430,7 +432,13 @@ def quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
          ``n div 10 + 1`` rows, the rest ``n div 10``.
 
     Values are identical to the NTILE oracle (the doc_id tiebreak makes
-    the total order, hence the bucketing, exact)."""
+    the total order, hence the bucketing, exact).
+
+    The persisted slice is LOAD-BEARING (both passes must read the same
+    materialized pid assignment), so the result — bounded at
+    languages x 10 rows by construction — is computed EAGERLY and the
+    cache released before returning; a lazy return would have to keep
+    the corpus-sized slice pinned for the caller's lifetime."""
     docs = load_documents(spark, sf_dir)
     from pyspark.sql.window import Window
 
@@ -469,7 +477,7 @@ def quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(rem + F.floor((rank - thr - 1) / F.greatest(bsize, F.lit(1))) + 1)
     ).cast("int")
 
-    return (
+    result = (
         j.select("lang", "n_tokens", decile.alias("decile"))
         .groupBy("lang", "decile")
         .agg(
@@ -479,6 +487,13 @@ def quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("n_tokens") + ROUND_EPS_TXT, 6).alias("avg_tokens"),
         )
     )
+    if not _materialize:
+        # plan-inspection path only: nothing executes, so the persist
+        # marker materializes no blocks
+        return result
+    rows = result.collect()  # languages x 10 rows — always driver-small
+    slices.unpersist()
+    return spark.createDataFrame(rows, schema=result.schema)
 
 
 QUALITY_DECILES_SQL = f"""

@@ -823,7 +823,7 @@ def test_quality_deciles_distributed_rank(spark, sf_dir):
     group-by partial-aggregates.  No single-partition exchange."""
     from atlas_spark.operators.text import quality_deciles
 
-    plan = _plan(quality_deciles(spark, sf_dir))
+    plan = _plan(quality_deciles(spark, sf_dir, _materialize=False))
     assert "ntile" not in plan.lower(), plan
     assert "rangepartitioning(lang" in plan, plan
     # the per-row window is sliced by pid (lang-only windows exist only
@@ -833,3 +833,29 @@ def test_quality_deciles_distributed_rank(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert "Exchange SinglePartition" not in plan, plan
     assert "partial" in plan.lower(), plan
+
+
+def test_no_orphaned_cache_blocks_after_registry_queries(spark, sf_dir):
+    """Persist hygiene (r11 verdict #5): cache-using registry queries must
+    not leak storage blocks across a long-lived session.  Load-bearing
+    persists (quality_deciles' pid slice) release inside the operator;
+    shared-computation caches (the shingle frames) are scoped — drained
+    when the next registry query is built and completely by
+    `release_scoped()` — so a driver sweep never accumulates blocks."""
+    from atlas_spark.registry import all_queries
+    from atlas_spark.util.caching import release_scoped
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = {i.id() for i in jsc.getRDDStorageInfo()}
+
+    qs = all_queries()
+    for name in ("op_quality_deciles", "op_minhash_candidates", "op_ngram_jaccard"):
+        qs[name](spark, sf_dir).collect()
+    release_scoped()
+
+    leaked = [
+        (i.id(), i.name())
+        for i in jsc.getRDDStorageInfo()
+        if i.id() not in before and i.numCachedPartitions() > 0
+    ]
+    assert not leaked, leaked

@@ -1051,10 +1051,14 @@ def test_dedup_exact_stream_matches_batch(spark, tmp_path):
 
 
 def test_minhash_candidate_stream_matches_batch(spark, tmp_path):
-    """Continuous LSH candidates: the watermark-bounded stream-stream
-    self-join over per-row band signatures emits exactly the batch
-    banding's candidate pairs when all docs arrive within the horizon —
-    including pairs that span microbatches."""
+    """Continuous LSH candidates: the watermark-bounded per-interval
+    bucket aggregation over per-row band signatures emits exactly the
+    batch banding's candidate pairs when all docs arrive within the
+    interval — including pairs that span microbatches.  A far-future
+    sentinel document (disjoint vocabulary, so it shares no bucket)
+    advances the watermark past the interval end so the append-mode
+    aggregation flushes; a live pipeline gets this for free from the
+    next interval's arrivals."""
     import random
 
     import pandas as pd
@@ -1085,9 +1089,14 @@ def test_minhash_candidate_stream_matches_batch(spark, tmp_path):
             }
         )
 
+    sentinel = [(9999, " ".join(f"sentinelword{i}" for i in range(40)))]
+
     d = str(tmp_path / "docs")
     spark.createDataFrame(pdf(docs[:30], base)).coalesce(1).write.mode("append").parquet(d)
     spark.createDataFrame(pdf(docs[30:], base + 60)).coalesce(1).write.mode("append").parquet(d)
+    spark.createDataFrame(pdf(sentinel, base + 10**6)).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
 
     stream = (
         spark.readStream.schema("doc_id long, text string, ts timestamp")
@@ -1152,6 +1161,112 @@ def test_minhash_candidate_stream_matches_batch(spark, tmp_path):
     }
     assert want_v, "corpus construction drifted: no verified pairs"
     assert got_v == want_v, sorted(got_v ^ want_v)
+
+
+def test_minhash_candidate_stream_caps_hot_bucket(spark, tmp_path):
+    """Planted hot bucket through the STREAMING candidate path: 25
+    identical boilerplate docs share every band's bucket; with
+    max_bucket=10 their C(25,2) pairs are dropped BEFORE pair
+    generation, every other pair is emitted identically to the capped
+    batch banding, and the companion drops stream counts the dropped
+    buckets (one per band, size 25) — the streaming twin of the batch
+    LSH_MAX_BUCKET guard + lsh_bucket_stats accounting."""
+    import random
+
+    import pandas as pd
+
+    from atlas_spark.operators.dedup import (
+        _band_candidates,
+        minhash_bands_map,
+        minhash_bucket_drops_stream,
+        minhash_candidate_stream,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"v{i}" for i in range(300)]
+    docs = [(i, " ".join(rng.choice(vocab) for _ in range(40))) for i in range(20)]
+    for j in range(5):  # genuine near-dups that must survive the cap
+        words = docs[j * 2][1].split(" ")
+        words[rng.randrange(len(words))] = rng.choice(vocab)
+        docs.append((100 + j, " ".join(words)))
+    hot_text = " ".join(f"boiler{i}" for i in range(30))  # disjoint vocab
+    hot = [(200 + i, hot_text) for i in range(25)]
+
+    base = 1704067200
+
+    def pdf(rows, t0):
+        return pd.DataFrame(
+            {
+                "doc_id": [r[0] for r in rows],
+                "text": [r[1] for r in rows],
+                "ts": [pd.Timestamp(t0 + i, unit="s") for i in range(len(rows))],
+            }
+        )
+
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(pdf(docs[:12] + hot[:13], base)).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+    spark.createDataFrame(pdf(docs[12:] + hot[13:], base + 60)).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+    sentinel = [(9999, " ".join(f"sentinelword{i}" for i in range(40)))]
+    spark.createDataFrame(pdf(sentinel, base + 10**6)).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+
+    def src():
+        return (
+            spark.readStream.schema("doc_id long, text string, ts timestamp")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(d)
+        )
+
+    got: set = set()
+    q = (
+        minhash_candidate_stream(src(), within="10 minutes", max_bucket=10)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, _: got.update((r["id_a"], r["id_b"]) for r in df.collect()))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    batch_df = spark.createDataFrame(docs + hot, "doc_id long, text string")
+    capped = {
+        tuple(r)
+        for r in _band_candidates(minhash_bands_map(batch_df), max_bucket=10).collect()
+    }
+    uncapped = {
+        tuple(r)
+        for r in _band_candidates(minhash_bands_map(batch_df), max_bucket=None).collect()
+    }
+    hot_ids = {h[0] for h in hot}
+    assert capped, "corpus construction drifted: no pairs survive the cap"
+    # the cap removed exactly the hot-bucket pairs (300 of them)
+    assert uncapped - capped == {(a, b) for a, b in uncapped if a in hot_ids and b in hot_ids}
+    assert len(uncapped - capped) == 25 * 24 // 2
+    # stream == capped batch: over-cap pairs dropped, all others intact
+    assert got == capped, sorted(got ^ capped)
+
+    drops: list = []
+    qd = (
+        minhash_bucket_drops_stream(src(), within="10 minutes", max_bucket=10)
+        .writeStream.outputMode("append")
+        .foreachBatch(
+            lambda df, _: drops.extend(
+                (r["band"], r["bucket"], r["bucket_size"]) for r in df.collect()
+            )
+        )
+        .start()
+    )
+    qd.processAllAvailable()
+    qd.stop()
+    # one dropped bucket per band (identical docs share every band),
+    # each holding all 25 hot docs
+    assert {b for b, _, _ in drops} == set(range(24)), drops
+    assert len(drops) == 24
+    assert all(sz == 25 for _, _, sz in drops), drops
 
 
 def test_cascade_rollup_four_fold(spark, tmp_path):
