@@ -11,6 +11,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from ..session import configure_existing
 from ..util.caching import scoped_persist
 from .text import load_documents
 
@@ -454,6 +455,81 @@ def _verified_pairs(sh: DataFrame, cand: DataFrame, threshold: float) -> DataFra
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def minhash_stream_candidates(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 3,
+    num_hashes: int = 48,
+    bands: int = 24,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Driver-visible surface for the STREAMING LSH twin: replays the
+    documents table as a bounded file stream through the REAL
+    `minhash_candidate_stream` pipeline (windowed capped banding +
+    watermark-bounded pair dedup), materializes the emitted candidates
+    via a memory sink, then applies the same exact-jaccard verification
+    as the batch op — so the result is SET-EQUAL to
+    `op_minhash_candidates`' exact all-pairs oracle
+    (`MINHASH_CANDIDATES_SQL`) and the driver's value-hash gate covers
+    the streaming code path end-to-end.
+
+    Replay mechanics: every document gets one event time inside a single
+    interval (matching the batch query's corpus-wide bucket scope); a
+    far-future sentinel document with a disjoint vocabulary advances the
+    watermark past the interval so the append-mode aggregation flushes —
+    the role the next interval's arrivals play in a live pipeline."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    configure_existing(spark)
+    docs_path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(docs_path).schema
+    base = 1704067200  # interval-aligned; any fixed instant works
+    sentinel_id = 1 << 40
+
+    # a FileStreamSource needs a directory: stage the corpus file as a
+    # symlink next to the sentinel file
+    tmp = tempfile.mkdtemp(prefix="atlas_mh_stream_")
+    in_dir = f"{tmp}/input"
+    os.makedirs(in_dir)
+    os.symlink(os.path.abspath(docs_path), f"{in_dir}/corpus.parquet")
+    sentinel_text = " ".join(f"sentinelword{i}" for i in range(40))
+    spark.createDataFrame(
+        [tuple([sentinel_id, sentinel_text] + [None] * (len(schema) - 2))], schema
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(in_dir).select(
+        "doc_id",
+        "text",
+        F.timestamp_seconds(
+            F.when(F.col("doc_id") == sentinel_id, F.lit(base + 10**6)).otherwise(
+                F.lit(base)
+            )
+        ).alias("ts"),
+    )
+    name = f"mh_stream_{uuid.uuid4().hex[:10]}"
+    q = (
+        minhash_candidate_stream(stream, n, num_hashes, bands, within="10 minutes")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    docs = load_documents(spark, sf_dir)
+    sh = ngram_shingles(docs, n, hash_fn=F.xxhash64)
+    return _verified_pairs(sh, spark.table(name), threshold).select("id_a", "id_b")
 
 
 def minhash_lsh_candidates(

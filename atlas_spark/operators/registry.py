@@ -56,6 +56,10 @@ SPECS: list[OpSpec] = [
     # property on planted near-dups so a corpus/banding change that
     # breaks it fails loudly instead of silently losing pairs.
     OpSpec("op_minhash_candidates", dedup.minhash_lsh_candidates, dedup.MINHASH_CANDIDATES_SQL),
+    # the STREAMING twin driven end-to-end (bounded replay through the
+    # windowed capped banding + pair dedup, then the same exact verify),
+    # value-gated against the same exact all-pairs oracle
+    OpSpec("op_minhash_stream", dedup.minhash_stream_candidates, dedup.MINHASH_CANDIDATES_SQL),
     # degenerate-bucket drop accounting (low cap so the over-cap branch
     # is value-exercised at driver scale, not dead-zero)
     OpSpec("op_lsh_bucket_stats", dedup.lsh_bucket_stats, dedup.LSH_BUCKET_STATS_SQL),
