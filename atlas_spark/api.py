@@ -237,8 +237,15 @@ class Engine:
         source: DatapointSource | None = None,
         default_window: tuple[int, int] = (EVENTS_START, EVENTS_END),
         catalog=None,
+        host_rewrite: dict | None = None,
     ):
         self.spark = spark
+        # config-driven host -> restriction-query rewrite for multi-DNS-view
+        # deployments (HostRewriter.scala:40-67; reference.conf:179-183
+        # default matches no host)
+        from .util.host_rewriter import HostRewriter
+
+        self.host_rewriter = HostRewriter(host_rewrite)
         if source is None:
             if sf_dir is None:
                 raise ValueError("need sf_dir or source")
@@ -533,6 +540,11 @@ class Engine:
                 )
                 for se in exprs
             ]
+        # host-view restriction (Grapher.scala rewriteBasedOnHost): when the
+        # graph URI is absolute, its authority host is matched against the
+        # configured pattern and `key,$1,:eq` is ANDed onto every expression
+        if parsed.hostname:
+            exprs = self.host_rewriter.rewrite(parsed.hostname, exprs)
         ev = Evaluator(self.source, ctx)
 
         lines: list[GraphLine] = []

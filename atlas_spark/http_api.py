@@ -329,7 +329,12 @@ class AtlasHandler(BaseHTTPRequestHandler):
         ctype = _GRAPH_CONTENT_TYPES.get(fmt)
         if ctype is None:
             return self._error(400, f"unknown graph format {fmt!r}")
-        out = self.server.engine.render(self.path)
+        # forward the request's Host as the URI authority so the engine's
+        # host-view rewrite sees it (Grapher.scala rewriteBasedOnHost reads
+        # the Host header; urlparse().hostname strips any :port)
+        host = (self.headers.get("Host") or "").strip()
+        uri = f"http://{host}{self.path}" if host else self.path
+        out = self.server.engine.render(uri)
         if isinstance(out, bytes):
             body = out
         elif isinstance(out, str):

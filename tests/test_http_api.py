@@ -427,3 +427,37 @@ def test_rejection_reason_py_matches_column_rules(served, spark):
     ]
     py_reasons = [http_api.rejection_reason_py(t) for _, t in rows]
     assert py_reasons == spark_reasons
+
+
+def test_graph_host_header_restriction(spark, sf_dir, tmp_path_factory):
+    """rewriteBasedOnHost wiring (Grapher.scala:90-101): the request's Host
+    header becomes the graph URI authority, so a host matching the
+    engine's host-rewrite config restricts every expression; the default
+    local host does not match and leaves results unchanged."""
+    spool = str(tmp_path_factory.mktemp("spool_host"))
+    engine = Engine(
+        spark,
+        sf_dir,
+        host_rewrite={"pattern": r"^view\.([^.]+)\.example\.com$", "key": "bucket"},
+    )
+    srv, thread = http_api.start(engine, port=0, spool_dir=spool)
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        url = f"{base}/api/v1/graph?{GRAPH_Q}"
+        req = urllib.request.Request(url)
+        req.add_header("Host", "view.u1.example.com")
+        with urllib.request.urlopen(req) as resp:
+            restricted = json.loads(resp.read())
+        _, _, plain = _get(url)
+        explicit = json.loads(
+            json.dumps(
+                engine.render(
+                    "/api/v1/graph?q=name,click,:eq,bucket,u1,:eq,:and,:sum"
+                    "&s=2024-01-02&e=2024-01-03"
+                )
+            )
+        )
+        assert restricted["values"] == explicit["values"]
+        assert restricted["values"] != json.loads(plain)["values"]
+    finally:
+        srv.shutdown()
