@@ -78,11 +78,15 @@ MAX_USER_TAGS = 20
 MAX_DATAPOINT_AGE_MS = 86_400_000
 
 
-def rejection_reason_py(tags: dict) -> str | None:
+def rejection_reason_py(tags: dict, extra_specs=()) -> str | None:
     """First failing rule's reason, None when valid.
 
     Must stay message-for-message identical to
-    `streaming.validation.rejection_reason` (parity-tested)."""
+    `streaming.validation.rejection_reason` (parity-tested).
+    `extra_specs` are config-activated optional rules
+    (validation.specs_from_config) evaluated after the default chain via
+    each spec's Python form — the same TagRuleSpec objects drive the
+    streaming Column plane."""
     if "name" not in tags:
         return "missing key 'name'"
     bad = min((k for k in tags if not 2 <= len(k) <= 60), default=None)
@@ -117,6 +121,10 @@ def rejection_reason_py(tags: dict) -> str | None:
         )
         if bad is not None:
             return f"invalid key for reserved prefix '{prefix}': {bad}"
+    for spec in extra_specs:
+        reason = spec.py(tags)
+        if reason is not None:
+            return reason
     return None
 
 
@@ -140,9 +148,13 @@ def validate_batch(
     datapoints: list[tuple[dict, int, float]],
     now_ms: int | None = None,
     max_age_ms: int = MAX_DATAPOINT_AGE_MS,
+    extra_rules=(),
 ) -> tuple[list, list[tuple[str, dict]]]:
     """PublishApi.validate parity: age gate first, then the rule set.
     Returns (valid, [(reason, tags), ...])."""
+    from .streaming.validation import specs_from_config
+
+    extra_specs = specs_from_config(extra_rules)
     now = int(time.time() * 1000) if now_ms is None else now_ms
     good, bad = [], []
     for tags, ts, value in datapoints:
@@ -162,7 +174,7 @@ def validate_batch(
         if diff < -max_age_ms:
             bad.append((f"data is from future: now = {now}, timestamp = {ts}", tags))
             continue
-        reason = rejection_reason_py(tags)
+        reason = rejection_reason_py(tags, extra_specs)
         if reason is None:
             good.append((tags, ts, value))
         else:
@@ -633,7 +645,9 @@ class AtlasHandler(BaseHTTPRequestHandler):
         datapoints = decode_publish_batch(payload)
         if not datapoints:
             return self._error(400, "empty payload")
-        good, bad = validate_batch(datapoints)
+        good, bad = validate_batch(
+            datapoints, extra_rules=getattr(self.server, "validation_rules", ())
+        )
         if good and self.server.spool_dir:
             self._spool(good)
         if not bad:
@@ -670,6 +684,7 @@ def serve(
     spool_dir: str | None = None,
     verbose: bool = False,
     sub_ttl: float | None = None,
+    validation_rules=(),
 ) -> ThreadingHTTPServer:
     """Bind the API server (reference default port 7101, ApiSettings.port);
     returns the server — call serve_forever() (or use start() for a
@@ -685,6 +700,9 @@ def serve(
     srv.spool_dir = spool_dir
     srv.verbose = verbose
     srv.lwc = StreamSubscriptionManager(step=engine.source.step, sub_ttl=sub_ttl)
+    # optional validation rules, activated by config like the reference's
+    # atlas.core.validation.rules list (validation.specs_from_config)
+    srv.validation_rules = validation_rules
     return srv
 
 
@@ -693,10 +711,17 @@ def start(
     port: int = 0,
     spool_dir: str | None = None,
     sub_ttl: float | None = None,
+    validation_rules=(),
 ) -> tuple[ThreadingHTTPServer, threading.Thread]:
     """serve() on a daemon thread; port=0 picks a free port
     (server_address[1] has the bound port)."""
-    srv = serve(engine, port=port, spool_dir=spool_dir, sub_ttl=sub_ttl)
+    srv = serve(
+        engine,
+        port=port,
+        spool_dir=spool_dir,
+        sub_ttl=sub_ttl,
+        validation_rules=validation_rules,
+    )
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     return srv, t

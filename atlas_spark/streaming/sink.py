@@ -53,7 +53,11 @@ def _decode_payloads(df: DataFrame, payload_col: str, fmt: str) -> DataFrame:
 
 
 def bronze_rows(
-    df: DataFrame, payload_col: str = "payload", step: int = 60, fmt: str = "json"
+    df: DataFrame,
+    payload_col: str = "payload",
+    step: int = 60,
+    fmt: str = "json",
+    extra_rules=(),
 ) -> DataFrame:
     """Bronze rows (valid and rejected, discriminated by `status`) from a
     payload frame/stream.
@@ -82,7 +86,7 @@ def bronze_rows(
             F.col("timestamp").isNull() | F.col("value").isNull(),
             F.lit("missing timestamp or value"),
         ),
-        rejection_reason(F.col("tags")),
+        rejection_reason(F.col("tags"), extra_rules),
     )
     checked = decoded.withColumn("rejection", rejection)
     t = (F.floor(F.col("timestamp") / (1000 * step)) * step).cast("long")
@@ -106,6 +110,7 @@ def publish_to_bronze(
     payload_col: str = "payload",
     step: int = 60,
     fmt: str = "json",
+    extra_rules=(),
 ):
     """Start the bronze sink for a payload stream; returns the
     StreamingQuery handle.
@@ -119,7 +124,7 @@ def publish_to_bronze(
     exactly once.
     """
     configure_existing(stream_df.sparkSession)
-    rows = bronze_rows(stream_df, payload_col, step, fmt)
+    rows = bronze_rows(stream_df, payload_col, step, fmt, extra_rules)
     return (
         rows.writeStream.format("parquet")
         .option("path", f"{path}/data")

@@ -18,6 +18,8 @@ reason so the publish path can count and report per-reason drops
 
 from __future__ import annotations
 
+import re
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
@@ -128,9 +130,139 @@ def reserved_key_rule(tags: Column) -> Column:
     return out
 
 
-def rejection_reason(tags: Column) -> Column:
+# ---------------------------------------------------------------------------
+# Optional (config-activatable) tag rules — the reference ships these but
+# does not enable them by default (`atlas-core/.../validation/
+# KeyPatternRule.scala`, `ValuePatternRule.scala`, `ValueLengthRule.scala`,
+# `CompositeTagRule.scala`; activation list `atlas.core.validation.rules`).
+#
+# Each rule is a TagRuleSpec carrying BOTH planes' evaluation: the Column
+# form (per-key first-failure like the default chain: lexicographically
+# smallest failing key) and the plain-Python form the HTTP publish driver
+# uses (http_api.rejection_reason_py) — one spec, two executions, so the
+# parity is structural rather than maintained by hand.
+
+
+class TagRuleSpec:
+    """A per-(key, value) rule: `ok` predicates and `msg` renderers in
+    Column and Python forms (TagRule.scala `validate(k, v)`)."""
+
+    def __init__(self, ok, msg, py_ok, py_msg):
+        self.ok = ok  # (Column k, Column v) -> Column[bool]
+        self.msg = msg  # (Column k, Column v) -> Column[str]
+        self.py_ok = py_ok  # (str, str) -> bool
+        self.py_msg = py_msg  # (str, str) -> str
+
+    def column(self, tags: Column) -> Column:
+        """First (smallest) failing key's message, null when all pass."""
+        bad = F.array_min(
+            F.filter(_keys(tags), lambda k: ~self.ok(k, F.element_at(tags, k)))
+        )
+        return F.when(bad.isNotNull(), self.msg(bad, F.element_at(tags, bad)))
+
+    def py(self, tags: dict) -> str | None:
+        bad = min((k for k, v in tags.items() if not self.py_ok(k, v)), default=None)
+        return None if bad is None else self.py_msg(bad, tags[bad])
+
+
+def key_pattern_spec(pattern: str) -> TagRuleSpec:
+    """KeyPatternRule.scala: keys must match the pattern WHOLLY (Java
+    `Matcher.matches`)."""
+    rx = re.compile(pattern)
+    full = f"^(?:{pattern})$"
+    return TagRuleSpec(
+        ok=lambda k, v: k.rlike(full),
+        msg=lambda k, v: _fmt(f"key doesn't match pattern '{pattern}': [%s]", k),
+        py_ok=lambda k, v: rx.fullmatch(k) is not None,
+        py_msg=lambda k, v: f"key doesn't match pattern '{pattern}': [{k}]",
+    )
+
+
+def value_pattern_spec(pattern: str) -> TagRuleSpec:
+    """ValuePatternRule.scala: values must match the pattern from the
+    START (spectator `PatternMatcher` semantics — the same start-anchored
+    search the `:re` query word uses)."""
+    rx = re.compile(f"^(?:{pattern})")
+    anchored = f"^(?:{pattern})"
+    return TagRuleSpec(
+        ok=lambda k, v: v.rlike(anchored),
+        msg=lambda k, v: _fmt(f"value doesn't match pattern '{pattern}': [%s]", v),
+        py_ok=lambda k, v: rx.search(v) is not None,
+        py_msg=lambda k, v: f"value doesn't match pattern '{pattern}': [{v}]",
+    )
+
+
+def value_length_spec(min_length: int, max_length: int) -> TagRuleSpec:
+    """ValueLengthRule.scala: value length within bounds, too-long checked
+    before too-short."""
+    return TagRuleSpec(
+        ok=lambda k, v: (F.length(v) >= min_length) & (F.length(v) <= max_length),
+        msg=lambda k, v: F.when(
+            F.length(v) > max_length,
+            _fmt(f"value too long: %s = [%s] (%d > {max_length})", k, v, F.length(v)),
+        ).otherwise(
+            _fmt(f"value too short: %s = [%s] (%d < {min_length})", k, v, F.length(v))
+        ),
+        py_ok=lambda k, v: min_length <= len(v) <= max_length,
+        py_msg=lambda k, v: (
+            f"value too long: {k} = [{v}] ({len(v)} > {max_length})"
+            if len(v) > max_length
+            else f"value too short: {k} = [{v}] ({len(v)} < {min_length})"
+        ),
+    )
+
+
+def composite_tag_spec(subspecs: list[TagRuleSpec]) -> TagRuleSpec:
+    """CompositeTagRule.scala: all sub-rules must pass per (k, v); the
+    first failing sub-rule's message wins."""
+
+    def ok(k, v):
+        out = F.lit(True)
+        for s in subspecs:
+            out = out & s.ok(k, v)
+        return out
+
+    def msg(k, v):
+        return F.coalesce(*[F.when(~s.ok(k, v), s.msg(k, v)) for s in subspecs])
+
+    def py_ok(k, v):
+        return all(s.py_ok(k, v) for s in subspecs)
+
+    def py_msg(k, v):
+        return next(s.py_msg(k, v) for s in subspecs if not s.py_ok(k, v))
+
+    return TagRuleSpec(ok, msg, py_ok, py_msg)
+
+
+_RULE_FACTORIES = {
+    "key-pattern": lambda c: key_pattern_spec(c["pattern"]),
+    "value-pattern": lambda c: value_pattern_spec(c["pattern"]),
+    "value-length": lambda c: value_length_spec(c["min-length"], c["max-length"]),
+    "composite-tag": lambda c: composite_tag_spec(specs_from_config(c["rules"])),
+}
+
+
+def specs_from_config(cfgs) -> list[TagRuleSpec]:
+    """Build the optional-rule chain from config dicts, e.g.
+
+        [{"rule": "key-pattern", "pattern": "^[a-z][a-zA-Z0-9.]*$"},
+         {"rule": "value-length", "min-length": 2, "max-length": 60}]
+
+    — the activation analogue of `atlas.core.validation.rules`.  Entries
+    already built as TagRuleSpec pass through, so callers may mix."""
+    out = []
+    for c in cfgs or ():
+        if isinstance(c, TagRuleSpec):
+            out.append(c)
+        else:
+            out.append(_RULE_FACTORIES[c["rule"]](c))
+    return out
+
+
+def rejection_reason(tags: Column, extra_rules=()) -> Column:
     """First failing rule's reason, null when the datapoint is valid —
-    rules evaluate in the reference config order."""
+    the default chain in reference config order, then any
+    config-activated optional rules (`specs_from_config`)."""
     return F.coalesce(
         has_key_rule(tags),
         key_length_rule(tags),
@@ -138,16 +270,22 @@ def rejection_reason(tags: Column) -> Column:
         valid_characters_rule(tags),
         max_user_tags_rule(tags),
         reserved_key_rule(tags),
+        *[s.column(tags) for s in specs_from_config(extra_rules)],
     )
 
 
-def validate_publish(df: DataFrame, tags_col: str = "tags") -> tuple[DataFrame, DataFrame]:
+def validate_publish(
+    df: DataFrame, tags_col: str = "tags", extra_rules=()
+) -> tuple[DataFrame, DataFrame]:
     """Split a publish batch/stream into (valid, rejected-with-reason).
 
     Works on batch and streaming frames alike (pure projections); the
     rejected side carries `rejection` for per-reason drop counters.
+    `extra_rules` are optional-rule config dicts (`specs_from_config`).
     """
-    checked = df.withColumn("rejection", rejection_reason(F.col(tags_col)))
+    checked = df.withColumn(
+        "rejection", rejection_reason(F.col(tags_col), extra_rules)
+    )
     valid = checked.filter(F.col("rejection").isNull()).drop("rejection")
     rejected = checked.filter(F.col("rejection").isNotNull())
     return valid, rejected

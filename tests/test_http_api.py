@@ -461,3 +461,132 @@ def test_graph_host_header_restriction(spark, sf_dir, tmp_path_factory):
         assert restricted["values"] != json.loads(plain)["values"]
     finally:
         srv.shutdown()
+
+
+# -------------------------------------- optional (config-activated) rules
+
+
+OPT_RULES = [
+    {"rule": "key-pattern", "pattern": r"[a-z][a-zA-Z0-9._]*"},
+    {"rule": "value-pattern", "pattern": r"[a-zA-Z0-9]"},
+    {"rule": "value-length", "min-length": 2, "max-length": 10},
+    {
+        "rule": "composite-tag",
+        "rules": [
+            {"rule": "value-length", "min-length": 1, "max-length": 20},
+            {"rule": "value-pattern", "pattern": r"[^~]*$"},
+        ],
+    },
+]
+
+OPT_CASES = [
+    {"name": "ok.metric", "app": "www"},                    # all pass
+    {"name": "ok.metric", "Xapp": "www"},                   # key-pattern reject
+    {"name": "ok.metric", "app": "~www"},                   # value-pattern reject
+    {"name": "ok.metric", "app": "averylongvalue"},         # value too long
+    {"name": "ok", "app": "www"},                           # boundary min length accepted
+    # '~' is default-chain-valid, starts alnum, len<=10 -> only the
+    # composite's sub-pattern rejects it
+    {"name": "ok.metric", "app": "abc~def"},
+]
+
+
+def test_optional_rules_both_planes_parity(spark):
+    """KeyPatternRule / ValuePatternRule / ValueLengthRule /
+    CompositeTagRule (atlas-core validation/*.scala): the SAME TagRuleSpec
+    objects evaluate as Columns on the streaming plane and as Python on
+    the publish driver — results must agree message-for-message, accept
+    and reject alike."""
+    from atlas_spark.streaming.validation import specs_from_config
+
+    specs = specs_from_config(OPT_RULES)
+    rows = [(json.dumps(t), t) for t in OPT_CASES]
+    df = spark.createDataFrame([(r[0],) for r in rows], "tags_json string").select(
+        F.from_json("tags_json", "map<string,string>").alias("tags")
+    )
+    spark_reasons = [
+        r["reason"]
+        for r in df.select(
+            rejection_reason(F.col("tags"), OPT_RULES).alias("reason")
+        ).collect()
+    ]
+    py_reasons = [http_api.rejection_reason_py(t, specs) for _, t in rows]
+    assert py_reasons == spark_reasons
+    # at least one accept and one reject per rule family exercised
+    assert spark_reasons[0] is None
+    assert "key doesn't match pattern" in spark_reasons[1]
+    assert "value doesn't match pattern" in spark_reasons[2]
+    assert "value too long" in spark_reasons[3]
+    assert spark_reasons[4] is None
+    assert spark_reasons[5] == "value doesn't match pattern '[^~]*$': [abc~def]"
+
+
+def test_optional_rules_messages_match_reference_shapes(spark):
+    from atlas_spark.streaming.validation import (
+        key_pattern_spec,
+        value_length_spec,
+        value_pattern_spec,
+    )
+
+    ks = key_pattern_spec(r"[a-z]+")
+    assert ks.py({"name": "ok.metric", "BAD": "v"}) == (
+        "key doesn't match pattern '[a-z]+': [BAD]"
+    )
+    vs = value_pattern_spec(r"[a-z]+")
+    assert vs.py({"name": "ok.metric", "app": "123"}) == (
+        "value doesn't match pattern '[a-z]+': [123]"
+    )
+    vl = value_length_spec(2, 5)
+    assert vl.py({"name": "toolong"}) == "value too long: name = [toolong] (7 > 5)"
+    assert vl.py({"name": "x"}) == "value too short: name = [x] (1 < 2)"
+    # key-pattern is a WHOLE-match (Java Matcher.matches)
+    assert ks.py({"name": "ok", "abcX": "v"}) is not None
+    # value-pattern is start-anchored (spectator PatternMatcher / :re)
+    assert vs.py({"name": "ok", "app": "abc123"}) is None
+
+
+def test_optional_rules_streaming_split(spark):
+    """validate_publish with extra_rules splits accept/reject on the
+    Column plane with the configured optional chain."""
+    from atlas_spark.streaming.validation import validate_publish
+
+    df = spark.createDataFrame(
+        [(json.dumps(t),) for t in OPT_CASES], "tags_json string"
+    ).select(F.from_json("tags_json", "map<string,string>").alias("tags"))
+    valid, rejected = validate_publish(df, extra_rules=OPT_RULES)
+    from atlas_spark.streaming.validation import specs_from_config
+
+    specs = specs_from_config(OPT_RULES)
+    py_ok = sum(
+        1 for t in OPT_CASES if http_api.rejection_reason_py(t, specs) is None
+    )
+    assert valid.count() == py_ok == 2
+    assert rejected.count() == len(OPT_CASES) - py_ok
+
+
+def test_publish_endpoint_with_optional_rules(spark, sf_dir, tmp_path_factory):
+    """HTTP publish twin: a server started with validation_rules rejects a
+    payload the default chain accepts, with the optional rule's message."""
+    spool = str(tmp_path_factory.mktemp("spool_opt"))
+    engine = Engine(spark, sf_dir)
+    srv, thread = http_api.start(
+        engine,
+        port=0,
+        spool_dir=spool,
+        validation_rules=[{"rule": "key-pattern", "pattern": r"[a-z][a-zA-Z0-9._]*"}],
+    )
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        now = int(time.time() * 1000)
+        payload = {
+            "metrics": [
+                {"tags": {"name": "ok.metric", "app": "www"}, "timestamp": now, "value": 1.0},
+                {"tags": {"name": "ok.metric", "Xapp": "www"}, "timestamp": now, "value": 1.0},
+            ]
+        }
+        status, body = _post(f"{base}/api/v1/publish", json.dumps(payload).encode())
+        assert status == 202, (status, body)
+        msg = json.loads(body)
+        assert any("key doesn't match pattern" in m for m in msg.get("message", [])), msg
+    finally:
+        srv.shutdown()
