@@ -576,13 +576,18 @@ def _unicode_item(cp: int, desc: str, text: str, start: int, end: int) -> dict:
 
 def _unicode_name(cp: int) -> str | None:
     """Character name, None for undefined code points (the Python twin of
-    Character.isDefined/getName)."""
+    Character.isDefined/getName).  Defined-but-UNNAMED code points (Cc
+    controls, whose UnicodeData name field is `<control>`) also return
+    None so no completion item ever carries an empty description — a
+    deliberate divergence from Java's getName, which fabricates
+    `BLOCK NAME + hex` for them (ADVICE r11; Python's unicodedata has no
+    block table to mirror that)."""
     import unicodedata
 
     ch = chr(cp)
     if unicodedata.category(ch) == "Cn":
         return None
-    return unicodedata.name(ch, "")
+    return unicodedata.name(ch, "") or None
 
 
 def _unicode_completions(

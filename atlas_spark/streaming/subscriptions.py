@@ -48,7 +48,7 @@ class _Entry:
     expression: str
     evaluator: StreamingEvaluator
     data_subs: list[Subscription]
-    query = None
+    query: object = None  # StreamingQuery once start() wires this entry
 
 
 class SubscriptionManager:
@@ -75,12 +75,25 @@ class SubscriptionManager:
         self.wire.register(meta, QueueHandler(meta))
         self.wire.on_expire = self._on_expire
         self._entries: dict[str, _Entry] = {}
-        self._queries: list = []
+
+    @staticmethod
+    def _stop_entry(entry: _Entry | None) -> None:
+        """Stop the entry's streaming query if start() wired one — an
+        expired/unsubscribed expression must not keep computing (the
+        orphaned query would run until a full manager stop and survive a
+        re-start that only re-wires surviving entries)."""
+        if entry is not None and entry.query is not None:
+            try:
+                entry.query.stop()
+            except Exception:
+                pass  # already terminated
+            entry.query = None
 
     def _on_expire(self, stream_id: str, sub_id: str) -> None:
-        """TTL expiry in the shared registry drops the evaluator too."""
+        """TTL expiry in the shared registry drops the evaluator AND stops
+        its running query."""
         if stream_id == DATA_PLANE_STREAM:
-            self._entries.pop(sub_id, None)
+            self._stop_entry(self._entries.pop(sub_id, None))
 
     def subscribe(self, expression: str, frequency: int | None = None) -> _Entry:
         """Register an expression; returns its entry.  The id and the
@@ -105,7 +118,9 @@ class SubscriptionManager:
 
     def unsubscribe(self, sub_id: str) -> bool:
         self.wire.unsubscribe(DATA_PLANE_STREAM, [sub_id])
-        return self._entries.pop(sub_id, None) is not None
+        entry = self._entries.pop(sub_id, None)
+        self._stop_entry(entry)
+        return entry is not None
 
     @property
     def subscriptions(self) -> list[Subscription]:
@@ -121,20 +136,24 @@ class SubscriptionManager:
         return list(seen.values())
 
     def start(self, stream: DataFrame) -> None:
-        """Wire every registered expression onto the shared stream."""
+        """Wire every not-yet-started registered expression onto the
+        shared stream.  Query handles live on their entries, so
+        expiry/unsubscribe can stop exactly the dropped expression and a
+        later start() only wires the new ones."""
         for i, e in enumerate(self._entries.values()):
-            self._queries.append(
-                e.evaluator.start(stream, query_name=f"sub_{i}_{e.sub_id[:8]}")
-            )
+            if e.query is None:
+                e.query = e.evaluator.start(
+                    stream, query_name=f"sub_{i}_{e.sub_id[:8]}"
+                )
 
     def process_all_available(self) -> None:
-        for q in self._queries:
-            q.processAllAvailable()
+        for e in self._entries.values():
+            if e.query is not None:
+                e.query.processAllAvailable()
 
     def stop(self) -> None:
-        for q in self._queries:
-            q.stop()
-        self._queries = []
+        for e in self._entries.values():
+            self._stop_entry(e)
 
     def payloads(self) -> list[dict]:
         """Evaluate payloads: one dict per finalized result row, tagged

@@ -92,9 +92,10 @@ def parse_duration(s: str) -> int:
 def duration_to_string(seconds: int) -> str:
     """Canonical duration rendering (Strings.scala:657-666): the largest
     unit that divides evenly — weeks, days, hours, minutes, else seconds
-    (e.g. 120s -> `2m`, 3600s -> `1h`)."""
+    (e.g. 120s -> `2m`, 3600s -> `1h`).  Zero renders as `0w` exactly like
+    the reference (0 % oneWeek == 0 hits the first case)."""
     for unit, suffix in ((604800, "w"), (86400, "d"), (3600, "h"), (60, "m")):
-        if seconds % unit == 0 and seconds != 0:
+        if seconds % unit == 0:
             return f"{seconds // unit}{suffix}"
     return f"{seconds}s"
 

@@ -70,7 +70,11 @@ def main() -> None:
             salted.alias("text"),
             F.col("lang"),
             F.col("source"),
-            F.col("n_chars"),
+            # word-salting lengthens the text, so recompute the length —
+            # a replica carrying the base row's n_chars would make any
+            # n_chars-driven query (length_histogram) measure a
+            # distribution inconsistent with its documents (ADVICE r11)
+            F.length(salted).cast("long").alias("n_chars"),
         ]
 
     replicate(docs, k, doc_replica).coalesce(8).write.parquet(

@@ -120,8 +120,16 @@ def run(label, out_df, count_cols):
     rate = N / wall
     print(f"{label}: {wall:.1f}s  {rate:,.0f} docs/s  emitted={emitted[0]}", flush=True)
     print(f"  state rows/batch (per stateful op): {state}", flush=True)
-    tail = [sum(s) for s in state][-4:]
-    print(f"  total-state tail: {tail}  flat={max(tail) < 2 * min(tail)}", flush=True)
+    totals = [sum(s) for s in state]
+    # flatness is judged MID-STREAM (intake still arriving): the final
+    # batches are the sentinel-driven drain, which empties state entirely
+    mid = totals[len(totals) // 2 : -2]
+    drained = totals[-1] < max(totals) // 100 if totals else True
+    flat = bool(mid) and max(mid) < 2 * min(mid)
+    print(
+        f"  mid-stream state: {mid}  flat={flat}  drained_at_end={drained}",
+        flush=True,
+    )
     return wall
 
 

@@ -650,3 +650,21 @@ def test_analyzer_total_over_corrupted_corpus():
             lsp.complete_uri(uri, min(off + 16, len(uri)))
             checked += 1
     assert checked >= 200
+
+
+def test_unicode_exact_hex_skips_unnamed_code_points():
+    """Defined-but-unnamed code points (Cc controls like U+0007) must not
+    produce a completion item with an empty description (ADVICE r11);
+    named exact matches still complete."""
+    from atlas_spark.lsp import _unicode_name, complete
+
+    assert _unicode_name(0x0007) is None  # BEL: name field is <control>
+    assert _unicode_name(0x0041) == "LATIN CAPITAL LETTER A"
+
+    s = "name,\\u0007"
+    items = complete(s, len(s))
+    assert items == [], items
+    s = "name,\\u0041"
+    items = complete(s, len(s))
+    assert any("LATIN CAPITAL LETTER A" in i["label"] for i in items), items
+    assert all("  " not in i["label"] for i in items), items

@@ -108,3 +108,15 @@ def test_time_span_zone_via_tz_var():
     assert expr.zone == "US/Pacific"
     (se2,) = parse("2024-01-10,2024-01-20,:time-span")
     assert se2.expr.zone == "UTC"
+
+
+def test_duration_to_string_zero_renders_weeks():
+    """Strings.toString(Duration.ZERO) hits the first case (0 % oneWeek ==
+    0) and renders '0w' — parity kept even though Engine.rewrite
+    special-cases zero offsets before rendering (ADVICE r11)."""
+    from atlas_spark.util.strings import duration_to_string
+
+    assert duration_to_string(0) == "0w"
+    assert duration_to_string(120) == "2m"
+    assert duration_to_string(604800) == "1w"
+    assert duration_to_string(90) == "90s"

@@ -139,3 +139,49 @@ def test_data_plane_shares_wire_registry_and_ttl(spark):
     # re-subscribing the expired expression creates a FRESH entry
     e1b = mgr.subscribe("name,click,:eq,:sum")
     assert e1b.sub_id == e1.sub_id and e1b is not e1
+
+
+def test_unsubscribe_and_expiry_stop_running_queries(spark, stream_dir):
+    """A dropped subscription must not keep computing (ADVICE r11): on
+    unsubscribe or TTL expiry the entry's started streaming query stops,
+    surviving queries keep running, and a later start() wires only
+    not-yet-started entries."""
+    import time as _time
+
+    mgr = SubscriptionManager(spark, STEP, {"name": "k_name"}, sub_ttl=0.5)
+    e1 = mgr.subscribe("name,click,:eq,:sum")
+    e2 = mgr.subscribe(":true,:max")
+
+    schema = "k_name string, ts timestamp, value double"
+    pdf = pd.DataFrame(
+        [{"k_name": "click", "ts": pd.Timestamp(BASE + 5, unit="s"), "value": 1.0}]
+    )
+    spark.createDataFrame(pdf, schema).coalesce(1).write.mode("append").parquet(
+        stream_dir
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    mgr.start(stream)
+    try:
+        assert e1.query is not None and e1.query.isActive
+        assert e2.query is not None and e2.query.isActive
+        q2 = e2.query
+        assert mgr.unsubscribe(e2.sub_id)
+        assert not q2.isActive and e2.query is None
+        assert e1.query.isActive
+
+        # TTL expiry (triggered by a registry touch) stops the stale query
+        q1 = e1.query
+        _time.sleep(0.6)
+        e3 = mgr.subscribe(":true,:sum")
+        assert not q1.isActive
+        # start() wires only the new entry; e3 was not started yet
+        assert e3.query is None
+        mgr.start(stream)
+        assert e3.query is not None and e3.query.isActive
+    finally:
+        mgr.stop()
+    assert all(e.query is None for e in mgr._entries.values())
