@@ -480,27 +480,46 @@ def minhash_stream_candidates(
     far-future sentinel document with a disjoint vocabulary advances the
     watermark past the interval so the append-mode aggregation flushes —
     the role the next interval's arrivals play in a live pipeline."""
+    stream, tmp = _replay_documents(spark, sf_dir, sentinel=True)
+    cand = minhash_candidate_stream(stream, n, num_hashes, bands, within="10 minutes")
+    materialized = _run_stream_to_table(spark, cand, "mh_stream", cleanup=tmp)
+
+    docs = load_documents(spark, sf_dir)
+    sh = ngram_shingles(docs, n, hash_fn=F.xxhash64)
+    return _verified_pairs(sh, materialized, threshold).select("id_a", "id_b")
+
+
+_REPLAY_SENTINEL_ID = 1 << 40
+
+
+def _replay_documents(spark: SparkSession, sf_dir: str, sentinel: bool):
+    """Stage the documents table as a bounded file-stream replay: every
+    document gets one event time inside a single interval; when
+    `sentinel` is set, a far-future disjoint-vocabulary document is added
+    to advance the watermark past the interval (needed by windowed
+    aggregations in append mode; immediate-emit operators like the
+    stream dedup don't need it).  Returns (stream_df [doc_id, text, ts],
+    staging_dir)."""
     import os
-    import shutil
     import tempfile
-    import uuid
 
     configure_existing(spark)
     docs_path = f"{sf_dir}/documents.parquet"
     schema = spark.read.parquet(docs_path).schema
     base = 1704067200  # interval-aligned; any fixed instant works
-    sentinel_id = 1 << 40
 
     # a FileStreamSource needs a directory: stage the corpus file as a
-    # symlink next to the sentinel file
-    tmp = tempfile.mkdtemp(prefix="atlas_mh_stream_")
+    # symlink (next to the sentinel file when one is requested)
+    tmp = tempfile.mkdtemp(prefix="atlas_replay_")
     in_dir = f"{tmp}/input"
     os.makedirs(in_dir)
     os.symlink(os.path.abspath(docs_path), f"{in_dir}/corpus.parquet")
-    sentinel_text = " ".join(f"sentinelword{i}" for i in range(40))
-    spark.createDataFrame(
-        [tuple([sentinel_id, sentinel_text] + [None] * (len(schema) - 2))], schema
-    ).coalesce(1).write.mode("append").parquet(in_dir)
+    if sentinel:
+        sentinel_text = " ".join(f"sentinelword{i}" for i in range(40))
+        spark.createDataFrame(
+            [tuple([_REPLAY_SENTINEL_ID, sentinel_text] + [None] * (len(schema) - 2))],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(in_dir)
 
     stream = spark.readStream.schema(schema).option(
         "maxFilesPerTrigger", "1"
@@ -508,15 +527,25 @@ def minhash_stream_candidates(
         "doc_id",
         "text",
         F.timestamp_seconds(
-            F.when(F.col("doc_id") == sentinel_id, F.lit(base + 10**6)).otherwise(
-                F.lit(base)
-            )
+            F.when(
+                F.col("doc_id") == _REPLAY_SENTINEL_ID, F.lit(base + 10**6)
+            ).otherwise(F.lit(base))
         ).alias("ts"),
     )
-    name = f"mh_stream_{uuid.uuid4().hex[:10]}"
+    return stream, tmp
+
+
+def _run_stream_to_table(
+    spark: SparkSession, out: DataFrame, prefix: str, cleanup: str | None = None
+) -> DataFrame:
+    """Run a bounded stream to completion into a memory sink and return
+    the materialized table (the batch frame a driver can collect)."""
+    import shutil
+    import uuid
+
+    name = f"{prefix}_{uuid.uuid4().hex[:10]}"
     q = (
-        minhash_candidate_stream(stream, n, num_hashes, bands, within="10 minutes")
-        .writeStream.format("memory")
+        out.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
         .start()
@@ -525,11 +554,30 @@ def minhash_stream_candidates(
         q.processAllAvailable()
     finally:
         q.stop()
-        shutil.rmtree(tmp, ignore_errors=True)
+        if cleanup:
+            shutil.rmtree(cleanup, ignore_errors=True)
+    return spark.table(name)
 
-    docs = load_documents(spark, sf_dir)
-    sh = ngram_shingles(docs, n, hash_fn=F.xxhash64)
-    return _verified_pairs(sh, spark.table(name), threshold).select("id_a", "id_b")
+
+def dedup_stream_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible surface for the STREAMING exact-dedup twin
+    (`streaming/rollup.py::dedup_exact_stream`): replays the documents
+    table as a bounded file stream through the real
+    dropDuplicatesWithinWatermark pipeline and returns the SURVIVOR HASH
+    SET.  Which copy of a duplicate text survives depends on arrival
+    order (nondeterministic within a microbatch), but the surviving
+    hashes are identical whichever copy wins — exactly one row per
+    distinct text — so the hash set is the driver-checkable value
+    (`DEDUP_STREAM_SQL`); survivor-assignment semantics are pinned by
+    the ordered-chunk streaming test instead."""
+    from ..streaming.rollup import dedup_exact_stream
+
+    stream, tmp = _replay_documents(spark, sf_dir, sentinel=False)
+    out = dedup_exact_stream(stream).select("h")
+    return _run_stream_to_table(spark, out, "dedup_stream", cleanup=tmp)
+
+
+DEDUP_STREAM_SQL = "SELECT DISTINCT sha256(text) AS h FROM documents"
 
 
 def minhash_lsh_candidates(

@@ -60,6 +60,9 @@ SPECS: list[OpSpec] = [
     # windowed capped banding + pair dedup, then the same exact verify),
     # value-gated against the same exact all-pairs oracle
     OpSpec("op_minhash_stream", dedup.minhash_stream_candidates, dedup.MINHASH_CANDIDATES_SQL),
+    # streaming exact-dedup twin: survivor hash set (arrival-order
+    # independent), driven through dropDuplicatesWithinWatermark
+    OpSpec("op_dedup_stream", dedup.dedup_stream_hashes, dedup.DEDUP_STREAM_SQL),
     # degenerate-bucket drop accounting (low cap so the over-cap branch
     # is value-exercised at driver scale, not dead-zero)
     OpSpec("op_lsh_bucket_stats", dedup.lsh_bucket_stats, dedup.LSH_BUCKET_STATS_SQL),

@@ -29,6 +29,10 @@ QUERIES = [
     "op_simhash",
     "rel_pricing_summary",
 ]
+# override the query set, e.g. the lineitem/relational family for the
+# 100x fact-table row: SPARK_GRAFT_BENCH_QUERIES=li_grouped_share,li_topk
+if os.environ.get("SPARK_GRAFT_BENCH_QUERIES"):
+    QUERIES = os.environ["SPARK_GRAFT_BENCH_QUERIES"].split(",")
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 

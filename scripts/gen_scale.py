@@ -49,6 +49,7 @@ def main() -> None:
         SparkSession.builder.master("local[16]")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "48g")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
