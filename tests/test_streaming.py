@@ -1358,3 +1358,59 @@ def test_cascade_rollup_four_fold(spark, tmp_path):
     assert vals(src_avg) == {("temp", 70.0)}
     src_sum = rollup_datapoints(spark, str(tmp_path / "coarse"), 300, cf="sum", ds_type="rate")
     assert vals(src_sum) == {("reqs", 7.0)}
+
+
+def test_minhash_candidate_stream_slide_catches_boundary_pairs(spark, tmp_path):
+    """Tumbling intervals miss a near-dup pair straddling a boundary;
+    overlapping windows (duration `within`, slide s) guarantee detection
+    of any pair within `within - s` of each other, and the pair dedup
+    collapses the overlap duplicates."""
+    import random
+
+    import pandas as pd
+
+    from atlas_spark.operators.dedup import minhash_candidate_stream
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(300)]
+    text = " ".join(rng.choice(vocab) for _ in range(40))
+    words = text.split(" ")
+    words[5] = "replacementword"
+    near = " ".join(words)
+    base = 1704067200  # multiple of 600 -> window boundary at base+600
+    rows = [(1, text, base + 599), (2, near, base + 601)]
+    sentinel = [(9999, " ".join(f"sentinelword{i}" for i in range(40)), base + 10**6)]
+
+    def pdf(rs):
+        return pd.DataFrame(
+            {
+                "doc_id": [r[0] for r in rs],
+                "text": [r[1] for r in rs],
+                "ts": [pd.Timestamp(r[2], unit="s") for r in rs],
+            }
+        )
+
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(pdf(rows)).coalesce(1).write.mode("append").parquet(d)
+    spark.createDataFrame(pdf(sentinel)).coalesce(1).write.mode("append").parquet(d)
+
+    def run(slide):
+        got: set = set()
+        q = (
+            minhash_candidate_stream(
+                spark.readStream.schema("doc_id long, text string, ts timestamp")
+                .option("maxFilesPerTrigger", "1")
+                .parquet(d),
+                within="10 minutes",
+                slide=slide,
+            )
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda df, _: got.update(tuple(r) for r in df.collect()))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return got
+
+    assert run(None) == set()  # docs 2s apart, but in different intervals
+    assert run("5 minutes") == {(1, 2)}  # overlap catches it, deduped once

@@ -146,9 +146,9 @@ def test_unsubscribe_and_expiry_stop_running_queries(spark, stream_dir):
     unsubscribe or TTL expiry the entry's started streaming query stops,
     surviving queries keep running, and a later start() wires only
     not-yet-started entries."""
-    import time as _time
+    from atlas_spark.streaming.subscriptions import DATA_PLANE_STREAM
 
-    mgr = SubscriptionManager(spark, STEP, {"name": "k_name"}, sub_ttl=0.5)
+    mgr = SubscriptionManager(spark, STEP, {"name": "k_name"}, sub_ttl=60)
     e1 = mgr.subscribe("name,click,:eq,:sum")
     e2 = mgr.subscribe(":true,:max")
 
@@ -173,9 +173,11 @@ def test_unsubscribe_and_expiry_stop_running_queries(spark, stream_dir):
         assert not q2.isActive and e2.query is None
         assert e1.query.isActive
 
-        # TTL expiry (triggered by a registry touch) stops the stale query
+        # TTL expiry (triggered by a registry touch) stops the stale
+        # query; backdate the touch timestamp instead of sleeping so the
+        # test is deterministic under load
         q1 = e1.query
-        _time.sleep(0.6)
+        mgr.wire._sub_touched[(DATA_PLANE_STREAM, e1.sub_id)] -= 61
         e3 = mgr.subscribe(":true,:sum")
         assert not q1.isActive
         # start() wires only the new entry; e3 was not started yet
