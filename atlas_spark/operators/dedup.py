@@ -417,6 +417,7 @@ def minhash_verified_stream(
     bands: int = 24,
     threshold: float = 0.5,
     within: str = "10 minutes",
+    slide: str | None = None,
     max_bucket: int | None = LSH_MAX_BUCKET,
 ) -> DataFrame:
     """End-to-end streaming near-dup pairs: the watermarked (and
@@ -433,7 +434,7 @@ def minhash_verified_stream(
     the stream horizon."""
     sh = ngram_shingles(corpus_df, n, hash_fn=F.xxhash64)
     cand = minhash_candidate_stream(
-        docs_stream, n, num_hashes, bands, within, max_bucket=max_bucket
+        docs_stream, n, num_hashes, bands, within, slide, max_bucket=max_bucket
     )
     return _verified_pairs(sh, cand, threshold).select("id_a", "id_b", "jaccard")
 
@@ -513,7 +514,13 @@ def _replay_documents(spark: SparkSession, sf_dir: str, sentinel: bool):
     tmp = tempfile.mkdtemp(prefix="atlas_replay_")
     in_dir = f"{tmp}/input"
     os.makedirs(in_dir)
-    os.symlink(os.path.abspath(docs_path), f"{in_dir}/corpus.parquet")
+    src = os.path.abspath(docs_path)
+    if os.path.isdir(src):  # directory-style table (e.g. a scaled corpus)
+        for i, f in enumerate(sorted(os.listdir(src))):
+            if f.endswith(".parquet"):
+                os.symlink(os.path.join(src, f), f"{in_dir}/corpus_{i}.parquet")
+    else:
+        os.symlink(src, f"{in_dir}/corpus.parquet")
     if sentinel:
         sentinel_text = " ".join(f"sentinelword{i}" for i in range(40))
         spark.createDataFrame(
