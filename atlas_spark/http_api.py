@@ -701,8 +701,12 @@ def serve(
     srv.verbose = verbose
     srv.lwc = StreamSubscriptionManager(step=engine.source.step, sub_ttl=sub_ttl)
     # optional validation rules, activated by config like the reference's
-    # atlas.core.validation.rules list (validation.specs_from_config)
-    srv.validation_rules = validation_rules
+    # atlas.core.validation.rules list: build the TagRuleSpec chain ONCE,
+    # eagerly — a malformed config (unknown rule name, bad pattern) fails
+    # at startup, not as a 400 on every publish request
+    from .streaming.validation import specs_from_config
+
+    srv.validation_rules = specs_from_config(validation_rules)
     return srv
 
 

@@ -297,13 +297,20 @@ def minhash_bands_map(
     ).select("doc_id", "bb.band", "bb.bucket", *extra_cols)
 
 
+def _half_interval(within: str) -> str:
+    """Half of an interval string, in seconds (slide='auto')."""
+    import pandas as pd
+
+    return f"{max(int(pd.Timedelta(within).total_seconds()) // 2, 1)} seconds"
+
+
 def _window_buckets(
     docs_stream: DataFrame,
     n: int = 3,
     num_hashes: int = 48,
     bands: int = 24,
     within: str = "10 minutes",
-    slide: str | None = None,
+    slide: str | None = "auto",
 ) -> DataFrame:
     """Windowed (band, bucket) membership aggregation over a document
     stream — the streaming twin of the batch `_band_candidates`
@@ -314,15 +321,20 @@ def _window_buckets(
     evicted when the watermark passes the window — exactly the batch
     aggregate's memory shape, bounded by the horizon.
 
-    `slide=None` gives tumbling intervals (a pair straddling a boundary
-    is detected only if a third co-bucketed arrival lands with one of
-    them); pass e.g. `slide` = half of `within` for overlapping windows,
-    which guarantees detection of any pair within `within - slide` of
-    each other (the pair dedup downstream collapses the overlap
-    duplicates)."""
+    The default `slide="auto"` (= half of `within`) overlaps windows so
+    that ANY pair within `within/2` of each other is guaranteed detected
+    (and pairs up to `within` apart usually are) at the cost of each
+    band row living in two windows; the pair dedup downstream collapses
+    the overlap duplicates.  `slide=None` gives tumbling intervals —
+    half the aggregation state, but a pair straddling a boundary is
+    missed unless a third co-bucketed arrival bridges it.  An explicit
+    interval string tunes the trade directly (guarantee = within -
+    slide)."""
     bands_df = minhash_bands_map(
         docs_stream, n, num_hashes, bands, extra_cols=("ts",)
     ).withWatermark("ts", within)
+    if slide == "auto":
+        slide = _half_interval(within)
     win = F.window("ts", within, slide) if slide else F.window("ts", within)
     return (
         bands_df.groupBy(win.alias("window"), "band", "bucket")
@@ -337,7 +349,7 @@ def minhash_candidate_stream(
     num_hashes: int = 48,
     bands: int = 24,
     within: str = "10 minutes",
-    slide: str | None = None,
+    slide: str | None = "auto",
     max_bucket: int | None = LSH_MAX_BUCKET,
 ) -> DataFrame:
     """Continuous MinHash-LSH candidate pairs over a document stream —
@@ -386,7 +398,7 @@ def minhash_bucket_drops_stream(
     num_hashes: int = 48,
     bands: int = 24,
     within: str = "10 minutes",
-    slide: str | None = None,
+    slide: str | None = "auto",
     max_bucket: int | None = LSH_MAX_BUCKET,
 ) -> DataFrame:
     """Accounting stream for the streaming LSH degenerate-bucket guard:
@@ -417,7 +429,7 @@ def minhash_verified_stream(
     bands: int = 24,
     threshold: float = 0.5,
     within: str = "10 minutes",
-    slide: str | None = None,
+    slide: str | None = "auto",
     max_bucket: int | None = LSH_MAX_BUCKET,
 ) -> DataFrame:
     """End-to-end streaming near-dup pairs: the watermarked (and
@@ -542,6 +554,16 @@ def _replay_documents(spark: SparkSession, sf_dir: str, sentinel: bool):
     return stream, tmp
 
 
+# memory-sink tables from past replay invocations, oldest first.  The
+# sink table IS the returned result (a caller may collect it lazily), so
+# it cannot be dropped at the next invocation like a scoped cache —
+# instead retention is bounded: anything older than the last
+# _SINK_KEEP results is dropped, so a long-lived session (driver sweep,
+# bench loop) holds at most a handful of driver-memory result sets.
+_SINK_TABLES: list[str] = []
+_SINK_KEEP = 8
+
+
 def _run_stream_to_table(
     spark: SparkSession, out: DataFrame, prefix: str, cleanup: str | None = None
 ) -> DataFrame:
@@ -550,7 +572,14 @@ def _run_stream_to_table(
     import shutil
     import uuid
 
+    while len(_SINK_TABLES) >= _SINK_KEEP:
+        stale = _SINK_TABLES.pop(0)
+        try:
+            spark.catalog.dropTempView(stale)
+        except Exception:
+            pass
     name = f"{prefix}_{uuid.uuid4().hex[:10]}"
+    _SINK_TABLES.append(name)
     q = (
         out.writeStream.format("memory")
         .queryName(name)

@@ -491,8 +491,10 @@ def quality_deciles(
         # plan-inspection path only: nothing executes, so the persist
         # marker materializes no blocks
         return result
-    rows = result.collect()  # languages x 10 rows — always driver-small
-    slices.unpersist()
+    try:
+        rows = result.collect()  # languages x 10 rows — always driver-small
+    finally:
+        slices.unpersist()  # release even when the collect fails
     return spark.createDataFrame(rows, schema=result.schema)
 
 

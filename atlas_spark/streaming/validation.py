@@ -167,12 +167,18 @@ class TagRuleSpec:
 
 def key_pattern_spec(pattern: str) -> TagRuleSpec:
     """KeyPatternRule.scala: keys must match the pattern WHOLLY (Java
-    `Matcher.matches`)."""
+    `Matcher.matches`).  Patterns must stay in the Python/Java-portable
+    regex subset — the same string compiles on both planes (re here,
+    rlike's Java regex on the Column plane); Python-invalid patterns
+    fail HERE, at config time."""
     rx = re.compile(pattern)
     full = f"^(?:{pattern})$"
+    # format_string treats '%' as a conversion: escape the interpolated
+    # pattern so e.g. '[0-9]+%' renders instead of crashing the batch
+    tmpl = "key doesn't match pattern '" + pattern.replace("%", "%%") + "': [%s]"
     return TagRuleSpec(
         ok=lambda k, v: k.rlike(full),
-        msg=lambda k, v: _fmt(f"key doesn't match pattern '{pattern}': [%s]", k),
+        msg=lambda k, v: _fmt(tmpl, k),
         py_ok=lambda k, v: rx.fullmatch(k) is not None,
         py_msg=lambda k, v: f"key doesn't match pattern '{pattern}': [{k}]",
     )
@@ -181,12 +187,14 @@ def key_pattern_spec(pattern: str) -> TagRuleSpec:
 def value_pattern_spec(pattern: str) -> TagRuleSpec:
     """ValuePatternRule.scala: values must match the pattern from the
     START (spectator `PatternMatcher` semantics — the same start-anchored
-    search the `:re` query word uses)."""
+    search the `:re` query word uses).  Portable-regex-subset contract as
+    `key_pattern_spec`."""
     rx = re.compile(f"^(?:{pattern})")
     anchored = f"^(?:{pattern})"
+    tmpl = "value doesn't match pattern '" + pattern.replace("%", "%%") + "': [%s]"
     return TagRuleSpec(
         ok=lambda k, v: v.rlike(anchored),
-        msg=lambda k, v: _fmt(f"value doesn't match pattern '{pattern}': [%s]", v),
+        msg=lambda k, v: _fmt(tmpl, v),
         py_ok=lambda k, v: rx.search(v) is not None,
         py_msg=lambda k, v: f"value doesn't match pattern '{pattern}': [{v}]",
     )
@@ -215,6 +223,11 @@ def value_length_spec(min_length: int, max_length: int) -> TagRuleSpec:
 def composite_tag_spec(subspecs: list[TagRuleSpec]) -> TagRuleSpec:
     """CompositeTagRule.scala: all sub-rules must pass per (k, v); the
     first failing sub-rule's message wins."""
+    if not subspecs:
+        # an empty composite would pass everything on the Python plane
+        # but build F.coalesce() with zero args on the Column plane —
+        # reject the config loudly instead
+        raise ValueError("composite-tag rule needs at least one sub-rule")
 
     def ok(k, v):
         out = F.lit(True)

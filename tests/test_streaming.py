@@ -1262,10 +1262,11 @@ def test_minhash_candidate_stream_caps_hot_bucket(spark, tmp_path):
     )
     qd.processAllAvailable()
     qd.stop()
-    # one dropped bucket per band (identical docs share every band),
-    # each holding all 25 hot docs
+    # one dropped bucket per band (identical docs share every band) in
+    # each of the two overlapping windows covering the arrivals (default
+    # slide = within/2), each holding all 25 hot docs
     assert {b for b, _, _ in drops} == set(range(24)), drops
-    assert len(drops) == 24
+    assert len(drops) == 48
     assert all(sz == 25 for _, _, sz in drops), drops
 
 
@@ -1412,5 +1413,6 @@ def test_minhash_candidate_stream_slide_catches_boundary_pairs(spark, tmp_path):
         q.stop()
         return got
 
-    assert run(None) == set()  # docs 2s apart, but in different intervals
-    assert run("5 minutes") == {(1, 2)}  # overlap catches it, deduped once
+    assert run(None) == set()  # tumbling: docs 2s apart, different intervals
+    assert run("auto") == {(1, 2)}  # the DEFAULT overlap catches it, deduped once
+    assert run("5 minutes") == {(1, 2)}  # explicit slide equivalent here
