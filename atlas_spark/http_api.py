@@ -341,6 +341,19 @@ class AtlasHandler(BaseHTTPRequestHandler):
         ctype = _GRAPH_CONTENT_TYPES.get(fmt)
         if ctype is None:
             return self._error(400, f"unknown graph format {fmt!r}")
+        # per-caller request telemetry: the caller id comes from the `id`
+        # param or the Origin header, sanitized so machine-generated ids
+        # (UUIDs, IPs, instance ids) collapse to "default" instead of
+        # exploding counter cardinality (Grapher.scala:79-87 +
+        # IdParamSanitizer)
+        from .util.id_sanitizer import sanitize
+
+        caller = sanitize(
+            qs.get("id", [None])[0] or self.headers.get("Origin") or "default"
+        )
+        counts = getattr(self.server, "graph_request_counts", None)
+        if counts is not None:
+            counts[caller] = counts.get(caller, 0) + 1
         # forward the request's Host as the URI authority so the engine's
         # host-view rewrite sees it (Grapher.scala rewriteBasedOnHost reads
         # the Host header; urlparse().hostname strips any :port)
@@ -707,6 +720,8 @@ def serve(
     from .streaming.validation import specs_from_config
 
     srv.validation_rules = specs_from_config(validation_rules)
+    # per-caller graph request counters (id param / Origin, sanitized)
+    srv.graph_request_counts = {}
     return srv
 
 

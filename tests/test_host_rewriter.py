@@ -103,3 +103,23 @@ def test_graph_request_host_no_match_unchanged(spark, sf_dir):
         eng.graph("http://other.example.com" + tail).lines[0].data
         == eng.graph(tail).lines[0].data
     )
+
+
+def test_id_param_sanitizer_suite_parity():
+    """IdParamSanitizerSuite.scala cases verbatim."""
+    import uuid
+
+    from atlas_spark.util.id_sanitizer import sanitize
+
+    assert sanitize("foo") == "foo"
+    assert sanitize("Foo") == "foo"
+    assert sanitize("Foo2") == "foo2"
+    assert sanitize("FooBarBaz") == "foobarbaz"
+    assert sanitize("Foo_Bar-Baz") == "foo_bar-baz"
+    assert sanitize("Foo.Bar.Baz") == "foo.bar.baz"
+    assert sanitize(str(uuid.uuid4())) == "default"
+    assert sanitize("i-%08x" % 1234567890) == "default"
+    assert sanitize("1.2.3.4") == "default"
+    assert sanitize("2001:0db8:85a3:0000:0000:8a2e:0370:7334") == "default"
+    assert sanitize("::1") == "default"
+    assert sanitize("foo-12345") == "default"

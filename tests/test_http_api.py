@@ -590,3 +590,23 @@ def test_publish_endpoint_with_optional_rules(spark, sf_dir, tmp_path_factory):
         assert any("key doesn't match pattern" in m for m in msg.get("message", [])), msg
     finally:
         srv.shutdown()
+
+
+def test_graph_caller_id_sanitized_counter(spark, sf_dir, tmp_path_factory):
+    """Grapher.scala:79-87: the caller id (id param / Origin header) tags
+    per-caller request counters, sanitized so machine-generated ids
+    collapse to 'default' instead of exploding cardinality
+    (IdParamSanitizer)."""
+    spool = str(tmp_path_factory.mktemp("spool_ids"))
+    srv, thread = http_api.start(Engine(spark, sf_dir), port=0, spool_dir=spool)
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        _get(f"{base}/api/v1/graph?{GRAPH_Q}&id=MyDash")
+        _get(f"{base}/api/v1/graph?{GRAPH_Q}&id=1.2.3.4")
+        req = urllib.request.Request(f"{base}/api/v1/graph?{GRAPH_Q}")
+        req.add_header("Origin", "FooApp")
+        with urllib.request.urlopen(req):
+            pass
+        assert srv.graph_request_counts == {"mydash": 1, "default": 1, "fooapp": 1}
+    finally:
+        srv.shutdown()
