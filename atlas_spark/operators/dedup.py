@@ -369,6 +369,17 @@ def minhash_candidate_stream(
     over-cap side), mirroring the reference's dropped-and-counted
     datapoint limits (AggrDatapoint.scala:94-159).
 
+    Delivery is AT-LEAST-ONCE under overlapping windows: the pair dedup
+    reliably collapses cross-band duplicates (same window, same event
+    time), but a pair detected in BOTH covering windows can re-emit when
+    the windows close in different micro-batches and the first
+    emission's dedup state has expired — bounded at the windows-per-
+    event count (2 for slide="auto"; measured 1.67x at 200k docs,
+    PERF.md r12).  Tumbling (`slide=None`) is exactly-once per interval.
+    Consumers are idempotent by construction: the verify join keys on
+    the pair, and a landing table dedups on write (`op_minhash_stream`
+    materializes-then-distincts).
+
     Candidates are emitted UNVERIFIED, like the reference banding — a
     real intake pipeline verifies them against the landed corpus with a
     stream-static jaccard join downstream (`minhash_verified_stream`).
@@ -441,9 +452,10 @@ def minhash_verified_stream(
     this is the same broadcast-or-shuffle verify join as batch, with
     the static side served by the lake).
 
-    Emits (id_a, id_b, jaccard) for pairs at or above `threshold`,
-    exactly the batch `ngram_jaccard_pairs` rows for documents within
-    the stream horizon."""
+    Emits (id_a, id_b, jaccard) for pairs at or above `threshold` —
+    the batch `ngram_jaccard_pairs` rows for documents within the stream
+    horizon, with the candidate feed's at-least-once delivery under
+    overlapping windows (a landing table dedups on the pair key)."""
     sh = ngram_shingles(corpus_df, n, hash_fn=F.xxhash64)
     cand = minhash_candidate_stream(
         docs_stream, n, num_hashes, bands, within, slide, max_bucket=max_bucket
@@ -495,7 +507,12 @@ def minhash_stream_candidates(
     the role the next interval's arrivals play in a live pipeline."""
     stream, tmp = _replay_documents(spark, sf_dir, sentinel=True)
     cand = minhash_candidate_stream(stream, n, num_hashes, bands, within="10 minutes")
-    materialized = _run_stream_to_table(spark, cand, "mh_stream", cleanup=tmp)
+    # distinct = the landing-table write dedup: the candidate stream is
+    # at-least-once across overlapping windows (see
+    # minhash_candidate_stream), so the materialized feed dedups on land
+    materialized = _run_stream_to_table(
+        spark, cand, "mh_stream", cleanup=tmp
+    ).distinct()
 
     docs = load_documents(spark, sf_dir)
     sh = ngram_shingles(docs, n, hash_fn=F.xxhash64)

@@ -103,9 +103,12 @@ def src():
 
 def run(label, out_df, count_cols):
     emitted = [0]
+    distinct: set = set()
 
     def sink(df, _):
-        emitted[0] += df.count()
+        rows = df.select(*count_cols).collect()
+        emitted[0] += len(rows)
+        distinct.update(tuple(r) for r in rows)
 
     t0 = time.time()
     q = out_df.writeStream.outputMode("append").foreachBatch(sink).start()
@@ -118,7 +121,11 @@ def run(label, out_df, count_cols):
     ]
     q.stop()
     rate = N / wall
-    print(f"{label}: {wall:.1f}s  {rate:,.0f} docs/s  emitted={emitted[0]}", flush=True)
+    print(
+        f"{label}: {wall:.1f}s  {rate:,.0f} docs/s  emitted={emitted[0]} "
+        f"distinct={len(distinct)}",
+        flush=True,
+    )
     print(f"  state rows/batch (per stateful op): {state}", flush=True)
     totals = [sum(s) for s in state]
     # flatness is judged MID-STREAM (intake still arriving): the final
@@ -139,12 +146,18 @@ run(
     minhash_candidate_stream(src(), within=WITHIN),
     ("id_a", "id_b"),
 )
-corpus = docs.select("doc_id", "text")
+# the landed corpus is a LAKE TABLE in a real intake pipeline — land it
+# so the verify join's static side has honest stats and cheap replay
+# (computing 200k docs' shingles inside the broadcast thread timed out)
+corpus_path = stream_dir + "_corpus"
+docs.select("doc_id", "text").write.mode("overwrite").parquet(corpus_path)
+corpus = spark.read.parquet(corpus_path)
 run(
     "minhash_verified      ",
     minhash_verified_stream(src(), corpus, within=WITHIN),
     ("id_a", "id_b"),
 )
+shutil.rmtree(corpus_path, ignore_errors=True)
 
 docs.unpersist()
 shutil.rmtree(stream_dir, ignore_errors=True)
