@@ -1416,3 +1416,89 @@ def test_minhash_candidate_stream_slide_catches_boundary_pairs(spark, tmp_path):
     assert run(None) == set()  # tumbling: docs 2s apart, different intervals
     assert run("auto") == {(1, 2)}  # the DEFAULT overlap catches it, deduped once
     assert run("5 minutes") == {(1, 2)}  # explicit slide equivalent here
+
+
+def test_minhash_candidate_stream_duplication_bounded(spark, tmp_path):
+    """Delivery-semantics pin: under the overlapping default a pair may
+    re-emit when its two covering windows close in different
+    micro-batches — but never more than windows-per-event (2) times, and
+    the distinct set equals the batch banding; under tumbling every pair
+    emits exactly once."""
+    import collections
+    import random
+
+    import pandas as pd
+
+    from atlas_spark.operators.dedup import (
+        _band_candidates,
+        minhash_bands_map,
+        minhash_candidate_stream,
+    )
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(300)]
+    base = 1704067200
+    rows = []
+    # near-dup pairs planted every 4 minutes across 30 minutes of event
+    # time, so window closes span several micro-batches
+    for j in range(8):
+        text = " ".join(rng.choice(vocab) for _ in range(40))
+        words = text.split(" ")
+        words[3] = f"alt{j}"
+        rows.append((2 * j, text, base + j * 240))
+        rows.append((2 * j + 1, " ".join(words), base + j * 240 + 30))
+    sentinel = [(9999, " ".join(f"sentinelword{i}" for i in range(40)), base + 10**6)]
+
+    def pdf(rs):
+        return pd.DataFrame(
+            {
+                "doc_id": [r[0] for r in rs],
+                "text": [r[1] for r in rs],
+                "ts": [pd.Timestamp(r[2], unit="s") for r in rs],
+            }
+        )
+
+    d = str(tmp_path / "docs")
+    for lo, hi in ((0, 6), (6, 12), (12, 16)):
+        spark.createDataFrame(pdf(rows[lo:hi])).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+    spark.createDataFrame(pdf(sentinel)).coalesce(1).write.mode("append").parquet(d)
+
+    def run(slide):
+        got: list = []
+        q = (
+            minhash_candidate_stream(
+                spark.readStream.schema("doc_id long, text string, ts timestamp")
+                .option("maxFilesPerTrigger", "1")
+                .parquet(d),
+                within="10 minutes",
+                slide=slide,
+            )
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda df, _: got.extend(tuple(r) for r in df.collect()))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return collections.Counter(got)
+
+    want = {
+        tuple(r)
+        for r in _band_candidates(
+            minhash_bands_map(spark.createDataFrame([r[:2] for r in rows],
+                                                    "doc_id long, text string")),
+            max_bucket=None,
+        ).collect()
+    }
+    assert want, "corpus construction drifted: no candidate pairs"
+
+    overlap = run("auto")
+    assert set(overlap) == want, sorted(set(overlap) ^ want)
+    assert max(overlap.values()) <= 2, overlap  # at-least-once, bounded
+
+    tumbling = run(None)
+    # tumbling: exactly-once for every pair it detects, and it detects a
+    # subset of the overlap run (boundary pairs may be missed)
+    assert set(tumbling) <= want
+    assert all(v == 1 for v in tumbling.values()), tumbling
