@@ -324,12 +324,16 @@ def _window_buckets(
     The default `slide="auto"` (= half of `within`) overlaps windows so
     that ANY pair within `within/2` of each other is guaranteed detected
     (and pairs up to `within` apart usually are) at the cost of each
-    band row living in two windows; the pair dedup downstream collapses
-    the overlap duplicates.  `slide=None` gives tumbling intervals —
-    half the aggregation state, but a pair straddling a boundary is
-    missed unless a third co-bucketed arrival bridges it.  An explicit
-    interval string tunes the trade directly (guarantee = within -
-    slide)."""
+    band row living in two windows; the candidate stage keeps emission
+    exactly-once by emitting each pair only in its EARLIEST common
+    window.  `slide=None` gives tumbling intervals — half the
+    aggregation state, but a pair straddling a boundary is missed unless
+    a third co-bucketed arrival bridges it.  An explicit interval string
+    tunes the trade directly (guarantee = within - slide).
+
+    Members are (doc_id, ts) structs sorted by doc_id — each doc
+    contributes exactly one row per band, and the per-member arrival
+    time is what lets the pair stage pick the earliest common window."""
     bands_df = minhash_bands_map(
         docs_stream, n, num_hashes, bands, extra_cols=("ts",)
     ).withWatermark("ts", within)
@@ -338,8 +342,12 @@ def _window_buckets(
     win = F.window("ts", within, slide) if slide else F.window("ts", within)
     return (
         bands_df.groupBy(win.alias("window"), "band", "bucket")
-        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("doc_id"), F.col("ts")))
+            ).alias("members")
+        )
+        .filter(F.size("members") > 1)
     )
 
 
@@ -369,35 +377,46 @@ def minhash_candidate_stream(
     over-cap side), mirroring the reference's dropped-and-counted
     datapoint limits (AggrDatapoint.scala:94-159).
 
-    Delivery is AT-LEAST-ONCE under overlapping windows: the pair dedup
-    reliably collapses cross-band duplicates (same window, same event
-    time), but a pair detected in BOTH covering windows can re-emit when
-    the windows close in different micro-batches and the first
-    emission's dedup state has expired — bounded at the windows-per-
-    event count (2 for slide="auto"; measured 1.67x at 200k docs,
-    PERF.md r12).  Tumbling (`slide=None`) is exactly-once per interval.
-    Consumers are idempotent by construction: the verify join keys on
-    the pair, and a landing table dedups on write (`op_minhash_stream`
-    materializes-then-distincts).
+    Delivery is EXACTLY-ONCE even under overlapping windows: a pair is
+    emitted only in its EARLIEST common window — the unique window whose
+    last `slide` covers the pair's later arrival (`max(ts_a, ts_b) >=
+    window.end - slide`; a window contains only events below its end, so
+    the upper bound is implicit).  A later overlapping window sees the
+    same pair and filters it out deterministically, with no reliance on
+    cross-window dedup state; the watermark-bounded pair dedup that
+    follows only collapses CROSS-BAND duplicates, which share one window
+    and one event time (an earlier design leaned on the dedup across
+    windows and re-emitted ~1.66x when the first window's state expired
+    before the second closed — PERF.md r12).
 
     Candidates are emitted UNVERIFIED, like the reference banding — a
     real intake pipeline verifies them against the landed corpus with a
     stream-static jaccard join downstream (`minhash_verified_stream`).
     Expects columns [doc_id long, text string, ts timestamp]."""
+    if slide == "auto":
+        slide = _half_interval(within)
     buckets = _window_buckets(docs_stream, n, num_hashes, bands, within, slide)
     if max_bucket is not None:
-        buckets = buckets.filter(F.size("ids") <= max_bucket)
-    return (
-        # keep the window column through the pair explode: after the
-        # aggregation it carries the event-time tag, which the pair
-        # dedup needs for state expiry (dropping it would make the
-        # dedup state unbounded)
-        buckets.select("window", F.posexplode("ids").alias("i", "id_a"), "ids")
-        .select(
-            "window",
-            "id_a",
-            F.explode(F.slice("ids", F.col("i") + 2, F.size("ids"))).alias("id_b"),
+        buckets = buckets.filter(F.size("members") <= max_bucket)
+    # keep the window column through the pair explode: after the
+    # aggregation it carries the event-time tag, which the pair
+    # dedup needs for state expiry (dropping it would make the
+    # dedup state unbounded)
+    pairs = buckets.select(
+        "window", F.posexplode("members").alias("i", "a"), "members"
+    ).select(
+        "window",
+        F.col("a.doc_id").alias("id_a"),
+        F.col("a.ts").alias("ts_a"),
+        F.explode(F.slice("members", F.col("i") + 2, F.size("members"))).alias("b"),
+    )
+    if slide:  # earliest-common-window emission (exactly-once)
+        pairs = pairs.filter(
+            F.greatest(F.col("ts_a"), F.col("b.ts"))
+            >= F.expr(f"window.end - INTERVAL {slide}")
         )
+    return (
+        pairs.select("window", "id_a", F.col("b.doc_id").alias("id_b"))
         .dropDuplicatesWithinWatermark(["id_a", "id_b"])
         .select("id_a", "id_b")
     )
@@ -422,12 +441,14 @@ def minhash_bucket_drops_stream(
     alarms on sustained drops."""
     return (
         _window_buckets(docs_stream, n, num_hashes, bands, within, slide)
-        .filter(F.size("ids") > (max_bucket if max_bucket is not None else _MASK28))
+        .filter(
+            F.size("members") > (max_bucket if max_bucket is not None else _MASK28)
+        )
         .select(
             F.col("window.start").alias("interval_start"),
             "band",
             "bucket",
-            F.size("ids").alias("bucket_size"),
+            F.size("members").alias("bucket_size"),
         )
     )
 
@@ -454,8 +475,8 @@ def minhash_verified_stream(
 
     Emits (id_a, id_b, jaccard) for pairs at or above `threshold` —
     the batch `ngram_jaccard_pairs` rows for documents within the stream
-    horizon, with the candidate feed's at-least-once delivery under
-    overlapping windows (a landing table dedups on the pair key)."""
+    horizon, exactly once (the candidate feed emits each pair only in
+    its earliest common window)."""
     sh = ngram_shingles(corpus_df, n, hash_fn=F.xxhash64)
     cand = minhash_candidate_stream(
         docs_stream, n, num_hashes, bands, within, slide, max_bucket=max_bucket
@@ -507,9 +528,9 @@ def minhash_stream_candidates(
     the role the next interval's arrivals play in a live pipeline."""
     stream, tmp = _replay_documents(spark, sf_dir, sentinel=True)
     cand = minhash_candidate_stream(stream, n, num_hashes, bands, within="10 minutes")
-    # distinct = the landing-table write dedup: the candidate stream is
-    # at-least-once across overlapping windows (see
-    # minhash_candidate_stream), so the materialized feed dedups on land
+    # distinct = the landing-table write dedup (defense in depth; the
+    # candidate stream itself is exactly-once via earliest-common-window
+    # emission)
     materialized = _run_stream_to_table(
         spark, cand, "mh_stream", cleanup=tmp
     ).distinct()

@@ -1419,11 +1419,11 @@ def test_minhash_candidate_stream_slide_catches_boundary_pairs(spark, tmp_path):
 
 
 def test_minhash_candidate_stream_duplication_bounded(spark, tmp_path):
-    """Delivery-semantics pin: under the overlapping default a pair may
-    re-emit when its two covering windows close in different
-    micro-batches — but never more than windows-per-event (2) times, and
-    the distinct set equals the batch banding; under tumbling every pair
-    emits exactly once."""
+    """Delivery-semantics pin: EXACTLY-ONCE under the overlapping
+    default — each pair is emitted only in its earliest common window
+    (no cross-window dedup-state reliance), the distinct set equals the
+    batch banding, and tumbling likewise emits once per detected
+    pair."""
     import collections
     import random
 
@@ -1495,7 +1495,7 @@ def test_minhash_candidate_stream_duplication_bounded(spark, tmp_path):
 
     overlap = run("auto")
     assert set(overlap) == want, sorted(set(overlap) ^ want)
-    assert max(overlap.values()) <= 2, overlap  # at-least-once, bounded
+    assert all(v == 1 for v in overlap.values()), overlap  # exactly-once
 
     tumbling = run(None)
     # tumbling: exactly-once for every pair it detects, and it detects a
