@@ -1125,6 +1125,138 @@ CROSS JOIN (
 """
 
 
+def dedup_keep_best(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5
+) -> DataFrame:
+    """Per-cluster survivor selection — the decision a dedup pipeline
+    actually writes out: within each near-dup cluster, keep the document
+    with the most content (max n_chars, ties broken by min doc_id so the
+    choice is deterministic engine-to-engine), report its id and the
+    cluster's size.
+
+    Composes the transitive clusters (`dedup_clusters`) with the
+    documents table and collapses each cluster in ONE partial-aggregated
+    groupBy: the argmax rides a struct-max (quality first, negated id
+    second), so there is no window sort and no second pass — per-group
+    state is constant-size, and at 100 TB the only added cost over the
+    cluster labels is one shuffle keyed on canonical_id whose input is
+    already restricted to docs caught in clusters (singletons never enter
+    the label frame)."""
+    labels = dedup_clusters(spark, sf_dir, threshold=threshold)
+    joined = labels.join(
+        load_documents(spark, sf_dir).select("doc_id", "n_chars"), "doc_id"
+    )
+    best = F.max(
+        F.struct(F.col("n_chars").alias("q"), (-F.col("doc_id")).alias("nid"))
+    ).alias("best")
+    return (
+        joined.groupBy("canonical_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("cluster_size"), best)
+        .select(
+            "canonical_id",
+            (-F.col("best.nid")).cast("long").alias("survivor_id"),
+            F.col("best.q").cast("long").alias("survivor_chars"),
+            "cluster_size",
+            (F.col("cluster_size") - 1).cast("long").alias("n_removed"),
+        )
+    )
+
+
+DEDUP_KEEP_BEST_SQL = f"""
+WITH cl AS ({DEDUP_CLUSTERS_SQL}),
+j AS (
+  SELECT cl.canonical_id, cl.doc_id, d.n_chars
+  FROM cl JOIN documents d ON cl.doc_id = d.doc_id
+),
+r AS (
+  SELECT canonical_id, doc_id, n_chars,
+         count(*) OVER (PARTITION BY canonical_id) AS cluster_size,
+         row_number() OVER (
+             PARTITION BY canonical_id ORDER BY n_chars DESC, doc_id ASC
+         ) AS rn
+  FROM j
+)
+SELECT canonical_id,
+       CAST(doc_id AS BIGINT) AS survivor_id,
+       CAST(n_chars AS BIGINT) AS survivor_chars,
+       CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(cluster_size - 1 AS BIGINT) AS n_removed
+FROM r WHERE rn = 1
+"""
+
+
+def lsh_precision(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """One-row banding-precision report: how many candidate pairs the
+    LSH banding emits vs how many survive exact Jaccard verification —
+    the false-positive rate a pipeline owner tunes (bands, rows) against,
+    since every false candidate costs a verify-join row at 100 TB.
+    (Recall is pinned separately by the planted-duplicate tests; measuring
+    it here would need the exact all-pairs join the banding exists to
+    avoid.)
+
+    Uses the portable md5 banding so the DuckDB oracle reproduces the
+    IDENTICAL candidate set; verification reuses the candidates-only
+    jaccard join (`_verified_pairs`), so the report itself stays
+    sub-quadratic — no stage sees more than the banded pairs."""
+    docs = _spread(load_documents(spark, sf_dir))
+    sh = scoped_persist(ngram_shingles(docs, n, hash_fn=F.xxhash64))
+    cand = scoped_persist(
+        _band_candidates(_minhash_bands(_md5_feats(docs, n), num_hashes, bands))
+    )
+    n_cand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    n_ver = _verified_pairs(sh, cand, threshold).agg(
+        F.count(F.lit(1)).cast("long").alias("n_verified")
+    )
+    return n_cand.crossJoin(n_ver).select(
+        "n_candidates",
+        "n_verified",
+        F.round(F.col("n_verified") / F.col("n_candidates"), 6).alias("precision"),
+    )
+
+
+def _lsh_precision_sql(
+    n: int = 3, num_hashes: int = 32, bands: int = 16, threshold: float = 0.5
+) -> str:
+    return f"""{_minhash_bb_cte(n, num_hashes, bands)},
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket
+                      AND a.doc_id < b.doc_id
+),
+wsh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+             i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])) AS shingles
+  FROM documents
+),
+ver AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN wsh a ON c.id_a = a.doc_id
+  JOIN wsh b ON c.id_b = b.doc_id
+  WHERE round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+              / (len(a.shingles) + len(b.shingles)
+                 - len(list_intersect(a.shingles, b.shingles))), 6)
+        >= {threshold}
+)
+SELECT CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+       CAST((SELECT count(*) FROM ver) AS BIGINT) AS n_verified,
+       round(CAST((SELECT count(*) FROM ver) AS DOUBLE)
+             / (SELECT count(*) FROM cand), 6) AS precision
+"""
+
+
+LSH_PRECISION_SQL = _lsh_precision_sql()
+
+
 def cross_split_contamination(
     spark: SparkSession, sf_dir: str, n: int = 3, threshold: float = 0.5
 ) -> DataFrame:

@@ -69,6 +69,8 @@ SPECS: list[OpSpec] = [
     OpSpec("op_simhash", dedup.simhash, dedup.SIMHASH_SQL),
     OpSpec("op_dedup_clusters", dedup.dedup_clusters, dedup.DEDUP_CLUSTERS_SQL),
     OpSpec("op_dedup_reduction", dedup.dedup_reduction, dedup.DEDUP_REDUCTION_SQL),
+    OpSpec("op_dedup_keep_best", dedup.dedup_keep_best, dedup.DEDUP_KEEP_BEST_SQL),
+    OpSpec("op_lsh_precision", dedup.lsh_precision, dedup.LSH_PRECISION_SQL),
     OpSpec("op_media_features", multimodal.extract_media_features, multimodal.EXTRACT_MEDIA_SQL),
     OpSpec("op_frame_sample", multimodal.frame_sample, multimodal.FRAME_SAMPLE_SQL),
     OpSpec("op_media_resize", multimodal.resize_media_query, multimodal.RESIZE_MEDIA_SQL),

@@ -859,3 +859,24 @@ def test_no_orphaned_cache_blocks_after_registry_queries(spark, sf_dir):
         if i.id() not in before and i.numCachedPartitions() > 0
     ]
     assert not leaked, leaked
+
+
+def test_keep_best_is_single_struct_max_agg(spark, sf_dir, queries):
+    """Survivor selection must collapse each cluster in ONE
+    partial-aggregated groupBy riding a struct-max: no Window (a window
+    would re-sort every cluster's members) and no cartesian — the only
+    added cost over the cluster labels is one keyed exchange."""
+    plan = _plan(queries["op_dedup_keep_best"](spark, sf_dir))
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "HashAggregate" in plan or "SortAggregate" in plan, plan
+
+
+def test_lsh_precision_no_cartesian_pairgen(spark, sf_dir, queries):
+    """The precision report's candidate generation must stay the banded
+    bucket shape (no cartesian/nested-loop pair products); the one
+    sanctioned nested-loop is the final crossJoin of two ONE-ROW
+    aggregates."""
+    plan = _plan(queries["op_lsh_precision"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    # 1-row x 1-row combine may compile to BroadcastNestedLoopJoin: allowed.

