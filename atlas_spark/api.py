@@ -305,17 +305,20 @@ class Engine:
         return parse_asl(q, step=self.source.step, features=features)
 
     def normalize(self, q: str, vocab: str | None = None) -> list[str]:
-        """Canonical normalized expression strings (ExprApi.scala:305-325):
-        parse, simplify leaf queries to canonical simplified form, emit the
-        canonical display of each expression.  `vocab` scopes parsing to
-        a layered vocabulary (ExprApi.scala:47-73)."""
-        from .model import query as Qm
+        """Canonical normalized expression strings (ExprApi.scala:305-325
+        via ExprNormalizer.scala): legend vars to `$(var)`, `:stat` inside
+        filters to `:stat-*` placeholders, every leaf query simplified +
+        clause-sorted by key importance with redundant disjuncts removed,
+        and explicit `,:const`/`,:line` suffixes stripped from the
+        rendered string.  `vocab` scopes parsing to a layered vocabulary
+        (ExprApi.scala:47-73)."""
+        from .model.normalizer import ExprNormalizer
 
-        out = []
-        for se in parse_asl(q, step=self.source.step, vocab=vocab):
-            norm = se.rewrite_queries(Qm.simplify)
-            out.append(norm.display())
-        return out
+        norm = ExprNormalizer()
+        return [
+            norm.normalize_to_string(se)
+            for se in parse_asl(q, step=self.source.step, vocab=vocab)
+        ]
 
     def queries(self, q: str, vocab: str | None = None) -> list[str]:
         """Distinct data queries used by an expression, sorted
@@ -419,14 +422,17 @@ class Engine:
         )
         return f"{var},{base.display()},:set,{gets}"
 
-    def complete(self, q: str, vocab: str | None = None) -> list[str]:
+    def complete(self, q: str, vocab: str | None = None) -> list[dict]:
         """Candidate next words for the program's current stack
         (ExprApi.scala:160-182 /api/v1/expr/complete): a word is offered
         when one of its overloads matches AND actually executes, minus
         the reference's excluded-words list (always-matching stack words
-        and deprecated spellings, reference.conf expr.complete).  With
-        `vocab`, both the parse and the candidate pool are scoped to that
-        layered vocabulary."""
+        and deprecated spellings, reference.conf expr.complete).  Each
+        candidate is the reference's descriptor object — {name,
+        signature, description} (ExprApi.scala:175-179), signatures in
+        the `inputs -- outputs` stack-effect convention.  With `vocab`,
+        both the parse and the candidate pool are scoped to that layered
+        vocabulary."""
         from .stacklang.interpreter import Context, split_and_trim
         from .stacklang.vocab import (
             WORDS,
@@ -438,7 +444,9 @@ class Engine:
         pool = WORDS if vocab is None else words_for_vocab(vocab)
         base = Context(interp)
         interp.execute_program(split_and_trim(q), base)
-        names = []
+        from .lsp import GLOSSARY
+
+        out = []
         for name in sorted(
             {w.name for w in pool} - EXCLUDED_COMPLETE_WORDS
         ):
@@ -448,22 +456,33 @@ class Engine:
             )
             try:
                 interp.execute_word(name, trial)
-                names.append(name)
             except Exception:  # noqa: BLE001 — non-matching overloads
                 continue
-        return names
+            doc = GLOSSARY.get(name, {})
+            out.append(
+                {
+                    "name": name,
+                    "signature": doc.get("signature", ""),
+                    "description": doc.get("summary", ""),
+                }
+            )
+        return out
 
     def debug(
         self, q: str, features: str = "stable", vocab: str | None = None
     ) -> list[dict]:
         """Token-by-token execution trace (ExprApi.scala:137-152
-        /api/v1/expr/debug): remaining program + stack display after each
-        step, exprs rendered via their canonical display.  Unstable words
-        fail the trace unless `features=unstable`.  An explicit `vocab`
-        scopes the interpreter to that layered vocabulary AND verifies
-        the final stack against the layer's result contract
-        (verifyStackContents, ExprApi.scala:94-123); the default (no
-        vocab) keeps the historical unverified trace."""
+        /api/v1/expr/debug): the INITIAL state (full remaining program,
+        empty stack — Interpreter.debug includes Step(program, context)
+        itself, Interpreter.scala:159-170) followed by the state after
+        each step, exprs rendered via their canonical display.  Unstable
+        words fail the trace unless `features=unstable`.  The final stack
+        is ALWAYS verified against the vocabulary's result contract
+        (verifyStackContents, ExprApi.scala:94-123 — the reference
+        verifies with the graph vocabulary when none is given, so
+        trailing garbage like `...,:legend,foo` is a client error); an
+        explicit `vocab` scopes both the interpreter and the contract to
+        that layer."""
         from .model import query as Qm
         from .stacklang.interpreter import Context, split_and_trim
         from .stacklang.vocab import interpreter_for_vocab
@@ -476,7 +495,12 @@ class Engine:
         interp = interpreter_for_vocab(vocab, self.source.step)
         ctx = Context(interp, features=features)
         tokens = split_and_trim(q)
-        steps = []
+        steps = [
+            {
+                "program": list(tokens),
+                "context": {"stack": [], "variables": {}},
+            }
+        ]
         i = 0
         while i < len(tokens):
             t = tokens[i]
@@ -498,8 +522,8 @@ class Engine:
                     },
                 }
             )
-        if vocab is not None:
-            _verify_stack_contents(vocab, ctx.stack)
+        if tokens:
+            _verify_stack_contents(vocab or "style", ctx.stack)
         return steps
 
     # ---------------------------------------------------------------- graph

@@ -143,7 +143,7 @@ class ConstExpr(TimeSeriesExpr):
     v: float
 
     def display(self):
-        return f"{_fmt_num(self.v)},:const"
+        return f"{_fmt_double(self.v)},:const"
 
     def rewrite_queries(self, f):
         return self
@@ -223,7 +223,7 @@ class UnaryMathExpr(TimeSeriesExpr):
 
     def display(self):
         if self.op in CLAMP_OPS:
-            return f"{self.expr.display()},{_fmt_num(self.param)},:{self.op}"
+            return f"{self.expr.display()},{_fmt_double(self.param)},:{self.op}"
         return f"{self.expr.display()},:{self.op}"
 
     def rewrite_queries(self, f):
@@ -359,7 +359,12 @@ class AsExpr(TimeSeriesExpr):
 @dataclass(frozen=True)
 class NamedRewrite(TimeSeriesExpr):
     """Macro display preservation (MathExpr.scala:1202-1340): `evaluated` is
-    what runs; `display_str` is what prints (e.g. `:avg`).
+    what runs; `display_obj` (the original Query/expression the macro was
+    applied to, kept STRUCTURALLY like the reference's `displayExpr`) plus
+    `suffix` (text after `,:name`, e.g. a trailing `,(,k,),:by`) is what
+    prints.  Keeping the display structural lets query rewrites — notably
+    ExprNormalizer's clause sort — flow into the display the way the
+    reference's `Expr.rewrite` does.
 
     `groupby_rewrite`, when set, overrides how `:cg` groups the macro body
     (MathExpr.scala NamedRewrite.groupBy with a custom rewrite fn — used
@@ -367,8 +372,9 @@ class NamedRewrite(TimeSeriesExpr):
     returns the grouped evaluated tree."""
 
     name: str
-    display_str: str
+    display_obj: object
     evaluated: TimeSeriesExpr
+    suffix: str = ""
     groupby_rewrite: object | None = field(default=None, compare=False)
 
     def group_keys(self):
@@ -378,10 +384,22 @@ class NamedRewrite(TimeSeriesExpr):
         return [self.evaluated]
 
     def display(self):
-        return self.display_str
+        base = (
+            self.display_obj.display()
+            if hasattr(self.display_obj, "display")
+            else str(self.display_obj)
+        )
+        return f"{base},:{self.name}{self.suffix}"
 
     def rewrite_queries(self, f):
-        return NamedRewrite(self.name, self.display_str, self.evaluated.rewrite_queries(f))
+        dob = self.display_obj
+        if isinstance(dob, Query):
+            dob = f(dob)
+        elif isinstance(dob, TimeSeriesExpr):
+            dob = dob.rewrite_queries(f)
+        return NamedRewrite(
+            self.name, dob, self.evaluated.rewrite_queries(f), self.suffix
+        )
 
 
 @dataclass(frozen=True)
@@ -403,6 +421,8 @@ class PercentilesExpr(TimeSeriesExpr):
         for p in self.pcts:
             if not 0.0 <= p <= 100.0:
                 raise ValueError(f"invalid percentile {p}")
+        # canonical order: distinct ascending (MathExpr.scala:886 `pcts`)
+        object.__setattr__(self, "pcts", tuple(sorted(set(self.pcts))))
 
     def eval_keys(self) -> tuple[str, ...]:
         return tuple(k for k in self.expr.keys if k != "percentile")
@@ -414,11 +434,13 @@ class PercentilesExpr(TimeSeriesExpr):
         return [self.expr]
 
     def display(self):
-        base = self.expr.af.display()
+        # the reference renders the QUERY (not the bucket :sum aggregate)
+        # before the optional grouping (MathExpr.scala:887-897)
+        base = self.expr.query.display()
         ks = self.eval_keys()
         if ks:
             base += f",(,{','.join(ks)},),:by"
-        ps = ",".join(_fmt_num(p) for p in self.pcts)
+        ps = ",".join(_fmt_double(p) for p in self.pcts)
         return f"{base},(,{ps},),:percentiles"
 
     def rewrite_queries(self, f):
@@ -444,11 +466,15 @@ class SampleCountExpr(TimeSeriesExpr):
         return [self.expr]
 
     def display(self):
-        base = self.expr.af.display()
+        # NamedRewrite display form (MathExpr.scala:1217-1237): the base
+        # QUERY (not the rewritten bucket aggregate), Double-rendered
+        # display params, and any grouping appended AFTER the word —
+        # `q,0.0,5.0,:sample-count,(,app,),:by`
+        base = f"{self.expr.query.display()},{_fmt_double(self.lo)},{_fmt_double(self.hi)},:sample-count"
         ks = self.eval_keys()
         if ks:
             base += f",(,{','.join(ks)},),:by"
-        return f"{base},{_fmt_num(self.lo)},{_fmt_num(self.hi)},:sample-count"
+        return base
 
     def rewrite_queries(self, f):
         return SampleCountExpr(self.expr.rewrite_queries(f), self.lo, self.hi)
@@ -662,9 +688,15 @@ class StyleExpr(TimeSeriesExpr):
         return [self.expr]
 
     def display(self):
+        # reference rendering (StyleExpr.scala:29-45): settings in
+        # DESCENDING key order (explicit alpha survives palette on
+        # re-parse), `ls` as its style word (`:stack`, not `stack,:ls`).
+        # Values render raw — the reference escapes specials via
+        # Interpreter.escape, which only matters for values carrying
+        # comment/paren tokens.
         out = self.expr.display()
-        for k, v in self.settings:
-            out += f",{v},:{k}"
+        for k, v in sorted(self.settings, key=lambda kv: kv[0], reverse=True):
+            out += f",:{v}" if k == "ls" else f",{v},:{k}"
         return out
 
     def rewrite_queries(self, f):
@@ -745,6 +777,45 @@ def _fmt_num(v: float | None) -> str:
     return repr(v)
 
 
+def _fmt_double(v: float | None) -> str:
+    """Java `Double.toString` rendering — the form the reference's
+    `Interpreter.appendValue` emits for Double-typed display params
+    (Interpreter.scala:424-431), e.g. `2.0`, `0.001`, `1.0E7`,
+    `Infinity`: decimal form for 1e-3 <= |v| < 1e7, otherwise
+    `d.dddEx` scientific; always at least one digit after the point."""
+    if v is None:
+        return ""
+    if math.isnan(v):
+        return "NaN"
+    if math.isinf(v):
+        return "Infinity" if v > 0 else "-Infinity"
+    if v == 0.0:
+        return "-0.0" if math.copysign(1.0, v) < 0 else "0.0"
+    sign = "-" if v < 0 else ""
+    s = repr(abs(float(v)))  # shortest round-trip digits
+    if "e" in s:
+        mant, exp = s.split("e")
+        exp = int(exp)
+    else:
+        mant, exp = s, 0
+    ip, _, fp = mant.partition(".")
+    if ip != "0":
+        dexp = len(ip) - 1 + exp
+    else:
+        lead = len(fp) - len(fp.lstrip("0"))
+        dexp = -lead - 1 + exp
+    digits = (ip + fp).lstrip("0").rstrip("0") or "0"
+    a = abs(v)
+    if 1e-3 <= a < 1e7:
+        if dexp >= 0:
+            ip2 = digits[: dexp + 1].ljust(dexp + 1, "0")
+            fp2 = digits[dexp + 1 :] or "0"
+            return f"{sign}{ip2}.{fp2}"
+        return f"{sign}0.{'0' * (-dexp - 1)}{digits}"
+    fp2 = digits[1:] or "0"
+    return f"{sign}{digits[0]}.{fp2}E{dexp}"
+
+
 def _merge_keys(ks1: tuple[str, ...], ks2: tuple[str, ...]) -> tuple[str, ...]:
     """Existing keys first, new keys appended if absent
     (MathVocabulary.scala:575-578 mergeKeys)."""
@@ -764,8 +835,11 @@ def _group_leaves(expr: TimeSeriesExpr, keys: tuple[str, ...]) -> TimeSeriesExpr
             if expr.groupby_rewrite is not None
             else _group_leaves(expr.evaluated, keys)
         )
-        disp = f"{expr.display_str},(,{','.join(keys)},),:by"
-        return NamedRewrite(expr.name, disp, grouped, groupby_rewrite=expr.groupby_rewrite)
+        suffix = f"{expr.suffix},(,{','.join(keys)},),:by"
+        return NamedRewrite(
+            expr.name, expr.display_obj, grouped, suffix,
+            groupby_rewrite=expr.groupby_rewrite,
+        )
     kids = expr.children()
     if isinstance(expr, AggrExpr):
         return GroupByExpr(expr.query, expr, keys)
@@ -805,7 +879,8 @@ def _rebuild(expr: TimeSeriesExpr, kids: list[TimeSeriesExpr]) -> TimeSeriesExpr
         return ApproxDistinctExpr(kids[0])
     if isinstance(expr, NamedRewrite):
         return NamedRewrite(
-            expr.name, expr.display_str, kids[0], groupby_rewrite=expr.groupby_rewrite
+            expr.name, expr.display_obj, kids[0], expr.suffix,
+            groupby_rewrite=expr.groupby_rewrite,
         )
     raise TypeError(f"cannot rebuild {type(expr).__name__}")
 
@@ -825,7 +900,7 @@ def add_common_keys(expr: TimeSeriesExpr, keys: tuple[str, ...]) -> TimeSeriesEx
         ev = expr.evaluated
         if ev.group_keys():
             return NamedRewrite(
-                expr.name, expr.display_str, add_common_keys(ev, keys),
+                expr.name, expr.display_obj, add_common_keys(ev, keys), expr.suffix,
                 groupby_rewrite=expr.groupby_rewrite,
             )
         return _group_leaves(expr, keys)
@@ -850,7 +925,7 @@ def add_common_keys(expr: TimeSeriesExpr, keys: tuple[str, ...]) -> TimeSeriesEx
 def macro_avg(q: Query) -> TimeSeriesExpr:
     """`q,:avg` -> sum/count with display preservation (MathVocabulary.scala:92-108)."""
     ev = BinaryMathExpr("div", AggrExpr(q, "sum"), AggrExpr(q, "count"))
-    return NamedRewrite("avg", f"{q.display()},:avg", ev)
+    return NamedRewrite("avg", q, ev)
 
 
 def macro_pct(expr: TimeSeriesExpr) -> TimeSeriesExpr:
@@ -858,4 +933,4 @@ def macro_pct(expr: TimeSeriesExpr) -> TimeSeriesExpr:
     (MathVocabulary.scala:155-171)."""
     total = AggrMathExpr("sum", expr)
     ev = BinaryMathExpr("mul", BinaryMathExpr("div", expr, total), ConstExpr(100.0))
-    return NamedRewrite("pct", f"{expr.display()},:pct", ev)
+    return NamedRewrite("pct", expr, ev)

@@ -154,9 +154,28 @@ class GreaterThanEqualQuery(KeyValueQuery):
         return f"{self.k},{self.v},:ge"
 
 
+# The reference's pattern matcher supports neither inline flag groups
+# (`(?i)`) nor back references (`\1`); both must surface as CLIENT errors
+# (ExprApiSuite.scala:52-60; Query.scala:410-434 via spectator's
+# PatternMatcher).  Non-capturing groups `(?:` stay allowed; an escaped
+# `\(` is a literal paren, not a group.
+_RE_UNSUPPORTED = re.compile(r"\\[1-9]|(?<!\\)\(\?(?!:)")
+
+
+def _check_re_features(v: str) -> None:
+    m = _RE_UNSUPPORTED.search(v)
+    if m is not None:
+        raise ValueError(
+            f"unsupported regex feature '{m.group(0)}' in pattern: {v}"
+        )
+
+
 @dataclass(frozen=True)
 class RegexQuery(KeyValueQuery):
     """Regex anchored at the start (Query.scala:410-421)."""
+
+    def __post_init__(self):
+        _check_re_features(self.v)
 
     def _pattern(self) -> re.Pattern:
         return re.compile("^" + self.v)
@@ -171,6 +190,9 @@ class RegexQuery(KeyValueQuery):
 
 @dataclass(frozen=True)
 class RegexIgnoreCaseQuery(KeyValueQuery):
+    def __post_init__(self):
+        _check_re_features(self.v)
+
     def _pattern(self) -> re.Pattern:
         return re.compile("^" + self.v, re.IGNORECASE)
 

@@ -87,7 +87,7 @@ def _custom_avg_word(name: str, base_query: Q.Query, keys: set[str]) -> Word:
         c.push(
             E.NamedRewrite(
                 name,
-                f"{q.display()},:{name}",
+                q,
                 build(q),
                 groupby_rewrite=lambda ks, q=q: build(q, tuple(ks)),
             )

@@ -399,6 +399,17 @@ def _by(c: Context) -> None:
         v = E.AggrExpr(v, "sum")
     if isinstance(v, E.AggrExpr):
         c.push(E.GroupByExpr(v.query, v, keys))
+    elif isinstance(v, E.SampleCountExpr) and not v.eval_keys():
+        # canonical-display round-trip: the named-rewrite form renders the
+        # grouping AFTER the word (`q,0.0,5.0,:sample-count,(,app,),:by`,
+        # MathExpr.scala:1232-1237); the keys regroup the underlying
+        # percentile-bucket aggregate (percentile key stays prepended)
+        g = v.expr
+        c.push(
+            E.SampleCountExpr(
+                E.GroupByExpr(g.query, g.af, ("percentile",) + keys), v.lo, v.hi
+            )
+        )
     elif isinstance(v, E.AggrMathExpr) and v.expr.group_keys():
         c.push(E.MathGroupByExpr(v, keys))
     elif isinstance(v, E.TimeSeriesExpr) and v.group_keys():
@@ -464,7 +475,9 @@ def _rewrite_data(x: E.TimeSeriesExpr, f):
     if isinstance(x, E.StatefulMathExpr):
         return E.StatefulMathExpr(x.op, _rewrite_data(x.expr, f), x.params)
     if isinstance(x, E.NamedRewrite):
-        return E.NamedRewrite(x.name, x.display_str, _rewrite_data(x.evaluated, f))
+        return E.NamedRewrite(
+            x.name, x.display_obj, _rewrite_data(x.evaluated, f), x.suffix
+        )
     return x
 
 
@@ -588,12 +601,7 @@ def _named_rewrite(c: Context) -> None:
     name = c.pop()
     rewritten = to_ts_expr(c.pop())
     original = c.pop()
-    display = (
-        original.display()
-        if isinstance(original, (E.TimeSeriesExpr, Q.Query))
-        else str(original)
-    )
-    c.push(E.NamedRewrite(name, f"{display},:{name}", rewritten))
+    c.push(E.NamedRewrite(name, original, rewritten))
 
 
 w("named-rewrite", _match(STR, TS, ANY), _named_rewrite)

@@ -261,3 +261,44 @@ def time_range(s: str, e: str, ctx, zone: str = "UTC") -> tuple[int, int]:
     if _epoch_s(start) > _epoch_s(end):
         raise ValueError("start must be <= end")
     return _epoch_s(start), _epoch_s(end)
+
+
+_VAR_CHARS = frozenset(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789._-"
+)
+
+
+def substitute(s: str, f) -> str:
+    """Variable substitution (Strings.scala:435-456): `$var` reads chars
+    from `allowedInVarName` ([A-Za-z0-9._-]); `$(var)` reads to the
+    closing paren (an unterminated paren form is a literal).  `f(key)`
+    supplies the value; an empty key (e.g. `$$` or trailing `$`) stays a
+    literal `$`."""
+    out = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c != "$" or i == n - 1:
+            out.append(c)
+            i += 1
+            continue
+        j = i + 1
+        key = ""
+        if s[j] == "(":
+            end = s.find(")", j + 1)
+            if end < 0:  # unterminated: literal (Strings.scala parenVar)
+                key, j = "", i + 1
+            else:
+                key, j = s[j + 1 : end], end + 1
+        else:
+            k = j
+            while k < n and s[k] in _VAR_CHARS:
+                k += 1
+            key, j = s[j:k], k
+        if key == "":
+            out.append("$")
+            i = max(j, i + 1)
+        else:
+            out.append(f(key))
+            i = j
+    return "".join(out)

@@ -382,12 +382,18 @@ def test_expr_rewrite_endpoint(engine):
 
 
 def test_expr_complete_endpoint(engine):
-    words = engine.complete("name,click,:eq")
+    # candidates are the reference's descriptor objects
+    # (ExprApi.scala:175-179): {name, signature, description}
+    cands = engine.complete("name,click,:eq")
+    assert all({"name", "signature", "description"} == set(c) for c in cands)
+    words = {c["name"] for c in cands}
     assert "sum" in words and "count" in words
+    sig = next(c for c in cands if c["name"] == "sum")
+    assert sig["signature"] and sig["description"]
     # excluded-words parity (reference.conf expr.complete.excluded-words):
     # always-matching / deprecated words are never suggested
     assert "not" not in words and "des" not in words
-    empty = engine.complete("")
+    empty = {c["name"] for c in engine.complete("")}
     assert "pi" in empty  # nullary words always apply
     assert "true" not in empty  # excluded (always matches)
     assert "dup" not in empty  # empty stack: nothing to dup
@@ -421,9 +427,9 @@ def test_expr_vocab_scoping(engine):
     assert engine.normalize("name,cpu,:eq,:sum,$name,:legend", vocab="style")
     # complete scopes the candidate pool: the query layer offers :eq on
     # two strings but never :sum on a query; the default pool offers :sum
-    q_words = engine.complete("name,cpu", vocab="query")
+    q_words = {c["name"] for c in engine.complete("name,cpu", vocab="query")}
     assert "eq" in q_words and "sum" not in q_words
-    full = engine.complete("name,cpu,:eq")
+    full = {c["name"] for c in engine.complete("name,cpu,:eq")}
     assert "sum" in full
     # queries endpoint under a scoped vocab
     assert engine.queries("name,cpu,:eq,:sum", vocab="data") == ["name,cpu,:eq"]
@@ -433,12 +439,16 @@ def test_expr_vocab_scoping(engine):
 
 
 def test_expr_debug_endpoint(engine):
+    # the trace INCLUDES the initial state (Interpreter.scala:159-170:
+    # debugImpl seeds with Step(program, context)), so steps = tokens + 1
     steps = engine.debug("name,click,:eq,:sum")
-    assert len(steps) == 4
-    assert steps[0]["context"]["stack"] == ["name"]
-    assert steps[2]["context"]["stack"] == ["name,click,:eq"]
-    assert steps[3]["context"]["stack"] == ["name,click,:eq,:sum"]
-    assert steps[3]["program"] == []
+    assert len(steps) == 5
+    assert steps[0]["context"]["stack"] == []
+    assert steps[0]["program"] == ["name", "click", ":eq", ":sum"]
+    assert steps[1]["context"]["stack"] == ["name"]
+    assert steps[3]["context"]["stack"] == ["name,click,:eq"]
+    assert steps[4]["context"]["stack"] == ["name,click,:eq,:sum"]
+    assert steps[4]["program"] == []
 
 
 def test_graph_multi_tz(engine):

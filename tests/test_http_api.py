@@ -610,3 +610,42 @@ def test_graph_caller_id_sanitized_counter(spark, sf_dir, tmp_path_factory):
         assert srv.graph_request_counts == {"mydash": 1, "default": 1, "fooapp": 1}
     finally:
         srv.shutdown()
+
+
+def test_expr_reference_suite_pins(served):
+    """Endpoint behaviors pinned by the reference's ExprApiSuite
+    (ExprApiSuite.scala:52-170): unsupported regex features are client
+    errors, the debug trace includes the initial state (tokens + 1
+    steps), and trailing non-expression stack garbage under the default
+    vocabulary is a 400 (verifyStackContents with the graph vocab)."""
+    base, _, _ = served
+
+    def status(path):
+        try:
+            with urllib.request.urlopen(base + path) as r:
+                return r.status, r.read()
+        except HTTPError as e:
+            return e.code, e.read()
+
+    # inline regex flags / back references -> 400 ((?i) = %28%3Fi%29, \1 = %5C1)
+    assert status("/api/v1/expr/normalize?q=a,%28%3Fi%29b,:re")[0] == 400
+    assert status("/api/v1/expr/normalize?q=a,%5C1,:re")[0] == 400
+    # debug includes the initial step: 3 tokens -> 4 steps
+    st, body = status("/api/v1/expr?q=name,sps,:eq")
+    assert st == 200 and len(json.loads(body)) == 4
+    st, body = status(
+        "/api/v1/expr/debug?q=name,sps,:eq,:sum,$name,:legend,foo,:sset,foo,:get"
+    )
+    assert st == 200 and len(json.loads(body)) == 11
+    # trailing garbage / empty stack under the default vocab -> 400
+    assert status("/api/v1/expr/debug?q=name,sps,:eq,:sum,$name,:legend,foo")[0] == 400
+    assert (
+        status("/api/v1/expr/debug?q=name,sps,:eq,:sum,$name,:legend,foo,:clear")[0]
+        == 400
+    )
+    # normalize applies the ExprNormalizer pipeline end-to-end
+    st, body = status(
+        "/api/v1/expr/normalize?q=name,sps,:eq,:dup,2,:mul,:swap"
+    )
+    assert st == 200
+    assert json.loads(body) == ["name,sps,:eq,:sum,2.0,:mul", "name,sps,:eq,:sum"]
