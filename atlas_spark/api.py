@@ -522,8 +522,10 @@ class Engine:
                     },
                 }
             )
-        if tokens:
-            _verify_stack_contents(vocab or "style", ctx.stack)
+        # the reference verifies unconditionally — the trace always has at
+        # least the initial step (Interpreter.scala:159-170), so an empty
+        # program under a non-std contract is "stack is empty"
+        _verify_stack_contents(vocab or "style", ctx.stack)
         return steps
 
     # ---------------------------------------------------------------- graph
@@ -987,15 +989,15 @@ class Engine:
 
 
 def _legend(fmt: str | None, tags: dict[str, str]) -> str | None:
-    """`$(tag)` substitution (StyleExpr.scala:47-62, Strings.substitute)."""
+    """`$(tag)` substitution (StyleExpr.scala:47-62): one grammar with
+    expr normalization via the shared Strings.substitute port; a missing
+    key renders the KEY itself (Strings.scala:428-430 getOrElse(k, k)),
+    not the raw `$key` text."""
     if not fmt:
         return None
-    import re
+    from .util.strings import substitute
 
-    def sub(m):
-        return tags.get(m.group(1) or m.group(2), m.group(0))
-
-    return re.sub(r"\$\((\w[\w.\-]*)\)|\$(\w[\w.\-]*)", sub, fmt)
+    return substitute(fmt, lambda k: tags.get(k, k))
 
 
 def _default_label(se, tags: dict[str, str], keys: list[str], lk: tuple) -> str:

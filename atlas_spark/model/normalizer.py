@@ -98,8 +98,14 @@ def _normalize_clauses(q: Qm.Query) -> Qm.Query:
 
 
 def _remove_redundant(disjuncts: list[list[Qm.Query]]) -> list[list[Qm.Query]]:
-    """Drop any disjunct that is a superset of every other disjunct — it
-    can never broaden the match (ExprNormalizer.scala:116-132)."""
+    """Drop any disjunct that is a superset of EVERY other disjunct — it
+    can never broaden the match (ExprNormalizer.scala:116-132).
+
+    Deliberately a verbatim port of the reference's `forall` condition,
+    quirk included: with three or more disjuncts, a disjunct implied by
+    ONE sibling but not all of them survives (e.g. `(a AND b) OR a OR c`
+    keeps the `a AND b` term), exactly as the reference endpoint
+    renders it."""
     if len(disjuncts) <= 1:
         return disjuncts
     indexed = [(qs, frozenset(c.display() for c in qs)) for qs in disjuncts]

@@ -154,20 +154,32 @@ class GreaterThanEqualQuery(KeyValueQuery):
         return f"{self.k},{self.v},:ge"
 
 
-# The reference's pattern matcher supports neither inline flag groups
-# (`(?i)`) nor back references (`\1`); both must surface as CLIENT errors
-# (ExprApiSuite.scala:52-60; Query.scala:410-434 via spectator's
-# PatternMatcher).  Non-capturing groups `(?:` stay allowed; an escaped
-# `\(` is a literal paren, not a group.
-_RE_UNSUPPORTED = re.compile(r"\\[1-9]|(?<!\\)\(\?(?!:)")
-
-
 def _check_re_features(v: str) -> None:
-    m = _RE_UNSUPPORTED.search(v)
-    if m is not None:
-        raise ValueError(
-            f"unsupported regex feature '{m.group(0)}' in pattern: {v}"
-        )
+    """The reference's pattern matcher supports neither inline flag groups
+    (`(?i)`) nor back references (`\\1`); both must surface as CLIENT
+    errors (ExprApiSuite.scala:52-60; Query.scala:410-434 via spectator's
+    PatternMatcher).  Non-capturing groups `(?:` stay allowed.  The scan
+    walks escape PAIRS so escaping is handled exactly: `\\1` is a back
+    reference, `\\\\1` is an escaped backslash followed by a literal `1`
+    (what `re.escape` emits for a value containing `\\1`), and `\\\\(?i)`
+    is still a real inline-flag group."""
+    i, n = 0, len(v)
+    while i < n:
+        c = v[i]
+        if c == "\\":
+            if i + 1 < n and v[i + 1] in "123456789":
+                raise ValueError(
+                    f"unsupported regex feature '\\{v[i + 1]}' in pattern: {v}"
+                )
+            i += 2  # escape pair (trailing lone backslash: re.compile errors)
+        elif c == "(" and i + 1 < n and v[i + 1] == "?":
+            if i + 2 >= n or v[i + 2] != ":":
+                raise ValueError(
+                    f"unsupported regex feature '(?' in pattern: {v}"
+                )
+            i += 3
+        else:
+            i += 1
 
 
 @dataclass(frozen=True)

@@ -1192,6 +1192,7 @@ def lsh_precision(
     num_hashes: int = 32,
     bands: int = 16,
     threshold: float = 0.5,
+    max_bucket: int | None = LSH_MAX_BUCKET,
 ) -> DataFrame:
     """One-row banding-precision report: how many candidate pairs the
     LSH banding emits vs how many survive exact Jaccard verification —
@@ -1202,33 +1203,57 @@ def lsh_precision(
     avoid.)
 
     Uses the portable md5 banding so the DuckDB oracle reproduces the
-    IDENTICAL candidate set; verification reuses the candidates-only
-    jaccard join (`_verified_pairs`), so the report itself stays
-    sub-quadratic — no stage sees more than the banded pairs."""
+    IDENTICAL candidate set — including the `max_bucket` degenerate-bucket
+    cap, which the oracle applies as the same HAVING filter before its
+    pair join so engine and oracle agree even on a corpus carrying a
+    boilerplate bucket over the cap; verification reuses the
+    candidates-only jaccard join (`_verified_pairs`), so the report
+    itself stays sub-quadratic — no stage sees more than the banded
+    pairs."""
     docs = _spread(load_documents(spark, sf_dir))
     sh = scoped_persist(ngram_shingles(docs, n, hash_fn=F.xxhash64))
     cand = scoped_persist(
-        _band_candidates(_minhash_bands(_md5_feats(docs, n), num_hashes, bands))
+        _band_candidates(
+            _minhash_bands(_md5_feats(docs, n), num_hashes, bands),
+            max_bucket=max_bucket,
+        )
     )
     n_cand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
     n_ver = _verified_pairs(sh, cand, threshold).agg(
         F.count(F.lit(1)).cast("long").alias("n_verified")
     )
+    # precision is NULL when the cap (or an empty corpus) leaves zero
+    # candidates — ANSI division would error, and 0/0 has no meaning here
     return n_cand.crossJoin(n_ver).select(
         "n_candidates",
         "n_verified",
-        F.round(F.col("n_verified") / F.col("n_candidates"), 6).alias("precision"),
+        F.when(
+            F.col("n_candidates") > 0,
+            F.round(F.col("n_verified") / F.col("n_candidates"), 6),
+        ).alias("precision"),
     )
 
 
 def _lsh_precision_sql(
-    n: int = 3, num_hashes: int = 32, bands: int = 16, threshold: float = 0.5
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.5,
+    max_bucket: int = LSH_MAX_BUCKET,
 ) -> str:
     return f"""{_minhash_bb_cte(n, num_hashes, bands)},
+keep AS (
+  SELECT band, bucket FROM bb GROUP BY band, bucket
+  HAVING count(*) <= {max_bucket}
+),
+bbk AS (
+  SELECT bb.doc_id, bb.band, bb.bucket
+  FROM bb JOIN keep ON bb.band = keep.band AND bb.bucket = keep.bucket
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket
-                      AND a.doc_id < b.doc_id
+  FROM bbk a JOIN bbk b ON a.band = b.band AND a.bucket = b.bucket
+                        AND a.doc_id < b.doc_id
 ),
 wsh AS (
   SELECT doc_id,
@@ -1249,8 +1274,10 @@ ver AS (
 )
 SELECT CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
        CAST((SELECT count(*) FROM ver) AS BIGINT) AS n_verified,
-       round(CAST((SELECT count(*) FROM ver) AS DOUBLE)
-             / (SELECT count(*) FROM cand), 6) AS precision
+       CASE WHEN (SELECT count(*) FROM cand) > 0
+            THEN round(CAST((SELECT count(*) FROM ver) AS DOUBLE)
+                       / (SELECT count(*) FROM cand), 6)
+       END AS precision
 """
 
 

@@ -271,9 +271,10 @@ _VAR_CHARS = frozenset(
 def substitute(s: str, f) -> str:
     """Variable substitution (Strings.scala:435-456): `$var` reads chars
     from `allowedInVarName` ([A-Za-z0-9._-]); `$(var)` reads to the
-    closing paren (an unterminated paren form is a literal).  `f(key)`
-    supplies the value; an empty key (e.g. `$$` or trailing `$`) stays a
-    literal `$`."""
+    closing paren.  `f(key)` supplies the value; an empty key (`$$`,
+    trailing `$`, `$()`, or an unterminated `$(`) renders a literal `$`
+    with the scanned delimiter chars consumed — exactly the reference's
+    parenVar/simpleVar advance behavior."""
     out = []
     i, n = 0, len(s)
     while i < n:
@@ -286,8 +287,10 @@ def substitute(s: str, f) -> str:
         key = ""
         if s[j] == "(":
             end = s.find(")", j + 1)
-            if end < 0:  # unterminated: literal (Strings.scala parenVar)
-                key, j = "", i + 1
+            if end < 0:
+                # unterminated: key cleared, scan restarts after "$("
+                # (Strings.scala:405-417 parenVar returns its start index)
+                key, j = "", i + 2
             else:
                 key, j = s[j + 1 : end], end + 1
         else:

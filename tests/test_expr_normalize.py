@@ -290,3 +290,43 @@ def test_fmt_double_java_parity():
     assert _fmt_double(0.0) == "0.0"
     assert _fmt_double(-0.0) == "-0.0"
     assert _fmt_double(float("nan")) == "NaN"
+
+
+def test_regex_rejection_escape_parity():
+    """Escape-pair-aware scan: `re.escape`d values containing `\\1` are
+    valid (the backslash is itself escaped), while a real back reference
+    or an inline-flag group hiding behind an escaped backslash is still
+    rejected."""
+    # :contains escapes its value -> pattern carries \\1 (escaped backslash)
+    assert parse(r"a,foo\1bar,:contains", step=60)
+    with pytest.raises(ValueError, match="unsupported regex"):
+        parse(r"a,\\(?i)b,:re", step=60)  # (?i) after an ESCAPED backslash
+
+
+def test_remove_redundant_is_reference_quirk_faithful():
+    """removeRedundantClauses drops a disjunct only when it is a superset
+    of EVERY other disjunct (the reference's forall,
+    ExprNormalizer.scala:116-132): with an unrelated third disjunct the
+    implied term survives, exactly like the reference endpoint."""
+    assert norm("a,1,:eq,a,1,:eq,b,2,:eq,:and,:or") == ["a,1,:eq,:sum"]
+    assert norm("a,1,:eq,a,1,:eq,b,2,:eq,:and,:or,c,3,:eq,:or") == [
+        "a,1,:eq,a,1,:eq,b,2,:eq,:and,:or,c,3,:eq,:or,:sum"
+    ]
+
+
+def test_substitute_empty_and_unterminated():
+    """Empty `$()` and unterminated `$(` render a literal `$` with the
+    scanned delimiters consumed (Strings.scala parenVar advance)."""
+    f = lambda k: f"<{k}>"  # noqa: E731
+    assert substitute("foo$()bar", f) == "foo$bar"
+    assert substitute("foo$(bar", f) == "foo$bar"
+
+
+def test_debug_empty_program_verifies_contract():
+    """The reference verifies the final stack even for an empty program
+    (the trace always carries the initial step)."""
+    from atlas_spark.api import _verify_stack_contents
+
+    with pytest.raises(ValueError, match="stack is empty"):
+        _verify_stack_contents("query", [])
+    _verify_stack_contents("std", [])  # std accepts anything

@@ -204,3 +204,37 @@ def test_lsh_precision_bounds(spark, sf_dir):
         for r in dedup.minhash_lsh_candidates(spark, sf_dir).collect()
     }
     assert row["n_verified"] <= len(exact) or not exact
+
+
+def test_lsh_precision_cap_engine_oracle_parity(spark, tmp_path):
+    """The degenerate-bucket cap must be applied identically by the Spark
+    op and its DuckDB oracle (a capped engine against an uncapped oracle
+    would diverge on exactly the boilerplate corpus the cap exists for):
+    40 identical docs with cap=10 drop every bucket — zero candidates and
+    a NULL precision on BOTH engines — while the uncapped run emits all
+    C(40,2) pairs."""
+    import duckdb
+    import pandas as pd
+
+    from atlas_spark.operators import dedup
+
+    hot = pd.DataFrame(
+        {
+            "doc_id": range(40),
+            "text": ["xx yy zz ww vv"] * 40,
+            "lang": ["en"] * 40,
+            "source": ["s"] * 40,
+            "n_chars": [14] * 40,
+        }
+    )
+    hot.to_parquet(f"{tmp_path}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+    )
+    got = [tuple(r) for r in dedup.lsh_precision(spark, str(tmp_path), max_bucket=10).collect()]
+    want = con.execute(dedup._lsh_precision_sql(max_bucket=10)).fetchall()
+    assert got == want == [(0, 0, None)]
+    got = [tuple(r) for r in dedup.lsh_precision(spark, str(tmp_path), max_bucket=None).collect()]
+    want = con.execute(dedup._lsh_precision_sql(max_bucket=1 << 40)).fetchall()
+    assert got == want == [(780, 780, 1.0)]
