@@ -950,7 +950,7 @@ class Engine:
     def tags_next_offset(rows, limit: int | None, verbose: bool = False) -> str | None:
         """Resume token for the next page (TagsApi.scala offsetString/
         offsetTag): None when the page was not full."""
-        if limit is None or len(rows) < limit:
+        if limit is None or not rows or len(rows) < limit:
             return None
         last = rows[-1]
         if verbose:

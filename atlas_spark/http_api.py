@@ -408,19 +408,26 @@ class AtlasHandler(BaseHTTPRequestHandler):
     def _tags(self, parsed):
         qs = parse_qs(parsed.query)
         key = None
-        # Derive key from the UN-stripped path so a trailing-slash request
-        # (/api/v1/tags/) is distinguishable: empty key -> verbose listing.
+        # pathEndOrSingleSlash (TagsApi.scala:53-60): a trailing-slash
+        # request (/api/v1/tags/) is the same keys listing as no slash
         rest = parsed.path[len("/api/v1/tags") :]
-        if rest.startswith("/"):
+        if rest.startswith("/") and rest != "/":
             key = unquote(rest[1:].rstrip("/"))
         q = qs.get("q", [None])[0]
         query = None
         if q:
             query = _parse_tag_query(q, self.server.engine.source.step)
         fmt = qs.get("format", ["json"])[0]
-        verbose = qs.get("verbose", ["0"])[0] == "1" or key == ""
+        verbose = qs.get("verbose", ["0"])[0] == "1"
         offset = qs.get("offset", [""])[0]
         limit = int(qs.get("limit", ["1000"])[0])
+        if limit <= 0:
+            # TagsApi.Request requires a positive limit (TagsApi.scala:145)
+            raise ValueError(f"limit must be positive (got {limit})")
+        # actualLimit cap (TagsApi.scala:147, atlas.webapi.tags.max-limit =
+        # 1000): a huge requested page must not become an unbounded driver
+        # collect — clients page with the next-offset header instead
+        limit = min(limit, 1000)
         eng: Engine = self.server.engine
         rows = eng.tags(
             q=query, key=key or None, offset=offset, limit=limit, verbose=verbose

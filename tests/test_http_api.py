@@ -315,14 +315,24 @@ def test_data_plane_concurrency_tags_not_serialized(served):
     assert publish_sec < 2.0, f"publish serialized behind render: {publish_sec:.2f}s"
 
 
-def test_tags_trailing_slash_is_verbose(served):
-    """/api/v1/tags/ (empty key segment) forces verbose key/value/count
-    rows like TagsApi's trailing-slash behavior."""
+def test_tags_reference_suite_pins(served):
+    """TagsApiSuite parity (TagsApiSuite.scala:68-119): a trailing slash
+    is the same keys listing as no slash (pathEndOrSingleSlash,
+    TagsApi.scala:53-60); non-positive or non-numeric limits are client
+    errors (Request requires limit > 0, TagsApi.scala:145); the
+    next-offset header is absent on a non-full page."""
     base, _, _ = served
-    status, headers, body = _get(f"{base}/api/v1/tags/")
+    _, _, plain = _get(f"{base}/api/v1/tags")
+    status, _, slash = _get(f"{base}/api/v1/tags/")
+    assert status == 200 and json.loads(slash) == json.loads(plain)
+    for bad in ("foo", "-1", "0"):
+        with pytest.raises(HTTPError) as ei:
+            urllib.request.urlopen(f"{base}/api/v1/tags?limit={bad}")
+        assert ei.value.code == 400, bad
+    # non-full page: no resume header
+    status, headers, body = _get(f"{base}/api/v1/tags?limit=5000")
     assert status == 200
-    data = json.loads(body)
-    assert data and all(set(d) == {"key", "value", "count"} for d in data)
+    assert not any(k.lower() == "x-nflx-atlas-next-offset" for k in headers)
 
 
 # --------------------------------------------------------------- publish
