@@ -840,3 +840,43 @@ def render_png(result, width: int = 700, height: int = 300) -> bytes:
                     row = f"{k1} {v1:<9}{k2} {v2:<9}"
                     cv.text(14, ey + 9 + si * 8, row[: (width - 18) // 6], th["text"])
     return cv.to_png()
+
+
+def error_png(
+    msg: str, width: int = 700, height: int = 300, user_error: bool = True
+) -> bytes:
+    """Error image for failed graph requests from a browser
+    (PngImage.userError/systemError, PngImage.scala:90-130): user errors
+    render black-on-yellow (0xFFCF00), system errors white-on-red
+    (0xF82000), message word-wrapped to the clamped canvas
+    (GraphConstants max 2000x1000)."""
+    w = max(48, min(width, 2000))
+    h = max(16, min(height, 1000))
+    if user_error:
+        bg, fg, prefix = (0xFF, 0xCF, 0x00), (0, 0, 0), "USER ERROR:"
+    else:
+        bg, fg, prefix = (0xF8, 0x20, 0x00), (255, 255, 255), "SYSTEM ERROR:"
+    canvas = Canvas(w, h, bg=bg)
+    # 5x7 font at 6px advance; wrap words to the drawable width
+    max_chars = max(1, (w - 8) // 6)
+    lines: list[str] = []
+    cur = ""
+    for word in f"{prefix} {msg}".split():
+        cand = f"{cur} {word}".strip()
+        if len(cand) <= max_chars:
+            cur = cand
+        else:
+            if cur:
+                lines.append(cur)
+            while len(word) > max_chars:  # single over-long token
+                lines.append(word[:max_chars])
+                word = word[max_chars:]
+            cur = word
+    if cur:
+        lines.append(cur)
+    for i, line in enumerate(lines):
+        y = 4 + i * 9
+        if y + 7 > h:
+            break
+        canvas.text(4, y, line, rgb=fg)
+    return canvas.to_png()

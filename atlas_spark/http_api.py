@@ -211,6 +211,12 @@ def _parse_tag_query(q: str, step: int):
     return queries[0]
 
 
+# web-browser detection for the error-image path
+# (atlas-eval reference.conf:171 browser-agent-pattern)
+_BROWSER_AGENT_RE = re.compile(
+    "mozilla|msie|gecko|chrome|opera|webkit", re.IGNORECASE
+)
+
 _GRAPH_CONTENT_TYPES = {
     "png": "image/png",
     "csv": "text/csv",
@@ -359,7 +365,25 @@ class AtlasHandler(BaseHTTPRequestHandler):
         # the Host header; urlparse().hostname strips any :port)
         host = (self.headers.get("Host") or "").strip()
         uri = f"http://{host}{self.path}" if host else self.path
-        out = self.server.engine.render(uri)
+        try:
+            out = self.server.engine.render(uri)
+        except Exception as e:  # noqa: BLE001 — browser error-image path
+            # Browsers asking for an image get the error rendered AS an
+            # image with 200 OK (GraphRequestActor.scala:49-84 +
+            # DefaultSettings.browserAgentPattern); everything else falls
+            # through to the JSON DiagnosticMessage 400/500.
+            agent = self.headers.get("User-Agent") or ""
+            if fmt == "png" and _BROWSER_AGENT_RE.search(agent):
+                from .chart import error_png
+
+                user = isinstance(e, (ValueError, KeyError, TypeError))
+                w = int(qs.get("w", ["700"])[0] or 700)
+                h = int(qs.get("h", ["300"])[0] or 300)
+                body = error_png(
+                    f"{type(e).__name__}: {e}", w, h, user_error=user
+                )
+                return self._send(200, body, "image/png")
+            raise
         if isinstance(out, bytes):
             body = out
         elif isinstance(out, str):

@@ -659,3 +659,35 @@ def test_expr_reference_suite_pins(served):
     )
     assert st == 200
     assert json.loads(body) == ["name,sps,:eq,:sum,2.0,:mul", "name,sps,:eq,:sum"]
+
+
+def test_graph_error_image_for_browsers(served):
+    """A failed png graph request from a browser returns the error AS an
+    image with 200 OK (GraphRequestActor.scala:49-84, GraphApiMemDbSuite
+    'sendError image if browser'); non-browser agents get the JSON
+    DiagnosticMessage 400, txt format stays an error status."""
+    base, _, _ = served
+    agent = "Mozilla/5.0 (Android; Mobile; rv:13.0) Gecko/13.0 Firefox/13.0"
+    req = urllib.request.Request(
+        f"{base}/api/v1/graph?q=:foo&format=png", headers={"User-Agent": agent}
+    )
+    with urllib.request.urlopen(req) as resp:
+        assert resp.status == 200
+        assert resp.headers["Content-Type"] == "image/png"
+        assert resp.read()[:8] == b"\x89PNG\r\n\x1a\n"
+    # non-browser agent: JSON diagnostic 400
+    req = urllib.request.Request(
+        f"{base}/api/v1/graph?q=:foo&format=png", headers={"User-Agent": "java"}
+    )
+    with pytest.raises(HTTPError) as ei:
+        urllib.request.urlopen(req)
+    assert ei.value.code == 400
+    err = json.loads(ei.value.read())
+    assert err["type"] == "error" and "unknown word" in err["message"]
+    # browser but non-image format: still an error status
+    req = urllib.request.Request(
+        f"{base}/api/v1/graph?q=:foo&format=txt", headers={"User-Agent": agent}
+    )
+    with pytest.raises(HTTPError) as ei:
+        urllib.request.urlopen(req)
+    assert ei.value.code == 400
