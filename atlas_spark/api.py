@@ -573,15 +573,39 @@ class Engine:
             exprs = self.host_rewriter.rewrite(parsed.hostname, exprs)
         ev = Evaluator(self.source, ctx)
 
+        # simple legends (Grapher.scala:184-188, default-enabled like
+        # simple-legends-enabled): after per-offset expansion, derive the
+        # shortest distinguishing legend for lines without an explicit one
+        pairs = [
+            (se2, off)
+            for se in exprs
+            for se2, off in self._expand_offsets(se)
+        ]
+        from .model.simple_legends import generate as _simple_legends
+
+        styled = _simple_legends(
+            [se2 for se2, _ in pairs], [bool(off) for _, off in pairs]
+        )
+
         lines: list[GraphLine] = []
-        for se in exprs:
-            for se2, off_label in self._expand_offsets(se):
-                rf = ev.eval(se2)
-                for ln in self._collect_lines(se2, rf, ctx):
-                    if off_label:
-                        ln.tags["atlas.offset"] = off_label
+        for (se2, off_label), se3 in zip(pairs, styled):
+            rf = ev.eval(se3)
+            legend_fmt = (
+                se3.settings_dict().get("legend")
+                if isinstance(se3, E.StyleExpr)
+                else None
+            )
+            for ln in self._collect_lines(se3, rf, ctx):
+                if off_label:
+                    ln.tags["atlas.offset"] = off_label
+                    if legend_fmt is not None:
+                        # re-substitute now that atlas.offset exists; an
+                        # explicit legend never gets the automatic
+                        # " (offset=)" suffix (StyleExpr.scala:47-62)
+                        ln.label = _legend(legend_fmt, ln.tags)
+                    else:
                         ln.label += f" (offset={off_label})"
-                    lines.append(ln)
+                lines.append(ln)
         # axis_per_line=1: every line gets its own y-axis (ImageFlags.
         # axisPerLine), capped at the renderer's 5 axes
         if qs.get("axis_per_line", [None])[0] == "1":
