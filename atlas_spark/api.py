@@ -744,6 +744,10 @@ class Engine:
                     v = int(qs.get(name, [default])[0])
                 except (TypeError, ValueError):
                     v = default
+                if v <= 0:
+                    # non-positive sizes are client errors, never clamped
+                    # (GrapherSuite 'reject zero/negative width/height')
+                    raise ValueError(f"{name} must be positive (got {v})")
                 return max(64, min(cap, int(v * zoom)))
 
             return self.graph_png(uri, width=_dim("w", 700, 2000), height=_dim("h", 300, 1000))

@@ -517,7 +517,12 @@ def render_png(result, width: int = 700, height: int = 300) -> bytes:
             aid = int((getattr(ln, "settings", {}) or {}).get("axis", 0) or 0)
         except (TypeError, ValueError):
             return 0
-        return aid if 0 <= aid <= 4 else 0
+        if not 0 <= aid <= 4:
+            # out-of-range axis ids are client errors, never silently
+            # remapped (GraphConstants max-yaxes = 5, axes 0-4;
+            # GrapherSuite 'multi-Y, 6 axes' rejects)
+            raise ValueError(f"invalid axis id {aid} (max-yaxes = 5)")
+        return aid
 
     _cfg_cache: dict = {}
 

@@ -981,7 +981,10 @@ def parse(
 
 def coerce_stack(ctx: Context) -> list[E.StyleExpr]:
     """Coerce a result stack to presentation expressions the way the graph
-    API does (frozen items first, bottom-first plot order)."""
+    API does (frozen items first, bottom-first plot order).  A leftover
+    that is NOT presentation-coercible is a client error, not silently
+    dropped (GraphConfig.parsedQuery, Grapher.scala:178-183:
+    'expecting time series expr, found String ...')."""
     items = ctx.frozen + ctx.stack
     out = []
     for v in items:
@@ -989,4 +992,7 @@ def coerce_stack(ctx: Context) -> list[E.StyleExpr]:
             isinstance(v, str) and is_number(v)
         ):
             out.append(to_style(v))
+        else:
+            tpe = type(v).__name__ if not isinstance(v, str) else "String"
+            raise ValueError(f"expecting time series expr, found {tpe} '{v}'")
     return out

@@ -628,3 +628,22 @@ def test_graph_coarse_step_unaligned_default_window(engine):
     g = engine.graph("/api/v1/graph?step=7h&q=name,click,:eq,:sum&s=2024-01-02&e=2024-01-03")
     assert g.step == 7 * 3600
     assert g.start % g.step == 0 and g.end % g.step == 0
+
+
+def test_graph_rejects_invalid_sizes_axes_and_stack_garbage(engine):
+    """GrapherSuite parity: non-positive w/h are client errors (never
+    clamped); axis ids beyond max-yaxes=5 (0-4) are rejected; a leftover
+    non-presentation stack item fails the parse with the reference's
+    message rather than being silently dropped."""
+    import pytest
+
+    w = "s=2024-01-02&e=2024-01-03"
+    for p in ("w=0", "w=-5", "h=0", "h=-5"):
+        with pytest.raises(ValueError, match="must be positive"):
+            engine.render(f"/api/v1/graph?q=name,click,:eq,:sum&{w}&{p}&format=png")
+    with pytest.raises(ValueError, match="invalid axis id"):
+        engine.render(
+            f"/api/v1/graph?q=(,0,1,2,3,4,6,),(,:dup,:axis,),:each&{w}&format=png"
+        )
+    with pytest.raises(ValueError, match="expecting time series expr, found String 'foo'"):
+        engine.graph(f"/api/v1/graph?q=name,click,:eq,:sum,(,name,),:by,foo&{w}")
