@@ -270,10 +270,33 @@ class Canvas:
         )
 
 
-def _parse_color(s: str | None, default):
+# Theme-scoped named colors (atlas-eval reference.conf:87-145
+# named-colors): `blue1,:color` resolves per theme before hex parsing.
+NAMED_COLORS = {
+    "light": {
+        "blue1": "6BAED6", "blue2": "2171B5", "blue3": "08306B",
+        "gray1": "888888", "gray2": "444444", "gray3": "000000",
+        "green1": "74C476", "green2": "238B45", "green3": "00441B",
+        "orange1": "FD8D3C", "orange2": "D94801", "orange3": "7F2704",
+        "purple1": "9E9AC8", "purple2": "6A51A3", "purple3": "3F007D",
+        "red1": "FB6A4A", "red2": "CB181D", "red3": "67000D",
+    },
+    "dark": {
+        "blue1": "C6DBEF", "blue2": "6BAED6", "blue3": "2171B5",
+        "gray1": "FFFFFF", "gray2": "BBBBBB", "gray3": "777777",
+        "green1": "C7E9C0", "green2": "74C476", "green3": "238B45",
+        "orange1": "FDD0A2", "orange2": "FD8D3C", "orange3": "D94801",
+        "purple1": "DADAEB", "purple2": "9E9AC8", "purple3": "6A51A3",
+        "red1": "FCBBA1", "red2": "FB6A4A", "red3": "CB181D",
+    },
+}
+
+
+def _parse_color(s: str | None, default, theme: str = "light"):
     if not s:
         return default, 1.0
     s = s.strip().lstrip("#")
+    s = NAMED_COLORS.get(theme, NAMED_COLORS["light"]).get(s, s)
     try:
         if len(s) == 8:  # AARRGGBB
             a = int(s[0:2], 16) / 255.0
@@ -726,7 +749,11 @@ def render_png(result, width: int = 700, height: int = 300) -> bytes:
         pal = palette_colors(pdesc) or axis_pal
         i = _pal_counters.get(pdesc, 0)
         _pal_counters[pdesc] = i + 1
-        c, a = _parse_color(settings.get("color"), pal[i % len(pal)])
+        c, a = _parse_color(
+            settings.get("color"),
+            pal[i % len(pal)],
+            theme=getattr(result, "theme", None) or "light",
+        )
         line_color[id(ln)] = (
             vision_filter(c, getattr(result, "vision", None)),
             a,

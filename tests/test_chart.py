@@ -509,3 +509,23 @@ def test_axis_overrides_parse(spark, sf_dir):
     assert g.axes[1] == {"scale": "log", "tick_labels": "binary"}
     assert g.axes[2] == {"lower": "auto-data", "scale": "log"}
     assert g.axes[3] == {"stack": True}
+
+
+def test_named_colors_resolve_per_theme():
+    """Theme-scoped named colors (reference.conf named-colors;
+    GrapherSuite 'named color with alpha applies alpha to resolved
+    color'): blue1 in light is 6BAED6, red2 is CB181D; dark remaps the
+    same names; :alpha composes on the resolved color."""
+    from atlas_spark.chart import _parse_color
+
+    c, a = _parse_color("blue1", None, theme="light")
+    assert c == (0x6B, 0xAE, 0xD6) and a == 1.0
+    c, _ = _parse_color("red2", None, theme="light")
+    assert c == (0xCB, 0x18, 0x1D)
+    c, _ = _parse_color("blue1", None, theme="dark")
+    assert c == (0xC6, 0xDB, 0xEF)
+    # hex strings still parse, unknown names fall back to the default
+    c, a = _parse_color("40ff0000", None)
+    assert c == (0xFF, 0, 0) and abs(a - 0x40 / 255) < 1e-9
+    c, _ = _parse_color("nosuch", (1, 2, 3))
+    assert c == (1, 2, 3)
