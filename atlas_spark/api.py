@@ -587,6 +587,9 @@ class Engine:
             [se2 for se2, _ in pairs], [bool(off) for _, off in pairs]
         )
 
+        from .model.simple_legends import expr_offset
+        from .util.strings import duration_to_string
+
         lines: list[GraphLine] = []
         for (se2, off_label), se3 in zip(pairs, styled):
             rf = ev.eval(se3)
@@ -595,6 +598,12 @@ class Engine:
                 if isinstance(se3, E.StyleExpr)
                 else None
             )
+            # inline `dur,:offset` lines carry the atlas.offset tag too
+            # (the reference tags every shifted data expr), so legends
+            # referencing $(atlas.offset) resolve on both offset forms
+            inline_off = expr_offset(se3)
+            if not off_label and inline_off > 0:
+                off_label = duration_to_string(inline_off)
             for ln in self._collect_lines(se3, rf, ctx):
                 if off_label:
                     ln.tags["atlas.offset"] = off_label

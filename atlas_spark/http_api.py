@@ -370,15 +370,25 @@ class AtlasHandler(BaseHTTPRequestHandler):
         except Exception as e:  # noqa: BLE001 — browser error-image path
             # Browsers asking for an image get the error rendered AS an
             # image with 200 OK (GraphRequestActor.scala:49-84 +
-            # DefaultSettings.browserAgentPattern); everything else falls
-            # through to the JSON DiagnosticMessage 400/500.
+            # DefaultSettings.browserAgentPattern) — but only when the
+            # request CONFIG itself is well-formed (the reference's
+            # `request != null`: toGraphConfig builds q/w/h eagerly, so a
+            # missing q or a bad size is a plain 400 even for browsers).
             agent = self.headers.get("User-Agent") or ""
-            if fmt == "png" and _BROWSER_AGENT_RE.search(agent):
+
+            def _dim_ok(name: str, default: int) -> int | None:
+                try:
+                    v = int(qs.get(name, [str(default)])[0])
+                except (TypeError, ValueError):
+                    return None
+                return v if v > 0 else None
+
+            w, h = _dim_ok("w", 700), _dim_ok("h", 300)
+            config_ok = "q" in qs and w is not None and h is not None
+            if config_ok and fmt == "png" and _BROWSER_AGENT_RE.search(agent):
                 from .chart import error_png
 
                 user = isinstance(e, (ValueError, KeyError, TypeError))
-                w = int(qs.get("w", ["700"])[0] or 700)
-                h = int(qs.get("h", ["300"])[0] or 300)
                 body = error_png(
                     f"{type(e).__name__}: {e}", w, h, user_error=user
                 )

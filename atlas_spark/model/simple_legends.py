@@ -41,12 +41,12 @@ def _literal(pattern: str) -> str | None:
 
 
 def _regex_presentation(q: Qm.RegexQuery) -> str:
-    """Prefix/contains matchers display their literal; anything else the
-    raw pattern (SimpleLegends.scala:96-104)."""
+    """Prefix/contains matchers display their literal; anything else —
+    including end-anchored patterns like `:ends` — the raw pattern
+    (SimpleLegends.scala:96-104: only isPrefixMatcher/isContainsMatcher
+    get literal presentation)."""
     p = q.v
     body = p[2:] if p.startswith(".*") else p
-    if body.endswith("$"):
-        body = body[:-1]
     lit = _literal(body)
     return lit if lit is not None else q.v
 
@@ -130,14 +130,33 @@ def _generate_legend(
     return _with_legend(e, legend, offset)
 
 
+def expr_offset(e: E.TimeSeriesExpr) -> int:
+    """Seconds the expression's data reads are shifted by — the
+    reference's StyleExpr.offset (min over data exprs); an inline
+    `dur,:offset` sets it on the data expr (or a group-by's inner
+    aggregate)."""
+    offs = []
+    for d in e.data_exprs():
+        off = getattr(d, "offset", None)
+        if off is None:
+            off = getattr(getattr(d, "af", None), "offset", 0)
+        offs.append(off or 0)
+    return min(offs) if offs else 0
+
+
 def generate(
     exprs: list[E.TimeSeriesExpr], offsets: list[bool] | None = None
 ) -> list[E.TimeSeriesExpr]:
     """Set legends in place of the long default expression labels
     (SimpleLegends.generate, SimpleLegends.scala:31-69).  `offsets[i]`
-    marks expressions shifted by a non-zero offset — their legend gains
-    the `(offset=$(atlas.offset))` annotation."""
-    offsets = offsets or [False] * len(exprs)
+    marks expressions shifted via the legacy list-offset expansion; an
+    inline `dur,:offset` is detected from the data exprs themselves —
+    either way the legend gains the `(offset=$(atlas.offset))`
+    annotation (withLegend checks expr.offset > 0)."""
+    offsets = [
+        bool(flag) or expr_offset(e) > 0
+        for e, flag in zip(exprs, offsets or [False] * len(exprs))
+    ]
     try:
         kvs = [_extract_key_values(e) for e in exprs]
         nonempty = [kv for kv in kvs if kv]

@@ -691,3 +691,19 @@ def test_graph_error_image_for_browsers(served):
     with pytest.raises(HTTPError) as ei:
         urllib.request.urlopen(req)
     assert ei.value.code == 400
+
+
+def test_graph_error_image_requires_valid_config(served):
+    """The error-image path only applies when the request CONFIG is
+    well-formed (GraphRequestActor's `request != null`): a missing q or a
+    non-positive/non-numeric size stays a 400 even for a browser, and a
+    bad size never masks the original error."""
+    base, _, _ = served
+    agent = "Mozilla/5.0 Gecko/13.0 Firefox/13.0"
+    for p in ("format=png", "q=:foo&format=png&w=0", "q=:foo&format=png&w=abc"):
+        req = urllib.request.Request(
+            f"{base}/api/v1/graph?{p}", headers={"User-Agent": agent}
+        )
+        with pytest.raises(HTTPError) as ei:
+            urllib.request.urlopen(req)
+        assert ei.value.code == 400, p

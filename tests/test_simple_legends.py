@@ -121,3 +121,33 @@ def test_graph_json_uses_simple_legends(spark, sf_dir):
         "&s=2024-01-02&e=2024-01-03"
     )
     assert out["legend"] == ["click", "view"]
+
+
+def test_inline_offset_gets_annotation():
+    """A single-duration `dur,:offset` (not just the legacy list form)
+    marks the expression shifted, so its legend carries the
+    (offset=$(atlas.offset)) annotation (withLegend checks
+    StyleExpr.offset > 0)."""
+    assert legends("name,cpu,:eq,:sum,name,cpu,:eq,:sum,1w,:offset") == [
+        "cpu",
+        "cpu (offset=$(atlas.offset))",
+    ]
+
+
+def test_ends_pattern_presents_raw():
+    """End-anchored patterns are neither prefix nor contains matchers:
+    the raw pattern is shown, not a stripped literal."""
+    assert legends("name,cpu,:ends,:sum") == [".*cpu$"]
+
+
+def test_graph_inline_offset_label(spark, sf_dir):
+    """End-to-end: the inline-offset line carries the atlas.offset tag
+    and its legend substitutes the actual duration."""
+    eng = Engine(spark, sf_dir)
+    g = eng.graph(
+        "/api/v1/graph?q=name,click,:eq,:sum,name,click,:eq,:sum,1d,:offset"
+        "&s=2024-01-02&e=2024-01-03"
+    )
+    labels = [ln.label for ln in g.lines]
+    assert labels == ["click", "click (offset=1d)"]
+    assert g.lines[1].tags.get("atlas.offset") == "1d"
