@@ -1359,3 +1359,47 @@ SELECT train_doc, test_doc, max_jaccard, n_test_matches FROM (
 )
 WHERE rn = 1
 """
+
+
+def source_overlap(
+    spark: SparkSession, sf_dir: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Cross-source near-duplicate matrix: for every (source_a, source_b)
+    pair (unordered, a <= b), how many verified near-dup document pairs
+    span them — the diagnostic a pipeline owner reads to see WHICH feeds
+    copy from which before deciding what to crawl less of.
+
+    Rides the capped-banding near-dup pass (`ngram_jaccard_pairs`), then
+    two doc_id equi-joins pull each side's source and one
+    partial-aggregated groupBy folds the matrix; sources-per-pair
+    normalize with least/greatest so (a,b) and (b,a) collapse.  At 100 TB
+    the cost is the near-dup pass — the matrix itself is
+    source-cardinality-sized."""
+    pairs = ngram_jaccard_pairs(spark, sf_dir, n, threshold)
+    docs = load_documents(spark, sf_dir).select("doc_id", "source")
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("source").alias("src_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("source").alias("src_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+
+
+SOURCE_OVERLAP_SQL = f"""
+WITH pairs AS ({NGRAM_JACCARD_SQL}),
+j AS (
+  SELECT least(da.source, db.source) AS source_a,
+         greatest(da.source, db.source) AS source_b
+  FROM pairs p
+  JOIN documents da ON p.id_a = da.doc_id
+  JOIN documents db ON p.id_b = db.doc_id
+)
+SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+FROM j GROUP BY source_a, source_b
+"""

@@ -1394,3 +1394,65 @@ FROM tot t JOIN top p ON t.cell = p.cell AND p.rk = 1
 
 
 CLUSTER_PURITY_SQL = _cluster_purity_sql()
+
+
+def emb_outliers(
+    spark: SparkSession, sf_dir: str, k: int = 20, dim: int = EMBEDDING_DIM
+) -> DataFrame:
+    """Embedding-quality outlier report: the k vectors farthest from
+    their label's centroid — the standard "drop the weird embeddings"
+    filter a curation pipeline runs before clustering/dedup.
+
+    Centroids are ONE per label (a handful of rows): `dim` narrow `avg`
+    aggregates per label computed in a single partial-aggregated pass,
+    then broadcast back — the corpus scan never shuffles by anything but
+    `label`, and the distance is a JVM-side `aggregate`/`zip_with` fold.
+    Top-k reduces via TakeOrderedAndProject (no global sort); ties break
+    on vec_id so the report is deterministic cross-engine."""
+    emb = load_embeddings(spark, sf_dir)
+    cent = emb.groupBy("label").agg(
+        F.array(
+            *[F.avg(F.col("embedding")[i].cast("double")) for i in range(dim)]
+        ).alias("centroid")
+    )
+    dist = (
+        emb.join(F.broadcast(cent), "label")
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                F.sqrt(
+                    F.aggregate(
+                        F.zip_with(
+                            "embedding",
+                            "centroid",
+                            lambda x, y: (x.cast("double") - y) ** 2,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    )
+                ),
+                6,
+            ).alias("dist"),
+        )
+    )
+    return dist.orderBy(F.col("dist").desc(), F.col("vec_id").asc()).limit(k)
+
+
+def _emb_outliers_sql(k: int = 20, dim: int = EMBEDDING_DIM) -> str:
+    return f"""
+WITH x AS (
+  SELECT vec_id, label, CAST(embedding[t.i] AS DOUBLE) AS val, t.i AS idx
+  FROM embeddings CROSS JOIN range(1, {dim} + 1) AS t(i)
+),
+c AS (SELECT label, idx, avg(val) AS m FROM x GROUP BY label, idx),
+d AS (
+  SELECT x.vec_id, x.label, round(sqrt(sum((x.val - c.m) * (x.val - c.m))), 6) AS dist
+  FROM x JOIN c ON x.label = c.label AND x.idx = c.idx
+  GROUP BY x.vec_id, x.label
+)
+SELECT vec_id, label, dist FROM d ORDER BY dist DESC, vec_id ASC LIMIT {k}
+"""
+
+
+EMB_OUTLIERS_SQL = _emb_outliers_sql()

@@ -330,3 +330,41 @@ def test_debug_empty_program_verifies_contract():
     with pytest.raises(ValueError, match="stack is empty"):
         _verify_stack_contents("query", [])
     _verify_stack_contents("std", [])  # std accepts anything
+
+
+# --------------------------------------------------- property-based checks
+
+
+def test_sort_query_properties_random_trees():
+    """Adversarial complement to the ported cases: over random query
+    trees, the normalizer's clause sort must (a) preserve matching
+    semantics on random tag maps, (b) be idempotent, and (c) produce one
+    canonical string for operand-order variants of the same tree."""
+    import random
+
+    from atlas_spark.model import query as Q
+    from test_property_differential import BUCKETS, NAMES, rand_query
+
+    norm_q = _N.sort_query
+    rng = random.Random(2024)
+    for _ in range(200):
+        q = rand_query(rng)
+        s = norm_q(q)
+        # (a) semantics on random tag maps (incl. partial maps)
+        for _ in range(20):
+            tags = {}
+            if rng.random() < 0.9:
+                tags["name"] = rng.choice(NAMES)
+            if rng.random() < 0.9:
+                tags["bucket"] = rng.choice(BUCKETS)
+            assert s.matches(tags) == q.matches(tags), (
+                q.display(),
+                s.display(),
+                tags,
+            )
+        # (b) idempotent
+        assert norm_q(s).display() == s.display()
+        # (c) operand order canonical
+        if isinstance(q, (Q.AndQuery, Q.OrQuery)):
+            flipped = type(q)(q.q2, q.q1)
+            assert norm_q(flipped).display() == s.display()

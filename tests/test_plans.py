@@ -880,3 +880,24 @@ def test_lsh_precision_no_cartesian_pairgen(spark, sf_dir, queries):
     plan = _plan(queries["op_lsh_precision"](spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     # 1-row x 1-row combine may compile to BroadcastNestedLoopJoin: allowed.
+
+
+def test_emb_outliers_broadcasts_centroids(spark, sf_dir, queries):
+    """Centroid-distance outliers: the per-label centroid frame (a
+    handful of rows) must BROADCAST back to the corpus — shuffling the
+    corpus to meet it would dominate at scale — and the top-k must
+    reduce via TakeOrderedAndProject, never a global sort."""
+    plan = _plan(queries["op_emb_outliers"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_source_overlap_no_cartesian(spark, sf_dir, queries):
+    """The cross-source matrix rides the capped banding pass: both
+    source joins are equi-joins on doc_id and the matrix fold has a
+    map-side partial aggregate — nothing quadratic beyond the (already
+    capped) candidate generation."""
+    plan = _plan(queries["op_source_overlap"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "HashAggregate" in plan, plan
