@@ -261,11 +261,23 @@ w("set", _match(ANY, STR), _set)
 def _format(c: Context) -> None:
     args = c.pop()
     pattern = c.pop()
-    # java-style {} / printf subset: use python % after translating {N}
+    # printf-style substitution.  Stack args arrive as STRINGS, so
+    # numeric conversions parse their arg first (float for e/f/g, int
+    # for d/o/x); a failed parse or arity mismatch is a client ERROR,
+    # never a silent passthrough (Format word -> String.format).
+    convs = [m for m in re.findall(r"%[-#0-9+ .]*([a-zA-Z%])", pattern) if m != "%"]
     try:
-        c.push(pattern % tuple(args))
-    except TypeError:
-        c.push(pattern)
+        coerced = []
+        for i, a in enumerate(args):
+            conv = convs[i] if i < len(convs) else "s"
+            if isinstance(a, str) and conv in "eEfgG":
+                a = float(a)
+            elif isinstance(a, str) and conv in "doxX":
+                a = int(float(a))
+            coerced.append(a)
+        c.push(pattern % tuple(coerced))
+    except (TypeError, ValueError) as ex:
+        raise AslError(f":format failed for pattern {pattern!r}: {ex}") from ex
 
 
 w("format", _match(LST, STR), _format)

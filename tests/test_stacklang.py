@@ -232,3 +232,20 @@ def test_expr_api_features_param(spark):
     assert api.expr("name,cpu,:eq,:sum")
     assert api.expr("name,cpu,:eq,:sum", features="unstable")
     assert api.debug("name,cpu,:eq,:sum", features="unstable")
+
+
+def test_format_numeric_conversions_and_errors():
+    """`:format` (StandardVocabulary.Format -> String.format): stack args
+    are strings, so numeric conversions parse first (%.2f formats, %d
+    truncates); a non-numeric arg against a numeric conversion is a
+    client ERROR, never a silent unformatted passthrough."""
+    import pytest
+
+    from atlas_spark.stacklang.interpreter import AslError
+
+    interp = default_interpreter()
+    assert interp.execute("foo%s,(,bar,),:format") == ["foobar"]
+    assert interp.execute("%.2f,(,3.14159,),:format") == ["3.14"]
+    assert interp.execute("%d-%s,(,42,xyz,),:format") == ["42-xyz"]
+    with pytest.raises(AslError, match=":format failed"):
+        interp.execute("%d,(,notanumber,),:format")
