@@ -1403,3 +1403,63 @@ j AS (
 SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
 FROM j GROUP BY source_a, source_b
 """
+
+
+# Oracle for text.curation_funnel: composes the cluster/survivor CTEs with
+# the 2-gram contamination rollup and the word-shape gates — one row per
+# pipeline stage.  Lives here (not text.py) because it embeds the dedup
+# cluster SQL and dedup already imports text.
+CURATION_FUNNEL_SQL = f"""
+WITH cl AS ({DEDUP_CLUSTERS_SQL}),
+kb AS ({DEDUP_KEEP_BEST_SQL}),
+train AS (
+  SELECT doc_id, text, len(string_split(text, ' ')) AS n_words,
+         (len(text) - (len(string_split(text, ' ')) - 1))
+             / len(string_split(text, ' ')) AS awl
+  FROM documents WHERE source != 'src0'
+),
+bg AS (
+  SELECT DISTINCT unnest(list_distinct(list_transform(
+      range(1, greatest(len(string_split(text, ' ')), 1)),
+      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))) AS gram
+  FROM documents WHERE source = 'src0'
+),
+contam AS (
+  SELECT doc_id
+  FROM (
+    SELECT t.doc_id,
+           avg(CASE WHEN bg.gram IS NOT NULL THEN 1.0 ELSE 0.0 END) AS ratio
+    FROM (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+          range(1, greatest(len(string_split(text, ' ')), 1)),
+          i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))) AS gram
+      FROM documents WHERE source != 'src0'
+    ) t LEFT JOIN bg ON t.gram = bg.gram
+    GROUP BY t.doc_id
+  ) WHERE ratio > 0.8
+),
+flags AS (
+  SELECT tr.n_words AS tokens,
+         (cl.doc_id IS NULL OR kb.survivor_id IS NOT NULL) AS p1,
+         (c.doc_id IS NOT NULL) AS contam,
+         (tr.n_words >= 16 AND tr.awl >= 4.0 AND tr.awl <= 5.0) AS q
+  FROM train tr
+  LEFT JOIN cl ON tr.doc_id = cl.doc_id
+  LEFT JOIN kb ON tr.doc_id = kb.survivor_id
+  LEFT JOIN contam c ON tr.doc_id = c.doc_id
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n0, CAST(sum(tokens) AS BIGINT) AS t0,
+         CAST(sum(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN p1 THEN tokens ELSE 0 END) AS BIGINT) AS t1,
+         CAST(sum(CASE WHEN p1 AND NOT contam THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(sum(CASE WHEN p1 AND NOT contam THEN tokens ELSE 0 END) AS BIGINT) AS t2,
+         CAST(sum(CASE WHEN p1 AND NOT contam AND q THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+         CAST(sum(CASE WHEN p1 AND NOT contam AND q THEN tokens ELSE 0 END) AS BIGINT) AS t3
+  FROM flags
+)
+SELECT '1_input' AS stage, n0 AS n_docs, t0 AS n_tokens FROM agg
+UNION ALL SELECT '2_near_dedup', n1, t1 FROM agg
+UNION ALL SELECT '3_decontaminated', n2, t2 FROM agg
+UNION ALL SELECT '4_quality', n3, t3 FROM agg
+"""

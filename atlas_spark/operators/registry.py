@@ -73,6 +73,7 @@ SPECS: list[OpSpec] = [
     OpSpec("op_lsh_precision", dedup.lsh_precision, dedup.LSH_PRECISION_SQL),
     OpSpec("op_source_overlap", dedup.source_overlap, dedup.SOURCE_OVERLAP_SQL),
     OpSpec("op_emb_outliers", similarity.emb_outliers, similarity.EMB_OUTLIERS_SQL),
+    OpSpec("op_curation_funnel", text.curation_funnel, dedup.CURATION_FUNNEL_SQL),
     OpSpec("op_media_features", multimodal.extract_media_features, multimodal.EXTRACT_MEDIA_SQL),
     OpSpec("op_frame_sample", multimodal.frame_sample, multimodal.FRAME_SAMPLE_SQL),
     OpSpec("op_media_resize", multimodal.resize_media_query, multimodal.RESIZE_MEDIA_SQL),

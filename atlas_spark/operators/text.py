@@ -1257,3 +1257,109 @@ SELECT lang, bucket, n_docs, total_chars,
        round(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (PARTITION BY lang), 6) AS doc_share
 FROM agg
 """
+
+
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation funnel — the capstone composition a
+    pretraining pipeline runs, as ONE query: starting from the training
+    slice (everything outside the `src0` benchmark stand-in), count docs
+    and whitespace tokens surviving each stage:
+
+      input          -> all train docs
+      near_dedup     -> cluster survivors only (transitive near-dup
+                        clusters via the capped MinHash banding; the
+                        max-content doc per cluster survives, unclustered
+                        docs pass through)
+      decontaminated -> near-dedup survivors whose 2-gram overlap RATIO
+                        with the benchmark slice is at most 0.8 (the
+                        synthetic corpus's tiny vocabulary makes every
+                        doc share SOME gram, so like a real pipeline the
+                        gate thresholds the ratio, not any-hit)
+      quality        -> those also passing the word-shape gates
+                        (>= 16 words, 4.0 <= avg word len <= 5.0)
+
+    One row per stage.  Shape: the near-dup labels and survivor picks are
+    cluster-sized frames left-joined onto the train scan; contamination
+    is the linear per-doc rollup (never a train x bench fan-out); the
+    funnel itself is a single four-way conditional aggregate — adding a
+    stage costs one column, not one pass."""
+    from .dedup import dedup_clusters, dedup_keep_best
+
+    docs = load_documents(spark, sf_dir)
+    train = docs.filter(F.col("source") != "src0")
+
+    labels = dedup_clusters(spark, sf_dir).select(
+        "doc_id", F.lit(True).alias("clustered")
+    )
+    survivors = dedup_keep_best(spark, sf_dir).select(
+        F.col("survivor_id").alias("doc_id"), F.lit(True).alias("survivor")
+    )
+
+    n = 2
+    words = F.split(F.col("text"), " ")
+    idx = F.when(
+        F.size(words) >= n, F.sequence(F.lit(0), F.size(words) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
+    )
+    bench_grams = F.broadcast(
+        docs.filter(F.col("source") == "src0")
+        .select(F.explode(grams).alias("gram"))
+        .distinct()
+    )
+    tr_grams = train.select("doc_id", F.explode(grams).alias("gram"))
+    hits = (
+        tr_grams.join(bench_grams, "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    contaminated = (
+        tr_grams.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_grams"))
+        .join(hits, "doc_id", "left")
+        .filter(F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_grams") > 0.8)
+        .select("doc_id", F.lit(True).alias("contaminated"))
+    )
+
+    n_words = F.size(words)
+    awl = (F.length("text") - (n_words - 1)) / n_words
+    flagged = (
+        train.join(labels, "doc_id", "left")
+        .join(survivors, "doc_id", "left")
+        .join(contaminated, "doc_id", "left")
+        .select(
+            n_words.cast("long").alias("tokens"),
+            (
+                ~F.coalesce(F.col("clustered"), F.lit(False))
+                | F.coalesce(F.col("survivor"), F.lit(False))
+            ).alias("p1"),
+            F.coalesce(F.col("contaminated"), F.lit(False)).alias("contam"),
+            ((n_words >= 16) & (awl >= 4.0) & (awl <= 5.0)).alias("q"),
+        )
+        .select(
+            "tokens",
+            "p1",
+            (F.col("p1") & ~F.col("contam")).alias("p2"),
+            (F.col("p1") & ~F.col("contam") & F.col("q")).alias("p3"),
+        )
+    )
+    agg = flagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.sum("tokens").cast("long").alias("t0"),
+        F.sum(F.col("p1").cast("long")).cast("long").alias("n1"),
+        F.sum(F.when(F.col("p1"), F.col("tokens")).otherwise(0)).cast("long").alias("t1"),
+        F.sum(F.col("p2").cast("long")).cast("long").alias("n2"),
+        F.sum(F.when(F.col("p2"), F.col("tokens")).otherwise(0)).cast("long").alias("t2"),
+        F.sum(F.col("p3").cast("long")).cast("long").alias("n3"),
+        F.sum(F.when(F.col("p3"), F.col("tokens")).otherwise(0)).cast("long").alias("t3"),
+    )
+    stages = F.array(
+        F.struct(F.lit("1_input").alias("stage"), F.col("n0").alias("n_docs"), F.col("t0").alias("n_tokens")),
+        F.struct(F.lit("2_near_dedup").alias("stage"), F.col("n1").alias("n_docs"), F.col("t1").alias("n_tokens")),
+        F.struct(F.lit("3_decontaminated").alias("stage"), F.col("n2").alias("n_docs"), F.col("t2").alias("n_tokens")),
+        F.struct(F.lit("4_quality").alias("stage"), F.col("n3").alias("n_docs"), F.col("t3").alias("n_tokens")),
+    )
+    return agg.select(F.explode(stages).alias("s")).select(
+        "s.stage", "s.n_docs", "s.n_tokens"
+    )

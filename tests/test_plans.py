@@ -901,3 +901,14 @@ def test_source_overlap_no_cartesian(spark, sf_dir, queries):
     plan = _plan(queries["op_source_overlap"](spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert "HashAggregate" in plan, plan
+
+
+def test_curation_funnel_single_conditional_aggregate(spark, sf_dir, queries):
+    """The funnel's four stages fold in ONE conditional aggregate over
+    the flagged train scan (adding a stage costs a column, not a pass):
+    no cartesian products, the benchmark gram set broadcasts, and the
+    stage rows come from a constant-size explode of the one-row
+    aggregate."""
+    plan = _plan(queries["op_curation_funnel"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
