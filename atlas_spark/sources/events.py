@@ -22,6 +22,73 @@ from ..model import query as Q
 from ..session import configure_existing
 
 
+def _duration_nanos_col(s: Column) -> Column:
+    """String duration -> nanos as double, JVM-side: ISO `P..T..` forms
+    and `<n><unit>` suffixes (Strings.parseDuration grammar subset)."""
+    iso_d = F.coalesce(
+        F.regexp_extract(s, r"^P(\d+)D", 1).cast("double"), F.lit(0.0)
+    )
+    iso_h = F.coalesce(
+        F.regexp_extract(s, r"T(?:(\d+)H)", 1).cast("double"), F.lit(0.0)
+    )
+    iso_m = F.coalesce(
+        F.regexp_extract(s, r"T(?:\d+H)?(?:(\d+)M)", 1).cast("double"),
+        F.lit(0.0),
+    )
+    iso_s = F.coalesce(
+        F.regexp_extract(s, r"(\d+(?:\.\d+)?)S$", 1).cast("double"), F.lit(0.0)
+    )
+    iso = (iso_d * 86400 + iso_h * 3600 + iso_m * 60 + iso_s) * 1e9
+    n = F.regexp_extract(s, r"^(\d+(?:\.\d+)?)", 1).cast("double")
+    unit = F.regexp_extract(s, r"^\d+(?:\.\d+)?([a-zμ]+)$", 1)
+    factor = (
+        F.when(unit == "ns", F.lit(1.0))
+        .when(unit.isin("us", "μs"), F.lit(1e3))
+        .when(unit == "ms", F.lit(1e6))
+        .when(unit.isin("s", "second", "seconds"), F.lit(1e9))
+        .when(unit.isin("m", "min", "minute", "minutes"), F.lit(60e9))
+        .when(unit.isin("h", "hour", "hours"), F.lit(3600e9))
+        .when(unit.isin("d", "day", "days"), F.lit(86400e9))
+        .when(unit.isin("w", "wk", "week", "weeks"), F.lit(604800e9))
+    )
+    return F.when(s.rlike(r"^P"), iso).otherwise(n * factor)
+
+
+# epoch magnitude cutoffs (Strings.ofEpoch auto-detection: seconds,
+# millis, micros, nanos by value range)
+_EPOCH_S_CUTOFF = float((1 << 31) - 1)
+_EPOCH_MS_CUTOFF = 13569465600000.0  # 2400-01-01 in millis
+_EPOCH_US_CUTOFF = _EPOCH_MS_CUTOFF * 1000
+
+
+def _epoch_nanos_col(num: Column) -> Column:
+    return (
+        F.when(num <= _EPOCH_S_CUTOFF, num * 1e9)
+        .when(num <= _EPOCH_MS_CUTOFF, num * 1e6)
+        .when(num <= _EPOCH_US_CUTOFF, num * 1e3)
+        .otherwise(num)
+    )
+
+
+def _epoch_nanos_py(v: str) -> float:
+    import datetime as dt
+
+    s = v.strip()
+    if s.isdigit():
+        n = float(s)
+        if n <= _EPOCH_S_CUTOFF:
+            return n * 1e9
+        if n <= _EPOCH_MS_CUTOFF:
+            return n * 1e6
+        if n <= _EPOCH_US_CUTOFF:
+            return n * 1e3
+        return n
+    from ..util.strings import parse_date
+
+    d = parse_date(s, "UTC", {}, now=dt.datetime.now(dt.timezone.utc))
+    return d.timestamp() * 1e9
+
+
 class EventSource:
     PROMOTED = {
         "name": "event_type",
@@ -55,14 +122,89 @@ class EventSource:
         c = self.field(key)
         return c.cast("string")
 
+    # ------------------------------------------------- typed dimensions
+    #
+    # TypedLwcEventFilter parity (atlas-lwc-events/.../TypedLwcEventFilter
+    # .scala:146-290): designated event dimensions compare TYPED instead
+    # of lexically — `duration,42ms,:gt` matches spans longer than 42ms
+    # numerically.  Matcher types: long / double (plain numerics),
+    # duration (numeric field value = NANOS, the wire convention; string
+    # values parse the duration grammar incl. ISO `PT..` forms), instant
+    # (numeric epoch with s/ms/us/ns magnitude detection like
+    # Strings.ofEpoch; strings parse as ISO date-times).  Regex words on
+    # a typed dimension never match (the reference pins `:re`/`:reic`
+    # false on typed dims).  All comparisons canonicalize to a DOUBLE
+    # column so the predicates stay in whole-stage codegen.
+
+    typed_dimensions: dict[str, str] = {}
+
+    def with_typed(self, dims: dict[str, str]) -> "EventSource":
+        self.typed_dimensions = dict(dims)
+        return self
+
+    @staticmethod
+    def typed_value(tpe: str, v: str) -> float:
+        """Parse a query literal to the canonical comparable double."""
+        from ..util.strings import parse_duration_td
+
+        if tpe == "duration":
+            s = v.strip()
+            if s.replace(".", "", 1).isdigit():
+                return float(s) * 1e9  # bare digits: seconds (parseDuration)
+            return parse_duration_td(s).total_seconds() * 1e9
+        if tpe == "instant":
+            return _epoch_nanos_py(v)
+        return float(v)
+
+    def typed_col(self, key: str, tpe: str) -> Column:
+        s = F.trim(self.field_str(key))
+        num = s.cast("double")
+        if tpe in ("long", "double"):
+            return num
+        if tpe == "duration":
+            return F.when(s.rlike(r"^[0-9]+(\.[0-9]+)?$"), num).otherwise(
+                _duration_nanos_col(s)
+            )
+        if tpe == "instant":
+            return F.when(s.rlike(r"^[0-9]+$"), _epoch_nanos_col(num)).otherwise(
+                F.unix_micros(F.to_timestamp(s)).cast("double") * 1e3
+            )
+        raise ValueError(f"unknown typed dimension type {tpe!r}")
+
     def query_col(self, q: Q.Query) -> Column:
         def go(q: Q.Query) -> Column:
+            tpe = (
+                self.typed_dimensions.get(q.k)
+                if isinstance(q, Q.KeyQuery)
+                else None
+            )
             if isinstance(q, Q.TrueQuery):
                 return F.lit(True)
             if isinstance(q, Q.FalseQuery):
                 return F.lit(False)
             if isinstance(q, Q.HasKeyQuery):
                 return self.field_str(q.k).isNotNull()
+            if tpe is not None and isinstance(
+                q, (Q.RegexQuery, Q.RegexIgnoreCaseQuery)
+            ):
+                # regex never matches a typed dimension
+                # (TypedLwcEventFilterSuite 'duration: regex')
+                return F.lit(False)
+            if tpe is not None and isinstance(q, Q.InQuery):
+                vals = [self.typed_value(tpe, v) for v in q.vs]
+                return self.typed_col(q.k, tpe).isin(*vals)
+            if tpe is not None and isinstance(q, Q.KeyValueQuery):
+                c, v = self.typed_col(q.k, tpe), self.typed_value(tpe, q.v)
+                if isinstance(q, Q.EqualQuery):
+                    return c == v
+                if isinstance(q, Q.LessThanQuery):
+                    return c < v
+                if isinstance(q, Q.LessThanEqualQuery):
+                    return c <= v
+                if isinstance(q, Q.GreaterThanQuery):
+                    return c > v
+                if isinstance(q, Q.GreaterThanEqualQuery):
+                    return c >= v
             if isinstance(q, Q.EqualQuery):
                 return self.field_str(q.k) == q.v
             if isinstance(q, Q.LessThanQuery):
