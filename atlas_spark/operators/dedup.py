@@ -1126,7 +1126,10 @@ CROSS JOIN (
 
 
 def dedup_keep_best(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.5
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.5,
+    labels: DataFrame | None = None,
 ) -> DataFrame:
     """Per-cluster survivor selection — the decision a dedup pipeline
     actually writes out: within each near-dup cluster, keep the document
@@ -1141,8 +1144,11 @@ def dedup_keep_best(
     state is constant-size, and at 100 TB the only added cost over the
     cluster labels is one shuffle keyed on canonical_id whose input is
     already restricted to docs caught in clusters (singletons never enter
-    the label frame)."""
-    labels = dedup_clusters(spark, sf_dir, threshold=threshold)
+    the label frame).  Callers that already hold the cluster labels pass
+    them via `labels` so the propagation rounds run once (the curation
+    funnel composes clusters AND survivors)."""
+    if labels is None:
+        labels = dedup_clusters(spark, sf_dir, threshold=threshold)
     joined = labels.join(
         load_documents(spark, sf_dir).select("doc_id", "n_chars"), "doc_id"
     )

@@ -1288,10 +1288,11 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_documents(spark, sf_dir)
     train = docs.filter(F.col("source") != "src0")
 
-    labels = dedup_clusters(spark, sf_dir).select(
-        "doc_id", F.lit(True).alias("clustered")
-    )
-    survivors = dedup_keep_best(spark, sf_dir).select(
+    # ONE label-propagation pass feeds both the membership flags and the
+    # survivor selection (dedup_keep_best reuses the labels frame)
+    cluster_labels = dedup_clusters(spark, sf_dir)
+    labels = cluster_labels.select("doc_id", F.lit(True).alias("clustered"))
+    survivors = dedup_keep_best(spark, sf_dir, labels=cluster_labels).select(
         F.col("survivor_id").alias("doc_id"), F.lit(True).alias("survivor")
     )
 
