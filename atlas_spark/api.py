@@ -77,6 +77,15 @@ class GraphResult:
     # getAxisParam falls back to the unsuffixed value): {axis id: {key:
     # value}}; lines select their axis via the `:axis` style setting
     axes: dict[int, dict] = field(default_factory=dict)
+    # layout mode (`layout` param, Layout.java / Grapher.scala:153):
+    # canvas (default — w/h size the data canvas, the image grows to fit
+    # axes/title/legend) | image (w/h size the final image) | iw | ih
+    layout: str = "canvas"
+    # only_graph also fixes both dimensions (TimeSeriesGraph.scala:38,52)
+    only_graph: bool = False
+    # rendering hints (`hints` param, Grapher.processHints): free-form
+    # comma set; `ambiguous-multi-y` restores legacy multi-Y coloring
+    hints: frozenset = frozenset()
 
     def to_json(self) -> dict[str, Any]:
         """std.json-style payload (one message per line)."""
@@ -672,6 +681,19 @@ class Engine:
         only_graph = qs.get("only_graph", [None])[0] == "1"
         show_legend = not only_graph and qs.get("no_legend", [None])[0] != "1"
         show_stats = qs.get("no_legend_stats", [None])[0] != "1"
+        # layout mode (Layout.create, Grapher.scala:153) — unknown names
+        # are client errors like the reference's IllegalArgumentException
+        layout = qs.get("layout", ["canvas"])[0]
+        if layout not in ("canvas", "image", "iw", "ih"):
+            raise ValueError(f"unknown layout: {layout}")
+        # rendering hints: comma set, trimmed, empties dropped
+        # (Grapher.processHints)
+        hints = frozenset(
+            h.strip()
+            for raw in qs.get("hints", [])
+            for h in raw.split(",")
+            if h.strip()
+        )
         return GraphResult(
             ctx.start,
             ctx.end,
@@ -691,6 +713,9 @@ class Engine:
             vision=qs.get("vision", ["normal"])[0],
             tick_labels=qs.get("tick_labels", ["decimal"])[0],
             axes=self._axis_overrides(qs),
+            layout=layout,
+            only_graph=only_graph,
+            hints=hints,
         )
 
     @staticmethod

@@ -523,7 +523,6 @@ def render_png(result, width: int = 700, height: int = 300) -> bytes:
     pad_l, pad_r = 48 + ylab_w, 8
     pad_t = 8 + (10 if title else 0)
     pad_b = 9 + zone_row_h * len(tzs)
-    plot_w = width - pad_l - pad_r
 
     # axis-level params (Grapher.scala newAxis: `scale`/`o` pick the y
     # scale; `stack=1` makes stack the default line style for the axis).
@@ -567,21 +566,6 @@ def render_png(result, width: int = 700, height: int = 300) -> bytes:
             return s
         return "stack" if axis_cfg(axis_of(ln))["stack"] else "line"
 
-    # legend sizing (LegendEntry.height): one 9px label row per line,
-    # plus three 8px stat rows when stats are shown; carved out of the
-    # fixed canvas height, capped at half of it (extra entries truncate)
-    show_legend = bool(getattr(result, "show_legend", False))
-    show_stats = bool(getattr(result, "show_legend_stats", True))
-    entry_h = 9 + (3 * 8 if show_stats else 0)
-    n_entries = 0
-    legend_h = 0
-    if show_legend and result.lines:
-        max_h = (height - pad_t - pad_b) // 2
-        n_entries = min(len(result.lines), max(0, max_h // entry_h))
-        legend_h = n_entries * entry_h
-    plot_h = height - pad_t - pad_b - legend_h
-    cv = Canvas(width, height, bg=th["bg"])
-
     hm_lines = [ln for ln in result.lines if _style(ln) == "heatmap"]
     ts_lines = [ln for ln in result.lines if ln not in hm_lines]
     n_steps = max(1, (result.end - result.start) // result.step)
@@ -590,7 +574,43 @@ def render_png(result, width: int = 700, height: int = 300) -> bytes:
     if len(axis_ids) > 1:
         # secondary axes label on the right: widen the right margin
         pad_r = 44
-        plot_w = width - pad_l - pad_r
+
+    # layout mode (Layout.java, Grapher.scala:153): which dimensions the
+    # caller's `w`/`h` fix.  CANVAS (default) sizes the data canvas and
+    # the image grows to fit axes/title/legend; IMAGE fixes the final
+    # image (legend shut off per GraphDef.legendTypeForLayout,
+    # GraphDef.scala:137-139, other elements carved out of w/h); `iw`
+    # fixes only the width, `ih` only the height.  `only_graph` keeps
+    # both dimensions as given (TimeSeriesGraph.scala:38,52).
+    layout = (getattr(result, "layout", None) or "canvas").lower()
+    if layout not in ("canvas", "image", "iw", "ih"):
+        raise ValueError(f"unknown layout: {layout}")
+    only_graph = bool(getattr(result, "only_graph", False))
+    fixed_w = only_graph or layout in ("image", "iw")
+    fixed_h = only_graph or layout in ("image", "ih")
+
+    # legend sizing (LegendEntry.height): one 9px label row per line,
+    # plus three 8px stat rows when stats are shown.  Fixed-height
+    # layouts drop the legend entirely (legendTypeForLayout -> OFF);
+    # otherwise it extends the image below the time axis, capped at
+    # MaxLinesInLegend entries (GraphConstants: 50).
+    show_legend = bool(getattr(result, "show_legend", False)) and not fixed_h
+    show_stats = bool(getattr(result, "show_legend_stats", True))
+    entry_h = 9 + (3 * 8 if show_stats else 0)
+    n_entries = 0
+    legend_h = 0
+    if show_legend and result.lines:
+        n_entries = min(len(result.lines), 50)
+        legend_h = n_entries * entry_h
+
+    # translate canvas dims -> image dims for non-fixed dimensions
+    if not fixed_w:
+        width = width + pad_l + pad_r
+    if not fixed_h:
+        height = height + pad_t + pad_b + legend_h
+    plot_w = width - pad_l - pad_r
+    plot_h = height - pad_t - pad_b - legend_h
+    cv = Canvas(width, height, bg=th["bg"])
 
     def _axis_bounds(aid: int) -> tuple[float, float]:
         """y bounds for one axis (PlotDef.finalBounds / PlotBound):
@@ -679,6 +699,42 @@ def render_png(result, width: int = 700, height: int = 300) -> bytes:
         start = max(pad_t, pad_t + (plot_h - len(ylabel) * 8) // 2)
         for k, ch in enumerate(ylabel[: plot_h // 8]):
             cv.text(0, start + k * 8, ch, th["text"])
+    # per-line colors: explicit `color` wins; otherwise cycle the line's
+    # own `:palette` (per palette-group) or the axis `palette` param or
+    # the default (Palette.create / StyleExpr color resolution)
+    axis_pal = palette_colors(getattr(result, "palette", None)) or PALETTE
+    _pal_counters: dict = {}
+    line_color: dict = {}
+    for ln in result.lines:
+        settings = getattr(ln, "settings", {}) or {}
+        pdesc = settings.get("palette")
+        pal = palette_colors(pdesc) or axis_pal
+        i = _pal_counters.get(pdesc, 0)
+        _pal_counters[pdesc] = i + 1
+        c, a = _parse_color(
+            settings.get("color"),
+            pal[i % len(pal)],
+            theme=getattr(result, "theme", None) or "light",
+        )
+        line_color[id(ln)] = (
+            vision_filter(c, getattr(result, "vision", None)),
+            a,
+        )
+
+    # multi-Y axis disambiguation (Grapher.scala:335, Axis.scala:68,
+    # GraphDef.ambiguousMultiY): with >1 y-axis each axis's labels take
+    # the color of its first line, unless the `ambiguous-multi-y`
+    # rendering hint restores the legacy neutral coloring
+    hints = {h for h in (getattr(result, "hints", None) or ()) if h}
+    multi_y = len(axis_ids) > 1 and "ambiguous-multi-y" not in hints
+
+    def _axis_label_color(aid: int):
+        if multi_y:
+            first = next((ln for ln in ts_lines if axis_of(ln) == aid), None)
+            if first is not None:
+                return line_color[id(first)][0]
+        return th["text"]
+
     for g in range(5):
         val = hi - (hi - lo) * g / 4
         y = ty(val)
@@ -688,7 +744,7 @@ def render_png(result, width: int = 700, height: int = 300) -> bytes:
                 2 + ylab_w,
                 y - 3,
                 _fmt_value(val, axis_cfg(0)["tick_labels"])[:7],
-                th["text"],
+                _axis_label_color(0),
             )
     # secondary-axis labels on the right margin (first non-zero axis)
     if len(axis_ids) > 1:
@@ -702,7 +758,7 @@ def render_png(result, width: int = 700, height: int = 300) -> bytes:
                     pad_l + plot_w + 3,
                     y - 3,
                     _fmt_value(val, axis_cfg(aid2)["tick_labels"])[:6],
-                    th["text"],
+                    _axis_label_color(aid2),
                 )
     tick_is = list(range(0, n_steps, max(1, n_steps // 8)))
     for i in tick_is:
@@ -736,28 +792,6 @@ def render_png(result, width: int = 700, height: int = 300) -> bytes:
 
     if hm_lines:
         _render_heatmap(cv, hm_lines, n_steps, tx, ty, lo, hi, pad_t, plot_h)
-
-    # per-line colors: explicit `color` wins; otherwise cycle the line's
-    # own `:palette` (per palette-group) or the axis `palette` param or
-    # the default (Palette.create / StyleExpr color resolution)
-    axis_pal = palette_colors(getattr(result, "palette", None)) or PALETTE
-    _pal_counters: dict = {}
-    line_color: dict = {}
-    for ln in result.lines:
-        settings = getattr(ln, "settings", {}) or {}
-        pdesc = settings.get("palette")
-        pal = palette_colors(pdesc) or axis_pal
-        i = _pal_counters.get(pdesc, 0)
-        _pal_counters[pdesc] = i + 1
-        c, a = _parse_color(
-            settings.get("color"),
-            pal[i % len(pal)],
-            theme=getattr(result, "theme", None) or "light",
-        )
-        line_color[id(ln)] = (
-            vision_filter(c, getattr(result, "vision", None)),
-            a,
-        )
 
     # running stack offsets per step and per axis (TimeSeriesStack.
     # Offsets): positive values pile on pos_y, negative on neg_y — a

@@ -215,7 +215,8 @@ def test_graph_png(engine):
     import zlib
 
     png = engine.graph_png(
-        "/api/v1/graph?q=:true,:sum,(,name,),:by&s=2024-01-02&e=2024-01-03",
+        "/api/v1/graph?q=:true,:sum,(,name,),:by&s=2024-01-02&e=2024-01-03"
+        "&layout=image",
         width=320,
         height=160,
     )
@@ -539,7 +540,10 @@ def test_render_png_size_params(engine):
     clamped to sane limits."""
     import struct
 
-    base = "/api/v1/graph?q=:true,:sum&s=2024-01-02&e=2024-01-03&format=png"
+    base = (
+        "/api/v1/graph?q=:true,:sum&s=2024-01-02&e=2024-01-03&format=png"
+        "&layout=image"
+    )
     png = engine.render(base + "&w=420&h=180")
     assert struct.unpack(">II", png[16:24]) == (420, 180)
     png2 = engine.render(base + "&w=999999&h=1")
@@ -550,7 +554,10 @@ def test_render_png_zoom(engine):
     """`zoom` scales both dimensions (GraphFlags.zoom)."""
     import struct
 
-    base = "/api/v1/graph?q=:true,:sum&s=2024-01-02&e=2024-01-03&format=png"
+    base = (
+        "/api/v1/graph?q=:true,:sum&s=2024-01-02&e=2024-01-03&format=png"
+        "&layout=image"
+    )
     png = engine.render(base + "&w=300&h=150&zoom=2")
     assert struct.unpack(">II", png[16:24]) == (600, 300)
 

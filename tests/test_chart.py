@@ -255,8 +255,8 @@ def test_auto_bounds_tight_for_lines_zero_for_fills():
 
 
 def test_legend_with_stats_renders():
-    """show_legend carves a legend strip out of the canvas: color boxes
-    and stat-row text below the time axis, canvas size unchanged."""
+    """show_legend extends the image below the time axis (canvas layout):
+    color boxes and stat-row text, image height grows by the legend."""
     n = 24
     lines = [
         GraphLine({}, "alpha", [1.0] * n, {}),
@@ -268,7 +268,9 @@ def test_legend_with_stats_renders():
         height=200,
     )
     w, h, px = _decode(png)
-    assert (w, h) == (300, 200)
+    # canvas 300x200 + y-axis margins (48+8) and title/time-axis/legend
+    # rows (8 + 20 + 2*33)
+    assert (w, h) == (356, 294)
     # legend strip = bottom 2 * (9 + 24) = 66 rows; the first entry's
     # color box is the palette red at x in [4, 10]
     strip0 = h - 66
@@ -294,13 +296,10 @@ def test_legend_with_stats_renders():
         if _classify(px(x, y)) not in ("bg",)
     )
     assert text_px > 50, text_px
-    # no legend -> plot uses the full height and bottom strip stays clean
+    # no legend -> the image simply lacks the legend band
     png2 = render_png(_result(lines), width=300, height=200)
     w2, h2, px2 = _decode(png2)
-    clean = all(
-        _classify(px2(x, y)) == "bg" for x in range(14, 100) for y in range(strip0 + 9, strip0 + 33)
-    )
-    assert not clean or png2 != png
+    assert (w2, h2) == (356, 294 - 66)
 
 
 def test_dark_theme():

@@ -1,0 +1,132 @@
+"""`layout` and `hints` graph parameters.
+
+Layout modes (Layout.java, Grapher.scala:153) control whether `w`/`h`
+size the data canvas or the final image: CANVAS (default) grows the
+image around the canvas to fit axes/title/legend; IMAGE fixes the final
+image (legend shut off, GraphDef.legendTypeForLayout); `iw`/`ih` fix one
+dimension each.  Rendering hints (Grapher.processHints): the
+`ambiguous-multi-y` hint restores legacy neutral multi-Y axis coloring
+(GraphDef.ambiguousMultiY, Axis.scala:68).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+
+from atlas_spark.api import Engine
+
+# one y-axis: pad_l=48, pad_r=8; title off: pad_t=8; one tz row: pad_b=20
+PAD_W, PAD_H = 48 + 8, 8 + 20
+ENTRY_H = 9 + 3 * 8  # legend entry: label row + 3 stat rows
+
+WINDOW = "s=2024-01-02&e=2024-01-03"
+BASE = f"/api/v1/graph?q=:true,:sum,(,name,),:by&{WINDOW}"
+W, H = 320, 160
+N_LINES = 5  # event names at sf0.001
+
+
+def _dims(png: bytes) -> tuple[int, int]:
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    return struct.unpack(">II", png[16:24])
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    return Engine(spark, "/root/testdata/sf0.001")
+
+
+@pytest.mark.parametrize(
+    "layout,expect",
+    [
+        # canvas (default): image = canvas + axes + time rows + legend
+        ("canvas", (W + PAD_W, H + PAD_H + N_LINES * ENTRY_H)),
+        # image: w/h are final; legend off (legendTypeForLayout -> OFF)
+        ("image", (W, H)),
+        # iw: width fixed, height grows like canvas
+        ("iw", (W, H + PAD_H + N_LINES * ENTRY_H)),
+        # ih: height fixed (legend off), width grows like canvas
+        ("ih", (W + PAD_W, H)),
+    ],
+)
+def test_layout_modes_pin_dimensions(engine, layout, expect):
+    png = engine.graph_png(f"{BASE}&layout={layout}", width=W, height=H)
+    assert _dims(png) == expect
+
+
+def test_layout_default_is_canvas(engine):
+    png = engine.graph_png(BASE, width=W, height=H)
+    assert _dims(png) == (W + PAD_W, H + PAD_H + N_LINES * ENTRY_H)
+
+
+def test_layout_unknown_rejected(engine):
+    with pytest.raises(ValueError, match="unknown layout"):
+        engine.graph(f"{BASE}&layout=bogus")
+
+
+def test_only_graph_fixes_both_dimensions(engine):
+    # TimeSeriesGraph.scala:38,52 — onlyGraph keeps w/h as given even in
+    # canvas layout
+    png = engine.graph_png(f"{BASE}&only_graph=1", width=W, height=H)
+    assert _dims(png) == (W, H)
+
+
+def _pixels(png: bytes):
+    w, h = struct.unpack(">II", png[16:24])
+    idat = png[png.index(b"IDAT") + 4 :]
+    raw = zlib.decompress(idat[: idat.index(b"IEND") - 8])
+
+    def px(x, y):
+        i = y * (w * 3 + 1) + 1 + x * 3
+        return tuple(raw[i : i + 3])
+
+    return w, h, px
+
+
+MULTI_Y = (
+    "/api/v1/graph?q=name,click,:eq,:sum,name,view,:eq,:sum,1,:axis"
+    f"&no_legend=1&{WINDOW}"
+)
+
+
+def _label_colors(png: bytes) -> set:
+    """Colors used in the y-axis tick-label margins (left of the plot at
+    x<48 and the right-margin labels), excluding background/grid."""
+    w, h, px = _pixels(png)
+    cols = set()
+    for y in range(8, h - 20):
+        for x in list(range(2, 46)) + list(range(w - 42, w - 2)):
+            c = px(x, y)
+            if c not in ((255, 255, 255), (224, 224, 224), (96, 96, 96)):
+                cols.add(c)
+    return cols
+
+
+def test_multi_y_axis_labels_take_line_colors(engine):
+    # default multi-Y: axis-0 labels drawn in line 0's color, axis-1
+    # labels in line 1's color (Axis.scala:68 axisColor = first line)
+    from atlas_spark.chart import PALETTE
+
+    png = engine.graph_png(MULTI_Y, width=W, height=H)
+    cols = _label_colors(png)
+    assert PALETTE[0] in cols and PALETTE[1] in cols
+    # neutral text color no longer used for y tick labels
+    assert (64, 64, 64) not in cols
+
+
+def test_ambiguous_multi_y_hint_restores_neutral_labels(engine):
+    png = engine.graph_png(f"{MULTI_Y}&hints=ambiguous-multi-y", width=W, height=H)
+    cols = _label_colors(png)
+    assert (64, 64, 64) in cols
+    from atlas_spark.chart import PALETTE
+
+    assert PALETTE[0] not in cols and PALETTE[1] not in cols
+
+
+def test_hints_param_is_trimmed_comma_set(engine):
+    # Grapher.processHints: split on comma, trim, drop empties; unknown
+    # hints are carried but ignored by the renderer
+    r = engine.graph(f"{MULTI_Y}&hints=%20ambiguous-multi-y%20,,foo")
+    assert r.hints == frozenset({"ambiguous-multi-y", "foo"})

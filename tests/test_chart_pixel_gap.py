@@ -41,34 +41,52 @@ requires_golden = pytest.mark.skipif(
     not os.path.isdir(GOLDEN), reason="reference golden images not available"
 )
 
-# scenario -> (golden name, our URI with the golden's colors pinned, budget)
+# scenario -> (golden name, our URI with the golden's colors pinned,
+#              number of lines, budget)
 CASES = {
     "single_line": (
         "default_single_line",
         f"q={_wave(400)},ff0000,:color&{WINDOW}",
+        1,
         0.09,
     ),
     "single_line_dark": (
         "dark_default_single_line",
         f"q={_wave(400)},ff0000,:color&theme=dark&{WINDOW}",
+        1,
         0.14,
     ),
     "double_line": (
         "default_double_line",
         f"q={_wave(400)},ff0000,:color,{_wave(150)},00ff00,:color&{WINDOW}",
+        2,
         0.10,
     ),
     "single_line_area": (
         "default_single_line_area",
         f"q={_wave(400)},ff0000,:color,:area&{WINDOW}",
+        1,
         0.28,
     ),
     "double_line_stack": (
         "default_double_line_stack",
         f"q={_wave(400)},ff0000,:color,:stack,{_wave(150)},00ff00,:color,:stack&{WINDOW}",
+        2,
         0.33,
     ),
 }
+
+
+def _render_at_image_dims(engine, qs: str, n_lines: int, w: int, h: int):
+    """Render OUR chart so the final image is exactly (w, h): the golden
+    was produced in canvas layout, so back out our canvas size by
+    subtracting our fixed margins (y axis 48+8, title/time rows 8+20)
+    and the legend band (n_lines entries of 9+3*8 rows)."""
+    cw = w - (48 + 8)
+    ch = h - (8 + 20) - n_lines * (9 + 3 * 8)
+    return _tcrs._decode_png(
+        engine.graph_png("/api/v1/graph?" + qs, width=cw, height=ch)
+    )
 
 
 @pytest.fixture(scope="module")
@@ -81,13 +99,11 @@ def engine(spark):
 @pytest.mark.parametrize("name", sorted(CASES))
 @requires_golden
 def test_pixel_gap_within_budget(engine, name):
-    golden, qs, budget = CASES[name]
+    golden, qs, n_lines, budget = CASES[name]
     with open(os.path.join(GOLDEN, f"{golden}.png"), "rb") as fh:
         ref = _tcrs._decode_png(fh.read())
     h, w, _ = ref.shape
-    ours = _tcrs._decode_png(
-        engine.graph_png("/api/v1/graph?" + qs, width=w, height=h)
-    )
+    ours = _render_at_image_dims(engine, qs, n_lines, w, h)
     assert ours.shape == ref.shape
     delta = np.abs(ref[..., :3].astype(int) - ours[..., :3].astype(int)).max(-1)
     gap = float((delta > 32).mean())
@@ -104,13 +120,11 @@ def test_fill_is_opaque_like_reference(engine):
     (TimeSeriesArea/Stack style.configure, no implicit alpha): the
     dominant fill color in our render must be the exact pinned color,
     not a blend with the background."""
-    golden, qs, _ = CASES["single_line_area"]
+    golden, qs, n_lines, _ = CASES["single_line_area"]
     with open(os.path.join(GOLDEN, f"{golden}.png"), "rb") as fh:
         ref = _tcrs._decode_png(fh.read())
     h, w, _ = ref.shape
-    ours = _tcrs._decode_png(
-        engine.graph_png("/api/v1/graph?" + qs, width=w, height=h)
-    )
+    ours = _render_at_image_dims(engine, qs, n_lines, w, h)
     for img, who in ((ref, "ref"), (ours, "ours")):
         m = _tcrs._strong(img)
         vals, counts = np.unique(img[m][:, :3].reshape(-1, 3), axis=0, return_counts=True)
