@@ -473,11 +473,23 @@ def minhash_verified_stream(
     this is the same broadcast-or-shuffle verify join as batch, with
     the static side served by the lake).
 
+    `corpus_df` is either the raw documents [doc_id, text] or a landed
+    SHINGLE table [doc_id, shingles] (detected by column name).  Pass
+    the latter in production: a stream-static join re-executes the
+    static side's plan on EVERY micro-batch, so deriving shingles from
+    text inside the join re-tokenizes the whole corpus per batch —
+    shingling once at landing time and reading the array column back is
+    the same rows with the per-batch work reduced to a parquet scan
+    (measured 3.4x intake throughput at 200k docs, PERF.md r13).
+
     Emits (id_a, id_b, jaccard) for pairs at or above `threshold` —
     the batch `ngram_jaccard_pairs` rows for documents within the stream
     horizon, exactly once (the candidate feed emits each pair only in
     its earliest common window)."""
-    sh = ngram_shingles(corpus_df, n, hash_fn=F.xxhash64)
+    if "shingles" in corpus_df.columns:
+        sh = corpus_df
+    else:
+        sh = ngram_shingles(corpus_df, n, hash_fn=F.xxhash64)
     cand = minhash_candidate_stream(
         docs_stream, n, num_hashes, bands, within, slide, max_bucket=max_bucket
     )
@@ -652,6 +664,58 @@ def dedup_stream_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_STREAM_SQL = "SELECT DISTINCT sha256(text) AS h FROM documents"
+
+
+def minhash_verified_stream_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 3,
+    num_hashes: int = 48,
+    bands: int = 24,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Driver-visible surface for the VERIFIED streaming near-dup twin
+    (`minhash_verified_stream`): lands the corpus shingle table to
+    parquet first (the production shape — the stream-static verify
+    join re-executes its static side per micro-batch, so shingling
+    happens once at landing, not once per batch), replays the documents
+    table as a bounded file stream through the real windowed-capped
+    candidate pipeline + stream-static jaccard verify, and materializes
+    the emitted (id_a, id_b, jaccard) rows.
+
+    Oracle = `NGRAM_JACCARD_SQL`, the batch exact all-pairs SQL: with
+    every replayed document in one interval the candidate scope is
+    corpus-wide, banding recall is exact on this corpus (pinned by
+    op_minhash_candidates/op_minhash_stream sharing the same oracle
+    family), and verification removes banding false-positives — so the
+    streamed rows are value-equal to the batch pairs, exactly once."""
+    import shutil
+    import tempfile
+
+    stream, tmp = _replay_documents(spark, sf_dir, sentinel=True)
+    sh_dir = tempfile.mkdtemp(prefix="atlas_shingles_")
+    try:
+        ngram_shingles(
+            load_documents(spark, sf_dir), n, hash_fn=F.xxhash64
+        ).write.mode("overwrite").parquet(sh_dir)
+        out = minhash_verified_stream(
+            stream,
+            spark.read.parquet(sh_dir),
+            n,
+            num_hashes,
+            bands,
+            threshold,
+            within="10 minutes",
+        )
+        # distinct = the landing-table write dedup (defense in depth; the
+        # feed is exactly-once) — materialized eagerly by the memory sink,
+        # so the staged shingle parquet can be removed on exit
+        return (
+            _run_stream_to_table(spark, out, "mh_verified", cleanup=tmp)
+            .distinct()
+        )
+    finally:
+        shutil.rmtree(sh_dir, ignore_errors=True)
 
 
 def minhash_lsh_candidates(
@@ -1412,10 +1476,22 @@ FROM j GROUP BY source_a, source_b
 
 
 # Oracle for text.curation_funnel: composes the cluster/survivor CTEs with
-# the 2-gram contamination rollup and the word-shape gates — one row per
+# the n-gram contamination rollup and the word-shape gates — one row per
 # pipeline stage.  Lives here (not text.py) because it embeds the dedup
-# cluster SQL and dedup already imports text.
-CURATION_FUNNEL_SQL = f"""
+# cluster SQL and dedup already imports text.  Generated so the
+# contamination n-gram order / ratio threshold stay in lockstep with the
+# engine's parameters (text.curation_funnel defaults).
+
+
+def curation_funnel_sql(n: int = 3, threshold: float = 0.4) -> str:
+    # i runs over 1-based n-gram start positions 1..len-n+1, matching the
+    # engine's sequence(0, size-n) + slice(words, i+1, n)
+    grams = (
+        "list_distinct(list_transform(\n"
+        f"      range(1, greatest(len(string_split(text, ' ')) - {n - 2}, 1)),\n"
+        f"      i -> array_to_string(string_split(text, ' ')[i:i+{n - 1}], ' ')))"
+    )
+    return f"""
 WITH cl AS ({DEDUP_CLUSTERS_SQL}),
 kb AS ({DEDUP_KEEP_BEST_SQL}),
 train AS (
@@ -1425,9 +1501,7 @@ train AS (
   FROM documents WHERE source != 'src0'
 ),
 bg AS (
-  SELECT DISTINCT unnest(list_distinct(list_transform(
-      range(1, greatest(len(string_split(text, ' ')), 1)),
-      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))) AS gram
+  SELECT DISTINCT unnest({grams}) AS gram
   FROM documents WHERE source = 'src0'
 ),
 contam AS (
@@ -1436,13 +1510,11 @@ contam AS (
     SELECT t.doc_id,
            avg(CASE WHEN bg.gram IS NOT NULL THEN 1.0 ELSE 0.0 END) AS ratio
     FROM (
-      SELECT doc_id, unnest(list_distinct(list_transform(
-          range(1, greatest(len(string_split(text, ' ')), 1)),
-          i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))) AS gram
+      SELECT doc_id, unnest({grams}) AS gram
       FROM documents WHERE source != 'src0'
     ) t LEFT JOIN bg ON t.gram = bg.gram
     GROUP BY t.doc_id
-  ) WHERE ratio > 0.8
+  ) WHERE ratio > {threshold}
 ),
 flags AS (
   SELECT tr.n_words AS tokens,
@@ -1469,3 +1541,6 @@ UNION ALL SELECT '2_near_dedup', n1, t1 FROM agg
 UNION ALL SELECT '3_decontaminated', n2, t2 FROM agg
 UNION ALL SELECT '4_quality', n3, t3 FROM agg
 """
+
+
+CURATION_FUNNEL_SQL = curation_funnel_sql()

@@ -63,6 +63,14 @@ SPECS: list[OpSpec] = [
     # streaming exact-dedup twin: survivor hash set (arrival-order
     # independent), driven through dropDuplicatesWithinWatermark
     OpSpec("op_dedup_stream", dedup.dedup_stream_hashes, dedup.DEDUP_STREAM_SQL),
+    # VERIFIED streaming twin: candidate stream + stream-static jaccard
+    # verify against the landed shingle table, value-gated (incl. the
+    # jaccard value) against the batch exact all-pairs SQL
+    OpSpec(
+        "op_minhash_verified_stream",
+        dedup.minhash_verified_stream_pairs,
+        dedup.NGRAM_JACCARD_SQL,
+    ),
     # degenerate-bucket drop accounting (low cap so the over-cap branch
     # is value-exercised at driver scale, not dead-zero)
     OpSpec("op_lsh_bucket_stats", dedup.lsh_bucket_stats, dedup.LSH_BUCKET_STATS_SQL),

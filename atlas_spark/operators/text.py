@@ -1259,7 +1259,9 @@ FROM agg
 """
 
 
-def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+def curation_funnel(
+    spark: SparkSession, sf_dir: str, n: int = 3, threshold: float = 0.4
+) -> DataFrame:
     """End-to-end curation funnel — the capstone composition a
     pretraining pipeline runs, as ONE query: starting from the training
     slice (everything outside the `src0` benchmark stand-in), count docs
@@ -1270,11 +1272,17 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                         clusters via the capped MinHash banding; the
                         max-content doc per cluster survives, unclustered
                         docs pass through)
-      decontaminated -> near-dedup survivors whose 2-gram overlap RATIO
-                        with the benchmark slice is at most 0.8 (the
-                        synthetic corpus's tiny vocabulary makes every
-                        doc share SOME gram, so like a real pipeline the
-                        gate thresholds the ratio, not any-hit)
+      decontaminated -> near-dedup survivors whose `n`-gram overlap RATIO
+                        with the benchmark slice is at most `threshold`
+                        (the synthetic corpus's tiny vocabulary makes
+                        every doc share SOME gram, so like a real
+                        pipeline the gate thresholds the ratio, not
+                        any-hit; n/threshold are tunable together with
+                        the oracle — 2-grams saturate at bench scale,
+                        where the 31-word vocabulary covers virtually
+                        the whole 2-gram space, so the default is
+                        3-grams at 0.4, non-degenerate from sf0.01
+                        through sf0.1)
       quality        -> those also passing the word-shape gates
                         (>= 16 words, 4.0 <= avg word len <= 5.0)
 
@@ -1296,7 +1304,6 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("survivor_id").alias("doc_id"), F.lit(True).alias("survivor")
     )
 
-    n = 2
     words = F.split(F.col("text"), " ")
     idx = F.when(
         F.size(words) >= n, F.sequence(F.lit(0), F.size(words) - n)
@@ -1319,7 +1326,7 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         tr_grams.groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_grams"))
         .join(hits, "doc_id", "left")
-        .filter(F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_grams") > 0.8)
+        .filter(F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_grams") > threshold)
         .select("doc_id", F.lit(True).alias("contaminated"))
     )
 

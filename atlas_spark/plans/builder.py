@@ -632,6 +632,30 @@ class Evaluator:
             # ungrouped side joins on time only; broadcast it (one row per t)
             sub_df = F.broadcast(sub_df)
         join_on = [sup.colmap[k] for k in common] + ["t"]
+        # opt-in salting for CELL-SPACE skew (scripts/vol_skew_grouped.py
+        # finding B): a hot common key whose superset side carries a large
+        # share of the aggregate cells lands that share in ONE join
+        # partition, and AQE cannot split it — the subset side's exchange
+        # IS its final-aggregate distribution.  With saltPartitions=K the
+        # superset rows spread over K sub-partitions by a hash of their
+        # EXTRA key columns (deterministic, so values are unchanged), and
+        # the subset side replicates K ways — bounded, it is the smaller
+        # aggregate by construction.  The join stays 1:1 per superset
+        # cell, so no post-join merge is needed.  Off by default: the
+        # extra exchange width only pays for itself on a skewed corpus.
+        extra = [k for k in sup.keys if k not in set(common)]
+        salt_n = int(
+            sup.df.sparkSession.conf.get("spark.atlas.binary.saltPartitions", "0")
+        )
+        if common and extra and salt_n > 1:
+            salt = F.pmod(
+                F.xxhash64(*[F.col(sup.colmap[k]) for k in extra]), F.lit(salt_n)
+            ).cast("int")
+            sup_df = sup_df.withColumn("_salt", salt)
+            sub_df = sub_df.withColumn(
+                "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_n - 1)))
+            )
+            join_on = [sup.colmap[k] for k in common] + ["_salt", "t"]
         # inner join: lines whose common key has no match on the other side
         # are dropped (MathExpr.scala:552-575 "case null => Nil")
         joined = sup_df.join(sub_df, on=join_on, how="inner")

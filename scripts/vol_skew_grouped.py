@@ -186,6 +186,30 @@ print(
     f"skew-split-possible={'skew=true' in plan}",
     flush=True,
 )
+
+# the opt-in escape hatch (r12 verdict #6): salt the superset side by its
+# extra key columns, replicate the subset side K ways — the hot key's
+# reducer input drops from its full cell count to cells/K, values exact
+spark.conf.set("spark.atlas.binary.saltPartitions", "8")
+rf_s, wall_s, plan_s = run_expr(JOIN_ASL, dp_b, N_T_B)
+vals_s = {round(r["value"], 9) for r in rf_s.df.select("value").distinct().collect()}
+spark.conf.unset("spark.atlas.binary.saltPartitions")
+# reducer-input bound: the superset side's per-join-key group size is the
+# hot key's cells per salt partition — measure it with the same hash
+max_group = (
+    dp_b.groupBy(
+        "k_name", F.pmod(F.xxhash64("k_bucket"), F.lit(8)).alias("s"), "t"
+    )
+    .count()
+    .agg(F.max("count"))
+    .first()[0]
+)
+print(
+    f"  salted (K=8): {wall_s:.1f}s  values-exact={vals_s == vals}  "
+    f"salt-in-join={'_salt' in plan_s}  "
+    f"max-join-group={max_group:,} cells (vs {N_HOT_BUCKETS:,} unsalted)",
+    flush=True,
+)
 dp_b.unpersist()
 
 # ---------------------------------------------------------------- part C

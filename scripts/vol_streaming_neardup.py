@@ -146,11 +146,17 @@ run(
     minhash_candidate_stream(src(), within=WITHIN),
     ("id_a", "id_b"),
 )
-# the landed corpus is a LAKE TABLE in a real intake pipeline — land it
-# so the verify join's static side has honest stats and cheap replay
-# (computing 200k docs' shingles inside the broadcast thread timed out)
+# the landed corpus is a LAKE TABLE in a real intake pipeline — and the
+# landed column is the SHINGLE ARRAY, not raw text: a stream-static join
+# re-executes its static plan on every micro-batch, so shingling at
+# landing time turns the per-batch static-side work into a parquet scan
+# (r12 landed raw text and re-shingled per batch: 255 docs/s)
+from atlas_spark.operators.dedup import ngram_shingles  # noqa: E402
+
 corpus_path = stream_dir + "_corpus"
-docs.select("doc_id", "text").write.mode("overwrite").parquet(corpus_path)
+ngram_shingles(docs.select("doc_id", "text"), 3, hash_fn=F.xxhash64).write.mode(
+    "overwrite"
+).parquet(corpus_path)
 corpus = spark.read.parquet(corpus_path)
 run(
     "minhash_verified      ",

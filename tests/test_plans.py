@@ -912,3 +912,68 @@ def test_curation_funnel_single_conditional_aggregate(spark, sf_dir, queries):
     plan = _plan(queries["op_curation_funnel"](spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_binary_join_salting_differential(spark):
+    """Opt-in cell-space-skew salting for the generic grouped binary join
+    (scripts/vol_skew_grouped.py finding B): with
+    spark.atlas.binary.saltPartitions=K the superset side spreads a hot
+    common key's cells over K sub-partitions keyed by its extra key
+    columns and the subset side replicates K ways — values must be
+    EXACTLY the unsalted result on a planted hot cell (one name owning
+    97% of the aggregate cells), and the join keys must carry the salt."""
+    from atlas_spark.plans.builder import Evaluator
+    from atlas_spark.plans.context import EvalContext
+    from atlas_spark.sources.datapoints import DatapointSource
+    from atlas_spark.stacklang.vocab import parse
+
+    step = 3600
+    start = 1704067200
+    n_steps = 3
+    rows = [
+        ("hot", f"b{b}", start + s * step, float(b + s))
+        for b in range(400)
+        for s in range(n_steps)
+    ] + [
+        (f"n{i}", f"b{b}", start + s * step, float(i * b + s))
+        for i in range(3)
+        for b in range(4)
+        for s in range(n_steps)
+    ]
+    df = spark.createDataFrame(
+        rows, "k_name string, k_bucket string, t long, value double"
+    )
+    src = DatapointSource(
+        df=df, step=step, colmap={"name": "k_name", "bucket": "k_bucket"}, sql_cte=""
+    )
+    # sum-vs-count sides force the GENERIC join (the same-aggregate
+    # share-of-total shape takes the single-scan rollup rewrite instead)
+    (se,) = parse(
+        ":true,:sum,(,name,bucket,),:by,:true,:count,(,name,),:by,:div", step=step
+    )
+    ctx = EvalContext(start, start + n_steps * step, step)
+
+    def run():
+        rf = Evaluator(src, ctx).eval(se)
+        out = rf.df
+        return out, sorted(
+            tuple(r) for r in out.collect() if r["value"] == r["value"]
+        )
+
+    try:
+        spark.conf.unset("spark.atlas.binary.saltPartitions")
+    except Exception:
+        pass
+    plain_df, plain = run()
+    assert "_salt" not in _plan(plain_df)
+    try:
+        spark.conf.set("spark.atlas.binary.saltPartitions", "8")
+        salted_df, salted = run()
+        plan = _plan(salted_df)
+        assert "_salt" in plan, plan
+        # subset side replicated via explode, superset side hashed
+        assert "explode" in plan.lower(), plan
+        assert "xxhash64" in plan.lower(), plan
+    finally:
+        spark.conf.unset("spark.atlas.binary.saltPartitions")
+    assert salted == plain and len(plain) == (400 + 12) * n_steps

@@ -238,3 +238,31 @@ def test_lsh_precision_cap_engine_oracle_parity(spark, tmp_path):
     got = [tuple(r) for r in dedup.lsh_precision(spark, str(tmp_path), max_bucket=None).collect()]
     want = con.execute(dedup._lsh_precision_sql(max_bucket=1 << 40)).fetchall()
     assert got == want == [(780, 780, 1.0)]
+
+
+def test_curation_funnel_non_degenerate_at_bench_scale():
+    """Every funnel stage stays non-zero and strictly decreasing at the
+    BENCH scale (sf0.1), not just the driver's sf0.01: 2-gram
+    contamination saturated there (the 31-word synthetic vocabulary
+    covers virtually the whole 2-gram space, zeroing stages 3/4 —
+    PERF.md r12), so the default moved to 3-grams at ratio 0.4, tuned in
+    lockstep on the engine and the oracle (curation_funnel_sql).
+    Oracle-side check (DuckDB) so bench scale stays cheap; engine==oracle
+    value equality is covered by the sf0.01 parity sweep."""
+    import duckdb
+
+    from atlas_spark.operators.dedup import CURATION_FUNNEL_SQL
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.1/documents.parquet'"
+    )
+    rows = sorted(con.execute(CURATION_FUNNEL_SQL).fetchall())
+    assert [r[0] for r in rows] == [
+        "1_input", "2_near_dedup", "3_decontaminated", "4_quality"
+    ]
+    docs = [r[1] for r in rows]
+    toks = [r[2] for r in rows]
+    assert all(a > b > 0 for a, b in zip(docs, docs[1:])), docs
+    assert all(a > b > 0 for a, b in zip(toks, toks[1:])), toks
