@@ -765,7 +765,8 @@ class Engine:
         qs = parse_qs(urlparse(uri).query)
         fmt = qs.get("format", ["json"])[0]
         if fmt == "png":
-            # `w`/`h` size the image, `zoom` scales both, like the
+            # `w`/`h` size the canvas or the image per the `layout` param
+            # (Layout.java; default canvas), `zoom` scales both, like the
             # reference (GraphFlags width/height/zoom, clamped)
             try:
                 zoom = float(qs.get("zoom", ["1"])[0])

@@ -979,7 +979,7 @@ KNOWN_PARAMS: dict[str, str] = {
     "w": "Image width in pixels.",
     "h": "Image height in pixels.",
     "zoom": "Zoom factor applied to the rendered image.",
-    "layout": "Graph layout (canvas, image).",
+    "layout": "Graph layout: canvas (default; w/h size the data canvas), image (w/h size the final image, legend off), iw (width fixed), ih (height fixed).",
     "title": "Title displayed above the graph.",
     "palette": "Color palette name or (,hex,...,) list.",
     "theme": "Graph theme (light, dark).",
