@@ -54,6 +54,104 @@ GROUP BY sha256(text)
 """
 
 
+def chunk_dedup(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Chunk-level exact dedup (boilerplate removal): split every document
+    into consecutive `k`-word chunks; corpus-wide, each distinct chunk
+    survives only at its FIRST occurrence (min (doc_id, chunk_idx)), and
+    every later occurrence is removed from its document.  Emits one row
+    per document: (doc_id, n_chunks, n_removed, clean_text) with
+    clean_text the surviving chunks re-joined in order (NULL when every
+    chunk was removed) — the pretraining-pipeline pass that strips
+    repeated headers/footers/navigation without dropping whole documents.
+
+    At 100 TB the classic failure mode is the HOT chunk (one boilerplate
+    string occurring millions of times).  This plan never groups raw
+    occurrences into one reducer for it: the keeper is a
+    partial-aggregated `min(struct(doc_id, chunk_idx))` per chunk
+    (map-side combine collapses a hot chunk to one row per mapper), and
+    the survivor list is rebuilt from the DISTINCT-chunk keeper frame —
+    one row per distinct chunk — regrouped by doc_id, never by joining
+    keepers back to the raw occurrence stream.  Shuffles: one keyed on
+    chunk text (combiner-bounded), one on doc_id (bounded by survivors),
+    one doc_id equi-join back to the corpus scan."""
+    docs = load_documents(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(k)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(1), n_chunks),
+        lambda i: F.struct(
+            i.alias("chunk_idx"),
+            F.concat_ws(" ", F.slice(words, (i - 1) * k + 1, k)).alias("chunk"),
+        ),
+    )
+    occ = docs.select(
+        "doc_id", F.explode(chunks).alias("c")
+    ).select("doc_id", "c.chunk_idx", "c.chunk")
+    keep = occ.groupBy("chunk").agg(
+        F.min(F.struct("doc_id", "chunk_idx")).alias("first")
+    )
+    survivors = (
+        keep.select(
+            F.col("first.doc_id").alias("doc_id"),
+            F.struct(
+                F.col("first.chunk_idx").alias("chunk_idx"), "chunk"
+            ).alias("s"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.concat_ws(
+                " ", F.transform(F.array_sort(F.collect_list("s")), lambda s: s.chunk)
+            ).alias("clean_text"),
+        )
+    )
+    return (
+        docs.select("doc_id", n_chunks.cast("long").alias("n_chunks"))
+        .join(survivors, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chunks",
+            (F.col("n_chunks") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
+                "n_removed"
+            ),
+            F.when(F.col("n_kept").isNotNull(), F.col("clean_text")).alias(
+                "clean_text"
+            ),
+        )
+    )
+
+
+CHUNK_DEDUP_SQL = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+occ AS (
+  SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+         array_to_string(words[(i-1)*10+1 : i*10], ' ') AS chunk
+  FROM (
+    SELECT doc_id, words,
+           unnest(range(1, CAST(ceil(len(words) / 10.0) AS BIGINT) + 1)) AS i
+    FROM w
+  )
+),
+ranked AS (
+  SELECT doc_id, chunk_idx, chunk,
+         row_number() OVER (PARTITION BY chunk
+                            ORDER BY doc_id, chunk_idx) AS rn
+  FROM occ
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_chunks,
+         CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_removed,
+         string_agg(chunk, ' ' ORDER BY chunk_idx)
+             FILTER (WHERE rn = 1) AS clean_text
+  FROM ranked GROUP BY doc_id
+)
+SELECT doc_id, n_chunks, n_removed, clean_text FROM per_doc
+"""
+
+
 def _h60(col) -> "F.Column":
     """60-bit hash = top 15 hex digits of md5 — the engine-portable hash
     (DuckDB computes the identical value, so sketches built from it have

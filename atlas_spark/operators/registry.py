@@ -19,6 +19,10 @@ class OpSpec:
 
 SPECS: list[OpSpec] = [
     OpSpec("op_dedup_exact", dedup.dedup_exact, dedup.DEDUP_EXACT_SQL),
+    # chunk-level boilerplate removal: hot chunks absorbed by map-side
+    # partial aggregation; survivor texts rebuilt from the distinct-chunk
+    # keeper frame, never a join back to raw occurrences
+    OpSpec("op_chunk_dedup", dedup.chunk_dedup, dedup.CHUNK_DEDUP_SQL),
     OpSpec("op_token_count", text.token_count, text.TOKEN_COUNT_SQL),
     OpSpec("op_token_count_bpe", text.token_count_bpe, text.TOKEN_COUNT_BPE_SQL),
     OpSpec("op_quality_score", text.quality_score, text.QUALITY_SCORE_SQL),

@@ -977,3 +977,22 @@ def test_binary_join_salting_differential(spark):
     finally:
         spark.conf.unset("spark.atlas.binary.saltPartitions")
     assert salted == plain and len(plain) == (400 + 12) * n_steps
+
+
+def test_chunk_dedup_hot_chunk_safe_plan(spark, sf_dir, queries):
+    """Chunk-level boilerplate removal never builds a per-chunk
+    occurrence group on one reducer: the keeper is a partial-aggregated
+    min-struct (map-side combine absorbs a hot boilerplate chunk), the
+    survivor texts are rebuilt from the DISTINCT-chunk frame, and there
+    is no window over chunk groups and no join back to the raw
+    occurrence stream (the only join is the doc_id equi-join to the
+    corpus scan)."""
+    df = queries["op_chunk_dedup"](spark, sf_dir)
+    plan = _plan(df)
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # exactly one join: survivors back onto the docs scan by doc_id
+    import re as _re
+
+    joins = _re.findall(r"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)", plan)
+    assert len(joins) == 1, plan
