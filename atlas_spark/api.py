@@ -630,14 +630,22 @@ class Engine:
             for i, ln in enumerate(lines):
                 ln.settings["axis"] = str(min(i, 4))
 
-        # axis-level line sort (Grapher.scala:480-525): `sort` by legend or
-        # a legend stat, `order=desc` flips (and implies sort=legend when
-        # alone); URL sort takes precedence over expression-level :sort
-        sort_by = qs.get("sort", [None])[0]
-        desc = qs.get("order", [None])[0] == "desc"
-        if desc and sort_by is None:
-            sort_by = "legend"
-        if sort_by is not None:
+        # axis-level line sort (Grapher.scala:450,480-525): the URL sort
+        # applies WITHIN each axis's line group (`sort.N`/`order.N` with
+        # getAxisParam fallback to the unsuffixed value), by legend or a
+        # legend stat; `order=desc` flips (and implies sort=legend when
+        # alone).  URL sort takes precedence over expression-level :sort.
+        # When sorting, plots assemble in axis-id order like the
+        # reference's plotExprs.sortWith; with no sort param anywhere the
+        # expression order is preserved untouched.
+        def _ax_param(name: str, aid: int) -> str | None:
+            v = qs.get(f"{name}.{aid}", [None])[0]
+            return v if v is not None else qs.get(name, [None])[0]
+
+        if any(
+            k in ("sort", "order") or k.startswith(("sort.", "order."))
+            for k in qs
+        ):
             def _stat(ln: GraphLine, mode: str):
                 vals = [v for v in ln.data if v is not None]
                 if mode == "legend":
@@ -653,10 +661,28 @@ class Engine:
                     "last": vals[-1],
                 }.get(mode, ln.label)
 
-            mode = sort_by if sort_by in (
-                "legend", "min", "max", "avg", "count", "total", "last"
-            ) else "legend"
-            lines.sort(key=lambda ln: _stat(ln, mode), reverse=desc)
+            groups: dict[int, list[GraphLine]] = {}
+            for ln in lines:
+                try:
+                    aid = int((ln.settings or {}).get("axis", 0) or 0)
+                except (TypeError, ValueError):
+                    aid = 0
+                groups.setdefault(aid, []).append(ln)
+            lines = []
+            for aid in sorted(groups):
+                sort_by = _ax_param("sort", aid)
+                desc = _ax_param("order", aid) == "desc"
+                if desc and sort_by is None:
+                    sort_by = "legend"
+                g = groups[aid]
+                if sort_by is not None:
+                    mode = sort_by if sort_by in (
+                        "legend", "min", "max", "avg", "count", "total", "last"
+                    ) else "legend"
+                    # stat keys are floats, legend keys strings — sort
+                    # never mixes them (one mode per axis)
+                    g = sorted(g, key=lambda ln: _stat(ln, mode), reverse=desc)
+                lines.extend(g)
 
         # y-axis scale: prefer `scale`, fall back to legacy boolean `o`
         # (Grapher.scala:222-232); `stack=1` stacks the axis's lines
@@ -747,6 +773,30 @@ class Engine:
             tl = qs.get(f"tick_labels.{aid}", [None])[0]
             if tl:
                 sub["tick_labels"] = tl
+            # palette.N has NO unsuffixed fallback (Grapher newAxis reads
+            # params.get(s"palette.$id") directly): absent means the
+            # axis's lines draw from the global palette iterator
+            pal = qs.get(f"palette.{aid}", [None])[0]
+            if pal:
+                sub["palette"] = pal
+            # heatmap color config (Grapher newAxis heatmap* via
+            # getAxisParam, so the unsuffixed form is the fallback)
+            for pname, key in (
+                ("heatmap_scale", "heatmap_scale"),
+                ("heatmap_palette", "heatmap_palette"),
+                ("heatmap_label", "heatmap_label"),
+            ):
+                v = qs.get(f"{pname}.{aid}", [None])[0] or qs.get(pname, [None])[0]
+                if v:
+                    sub[key] = v
+            for pname, key in (("heatmap_u", "heatmap_u"), ("heatmap_l", "heatmap_l")):
+                raw = qs.get(f"{pname}.{aid}", [None])[0] or qs.get(pname, [None])[0]
+                if raw is None:
+                    continue
+                try:
+                    sub[key] = float(raw)
+                except ValueError:
+                    pass
             if sub:
                 axes[aid] = sub
         return axes

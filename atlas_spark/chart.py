@@ -332,12 +332,22 @@ def _pct_bucket_range(tags: dict) -> tuple[float, float] | None:
     return lo, hi
 
 
-def _render_heatmap(cv, hm_lines, n_steps, tx, ty, lo, hi, pad_t, plot_h, n_cells=25):
+def _render_heatmap(
+    cv, hm_lines, n_steps, tx, ty, lo, hi, pad_t, plot_h, n_cells=25, opts=None
+):
     """Heatmap cell counts per (time step, y cell) following
     Heatmap.scala:182-210: percentile-bucket lines spread their count over
     the y-cells overlapping the bucket's value range, weighted by overlap;
-    plain lines count 1 in the cell containing their value.  Color is a
-    red->yellow intensity ramp over count/maxCount (gradient palette)."""
+    plain lines count 1 in the cell containing their value.
+
+    Color (Heatmap.scala:96-101,231): the count is bounded to
+    [heatmap_l, heatmap_u] (defaults: smallest positive count, max count)
+    and mapped through the heatmap_scale (linear | log) onto the
+    heatmap_palette's color list with the HIGHEST count taking the FIRST
+    color (the reference's Scales.factory(lower -> size, upper -> 0));
+    without a palette a red intensity ramp stands in for
+    Palette.gradient(line color)."""
+    opts = opts or {}
     cell_edges = [lo + (hi - lo) * c / n_cells for c in range(n_cells + 1)]
     counts = [[0.0] * n_cells for _ in range(n_steps)]
     for ln in hm_lines:
@@ -362,6 +372,24 @@ def _render_heatmap(cv, hm_lines, n_steps, tx, ty, lo, hi, pad_t, plot_h, n_cell
     max_count = max((c for row in counts for c in row), default=0.0)
     if max_count <= 0.0:
         return
+    pos = [c for row in counts for c in row if c > 0.0]
+    lo_c = opts.get("heatmap_l")
+    lo_c = float(lo_c) if lo_c is not None else min(pos)
+    hi_c = opts.get("heatmap_u")
+    hi_c = float(hi_c) if hi_c is not None else max_count
+    if hi_c <= lo_c:
+        hi_c = lo_c + 1.0
+    hm_scale = (opts.get("heatmap_scale") or "linear").lower()
+    hm_pal = palette_colors(opts.get("heatmap_palette"))
+
+    def _cfrac(cnt: float) -> float:
+        cnt = min(max(cnt, lo_c), hi_c)
+        if hm_scale == "log":
+            return (_vizlog(cnt) - _vizlog(lo_c)) / (
+                _vizlog(hi_c) - _vizlog(lo_c) or 1.0
+            )
+        return (cnt - lo_c) / (hi_c - lo_c)
+
     for i in range(n_steps):
         x0 = tx(i)
         x1 = tx(i + 1) - 1 if i + 1 < n_steps else x0 + max(1, tx(1) - tx(0))
@@ -369,9 +397,15 @@ def _render_heatmap(cv, hm_lines, n_steps, tx, ty, lo, hi, pad_t, plot_h, n_cell
             cnt = counts[i][c]
             if cnt <= 0.0:
                 continue
-            frac = cnt / max_count
-            # red gradient: low count = pale, high = saturated
-            color = (0xF0, int(0xE0 * (1 - frac)), int(0xD0 * (1 - frac)))
+            frac = _cfrac(cnt)
+            if hm_pal:
+                # highest count -> first palette color (lookupColor idx 0)
+                color = hm_pal[
+                    min(len(hm_pal) - 1, int(round((1 - frac) * (len(hm_pal) - 1))))
+                ]
+            else:
+                # red gradient: low count = pale, high = saturated
+                color = (0xF0, int(0xE0 * (1 - frac)), int(0xD0 * (1 - frac)))
             y_hi = ty(cell_edges[c])  # larger y = lower value
             y_lo = ty(cell_edges[c + 1])
             for x in range(x0, max(x0 + 1, x1)):
@@ -700,17 +734,28 @@ def render_png(result, width: int = 700, height: int = 300) -> bytes:
         for k, ch in enumerate(ylabel[: plot_h // 8]):
             cv.text(0, start + k * 8, ch, th["text"])
     # per-line colors: explicit `color` wins; otherwise cycle the line's
-    # own `:palette` (per palette-group) or the axis `palette` param or
-    # the default (Palette.create / StyleExpr color resolution)
+    # own `:palette` (per palette-group), else the per-axis `palette.N`
+    # param (its own iterator per axis, Grapher axisPalette), else the
+    # global `palette` param or the default (Palette.create / StyleExpr
+    # color resolution; axes without an override share the global
+    # iterator, matching axisCfg.palette.fold(palette))
     axis_pal = palette_colors(getattr(result, "palette", None)) or PALETTE
     _pal_counters: dict = {}
     line_color: dict = {}
     for ln in result.lines:
         settings = getattr(ln, "settings", {}) or {}
         pdesc = settings.get("palette")
-        pal = palette_colors(pdesc) or axis_pal
-        i = _pal_counters.get(pdesc, 0)
-        _pal_counters[pdesc] = i + 1
+        key = pdesc
+        pal = palette_colors(pdesc)
+        if pal is None:
+            aid = axis_of(ln)
+            adesc = (axes_over.get(aid) or {}).get("palette")
+            pal = palette_colors(adesc)
+            if pal is not None:
+                key = f"axis{aid}:{adesc}"
+        pal = pal or axis_pal
+        i = _pal_counters.get(key, 0)
+        _pal_counters[key] = i + 1
         c, a = _parse_color(
             settings.get("color"),
             pal[i % len(pal)],
@@ -791,7 +836,18 @@ def render_png(result, width: int = 700, height: int = 300) -> bytes:
     zero_ys = {aid: tys[aid](0.0) for aid in axis_ids}
 
     if hm_lines:
-        _render_heatmap(cv, hm_lines, n_steps, tx, ty, lo, hi, pad_t, plot_h)
+        _render_heatmap(
+            cv,
+            hm_lines,
+            n_steps,
+            tx,
+            ty,
+            lo,
+            hi,
+            pad_t,
+            plot_h,
+            opts=axes_over.get(0) or {},
+        )
 
     # running stack offsets per step and per axis (TimeSeriesStack.
     # Offsets): positive values pile on pos_y, negative on neg_y — a

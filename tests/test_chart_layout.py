@@ -130,3 +130,83 @@ def test_hints_param_is_trimmed_comma_set(engine):
     # hints are carried but ignored by the renderer
     r = engine.graph(f"{MULTI_Y}&hints=%20ambiguous-multi-y%20,,foo")
     assert r.hints == frozenset({"ambiguous-multi-y", "foo"})
+
+
+def test_per_axis_palette_param(engine):
+    # palette.1 gives axis 1 its own palette iterator (Grapher newAxis
+    # axisPalette); axis 0 stays on the global default.  Under multi-Y
+    # coloring the axis labels take the first line's color, so the label
+    # margins show default-red for axis 0 and the reds-palette head for
+    # axis 1.
+    from atlas_spark.chart import PALETTE, PALETTES
+
+    png = engine.graph_png(f"{MULTI_Y}&palette.1=reds", width=W, height=H)
+    cols = _label_colors(png)
+    assert PALETTE[0] in cols          # axis 0: default palette head
+    assert PALETTES["reds"][0] in cols  # axis 1: reds head
+    assert PALETTE[1] not in cols       # default no longer reaches axis 1
+
+
+def test_per_axis_sort_param(engine):
+    # sort.N applies within one axis's line group only (Grapher.scala:450
+    # sorts each plot's lines with that axis's sort/order); the other
+    # axis keeps expression order, and plots assemble in axis-id order.
+    uri = (
+        "/api/v1/graph?q="
+        "name,view,:eq,:sum,name,click,:eq,:sum,"          # axis 0: view, click
+        "name,signup,:eq,:sum,1,:axis,name,error,:eq,:sum,1,:axis"  # axis 1
+        f"&{WINDOW}"
+    )
+    r = engine.graph(uri + "&sort.1=legend")
+    labels = [ln.label for ln in r.lines]
+    # axis 0 untouched (expression order), axis 1 legend-sorted
+    # (labels are the SimpleLegends-derived tag values)
+    assert labels == ["view", "click", "error", "signup"]
+    # unsuffixed sort falls back onto every axis (getAxisParam)
+    r2 = engine.graph(uri + "&sort=legend")
+    labels2 = [ln.label for ln in r2.lines]
+    assert labels2 == sorted(labels2[:2]) + sorted(labels2[2:])
+    # desc alone implies sort=legend, per axis
+    r3 = engine.graph(uri + "&order=desc")
+    labels3 = [ln.label for ln in r3.lines]
+    assert labels3 == sorted(labels3[:2], reverse=True) + sorted(labels3[2:], reverse=True)
+    # no sort params: expression order preserved verbatim
+    r4 = engine.graph(uri)
+    assert [ln.label for ln in r4.lines] == ["view", "click", "signup", "error"]
+
+
+def test_heatmap_color_params(engine):
+    # heatmap_palette picks the cell colors (highest count -> FIRST
+    # palette color, Heatmap.scala lookupColor/colorScale), heatmap_u/l
+    # bound the color scale, heatmap_scale=log compresses it; the
+    # getAxisParam fallback accepts the unsuffixed form.
+    from atlas_spark.api import Engine
+    from atlas_spark.chart import PALETTES
+    from atlas_spark.sources.datapoints import percentile_datapoints
+
+    pct_engine = Engine(
+        engine.spark,
+        source=percentile_datapoints(engine.spark, "/root/testdata/sf0.01"),
+    )
+    uri = (
+        "/api/v1/graph?q=name,click,:eq,:sum,:percentiles-heatmap"
+        "&s=2024-01-02&e=2024-01-03"
+    )
+
+    def colors(extra: str) -> set:
+        png = pct_engine.graph_png(uri + extra, width=320, height=160)
+        w, h, px = _pixels(png)
+        return {px(x, y) for y in range(8, h - 20) for x in range(50, w - 10)}
+
+    blues = set(PALETTES["blues"])
+    default = colors("")
+    assert not (default & blues)
+    pal = colors("&heatmap_palette=blues")
+    assert pal & blues
+    # with l pinned far above every count, every cell bounds to the same
+    # count -> exactly ONE palette color
+    sat = colors("&heatmap_palette=blues&heatmap_l=1e9&heatmap_u=1e9")
+    assert len(sat & blues) == 1
+    # log scale shifts the color distribution but stays within the palette
+    log_pal = colors("&heatmap_palette=blues&heatmap_scale=log")
+    assert log_pal & blues and log_pal != pal
