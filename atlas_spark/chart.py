@@ -552,11 +552,18 @@ def render_png(result, width: int = 700, height: int = 300) -> bytes:
     th = _THEMES.get(getattr(result, "theme", None) or "light", _THEMES["light"])
     title = getattr(result, "title", None)
     ylabel = getattr(result, "ylabel", None)
+    only_graph = bool(getattr(result, "only_graph", False))
+    if only_graph:
+        # only the chart (TimeSeriesGraph.scala:119-123: showAxes=false,
+        # time axis collapses to a 10px strip): no title/ylabel/labels,
+        # plot fills the image
+        title = None
+        ylabel = None
     zone_row_h = 11
     ylab_w = 8 if ylabel else 0
-    pad_l, pad_r = 48 + ylab_w, 8
-    pad_t = 8 + (10 if title else 0)
-    pad_b = 9 + zone_row_h * len(tzs)
+    pad_l, pad_r = (4, 4) if only_graph else (48 + ylab_w, 8)
+    pad_t = 2 if only_graph else 8 + (10 if title else 0)
+    pad_b = 10 if only_graph else 9 + zone_row_h * len(tzs)
 
     # axis-level params (Grapher.scala newAxis: `scale`/`o` pick the y
     # scale; `stack=1` makes stack the default line style for the axis).
@@ -619,7 +626,6 @@ def render_png(result, width: int = 700, height: int = 300) -> bytes:
     layout = (getattr(result, "layout", None) or "canvas").lower()
     if layout not in ("canvas", "image", "iw", "ih"):
         raise ValueError(f"unknown layout: {layout}")
-    only_graph = bool(getattr(result, "only_graph", False))
     fixed_w = only_graph or layout in ("image", "iw")
     fixed_h = only_graph or layout in ("image", "ih")
 
@@ -784,7 +790,7 @@ def render_png(result, width: int = 700, height: int = 300) -> bytes:
         val = hi - (hi - lo) * g / 4
         y = ty(val)
         cv.hline(y, pad_l, pad_l + plot_w - 1, th["grid"])
-        if axis_cfg(0)["tick_labels"] != "off":
+        if axis_cfg(0)["tick_labels"] != "off" and not only_graph:
             cv.text(
                 2 + ylab_w,
                 y - 3,
@@ -792,7 +798,7 @@ def render_png(result, width: int = 700, height: int = 300) -> bytes:
                 _axis_label_color(0),
             )
     # secondary-axis labels on the right margin (first non-zero axis)
-    if len(axis_ids) > 1:
+    if len(axis_ids) > 1 and not only_graph:
         aid2 = [a for a in axis_ids if a != 0][0]
         lo2, hi2 = bounds[aid2]
         for g in range(5):
@@ -809,12 +815,14 @@ def render_png(result, width: int = 700, height: int = 300) -> bytes:
     for i in tick_is:
         cv.vline(tx(i), pad_t, pad_t + plot_h - 1, th["grid"])
 
-    # axes
-    cv.vline(pad_l - 1, pad_t, pad_t + plot_h, th["axis"])
-    cv.hline(pad_t + plot_h, pad_l - 1, pad_l + plot_w - 1, th["axis"])
+    # axes + time labels (suppressed by only_graph: showAxes=false and
+    # the time strip stays empty)
+    if not only_graph:
+        cv.vline(pad_l - 1, pad_t, pad_t + plot_h, th["axis"])
+        cv.hline(pad_t + plot_h, pad_l - 1, pad_l + plot_w - 1, th["axis"])
 
     # per-zone time tick labels (one row per zone, same tick instants)
-    for zi, zone in enumerate(tzs):
+    for zi, zone in enumerate(tzs if not only_graph else []):
         try:
             z = ZoneInfo(zone)
         except Exception:  # noqa: BLE001 — invalid zone falls back to UTC

@@ -210,3 +210,20 @@ def test_heatmap_color_params(engine):
     # log scale shifts the color distribution but stays within the palette
     log_pal = colors("&heatmap_palette=blues&heatmap_scale=log")
     assert log_pal & blues and log_pal != pal
+
+
+def test_only_graph_hides_axes_and_labels(engine):
+    # TimeSeriesGraph.scala:119-123: showAxes=false under only_graph —
+    # no y-axis labels/lines, no time labels; the plot fills the image
+    # except a thin strip.  Text pixels use the theme text color; the
+    # only_graph render must have none, and the plot must extend left of
+    # the normal pad_l=48 margin.
+    png = engine.graph_png(f"{BASE}&only_graph=1", width=W, height=H)
+    w, h, px = _pixels(png)
+    all_px = {(x, y): px(x, y) for y in range(h) for x in range(w)}
+    assert (64, 64, 64) not in set(all_px.values())  # no label text
+    from atlas_spark.chart import PALETTE
+
+    pal = set(PALETTE[:5])
+    line_xs = [x for (x, y), c in all_px.items() if c in pal]
+    assert line_xs and min(line_xs) < 20  # plot reaches the left edge
