@@ -764,6 +764,33 @@ def dedup_stream_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
 DEDUP_STREAM_SQL = "SELECT DISTINCT sha256(text) AS h FROM documents"
 
 
+def chunk_dedup_stream_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible surface for the STREAMING chunk-dedup twin
+    (`streaming/rollup.py::chunk_dedup_stream`): replays the documents
+    table as a bounded file stream through the real
+    dropDuplicatesWithinWatermark pipeline and returns the SURVIVING
+    CHUNK-HASH SET.  Which document's copy of a duplicated chunk
+    survives depends on arrival order, but the surviving hash set is
+    identical whichever copy wins — exactly one row per distinct chunk —
+    so the hash set is the driver-checkable value (`CHUNK_STREAM_SQL`);
+    keeper-assignment semantics are pinned by the batch op's oracle
+    (`op_chunk_dedup`) instead."""
+    from ..streaming.rollup import chunk_dedup_stream
+
+    stream, tmp = _replay_documents(spark, sf_dir, sentinel=False)
+    out = chunk_dedup_stream(stream).select("ch")
+    return _run_stream_to_table(spark, out, "chunk_stream", cleanup=tmp)
+
+
+CHUNK_STREAM_SQL = """
+SELECT DISTINCT sha256(array_to_string(words[(i-1)*10+1 : i*10], ' ')) AS ch
+FROM (
+  SELECT words, unnest(range(1, CAST(ceil(len(words) / 10.0) AS BIGINT) + 1)) AS i
+  FROM (SELECT string_split(text, ' ') AS words FROM documents)
+)
+"""
+
+
 def minhash_verified_stream_pairs(
     spark: SparkSession,
     sf_dir: str,

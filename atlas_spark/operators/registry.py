@@ -23,6 +23,14 @@ SPECS: list[OpSpec] = [
     # partial aggregation; survivor texts rebuilt from the distinct-chunk
     # keeper frame, never a join back to raw occurrences
     OpSpec("op_chunk_dedup", dedup.chunk_dedup, dedup.CHUNK_DEDUP_SQL),
+    # streaming twin: intake-time boilerplate filter via
+    # dropDuplicatesWithinWatermark on the chunk hash (one state row per
+    # distinct chunk, arrival-order-independent surviving hash set)
+    OpSpec(
+        "op_chunk_dedup_stream",
+        dedup.chunk_dedup_stream_hashes,
+        dedup.CHUNK_STREAM_SQL,
+    ),
     OpSpec("op_token_count", text.token_count, text.TOKEN_COUNT_SQL),
     OpSpec("op_token_count_bpe", text.token_count_bpe, text.TOKEN_COUNT_BPE_SQL),
     OpSpec("op_quality_score", text.quality_score, text.QUALITY_SCORE_SQL),

@@ -237,6 +237,48 @@ def dedup_exact_stream(docs_stream: DataFrame, within: str = "10 minutes") -> Da
     )
 
 
+def chunk_dedup_stream(
+    docs_stream: DataFrame, k: int = 10, within: str = "10 minutes"
+) -> DataFrame:
+    """Streaming chunk-level boilerplate filter — the streaming twin of
+    `operators/dedup.py::chunk_dedup`'s keeper pass: documents explode
+    into consecutive `k`-word chunks and each distinct chunk's FIRST
+    arrival passes through; re-arrivals (boilerplate) are dropped
+    executor-side by `dropDuplicatesWithinWatermark` keyed on the chunk
+    hash.  Emits (ch, doc_id, chunk_idx) — the keeper assignment an
+    intake pipeline applies to strip repeated headers/footers before
+    landing documents.
+
+    Scale shape: state is one row per distinct chunk hash within the
+    watermark horizon (bounded by the horizon, never corpus history);
+    a HOT boilerplate chunk costs ONE state row however often it
+    recurs, and the 256-bit hash key spreads the state store uniformly.
+    Which occurrence survives depends on arrival order (as with
+    `dedup_exact_stream`), but the surviving chunk-hash SET is
+    arrival-independent — the driver-checkable value.  Expects columns
+    [doc_id long, text string, ts timestamp]."""
+    words = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(k)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(1), n_chunks),
+        lambda i: F.struct(
+            i.alias("chunk_idx"),
+            F.sha2(
+                F.concat_ws(" ", F.slice(words, (i - 1) * k + 1, k)).cast("binary"),
+                256,
+            ).alias("ch"),
+        ),
+    )
+    occ = docs_stream.select(
+        "doc_id", "ts", F.explode(chunks).alias("c")
+    ).select(F.col("c.ch").alias("ch"), "doc_id", F.col("c.chunk_idx"), "ts")
+    return (
+        occ.withWatermark("ts", within)
+        .dropDuplicatesWithinWatermark(["ch"])
+        .select("ch", "doc_id", "chunk_idx")
+    )
+
+
 def cascade_rollup_stream(
     spark: SparkSession,
     fine_silver_path: str,

@@ -1502,3 +1502,62 @@ def test_minhash_candidate_stream_duplication_bounded(spark, tmp_path):
     # subset of the overlap run (boundary pairs may be missed)
     assert set(tumbling) <= want
     assert all(v == 1 for v in tumbling.values()), tumbling
+
+
+def test_chunk_dedup_stream_keeper_semantics(spark, tmp_path):
+    """Streaming chunk dedup passes each distinct chunk's FIRST arrival
+    and drops re-arrivals across microbatches: a boilerplate chunk
+    recurring in a later file survives only from the earlier document,
+    and the surviving hash set equals the batch keeper set."""
+    import pandas as pd
+
+    from atlas_spark.streaming.rollup import chunk_dedup_stream
+
+    base = 1704067200
+    boiler = " ".join(f"b{i}" for i in range(10))  # one full 10-word chunk
+    uniq1 = " ".join(f"u{i}" for i in range(10))
+    uniq2 = " ".join(f"v{i}" for i in range(10))
+    # doc 0: boiler + uniq1 (2 chunks); doc 1 (later file): boiler + uniq2
+    c1 = [(0, f"{boiler} {uniq1}")]
+    c2 = [(1, f"{boiler} {uniq2}")]
+
+    def pdf(rows, t0):
+        return pd.DataFrame(
+            {
+                "doc_id": [r[0] for r in rows],
+                "text": [r[1] for r in rows],
+                "ts": [pd.Timestamp(t0 + i, unit="s") for i, _ in enumerate(rows)],
+            }
+        )
+
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(pdf(c1, base)).coalesce(1).write.mode("append").parquet(d)
+    spark.createDataFrame(pdf(c2, base + 100)).coalesce(1).write.mode("append").parquet(d)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    got = []
+    q = (
+        chunk_dedup_stream(stream)
+        .writeStream.outputMode("append")
+        .foreachBatch(
+            lambda df, _: got.extend(
+                (r["ch"], r["doc_id"], r["chunk_idx"]) for r in df.collect()
+            )
+        )
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    # 3 distinct chunks survive; the boilerplate chunk's keeper is doc 0
+    # (first arrival), so doc 1 contributes only its unique chunk
+    assert len(got) == 3
+    by_doc = {}
+    for ch, doc, idx in got:
+        by_doc.setdefault(doc, []).append(idx)
+    assert sorted(by_doc[0]) == [1, 2]
+    assert by_doc[1] == [2]
