@@ -23,6 +23,7 @@ Usage: python scripts/gen_scale.py [k] [src_dir] [dst_dir]
 
 from __future__ import annotations
 
+import os
 import shutil
 import sys
 
@@ -56,6 +57,39 @@ def main() -> None:
     shutil.rmtree(dst, ignore_errors=True)
 
     docs = spark.read.parquet(f"{src}/documents.parquet")
+
+    if os.environ.get("SPARK_GRAFT_DOCS_ONLY") == "1":
+        # documents-only scaling for large k (e.g. 1000x): one
+        # crossJoin-with-replica-index pass instead of a k-frame union
+        # (Catalyst chokes on thousand-leg unions), other tables
+        # symlinked from the base dir
+        os.makedirs(dst, exist_ok=True)
+        rep = F.col("rep")
+        salted = F.when(rep == 0, F.col("text")).otherwise(
+            F.array_join(
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda w: F.concat(w, F.lit("_"), rep.cast("string")),
+                ),
+                " ",
+            )
+        )
+        out = docs.crossJoin(
+            spark.range(k).select(F.col("id").alias("rep"))
+        ).select(
+            (F.col("doc_id") + rep * ID_OFF).alias("doc_id"),
+            salted.alias("text"),
+            F.col("lang"),
+            F.col("source"),
+            F.length(salted).cast("long").alias("n_chars"),
+        )
+        out.repartition(32).write.parquet(f"{dst}/documents.parquet")
+        for t in ("lineitem", "orders", "events") + DIMS:
+            os.symlink(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
+        n = spark.read.parquet(f"{dst}/documents.parquet").count()
+        print(f"documents: {n}")
+        spark.stop()
+        return
 
     def doc_replica(i: int):
         if i == 0:

@@ -141,6 +141,9 @@ def run(label, out_df, count_cols):
 
 
 run("dedup_exact_stream    ", dedup_exact_stream(src(), within=WITHIN), ("h",))
+from atlas_spark.streaming.rollup import chunk_dedup_stream  # noqa: E402
+
+run("chunk_dedup_stream    ", chunk_dedup_stream(src(), within=WITHIN), ("ch",))
 run(
     "minhash_candidates    ",
     minhash_candidate_stream(src(), within=WITHIN),
