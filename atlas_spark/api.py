@@ -86,6 +86,9 @@ class GraphResult:
     # rendering hints (`hints` param, Grapher.processHints): free-form
     # comma set; `ambiguous-multi-y` restores legacy multi-Y coloring
     hints: frozenset = frozenset()
+    # user-facing notices (GraphDef.warnings): size/zoom clamp messages
+    # etc. — rendered as a notice band and written as `notices` in JSON
+    warnings: list = field(default_factory=list)
 
     def to_json(self) -> dict[str, Any]:
         """std.json-style payload (one message per line)."""
@@ -97,6 +100,8 @@ class GraphResult:
             "legend": [ln.label for ln in self.lines],
             "metrics": [ln.tags for ln in self.lines],
             "values": [ln.data for ln in self.lines],
+            # JsonGraphEngine.scala:72-73 writes warnings as `notices`
+            "notices": list(self.warnings),
         }
 
     def to_csv(self, sep: str = ",") -> str:
@@ -801,12 +806,19 @@ class Engine:
                 axes[aid] = sub
         return axes
 
-    def graph_png(self, uri: str, width: int = 700, height: int = 300) -> bytes:
+    def graph_png(
+        self, uri: str, width: int = 700, height: int = 300, warnings=()
+    ) -> bytes:
         """format=png rendering — a minimal dependency-free chart (see
-        atlas_spark/chart.py; not atlas-chart pixel parity)."""
+        atlas_spark/chart.py; not atlas-chart pixel parity).  `warnings`
+        carries size/zoom clamp notices from the URL layer
+        (GraphConstants.validate) into the render."""
         from .chart import render_png
 
-        return render_png(self.graph(uri), width, height)
+        result = self.graph(uri)
+        if warnings:
+            result.warnings.extend(warnings)
+        return render_png(result, width, height)
 
     def render(self, uri: str):
         """Dispatch on the `format` query param like the reference's graph
@@ -816,15 +828,22 @@ class Engine:
         fmt = qs.get("format", ["json"])[0]
         if fmt == "png":
             # `w`/`h` size the canvas or the image per the `layout` param
-            # (Layout.java; default canvas), `zoom` scales both, like the
-            # reference (GraphFlags width/height/zoom, clamped)
+            # (Layout.java; default canvas), `zoom` scales both.  Clamps
+            # follow GraphConstants.validate: w <= 2000, h <= 1000,
+            # zoom <= 2.0, each over-limit value clamped WITH a notice
+            # (the reference's exact warning strings); canvas floor 64
+            # (MinCanvasWidth/Height) is silent like TimeSeriesGraph's.
+            warnings: list[str] = []
             try:
                 zoom = float(qs.get("zoom", ["1"])[0])
             except (TypeError, ValueError):
                 zoom = 1.0
-            zoom = max(0.1, min(4.0, zoom))
+            if zoom > 2.0:
+                warnings.append("Restricted zoom to 2.0.")
+                zoom = 2.0
+            zoom = max(0.1, zoom)
 
-            def _dim(name: str, default: int, cap: int) -> int:
+            def _dim(name: str, default: int, cap: int, label: str) -> int:
                 try:
                     v = int(qs.get(name, [default])[0])
                 except (TypeError, ValueError):
@@ -833,9 +852,17 @@ class Engine:
                     # non-positive sizes are client errors, never clamped
                     # (GrapherSuite 'reject zero/negative width/height')
                     raise ValueError(f"{name} must be positive (got {v})")
-                return max(64, min(cap, int(v * zoom)))
+                if v > cap:
+                    warnings.append(f"Restricted graph {label} to {cap}.")
+                    v = cap
+                return max(64, int(v * zoom))
 
-            return self.graph_png(uri, width=_dim("w", 700, 2000), height=_dim("h", 300, 1000))
+            return self.graph_png(
+                uri,
+                width=_dim("w", 700, 2000, "width"),
+                height=_dim("h", 300, 1000, "height"),
+                warnings=warnings,
+            )
         g = self.graph(uri)
         if fmt in ("json", "std.json"):
             return g.to_json()

@@ -121,6 +121,10 @@ _TEXT = (64, 64, 64)
 
 # light/dark chart themes (ChartSettings theme config): background, grid,
 # axis, and text colors; line palette is shared
+# warnings background, both themes (reference.conf warnings
+# background-color FFFFC800)
+_WARN_BG = (0xFF, 0xC8, 0x00)
+
 _THEMES = {
     "light": {"bg": _BG, "grid": _GRID, "axis": _AXIS, "text": _TEXT},
     "dark": {
@@ -643,14 +647,22 @@ def render_png(result, width: int = 700, height: int = 300) -> bytes:
         n_entries = min(len(result.lines), 50)
         legend_h = n_entries * entry_h
 
+    # notices (GraphDef.warnings): one amber 11px band row per warning
+    # below the legend in growable layouts; fixed-height layouts can't
+    # grow, so the background tints amber instead
+    # (DefaultGraphEngine.scala:185-196)
+    notices = [str(wmsg) for wmsg in (getattr(result, "warnings", None) or [])]
+    notice_h = 11 * len(notices) if notices and not fixed_h else 0
+
     # translate canvas dims -> image dims for non-fixed dimensions
     if not fixed_w:
         width = width + pad_l + pad_r
     if not fixed_h:
-        height = height + pad_t + pad_b + legend_h
+        height = height + pad_t + pad_b + legend_h + notice_h
     plot_w = width - pad_l - pad_r
-    plot_h = height - pad_t - pad_b - legend_h
-    cv = Canvas(width, height, bg=th["bg"])
+    plot_h = height - pad_t - pad_b - legend_h - notice_h
+    bg = _WARN_BG if notices and fixed_h else th["bg"]
+    cv = Canvas(width, height, bg=bg)
 
     def _axis_bounds(aid: int) -> tuple[float, float]:
         """y bounds for one axis (PlotDef.finalBounds / PlotBound):
@@ -937,8 +949,15 @@ def render_png(result, width: int = 700, height: int = 300) -> bytes:
     # ---------------------------------------------------------------- legend
     # LegendEntry.draw: color box + label row, then Max/Min | Avg/Last |
     # Tot/Cnt stat rows from the line's data (LineDef.legendStats)
+    if notice_h:
+        ny0 = height - notice_h
+        for ni, msg in enumerate(notices):
+            ry = ny0 + ni * 11
+            for yy in range(ry, ry + 11):
+                cv.hline(yy, 0, width - 1, _WARN_BG)
+            cv.text(4, ry + 2, msg[: (width - 8) // 6], (32, 32, 32))
     if n_entries:
-        y0 = height - legend_h
+        y0 = height - legend_h - notice_h
         for li in range(n_entries):
             ln = result.lines[li]
             color, _ = line_color[id(ln)]

