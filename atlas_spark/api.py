@@ -143,7 +143,7 @@ class GraphResult:
             "legend": [ln.label for ln in self.lines],
             "metrics": [ln.tags for ln in self.lines],
             "stats": stats,
-            "notices": [],
+            "notices": list(self.warnings),
         }
 
     def to_v2_json(self) -> list[dict[str, Any]]:
