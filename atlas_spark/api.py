@@ -778,6 +778,10 @@ class Engine:
             tl = qs.get(f"tick_labels.{aid}", [None])[0]
             if tl:
                 sub["tick_labels"] = tl
+            # ylabel.N (getAxisParam fallback to the unsuffixed ylabel)
+            yl = qs.get(f"ylabel.{aid}", [None])[0] or qs.get("ylabel", [None])[0]
+            if yl:
+                sub["ylabel"] = yl
             # palette.N has NO unsuffixed fallback (Grapher newAxis reads
             # params.get(s"palette.$id") directly): absent means the
             # axis's lines draw from the global palette iterator

@@ -555,7 +555,10 @@ def render_png(result, width: int = 700, height: int = 300) -> bytes:
     tzs = list(getattr(result, "timezones", None) or ["UTC"])
     th = _THEMES.get(getattr(result, "theme", None) or "light", _THEMES["light"])
     title = getattr(result, "title", None)
-    ylabel = getattr(result, "ylabel", None)
+    # axis-0 label: ylabel.0 wins over the unsuffixed ylabel (getAxisParam)
+    ylabel = ((getattr(result, "axes", None) or {}).get(0) or {}).get(
+        "ylabel"
+    ) or getattr(result, "ylabel", None)
     only_graph = bool(getattr(result, "only_graph", False))
     if only_graph:
         # only the chart (TimeSeriesGraph.scala:119-123: showAxes=false,
@@ -823,6 +826,13 @@ def render_png(result, width: int = 700, height: int = 300) -> bytes:
                     _fmt_value(val, axis_cfg(aid2)["tick_labels"])[:6],
                     _axis_label_color(aid2),
                 )
+        # ylabel.N for the secondary axis: vertical glyphs down the far
+        # right column (Axis.ylabel per axis, Grapher newAxis)
+        yl2 = (axes_over.get(aid2) or {}).get("ylabel")
+        if yl2:
+            start = max(pad_t, pad_t + (plot_h - len(yl2) * 8) // 2)
+            for k, ch in enumerate(yl2[: plot_h // 8]):
+                cv.text(width - 7, start + k * 8, ch, _axis_label_color(aid2))
     tick_is = list(range(0, n_steps, max(1, n_steps // 8)))
     for i in tick_is:
         cv.vline(tx(i), pad_t, pad_t + plot_h - 1, th["grid"])

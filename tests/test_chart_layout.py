@@ -248,3 +248,20 @@ def test_size_clamp_notices(engine):
     r = engine.graph(BASE)
     r.warnings.append("Restricted graph width to 2000.")
     assert "Restricted graph width to 2000." in r.to_json()["notices"]
+
+
+def test_per_axis_ylabel_param(engine):
+    # ylabel.1 labels the secondary axis down the right margin in that
+    # axis's color; ylabel.0 / unsuffixed ylabel label the left axis
+    png0 = engine.graph_png(f"{MULTI_Y}&ylabel.1=RATE", width=W, height=H)
+    png1 = engine.graph_png(MULTI_Y, width=W, height=H)
+    assert png0 != png1  # right-margin glyphs drawn
+    w, h, px = _pixels(png0)
+    from atlas_spark.chart import PALETTE
+
+    # glyph pixels in the far-right column take axis 1's line color
+    right = {px(x, y) for x in range(w - 8, w - 1) for y in range(8, h - 20)}
+    assert PALETTE[1] in right
+    w1, h1, px1 = _pixels(png1)
+    right1 = {px1(x, y) for x in range(w1 - 8, w1 - 1) for y in range(8, h1 - 20)}
+    assert PALETTE[1] not in right1
