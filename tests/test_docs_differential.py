@@ -81,3 +81,17 @@ def test_ngram_jaccard_random_corpora(spark, tmp_path, seed):
     from atlas_spark.operators.dedup import NGRAM_JACCARD_SQL, ngram_jaccard_pairs
 
     _run(spark, tmp_path, 200 + seed, ngram_jaccard_pairs, NGRAM_JACCARD_SQL)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_source_overlap_random_corpora(spark, tmp_path, seed):
+    from atlas_spark.operators.dedup import SOURCE_OVERLAP_SQL, source_overlap
+
+    _run(spark, tmp_path, 300 + seed, source_overlap, SOURCE_OVERLAP_SQL)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_dedup_exact_random_corpora(spark, tmp_path, seed):
+    from atlas_spark.operators.dedup import DEDUP_EXACT_SQL, dedup_exact
+
+    _run(spark, tmp_path, 400 + seed, dedup_exact, DEDUP_EXACT_SQL)
