@@ -241,6 +241,42 @@ EXCLUDED_COMPLETE_WORDS = frozenset(
 )
 
 
+def _validate_image_dims(qs: dict[str, list[str]]) -> tuple[int, int, list[str]]:
+    """Clamp `w`/`h`/`zoom` per GraphConstants.validate:41-58 — caps
+    w<=2000, h<=1000, zoom<=2.0, emitting the reference's warning strings
+    in ITS order (height, width, zoom); the final image scales by the
+    clamped zoom (DefaultGraphEngine applies zoom after clamping, so the
+    rendered width may exceed MaxWidth).  Non-positive sizes are client
+    errors, never clamped (GrapherSuite)."""
+    warnings: list[str] = []
+    try:
+        zoom = float(qs.get("zoom", ["1"])[0])
+    except (TypeError, ValueError):
+        zoom = 1.0
+
+    def _dim(name: str, default: int) -> int:
+        try:
+            v = int(qs.get(name, [default])[0])
+        except (TypeError, ValueError):
+            v = default
+        if v <= 0:
+            raise ValueError(f"{name} must be positive (got {v})")
+        return v
+
+    w, h = _dim("w", 700), _dim("h", 300)
+    if h > 1000:
+        warnings.append("Restricted graph height to 1000.")
+        h = 1000
+    if w > 2000:
+        warnings.append("Restricted graph width to 2000.")
+        w = 2000
+    if zoom > 2.0:
+        warnings.append("Restricted zoom to 2.0.")
+        zoom = 2.0
+    zoom = max(0.1, zoom)
+    return max(64, int(w * zoom)), max(64, int(h * zoom)), warnings
+
+
 class Engine:
     """Evaluation engine bound to a datapoint source."""
 
@@ -647,6 +683,7 @@ class Engine:
             v = qs.get(f"{name}.{aid}", [None])[0]
             return v if v is not None else qs.get(name, [None])[0]
 
+        sort_warnings: list[str] = []
         if any(
             k in ("sort", "order") or k.startswith(("sort.", "order."))
             for k in qs
@@ -656,7 +693,7 @@ class Engine:
                 if mode == "legend":
                     return ln.label
                 if not vals:
-                    return float("-inf")
+                    return None
                 return {
                     "min": min(vals),
                     "max": max(vals),
@@ -664,7 +701,7 @@ class Engine:
                     "count": float(len(vals)),
                     "total": sum(vals),
                     "last": vals[-1],
-                }.get(mode, ln.label)
+                }[mode]
 
             groups: dict[int, list[GraphLine]] = {}
             for ln in lines:
@@ -681,12 +718,33 @@ class Engine:
                     sort_by = "legend"
                 g = groups[aid]
                 if sort_by is not None:
-                    mode = sort_by if sort_by in (
+                    if sort_by in (
                         "legend", "min", "max", "avg", "count", "total", "last"
-                    ) else "legend"
-                    # stat keys are floats, legend keys strings — sort
-                    # never mixes them (one mode per axis)
-                    g = sorted(g, key=lambda ln: _stat(ln, mode), reverse=desc)
+                    ):
+                        mode = sort_by
+                    else:
+                        # unknown mode -> warn + legend fallback
+                        # (Grapher.scala:509-511)
+                        sort_warnings.append(
+                            f"Invalid sort mode '{sort_by}'. "
+                            "Using default of 'legend'."
+                        )
+                        mode = "legend"
+                    if mode == "legend":
+                        g = sorted(g, key=lambda ln: ln.label, reverse=desc)
+                    else:
+                        # NaN legendStats (lines with no data) sort LAST in
+                        # both directions (Grapher.compare: JDouble NaN
+                        # semantics, atlas#586) — sort only the valued
+                        # lines, then append the empties in input order
+                        valued = [
+                            ln for ln in g if _stat(ln, mode) is not None
+                        ]
+                        empty = [ln for ln in g if _stat(ln, mode) is None]
+                        g = sorted(
+                            valued, key=lambda ln: _stat(ln, mode),
+                            reverse=desc,
+                        ) + empty
                 lines.extend(g)
 
         # y-axis scale: prefer `scale`, fall back to legacy boolean `o`
@@ -747,6 +805,7 @@ class Engine:
             layout=layout,
             only_graph=only_graph,
             hints=hints,
+            warnings=sort_warnings,
         )
 
     @staticmethod
@@ -837,36 +896,9 @@ class Engine:
             # zoom <= 2.0, each over-limit value clamped WITH a notice
             # (the reference's exact warning strings); canvas floor 64
             # (MinCanvasWidth/Height) is silent like TimeSeriesGraph's.
-            warnings: list[str] = []
-            try:
-                zoom = float(qs.get("zoom", ["1"])[0])
-            except (TypeError, ValueError):
-                zoom = 1.0
-            if zoom > 2.0:
-                warnings.append("Restricted zoom to 2.0.")
-                zoom = 2.0
-            zoom = max(0.1, zoom)
-
-            def _dim(name: str, default: int, cap: int, label: str) -> int:
-                try:
-                    v = int(qs.get(name, [default])[0])
-                except (TypeError, ValueError):
-                    v = default
-                if v <= 0:
-                    # non-positive sizes are client errors, never clamped
-                    # (GrapherSuite 'reject zero/negative width/height')
-                    raise ValueError(f"{name} must be positive (got {v})")
-                if v > cap:
-                    warnings.append(f"Restricted graph {label} to {cap}.")
-                    v = cap
-                return max(64, int(v * zoom))
-
-            return self.graph_png(
-                uri,
-                width=_dim("w", 700, 2000, "width"),
-                height=_dim("h", 300, 1000, "height"),
-                warnings=warnings,
-            )
+            width, height, warnings = _validate_image_dims(qs)
+            return self.graph_png(uri, width=width, height=height,
+                                  warnings=warnings)
         g = self.graph(uri)
         if fmt in ("json", "std.json"):
             return g.to_json()

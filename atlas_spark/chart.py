@@ -619,8 +619,11 @@ def render_png(result, width: int = 700, height: int = 300) -> bytes:
     n_steps = max(1, (result.end - result.start) // result.step)
 
     axis_ids = sorted({axis_of(ln) for ln in ts_lines} | {0})
-    if len(axis_ids) > 1:
-        # secondary axes label on the right: widen the right margin
+    if len(axis_ids) > 1 and not only_graph:
+        # secondary axes label on the right: widen the right margin —
+        # unless only_graph suppresses all labels (the plot fills the
+        # image, TimeSeriesGraph.scala:38,52), where widening would
+        # leave a blank right strip
         pad_r = 44
 
     # layout mode (Layout.java, Grapher.scala:153): which dimensions the

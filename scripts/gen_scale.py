@@ -85,7 +85,12 @@ def main() -> None:
         )
         out.repartition(32).write.parquet(f"{dst}/documents.parquet")
         for t in ("lineitem", "orders", "events") + DIMS:
-            os.symlink(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
+            # abspath so a relative src doesn't leave dangling links;
+            # drop any link from a previous run into the same dst
+            link = f"{dst}/{t}.parquet"
+            if os.path.lexists(link):
+                os.remove(link)
+            os.symlink(os.path.abspath(f"{src}/{t}.parquet"), link)
         n = spark.read.parquet(f"{dst}/documents.parquet").count()
         print(f"documents: {n}")
         spark.stop()

@@ -265,3 +265,68 @@ def test_per_axis_ylabel_param(engine):
     w1, h1, px1 = _pixels(png1)
     right1 = {px1(x, y) for x in range(w1 - 8, w1 - 1) for y in range(8, h1 - 20)}
     assert PALETTE[1] not in right1
+
+
+def test_clamp_notice_order_matches_reference():
+    # GraphConstants.validate:48-58 emits height, width, zoom in that
+    # order when all three exceed their caps
+    from atlas_spark.api import _validate_image_dims
+
+    w, h, warnings = _validate_image_dims(
+        {"w": ["99999"], "h": ["99999"], "zoom": ["9"]}
+    )
+    assert warnings == [
+        "Restricted graph height to 1000.",
+        "Restricted graph width to 2000.",
+        "Restricted zoom to 2.0.",
+    ]
+    # zoom clamps at 2.0 and scales the clamped dims
+    assert (w, h) == (4000, 2000)
+
+
+def test_invalid_sort_mode_warns_and_falls_back(engine):
+    # Grapher.scala:509-511: unknown sort mode -> warning + legend sort
+    uri = (
+        "/api/v1/graph?q=name,view,:eq,:sum,name,click,:eq,:sum"
+        f"&{WINDOW}&sort=bogus"
+    )
+    r = engine.graph(uri)
+    assert "Invalid sort mode 'bogus'. Using default of 'legend'." in r.warnings
+    assert [ln.label for ln in r.lines] == ["click", "view"]
+    assert "Invalid sort mode 'bogus'. Using default of 'legend'." in (
+        r.to_json()["notices"]
+    )
+
+
+def test_empty_lines_sort_last_both_directions(engine):
+    # Lines with no data (NaN legendStats) sort LAST in both directions
+    # (Grapher.compare JDouble semantics, atlas#586)
+    uri = (
+        "/api/v1/graph?q="
+        "name,nosuchname,:eq,:sum,name,view,:eq,:sum,name,click,:eq,:sum"
+        f"&{WINDOW}"
+    )
+    asc = engine.graph(uri + "&sort=max")
+    assert [ln.label for ln in asc.lines][-1] == "NO DATA"
+    desc = engine.graph(uri + "&sort=max&order=desc")
+    assert [ln.label for ln in desc.lines][-1] == "NO DATA"
+    # and the valued lines actually flipped
+    assert [ln.label for ln in asc.lines][:2] == list(
+        reversed([ln.label for ln in desc.lines][:2])
+    )
+
+
+def test_only_graph_multi_axis_fills_width(engine):
+    # only_graph suppresses all labels, so the 44px right-margin strip
+    # for secondary-axis labels must not be reserved — line pixels reach
+    # the right edge
+    png = engine.graph_png(f"{MULTI_Y}&only_graph=1", width=W, height=H)
+    w, h, px = _pixels(png)
+    assert (w, h) == (W, H)
+    from atlas_spark.chart import PALETTE
+
+    pal = set(PALETTE[:5])
+    line_xs = [
+        x for y in range(h) for x in range(w) if px(x, y) in pal
+    ]
+    assert line_xs and max(line_xs) > w - 20
