@@ -241,6 +241,68 @@ EXCLUDED_COMPLETE_WORDS = frozenset(
 )
 
 
+def resolve_context(
+    qs: dict[str, list[str]],
+    src_step: int,
+    default_window: tuple[int, int],
+) -> EvalContext:
+    """URI time params -> evaluation context, with the reference's
+    auto-step: the effective step is derived from the canvas width and
+    the time window so each datapoint gets at least a pixel
+    (GraphConfig.scala:70-82 — roundedStepSize rounds an explicit `step`
+    param UP the allowed ladder, stepSize = Step.compute over
+    min(max-datapoints, width)).  Seconds-domain wrapper around the
+    millisecond Step util; start/end round to the EFFECTIVE step, with
+    the rs==re backward extension."""
+    from .util.step import MAX_DATAPOINTS, Step
+
+    step_util = Step.for_block_step(src_step * 1000)
+    # roundedStepSize: explicit step rounds UP the ladder, never down
+    # (Step.round via GraphConfig.scala:72-76); absent -> storage step
+    if "step" in qs:
+        step = step_util.round(
+            src_step * 1000, parse_duration(qs["step"][0]) * 1000
+        ) // 1000
+    else:
+        step = src_step
+    d_start, d_end = default_window
+    # Time refs resolve against RAW instants (the window rounds to the
+    # step only afterwards), so the ref objects are plain namespaces:
+    # an EvalContext here would assert step alignment the default
+    # window need not have under a coarse `step` param, and its
+    # clamping broke URIs whose explicit e precedes the testdata
+    # window.  `s` defaults to e-3h (atlas-eval reference.conf:74).
+    from types import SimpleNamespace
+
+    ref = SimpleNamespace(start=d_start, end=d_end)
+    end = parse_time_ref(qs.get("e", ["e"])[0], ref)
+    sref = SimpleNamespace(start=min(d_start, end - step), end=end)
+    start = parse_time_ref(qs.get("s", ["e-3h"])[0], sref)
+    if end < start:
+        # reject on the RAW instants, before flooring can mask it
+        raise ValueError(f"end ({end}) must not be before start ({start})")
+    # effective step: one datapoint per pixel within the width budget,
+    # capped at max-datapoints=1440 (GraphConfig.stepSize).  The UNCLAMPED
+    # `w` participates (GraphConstants.validate clamps at render time,
+    # after the step is fixed), so w=99999 still budgets 1440 points.
+    try:
+        width = int(qs.get("w", ["700"])[0])
+    except (TypeError, ValueError):
+        width = 700
+    step = step_util.compute(
+        step * 1000, min(MAX_DATAPOINTS, max(1, width)), start * 1000, end * 1000
+    ) // 1000
+    start_f = (start // step) * step
+    end_f = (end // step) * step
+    # end is exclusive; both instants flooring to the same cell would
+    # give an empty window — the reference extends the window BACKWARD
+    # one step (FetchRequestSource.scala:164-169: adjustedStart =
+    # rs - step when rs == re), serving [end_f - step, end_f).
+    if end_f <= start_f:
+        start_f, end_f = end_f - step, end_f
+    return EvalContext(start_f, end_f, step)
+
+
 def _validate_image_dims(qs: dict[str, list[str]]) -> tuple[int, int, list[str]]:
     """Clamp `w`/`h`/`zoom` per GraphConstants.validate:41-58 — caps
     w<=2000, h<=1000, zoom<=2.0, emitting the reference's warning strings
@@ -316,37 +378,7 @@ class Engine:
     # ------------------------------------------------------------- parsing
 
     def _ctx_from_params(self, qs: dict[str, list[str]]) -> EvalContext:
-        step = self.source.step
-        if "step" in qs:
-            step = parse_duration(qs["step"][0])
-            step = max(self.source.step, (step // self.source.step) * self.source.step)
-        d_start, d_end = self.default_window
-        # Time refs resolve against RAW instants (the window rounds to the
-        # step only afterwards), so the ref objects are plain namespaces:
-        # an EvalContext here would assert step alignment the default
-        # window need not have under a coarse `step` param, and its
-        # clamping broke URIs whose explicit e precedes the testdata
-        # window.  `s` defaults to e-3h (atlas-eval reference.conf:74).
-        from types import SimpleNamespace
-
-        ref = SimpleNamespace(start=d_start, end=d_end)
-        end = parse_time_ref(qs.get("e", ["e"])[0], ref)
-        sref = SimpleNamespace(start=min(d_start, end - step), end=end)
-        start = parse_time_ref(qs.get("s", ["e-3h"])[0], sref)
-        if end < start:
-            # reject on the RAW instants, before flooring can mask it
-            raise ValueError(f"end ({end}) must not be before start ({start})")
-        start = (start // step) * step
-        end_f = (end // step) * step
-        # end is exclusive; both instants flooring to the same cell would
-        # give an empty window — the reference extends the window BACKWARD
-        # one step (FetchRequestSource.scala:164-169: adjustedStart =
-        # rs - step when rs == re), serving [end_f - step, end_f).
-        if end_f <= start:
-            start, end = end_f - step, end_f
-        else:
-            end = end_f
-        return EvalContext(start, end, step)
+        return resolve_context(qs, self.source.step, self.default_window)
 
     def expr(self, q: str, features: str = "stable") -> list[E.StyleExpr]:
         """Parse without evaluating (ExprApi parity).  `features=unstable`

@@ -628,12 +628,13 @@ def test_graph_end_before_start_rejected(engine):
         )
 
 
-def test_graph_coarse_step_unaligned_default_window(engine):
-    """A `step` that does not divide the default window start must not
-    crash ref resolution (the old EvalContext-based refs asserted step
-    alignment on the raw default-window instants)."""
+def test_graph_coarse_step_rounds_up_the_ladder(engine):
+    """An explicit `step` that is not an allowed ladder size rounds UP to
+    the next rung (Step.round via GraphConfig.roundedStepSize:70-76),
+    never down to an arbitrary storage multiple: 7h -> 8h.  Ladder steps
+    divide the day, so window rounding stays aligned."""
     g = engine.graph("/api/v1/graph?step=7h&q=name,click,:eq,:sum&s=2024-01-02&e=2024-01-03")
-    assert g.step == 7 * 3600
+    assert g.step == 8 * 3600
     assert g.start % g.step == 0 and g.end % g.step == 0
 
 
