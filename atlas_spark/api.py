@@ -350,8 +350,14 @@ class Engine:
         default_window: tuple[int, int] = (EVENTS_START, EVENTS_END),
         catalog=None,
         host_rewrite: dict | None = None,
+        png_metadata: bool = False,
     ):
         self.spark = spark
+        # embed the graph URI as PNG text metadata so the query is
+        # recoverable from a saved image; off by default like the
+        # reference's png-metadata-enabled (reference.conf:168,
+        # GraphConfig.scala:155)
+        self.png_metadata = png_metadata
         # config-driven host -> restriction-query rewrite for multi-DNS-view
         # deployments (HostRewriter.scala:40-67; reference.conf:179-183
         # default matches no host)
@@ -913,7 +919,10 @@ class Engine:
         result = self.graph(uri)
         if warnings:
             result.warnings.extend(warnings)
-        return render_png(result, width, height)
+        return render_png(
+            result, width, height,
+            source=uri if self.png_metadata else None,
+        )
 
     def render(self, uri: str):
         """Dispatch on the `format` query param like the reference's graph

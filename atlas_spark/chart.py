@@ -251,7 +251,12 @@ class Canvas:
                         self.put(cx + c, y + r, rgb)
             cx += 6
 
-    def to_png(self) -> bytes:
+    def to_png(self, metadata: dict[str, str] | None = None) -> bytes:
+        """Encode to PNG.  `metadata` entries become text chunks between
+        IHDR and IDAT — tEXt for short values, zTXt (zlib) past 100 chars
+        like the reference's `compression = if (v.length > 100) "zip"`
+        (PngImage.scala:233-238); keys/values are Latin-1 per the PNG
+        spec (the reference's ImageIO writer enforces the same)."""
         raw = b"".join(
             b"\x00" + bytes(self.px[y * self.w * 3 : (y + 1) * self.w * 3])
             for y in range(self.h)
@@ -265,10 +270,20 @@ class Canvas:
                 + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
             )
 
+        text_chunks = b""
+        for k, v in (metadata or {}).items():
+            kw = k.encode("latin-1", "replace")[:79]
+            tv = v.encode("latin-1", "replace")
+            if len(v) > 100:
+                text_chunks += chunk(b"zTXt", kw + b"\x00\x00" + zlib.compress(tv))
+            else:
+                text_chunks += chunk(b"tEXt", kw + b"\x00" + tv)
+
         ihdr = struct.pack(">IIBBBBB", self.w, self.h, 8, 2, 0, 0, 0)
         return (
             b"\x89PNG\r\n\x1a\n"
             + chunk(b"IHDR", ihdr)
+            + text_chunks
             + chunk(b"IDAT", zlib.compress(raw, 6))
             + chunk(b"IEND", b"")
         )
@@ -542,13 +557,18 @@ def _fmt_value(v: float, mode: str = "decimal") -> str:
     return f"{v:.2g}"
 
 
-def render_png(result, width: int = 700, height: int = 300) -> bytes:
+def render_png(result, width: int = 700, height: int = 300,
+               source: str | None = None) -> bytes:
     """Render a GraphResult (api.GraphResult) to PNG bytes.
 
     One time-axis label row is drawn per entry in `result.timezones`
     (GraphDef.timezones, Grapher.scala:169-196): tick instants are
     identical across rows; the labels show each zone's local time, with
-    the zone id at the left of its row."""
+    the zone id at the left of its row.
+
+    `source` (the graph URI/expression) embeds as PNG text metadata —
+    `Source` plus a `Description` of the resolved window — so the query
+    is recoverable from a saved image (PngGraphEngine.scala:29-33)."""
     from datetime import datetime, timezone as _tz
     from zoneinfo import ZoneInfo
 
@@ -1001,7 +1021,18 @@ def render_png(result, width: int = 700, height: int = 300) -> bytes:
                 for si, (k1, v1, k2, v2) in enumerate(stats):
                     row = f"{k1} {v1:<9}{k2} {v2:<9}"
                     cv.text(14, ey + 9 + si * 8, row[: (width - 18) // 6], th["text"])
-    return cv.to_png()
+    metadata = None
+    if source:
+        iso = lambda t: (  # noqa: E731 — Instant.toString rendering
+            datetime.fromtimestamp(t, tz=_tz.utc)
+            .isoformat()
+            .replace("+00:00", "Z")
+        )
+        metadata = {
+            "Source": source,
+            "Description": f"start={iso(result.start)}, end={iso(result.end)}",
+        }
+    return cv.to_png(metadata)
 
 
 def error_png(

@@ -330,3 +330,42 @@ def test_only_graph_multi_axis_fills_width(engine):
         x for y in range(h) for x in range(w) if px(x, y) in pal
     ]
     assert line_xs and max(line_xs) > w - 20
+
+
+def _text_chunks(png: bytes) -> dict[str, str]:
+    """Parse tEXt/zTXt chunks out of PNG bytes."""
+    out: dict[str, str] = {}
+    pos = 8
+    while pos < len(png):
+        (ln,) = struct.unpack(">I", png[pos : pos + 4])
+        tag = png[pos + 4 : pos + 8]
+        data = png[pos + 8 : pos + 8 + ln]
+        if tag == b"tEXt":
+            k, _, v = data.partition(b"\x00")
+            out[k.decode("latin-1")] = v.decode("latin-1")
+        elif tag == b"zTXt":
+            k, _, rest = data.partition(b"\x00")
+            out[k.decode("latin-1")] = zlib.decompress(rest[1:]).decode("latin-1")
+        pos += 12 + ln
+    return out
+
+
+def test_png_text_metadata_roundtrip(engine):
+    # PngGraphEngine.scala:29-33: Source = the graph URI, Description =
+    # the resolved window; gated on png-metadata-enabled (default off,
+    # reference.conf:168).  Values >100 chars compress (zTXt).
+    meta_engine = Engine(
+        engine.spark, "/root/testdata/sf0.001", png_metadata=True
+    )
+    short_uri = f"{BASE}&layout=image"
+    png = meta_engine.graph_png(short_uri, width=W, height=H)
+    meta = _text_chunks(png)
+    assert meta["Source"] == short_uri
+    assert meta["Description"].startswith("start=2024-01-02T00:00:00Z")
+    assert "end=2024-01-03T00:00:00Z" in meta["Description"]
+    # a >100-char source goes through the zTXt path and still round-trips
+    long_uri = BASE + "&title=" + "x" * 120
+    meta2 = _text_chunks(meta_engine.graph_png(long_uri, width=W, height=H))
+    assert meta2["Source"] == long_uri
+    # default engine embeds nothing (reference default is off)
+    assert _text_chunks(engine.graph_png(short_uri, width=W, height=H)) == {}
