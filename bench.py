@@ -57,21 +57,32 @@ RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 # it never does, raise the per-query pass count so min-of-n has more
 # chances to dodge contention, and mark the output host_busy so a
 # contaminated number is machine-detectable.
-QUIET_LOAD = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_LOAD", "2.0"))
-QUIET_WAIT_MAX = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_WAIT", "300"))
+QUIET_LOAD = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_LOAD", "2.5"))
+QUIET_WAIT_MAX = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_WAIT", "420"))
 BUSY_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_BUSY_RUNS", "5"))
+# extra min-hunting passes for queries whose best time was recorded on a
+# loaded host (loadavg >= QUIET_LOAD at measurement time)
+RETRY_PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_RETRY_PASSES", "2"))
 
 
-def _wait_for_quiet_host() -> tuple[float, bool]:
-    """Block until loadavg(1m) < QUIET_LOAD or QUIET_WAIT_MAX elapses;
-    returns (seconds waited, still_busy)."""
-    t0 = time.monotonic()
-    while True:
-        if os.getloadavg()[0] < QUIET_LOAD:
-            return round(time.monotonic() - t0, 1), False
-        if time.monotonic() - t0 >= QUIET_WAIT_MAX:
-            return round(time.monotonic() - t0, 1), True
-        time.sleep(5.0)
+class _QuietGate:
+    """Shared bounded wait budget: block until loadavg(1m) < QUIET_LOAD,
+    spending from ONE total budget so repeated gating (before every pass,
+    not just at start — load can rise mid-bench) can't stall forever."""
+
+    def __init__(self, budget: float):
+        self.budget = budget
+        self.waited = 0.0
+
+    def wait(self) -> bool:
+        """Returns True if the host is quiet, False if the budget ran
+        out while still busy."""
+        while os.getloadavg()[0] >= QUIET_LOAD:
+            if self.waited >= self.budget:
+                return False
+            time.sleep(5.0)
+            self.waited += 5.0
+        return True
 
 
 def main() -> None:
@@ -85,7 +96,8 @@ def main() -> None:
     # warm the JVM + parquet footer caches with a trivial action
     spark.read.parquet(f"{SF_DIR}/events.parquet").count()
 
-    waited, host_busy = _wait_for_quiet_host()
+    gate = _QuietGate(QUIET_WAIT_MAX)
+    host_busy = not gate.wait()
     runs = max(1, BUSY_RUNS if host_busy else RUNS)
 
     # min-of-n per query so a host-contention spike on one pass doesn't
@@ -94,24 +106,45 @@ def main() -> None:
     load_at_min: dict[str, float] = {}
     errors: dict[str, str] = {}
     loadavg = []
+
+    def _measure(name: str) -> None:
+        fn = queries[name]
+        la = os.getloadavg()[0]
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            dt = round(time.perf_counter() - t0, 3)
+            if dt < times.get(name, float("inf")):
+                times[name] = dt
+                load_at_min[name] = round(la, 2)
+        except Exception as ex:  # one bad query must not kill the run
+            errors[name] = f"{type(ex).__name__}: {ex}"[:200]
+            times.pop(name, None)
+
     for run in range(runs):
+        gate.wait()  # re-gate between passes: load can rise mid-bench
         loadavg.append(round(os.getloadavg()[0], 2))
-        for name in HEADLINE:
-            if name in errors:
-                continue
-            fn = queries[name]
-            la = os.getloadavg()[0]
-            t0 = time.perf_counter()
-            try:
-                df = fn(spark, SF_DIR)
-                df.write.format("noop").mode("overwrite").save()
-                dt = round(time.perf_counter() - t0, 3)
-                if dt < times.get(name, float("inf")):
-                    times[name] = dt
-                    load_at_min[name] = round(la, 2)
-            except Exception as ex:  # one bad query must not kill the run
-                errors[name] = f"{type(ex).__name__}: {ex}"[:200]
-                times.pop(name, None)
+        # rotate the order per pass so a query's neighbors (whose cached
+        # shuffle files / GC pressure bleed into its wall time) differ
+        # across passes — min-of-n then samples independent orderings
+        rot = (run * max(1, len(HEADLINE) // max(1, runs))) % len(HEADLINE)
+        for name in HEADLINE[rot:] + HEADLINE[:rot]:
+            if name not in errors:
+                _measure(name)
+
+    # targeted retries: any query whose recorded min was measured on a
+    # loaded host gets extra quiet-host attempts (the whole-pass min can
+    # still carry a busy-window artifact for late-in-pass queries)
+    for _ in range(RETRY_PASSES):
+        stale = [
+            n for n in HEADLINE
+            if n in times and load_at_min.get(n, 0.0) >= QUIET_LOAD
+        ]
+        if not stale or not gate.wait():
+            break
+        for name in stale:
+            _measure(name)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -124,7 +157,12 @@ def main() -> None:
         "loadavg": loadavg,
         "query_loadavg": load_at_min,
         "host_busy": host_busy,
-        "quiet_wait_sec": waited,
+        # queries whose recorded min never got a quiet-host sample even
+        # after the retry passes — contamination is machine-detectable
+        "busy_mins": sorted(
+            n for n in times if load_at_min.get(n, 0.0) >= QUIET_LOAD
+        ),
+        "quiet_wait_sec": round(gate.waited, 1),
     }
     if errors:
         out["errors"] = errors
