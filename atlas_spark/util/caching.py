@@ -18,9 +18,55 @@ a sweep (tests assert `getRDDStorageInfo` is empty afterwards).
 
 from __future__ import annotations
 
+from collections import OrderedDict
+from collections.abc import Callable
+
 from pyspark.sql import DataFrame
 
 _SCOPED: list[DataFrame] = []
+
+# Keyed tier: frames SEVERAL registry queries derive from the same
+# immutable input (the xxhash64 shingle frame over documents at one
+# sf_dir feeds both op_ngram_jaccard and op_minhash_candidates).  Unlike
+# scoped persists these survive the between-queries drain — re-deriving
+# the corpus shingles per query was the single largest redundant
+# computation in a bench/driver sweep.  Bounded LRU so a long session
+# holds at most SHARED_MAX frames; keys must embed the applicationId so
+# a frame never outlives its session.
+_SHARED: "OrderedDict[str, DataFrame]" = OrderedDict()
+SHARED_MAX = 4
+
+
+def shared_persist(key: str, builder: Callable[[], DataFrame]) -> DataFrame:
+    """Return the cached frame for `key`, building + persisting on first
+    use.  Assumes the underlying input is immutable for the session
+    (true for the testdata sf_dir contract); eviction only costs
+    recomputation."""
+    df = _SHARED.get(key)
+    if df is not None:
+        _SHARED.move_to_end(key)
+        return df
+    df = builder().persist()
+    _SHARED[key] = df
+    while len(_SHARED) > SHARED_MAX:
+        _, old = _SHARED.popitem(last=False)
+        try:
+            old.unpersist()
+        except Exception:
+            pass
+    return df
+
+
+def release_shared() -> int:
+    """Drop every keyed cache (end-of-sweep / harness drain)."""
+    n = len(_SHARED)
+    for df in _SHARED.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _SHARED.clear()
+    return n
 
 
 def scoped_persist(df: DataFrame) -> DataFrame:

@@ -843,7 +843,7 @@ def test_no_orphaned_cache_blocks_after_registry_queries(spark, sf_dir):
     when the next registry query is built and completely by
     `release_scoped()` — so a driver sweep never accumulates blocks."""
     from atlas_spark.registry import all_queries
-    from atlas_spark.util.caching import release_scoped
+    from atlas_spark.util.caching import SHARED_MAX, _SHARED, release_scoped, release_shared
 
     jsc = spark.sparkContext._jsc.sc()
     before = {i.id() for i in jsc.getRDDStorageInfo()}
@@ -851,7 +851,12 @@ def test_no_orphaned_cache_blocks_after_registry_queries(spark, sf_dir):
     qs = all_queries()
     for name in ("op_quality_deciles", "op_minhash_candidates", "op_ngram_jaccard"):
         qs[name](spark, sf_dir).collect()
+    # the keyed tier intentionally survives between queries (the shingle
+    # frame is shared by the minhash/jaccard pair) but stays bounded...
+    assert len(_SHARED) <= SHARED_MAX
+    # ...and the harness drain empties BOTH tiers completely
     release_scoped()
+    release_shared()
 
     leaked = [
         (i.id(), i.name())
