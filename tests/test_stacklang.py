@@ -168,6 +168,22 @@ def test_cg_only_rewrites_top_of_stack():
 # ------------------------------------------------------------ feature gating
 
 
+def test_vocabulary_stability_matches_reference():
+    """Full-vocabulary features audit: the current reference marks NO
+    main-source word unstable — `Word.isStable` defaults true
+    (Word.scala:41) and no main vocabulary overrides it (only test
+    fixtures do, InterpreterSuite.scala:452); the des/sdes preset
+    TypedMacros construct with the stable default
+    (StatefulVocabulary.scala:99-110).  Pin that the repo registry
+    agrees word-by-word: a word wrongly marked unstable here would
+    reject URIs the reference accepts, and if the reference ever marks
+    a word unstable this pin forces the repo marking to follow."""
+    from atlas_spark.stacklang.vocab import WORDS
+
+    wrongly_unstable = sorted({w.name for w in WORDS if not w.stable})
+    assert wrongly_unstable == [], wrongly_unstable
+
+
 def test_unstable_word_rejected_by_default():
     """Words marked unstable execute only under features=unstable
     (Interpreter.scala:44-47, Features.java)."""
