@@ -20,6 +20,22 @@ atomically per micro-batch (exactly-once on replay).
 Also here: `dedup_stream`, exactly-once event dedup for at-least-once
 transports — the standard `dropDuplicates` + watermark pattern with
 per-key state bounded by the watermark horizon.
+
+State-store provider recommendation (r14 measurement, PERF.md "RocksDB
+vs default state store"): keep the DEFAULT HDFS-backed provider for the
+small-state twins here (dedup_exact / chunk_dedup: state tops out at a
+few hundred thousand fixed-width rows per horizon, and the default
+provider's cheaper commit path wins ~15-45% throughput), but set
+`spark.sql.streaming.stateStore.providerClass` to the RocksDB provider
+for the banded-candidate twins (operators/dedup.py
+minhash_candidate/verified_stream): their state runs MILLIONS of rows
+per window (3.7M at the 200k replay), where RocksDB measured 1.4-1.8x
+the throughput with tracked state memory bounded at ~290MB vs ~2GB —
+on-heap state at a 100TB horizon would exhaust executor memory before
+the watermark fills, so RocksDB is the at-scale default for any
+twin whose state grows with corpus content rather than key cardinality.
+(Spark 4 additionally mandates RocksDB for transformWithStateInPandas,
+streaming/stateful.py.)
 """
 
 from __future__ import annotations

@@ -31,15 +31,27 @@ SPAN_SEC = 3600  # event-time span of the whole replay
 BASE = 1704067200
 WITHIN = "10 minutes"
 
-spark = (
+builder = (
     SparkSession.builder.master("local[32]")
     .config("spark.sql.shuffle.partitions", "32")
     .config("spark.driver.memory", "48g")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.session.timeZone", "UTC")
-    .getOrCreate()
 )
+# ATLAS_STATE_STORE=rocksdb swaps the default HDFS-backed provider for
+# RocksDB — the scale-safe choice for 100TB horizons (state spills to
+# local disk instead of living on the executor heap; Spark 4 requires it
+# for transformWithStateInPandas).  Both providers run for the PERF.md
+# comparison row.
+PROVIDER = os.environ.get("ATLAS_STATE_STORE", "default").lower()
+if PROVIDER == "rocksdb":
+    builder = builder.config(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+spark = builder.getOrCreate()
 spark.sparkContext.setLogLevel("ERROR")
+print(f"state store provider: {PROVIDER}", flush=True)
 
 from atlas_spark.operators.dedup import (  # noqa: E402
     dedup_exact,  # noqa: F401  (import sanity)
@@ -114,16 +126,29 @@ def run(label, out_df, count_cols):
     q = out_df.writeStream.outputMode("append").foreachBatch(sink).start()
     q.processAllAvailable()
     wall = time.time() - t0
+    progress = [
+        pr.asDict(True) if hasattr(pr, "asDict") else pr for pr in q.recentProgress
+    ]
     state = [
         [op["numRowsTotal"] for op in p["stateOperators"]]
-        for p in [pr.asDict(True) if hasattr(pr, "asDict") else pr for pr in q.recentProgress]
+        for p in progress
         if p.get("stateOperators")
     ]
+    # peak state-store memory across batches (stateOperators report
+    # memoryUsedBytes for both providers; RocksDB additionally spills)
+    peak_mem = max(
+        (
+            sum(op.get("memoryUsedBytes", 0) for op in p["stateOperators"])
+            for p in progress
+            if p.get("stateOperators")
+        ),
+        default=0,
+    )
     q.stop()
     rate = N / wall
     print(
         f"{label}: {wall:.1f}s  {rate:,.0f} docs/s  emitted={emitted[0]} "
-        f"distinct={len(distinct)}",
+        f"distinct={len(distinct)}  peak_state_mem={peak_mem/1e6:.1f}MB",
         flush=True,
     )
     print(f"  state rows/batch (per stateful op): {state}", flush=True)
