@@ -358,6 +358,9 @@ class Engine:
         # reference's png-metadata-enabled (reference.conf:168,
         # GraphConfig.scala:155)
         self.png_metadata = png_metadata
+        # retained so the HTTP layer can rebind the engine to a cloned
+        # session (render-pool parallelism cap); None for custom sources
+        self.sf_dir = sf_dir
         # config-driven host -> restriction-query rewrite for multi-DNS-view
         # deployments (HostRewriter.scala:40-67; reference.conf:179-183
         # default matches no host)

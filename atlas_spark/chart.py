@@ -187,9 +187,10 @@ _FONT = {
 class Canvas:
     def __init__(self, w: int, h: int, bg=_BG):
         self.w, self.h = w, h
-        self.px = bytearray(w * h * 3)
-        for i in range(0, len(self.px), 3):
-            self.px[i : i + 3] = bytes(bg)
+        # single repeated-bytes fill — a per-pixel Python loop here was
+        # 84% of render_png wall and serialized concurrent renders on
+        # the GIL (r14 concurrency profile)
+        self.px = bytearray(bytes(bg) * (w * h))
 
     def put(self, x: int, y: int, rgb, alpha: float = 1.0) -> None:
         if 0 <= x < self.w and 0 <= y < self.h:

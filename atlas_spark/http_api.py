@@ -366,7 +366,7 @@ class AtlasHandler(BaseHTTPRequestHandler):
         host = (self.headers.get("Host") or "").strip()
         uri = f"http://{host}{self.path}" if host else self.path
         try:
-            out = self.server.engine.render(uri)
+            out = self.server.render_engine.render(uri)
         except Exception as e:  # noqa: BLE001 — browser error-image path
             # Browsers asking for an image get the error rendered AS an
             # image with 200 OK (GraphRequestActor.scala:49-84 +
@@ -415,7 +415,7 @@ class AtlasHandler(BaseHTTPRequestHandler):
         # DiagnosticMessage instead of a corrupted in-flight stream; errors
         # after the first message can only be handled by closing the
         # connection (the client sees a truncated stream, the SSE contract).
-        gen = self.server.engine.fetch_sse(self.path)
+        gen = self.server.render_engine.fetch_sse(self.path)
         try:
             first = next(gen, None)
         except (ValueError, KeyError, TypeError, NotImplementedError) as e:
@@ -739,6 +739,7 @@ def serve(
     verbose: bool = False,
     sub_ttl: float | None = None,
     validation_rules=(),
+    render_partitions: int | None = None,
 ) -> ThreadingHTTPServer:
     """Bind the API server (reference default port 7101, ApiSettings.port);
     returns the server — call serve_forever() (or use start() for a
@@ -751,6 +752,26 @@ def serve(
 
     srv = ThreadingHTTPServer(("127.0.0.1", port), AtlasHandler)
     srv.engine = engine
+    # Render fan-out cap (r13 concurrency finding a: ONE render fans its
+    # stages across every core, so concurrent renders queue at cluster
+    # capacity rather than sharing it).  FAIR pools cannot cap a job's
+    # width — weight/minShare only order tasks — so graph/fetch requests
+    # run on a CLONED session (shared SparkContext, independent SQLConf)
+    # whose spark.sql.shuffle.partitions bounds each render's shuffle
+    # stages, letting several renders overlap instead of serializing.
+    srv.render_engine = engine
+    if render_partitions and getattr(engine, "sf_dir", None):
+        rspark = engine.spark.newSession()
+        srv.render_engine = Engine(
+            rspark,
+            engine.sf_dir,
+            default_window=engine.default_window,
+            png_metadata=getattr(engine, "png_metadata", False),
+        )
+        srv.render_engine.host_rewriter = engine.host_rewriter
+        # AFTER Engine construction — the source factory runs
+        # configure_existing, which pins the standard 32
+        rspark.conf.set("spark.sql.shuffle.partitions", str(render_partitions))
     srv.spool_dir = spool_dir
     srv.verbose = verbose
     srv.lwc = StreamSubscriptionManager(step=engine.source.step, sub_ttl=sub_ttl)
@@ -772,6 +793,7 @@ def start(
     spool_dir: str | None = None,
     sub_ttl: float | None = None,
     validation_rules=(),
+    render_partitions: int | None = None,
 ) -> tuple[ThreadingHTTPServer, threading.Thread]:
     """serve() on a daemon thread; port=0 picks a free port
     (server_address[1] has the bound port)."""
@@ -781,6 +803,7 @@ def start(
         spool_dir=spool_dir,
         sub_ttl=sub_ttl,
         validation_rules=validation_rules,
+        render_partitions=render_partitions,
     )
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()

@@ -52,7 +52,14 @@ from atlas_spark.api import Engine  # noqa: E402
 from atlas_spark import http_api  # noqa: E402
 
 engine = Engine(spark, SF_DIR)
-srv, _thread = http_api.start(engine, port=0)
+# ATLAS_RENDER_PARTITIONS=N caps each render's shuffle width via a cloned
+# render session (r14: lets concurrent renders overlap instead of one
+# render fanning across all 32 cores while the rest queue)
+rp = os.environ.get("ATLAS_RENDER_PARTITIONS")
+print(f"render_partitions: {rp or 'uncapped'}", flush=True)
+srv, _thread = http_api.start(
+    engine, port=0, render_partitions=int(rp) if rp else None
+)
 port = srv.server_address[1]
 base = f"http://127.0.0.1:{port}"
 

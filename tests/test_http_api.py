@@ -707,3 +707,36 @@ def test_graph_error_image_requires_valid_config(served):
         with pytest.raises(HTTPError) as ei:
             urllib.request.urlopen(req)
         assert ei.value.code == 400, p
+
+
+def test_render_partitions_caps_render_session(spark, sf_dir):
+    """render_partitions=N routes graph/fetch through a CLONED session
+    whose shuffle width is capped (r13 concurrency finding a: one render
+    fans across every core, so concurrent renders queue at cluster
+    capacity).  The main session's conf must be untouched, and a real
+    render through the server must still work."""
+    engine = Engine(spark, sf_dir)
+    srv, _t = http_api.start(engine, port=0, render_partitions=4)
+    try:
+        re = srv.render_engine
+        assert re is not engine and re.spark is not engine.spark
+        assert re.spark.conf.get("spark.sql.shuffle.partitions") == "4"
+        assert engine.spark.conf.get("spark.sql.shuffle.partitions") == "32"
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        status, _, body = _get(f"{base}/api/v1/graph?{GRAPH_Q}&format=png")
+        assert status == 200 and body[:4] == b"\x89PNG"[:4]
+        # tags stay on the main (interactive) engine
+        status, _, body = _get(f"{base}/api/v1/tags/name")
+        assert status == 200 and json.loads(body)
+    finally:
+        srv.shutdown()
+
+
+def test_render_partitions_default_shares_engine(spark, sf_dir):
+    """Without the cap the server renders on the given engine itself."""
+    engine = Engine(spark, sf_dir)
+    srv, _t = http_api.start(engine, port=0)
+    try:
+        assert srv.render_engine is engine
+    finally:
+        srv.shutdown()
