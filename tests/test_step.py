@@ -128,3 +128,46 @@ def test_resolve_small_window_backward_extension():
     # both instants flooring into one cell serve [end-step, end)
     ctx = _ctx({"s": ["e-30m"], "e": ["2024-01-15T12:10"]})
     assert ctx.end - ctx.start == ctx.step == 3600
+
+
+# ------------------------------------------------------- property checks
+
+from hypothesis import given, settings, strategies as st
+
+_BLOCKS = st.sampled_from(
+    [ONE_SECOND, ONE_MINUTE, 5 * ONE_MINUTE, ONE_HOUR, ONE_DAY]
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    block=_BLOCKS,
+    req=st.integers(min_value=1, max_value=3 * ONE_DAY),
+)
+def test_round_properties(block, req):
+    s = Step.for_block_step(block)
+    out = s.round(block, req)
+    # never below the primary or the request
+    assert out >= block and out >= req
+    # always block-compatible: divides the block or is a whole multiple
+    assert (block % out == 0) if out <= block else (out % block == 0)
+    # idempotent: a returned step is itself a fixed point
+    assert s.round(block, out) == out
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    block=_BLOCKS,
+    width=st.integers(min_value=1, max_value=2000),
+    span=st.integers(min_value=1, max_value=90 * ONE_DAY),
+)
+def test_compute_properties(block, width, span):
+    s = Step.for_block_step(block)
+    out = s.compute(block, width, 0, span)
+    assert out >= block
+    # the defining guarantee: at most one datapoint per pixel (modulo
+    # the ladder's day-boundary fallback, which only rounds UP — so the
+    # point count can only shrink further)
+    assert span // out <= width
+    # block-compatible like round()
+    assert (block % out == 0) if out <= block else (out % block == 0)
