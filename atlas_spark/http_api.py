@@ -820,7 +820,15 @@ def main(argv=None):
     ap.add_argument("--port", type=int, default=7101)
     ap.add_argument("--spool-dir", default=None)
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    # default cap = cpus/4: four renders overlap instead of one job
+    # fanning across every core (PERF.md r14 concurrency row: +13%
+    # throughput and -13% heavy-render p95 on top of the render fix,
+    # with single-client p50 slightly BETTER).  --render-partitions 0
+    # disables the cloned render session.
+    ap.add_argument("--render-partitions", type=int, default=None)
     args = ap.parse_args(argv)
+    if args.render_partitions is None:
+        args.render_partitions = max(2, int(args.cpus) // 4)
 
     from .session import configure_existing
 
@@ -832,7 +840,13 @@ def main(argv=None):
     )
     configure_existing(spark)
     spark.sparkContext.setLogLevel("ERROR")
-    srv = serve(Engine(spark, args.sf_dir), port=args.port, spool_dir=args.spool_dir, verbose=True)
+    srv = serve(
+        Engine(spark, args.sf_dir),
+        port=args.port,
+        spool_dir=args.spool_dir,
+        verbose=True,
+        render_partitions=args.render_partitions or None,
+    )
     print(f"atlas_spark api on http://127.0.0.1:{srv.server_address[1]}")
     srv.serve_forever()
 
