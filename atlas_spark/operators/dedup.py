@@ -152,6 +152,126 @@ SELECT doc_id, n_chunks, n_removed, clean_text FROM per_doc
 """
 
 
+def span_dedup(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Exact-substring (sliding-span) dedup: every SLIDING `k`-word gram
+    is tracked corpus-wide; a gram survives only at its first occurrence
+    (min (doc_id, pos)), and every later occurrence marks its k-token
+    span for removal.  Overlapping marked spans union, and each document
+    re-emits with the covered tokens dropped: (doc_id, n_tokens,
+    n_removed, clean_text), clean_text NULL when everything was covered.
+    The sliding-window exact-substring pass of a pretraining pipeline
+    (cf. "Deduplicating Training Data Makes Language Models Better" —
+    public method); `chunk_dedup` above is its cheap non-overlapping
+    approximation.
+
+    Scale shape: the keeper per gram is a partial-aggregated
+    min(struct) on the 64-bit gram hash (map-side combine absorbs hot
+    boilerplate grams — one row per mapper, like chunk_dedup).  Marking
+    non-keeper occurrences necessarily touches each duplicated
+    occurrence once: a fixed-width (hash) equi-join of the occurrence
+    stream against the distinct-gram keeper frame, AQE skew-split on
+    hot grams.  The per-document rebuild folds the doc's OWN mark list
+    with higher-order array expressions — cost O(tokens x marks) per
+    doc, both bounded by document length, never a corpus-wide axis.
+    xxhash64 gram ids shuffle 8-byte keys; the oracle compares raw-gram
+    semantics at the text level, so hash values never cross engines
+    (same contract as ngram_jaccard)."""
+    docs = load_documents(spark, sf_dir)
+    words = F.split(F.col("text"), " ")
+    grams = F.when(
+        F.size(words) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - k),
+            lambda p: F.struct(
+                p.cast("int").alias("pos"),
+                F.xxhash64(F.concat_ws(" ", F.slice(words, p + 1, k))).alias("g"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,g:long>>"))
+    occ = docs.select("doc_id", F.explode(grams).alias("o")).select(
+        "doc_id", "o.pos", "o.g"
+    )
+    keep = occ.groupBy("g").agg(F.min(F.struct("doc_id", "pos")).alias("first"))
+    marks = (
+        occ.join(keep, "g")
+        .where(
+            (F.col("doc_id") != F.col("first.doc_id"))
+            | (F.col("pos") != F.col("first.pos"))
+        )
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("pos")).alias("ps"))
+    )
+    toks = F.transform(
+        words, lambda w, i: F.struct(i.cast("int").alias("i"), w.alias("w"))
+    )
+    covered = lambda i: F.exists(  # noqa: E731
+        F.col("ps"), lambda p: (p <= i) & (i < p + k)
+    )
+    kept = F.filter(toks, lambda t: ~covered(t.i))
+    out = docs.join(marks, "doc_id", "left").select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_tokens"),
+        F.when(F.col("ps").isNull(), F.lit(0).cast("long"))
+        .otherwise((F.size(words) - F.size(kept)).cast("long"))
+        .alias("n_removed"),
+        F.when(
+            F.col("ps").isNull(), F.col("text")
+        )
+        .when(
+            F.size(kept) > 0,
+            F.concat_ws(" ", F.transform(kept, lambda t: t.w)),
+        )
+        .alias("clean_text"),
+    )
+    return out
+
+
+def span_dedup_sql(k: int = 10) -> str:
+    """DuckDB oracle: identical sliding-gram first-occurrence semantics
+    over raw gram strings (the engine's xxhash64 ids never cross)."""
+    return f"""
+WITH w AS (
+  SELECT doc_id, text, string_split(text, ' ') AS words FROM documents
+),
+occ AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+         array_to_string(words[i : i + {k} - 1], ' ') AS gram
+  FROM (
+    SELECT doc_id, words, unnest(range(1, len(words) - {k} + 2)) AS i
+    FROM w WHERE len(words) >= {k}
+  )
+),
+ranked AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+  FROM occ
+),
+marks AS (SELECT doc_id, pos FROM ranked WHERE rn > 1),
+tok AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS idx, words[i] AS tok
+  FROM (SELECT doc_id, words, unnest(range(1, len(words) + 1)) AS i FROM w)
+),
+cover AS (
+  SELECT t.doc_id, t.idx, t.tok,
+         EXISTS(SELECT 1 FROM marks m
+                WHERE m.doc_id = t.doc_id
+                  AND m.pos <= t.idx AND t.idx < m.pos + {k}) AS cov
+  FROM tok t
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(count(*) FILTER (WHERE cov) AS BIGINT) AS n_removed,
+         string_agg(tok, ' ' ORDER BY idx) FILTER (WHERE NOT cov) AS clean_text
+  FROM cover GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_removed, clean_text FROM per_doc
+"""
+
+
+SPAN_DEDUP_SQL = span_dedup_sql()
+
+
 def _h60(col) -> "F.Column":
     """60-bit hash = top 15 hex digits of md5 — the engine-portable hash
     (DuckDB computes the identical value, so sketches built from it have

@@ -95,3 +95,17 @@ def test_dedup_exact_random_corpora(spark, tmp_path, seed):
     from atlas_spark.operators.dedup import DEDUP_EXACT_SQL, dedup_exact
 
     _run(spark, tmp_path, 400 + seed, dedup_exact, DEDUP_EXACT_SQL)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_span_dedup_random_corpora(spark, tmp_path, seed):
+    # small vocab + 2-30-word docs make sliding 3-gram collisions dense,
+    # exercising overlap-union and full-coverage (NULL clean_text) paths
+    from functools import partial
+
+    from atlas_spark.operators.dedup import span_dedup, span_dedup_sql
+
+    _run(
+        spark, tmp_path, 500 + seed,
+        partial(span_dedup, k=3), span_dedup_sql(3),
+    )

@@ -1001,3 +1001,50 @@ def test_chunk_dedup_hot_chunk_safe_plan(spark, sf_dir, queries):
 
     joins = _re.findall(r"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)", plan)
     assert len(joins) == 1, plan
+
+
+def test_span_dedup_semantics_planted(spark, tmp_path):
+    """Sliding-span dedup on a planted corpus: a doc repeating an earlier
+    doc's token run loses the whole overlapping span (marks union), the
+    first occurrence survives untouched, sub-k docs are untouched, and a
+    fully-covered doc gets NULL clean_text."""
+    import pandas as pd
+
+    from atlas_spark.operators.dedup import span_dedup
+
+    a = " ".join(f"a{i}" for i in range(12))          # source of the span
+    b = "x y z " + " ".join(f"a{i}" for i in range(10))  # repeats a 10-gram
+    rows = [
+        (0, a, "en", "s", len(a)),
+        (1, b, "en", "s", len(b)),
+        (2, "tiny doc", "en", "s", 8),                 # < k words
+        (3, a[: len(a)], "en", "s", len(a)),           # exact dup of a
+    ]
+    d = tmp_path / "span"
+    d.mkdir()
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(str(d / "documents.parquet"))
+    out = {r["doc_id"]: r for r in span_dedup(spark, str(d), k=10).collect()}
+    # doc 0: first occurrence of every gram -> untouched
+    assert out[0]["n_removed"] == 0 and out[0]["clean_text"] == a
+    # doc 1: its single 10-gram a0..a9 (pos 3) duplicates doc 0's pos-0
+    # gram -> tokens 3..12 drop, the x y z prefix survives
+    assert out[1]["n_removed"] == 10
+    assert out[1]["clean_text"] == "x y z"
+    # doc 2: shorter than k -> no grams, untouched
+    assert out[2]["n_removed"] == 0 and out[2]["clean_text"] == "tiny doc"
+    # doc 3: every gram duplicated, spans cover everything -> NULL
+    assert out[3]["n_removed"] == 12 and out[3]["clean_text"] is None
+
+
+def test_span_dedup_hot_gram_safe_plan(spark, sf_dir, queries):
+    """The gram keeper is a partial-aggregated min-struct on the 64-bit
+    gram hash (map-side combine absorbs hot boilerplate grams); no
+    window over gram groups, no cartesian; marking duplicated
+    occurrences is a fixed-width equi-join."""
+    df = queries["op_span_dedup"](spark, sf_dir)
+    plan = _plan(df)
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "partial_min" in plan or "partial" in plan.lower(), plan
