@@ -911,6 +911,32 @@ FROM (
 """
 
 
+def span_dedup_stream_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible surface for the STREAMING span-dedup twin
+    (`streaming/rollup.py::span_dedup_stream`): replays the documents
+    table as a bounded file stream through the real
+    dropDuplicatesWithinWatermark pipeline over SLIDING gram hashes and
+    returns the surviving GRAM-HASH SET — arrival-order-independent
+    (exactly one row per distinct sliding gram), so it is the
+    driver-checkable value (`SPAN_STREAM_SQL`); keeper-assignment and
+    span-union semantics are pinned by the batch op's oracle
+    (`op_span_dedup`)."""
+    from ..streaming.rollup import span_dedup_stream
+
+    stream, tmp = _replay_documents(spark, sf_dir, sentinel=False)
+    out = span_dedup_stream(stream).select("gh")
+    return _run_stream_to_table(spark, out, "span_stream", cleanup=tmp)
+
+
+SPAN_STREAM_SQL = """
+SELECT DISTINCT sha256(array_to_string(words[i : i+9], ' ')) AS gh
+FROM (
+  SELECT words, unnest(range(1, len(words) - 10 + 2)) AS i
+  FROM (SELECT string_split(text, ' ') AS words FROM documents)
+)
+"""
+
+
 def minhash_verified_stream_pairs(
     spark: SparkSession,
     sf_dir: str,

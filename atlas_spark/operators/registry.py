@@ -34,6 +34,13 @@ SPECS: list[OpSpec] = [
     # sliding-window exact-substring dedup: marked spans union per doc
     # (the chunk op above is its non-overlapping approximation)
     OpSpec("op_span_dedup", dedup.span_dedup, dedup.SPAN_DEDUP_SQL),
+    # streaming twin: first-arrival sliding-gram filter, ~k x the chunk
+    # twin's state rows (RocksDB provider regime, rollup.py docstring)
+    OpSpec(
+        "op_span_dedup_stream",
+        dedup.span_dedup_stream_hashes,
+        dedup.SPAN_STREAM_SQL,
+    ),
     OpSpec("op_token_count", text.token_count, text.TOKEN_COUNT_SQL),
     OpSpec("op_token_count_bpe", text.token_count_bpe, text.TOKEN_COUNT_BPE_SQL),
     OpSpec("op_quality_score", text.quality_score, text.QUALITY_SCORE_SQL),

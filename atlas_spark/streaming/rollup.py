@@ -295,6 +295,45 @@ def chunk_dedup_stream(
     )
 
 
+def span_dedup_stream(
+    docs_stream: DataFrame, k: int = 10, within: str = "10 minutes"
+) -> DataFrame:
+    """Streaming twin of `operators/dedup.py::span_dedup`'s keeper pass:
+    documents explode into SLIDING `k`-word grams and each distinct
+    gram's first arrival passes through; re-arrivals are dropped
+    executor-side by `dropDuplicatesWithinWatermark` on the gram hash.
+    Emits (gh, doc_id, pos) — the mark stream an intake pipeline joins
+    back per document to drop duplicated spans before landing.
+
+    Scale shape: like chunk_dedup_stream but with ~k x the state rows
+    (one per distinct SLIDING gram in the horizon, still horizon-bounded
+    and one row per gram however hot) — the regime where the RocksDB
+    state-store provider is the right default (module docstring; PERF.md
+    r14 provider table).  Expects [doc_id long, text string,
+    ts timestamp]."""
+    words = F.split(F.col("text"), " ")
+    grams = F.when(
+        F.size(words) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - k),
+            lambda p: F.struct(
+                p.cast("int").alias("pos"),
+                F.sha2(
+                    F.concat_ws(" ", F.slice(words, p + 1, k)).cast("binary"), 256
+                ).alias("gh"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,gh:string>>"))
+    occ = docs_stream.select(
+        "doc_id", "ts", F.explode(grams).alias("g")
+    ).select(F.col("g.gh").alias("gh"), "doc_id", F.col("g.pos"), "ts")
+    return (
+        occ.withWatermark("ts", within)
+        .dropDuplicatesWithinWatermark(["gh"])
+        .select("gh", "doc_id", "pos")
+    )
+
+
 def cascade_rollup_stream(
     spark: SparkSession,
     fine_silver_path: str,
