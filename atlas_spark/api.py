@@ -15,6 +15,7 @@ distributed before any collect.
 
 from __future__ import annotations
 
+import datetime as _dt
 from dataclasses import dataclass, field
 from typing import Any
 from urllib.parse import parse_qs, urlparse
@@ -266,31 +267,35 @@ def resolve_context(
     else:
         step = src_step
     d_start, d_end = default_window
-    # Time refs resolve against RAW instants (the window rounds to the
-    # step only afterwards), so the ref objects are plain namespaces:
-    # an EvalContext here would assert step alignment the default
-    # window need not have under a coarse `step` param, and its
-    # clamping broke URIs whose explicit e precedes the testdata
-    # window.  `s` defaults to e-3h (atlas-eval reference.conf:74).
-    from types import SimpleNamespace
+    # Window resolution is tz-aware and cross-referencing
+    # (GraphConfig.scala:59-65: tz = timezoneIds.head resolves BEFORE
+    # Strings.timeRange): absolute date literals parse in the REQUEST
+    # timezone, `e` may reference an absolute `s` (`e=s+6h`), a
+    # custom-relative `s` references `e`, and both-relative is a client
+    # error.  Defaults per atlas-eval reference.conf: s=e-3h, e=now —
+    # `now` (and any unknown named ref) resolves to the default window
+    # end, this engine's deterministic stand-in for the wall clock.
+    from .util.strings import graph_time_range
 
-    ref = SimpleNamespace(start=d_start, end=d_end)
-    end = parse_time_ref(qs.get("e", ["e"])[0], ref)
-    sref = SimpleNamespace(start=min(d_start, end - step), end=end)
-    start = parse_time_ref(qs.get("s", ["e-3h"])[0], sref)
-    if end < start:
-        # reject on the RAW instants, before flooring can mask it
-        raise ValueError(f"end ({end}) must not be before start ({start})")
+    tz = qs.get("tz", ["UTC"])[0]
+    now = _dt.datetime.fromtimestamp(d_end, tz=_dt.timezone.utc)
+    start, end = graph_time_range(
+        qs.get("s", ["e-3h"])[0], qs.get("e", ["now"])[0], tz, now=now
+    )
     # effective step: one datapoint per pixel within the width budget,
     # capped at max-datapoints=1440 (GraphConfig.stepSize).  The UNCLAMPED
     # `w` participates (GraphConstants.validate clamps at render time,
     # after the step is fixed), so w=99999 still budgets 1440 points.
+    # Non-positive w is a client error for EVERY format, like
+    # _validate_image_dims — clamping silently coarsened json/csv steps.
     try:
         width = int(qs.get("w", ["700"])[0])
     except (TypeError, ValueError):
         width = 700
+    if width <= 0:
+        raise ValueError(f"w must be positive (got {width})")
     step = step_util.compute(
-        step * 1000, min(MAX_DATAPOINTS, max(1, width)), start * 1000, end * 1000
+        step * 1000, min(MAX_DATAPOINTS, width), start * 1000, end * 1000
     ) // 1000
     start_f = (start // step) * step
     end_f = (end // step) * step
@@ -367,12 +372,20 @@ class Engine:
         from .util.host_rewriter import HostRewriter
 
         self.host_rewriter = HostRewriter(host_rewrite)
+        # whether the source is the default sf_dir derivation: only then
+        # can the HTTP layer clone this engine onto a new session (a
+        # custom source's frames stay bound to THEIR session, so a clone
+        # would silently serve the default events source instead)
+        self.default_source = source is None
         if source is None:
             if sf_dir is None:
                 raise ValueError("need sf_dir or source")
             source = events_datapoints(spark, sf_dir)
         self.source = source
         self.default_window = default_window
+        # a path-configured catalog can be re-read in a cloned session;
+        # a DataFrame catalog cannot
+        self.catalog_path = catalog if isinstance(catalog, str) else None
         # series catalog for the tags API (sources/catalog.py): a
         # DataFrame, or a path to a maintained catalog table.  When set,
         # metadata requests scan series-cardinality rows instead of the
@@ -734,7 +747,11 @@ class Engine:
                 if mode == "legend":
                     return ln.label
                 if not vals:
-                    return None
+                    # SummaryStats.empty has count=0 (a real number) while
+                    # min/max/avg/total/last are NaN — so sort=count places
+                    # empty lines FIRST ascending; None (NaN-last) only for
+                    # the other stats (Grapher.scala:509-535 + SummaryStats)
+                    return 0.0 if mode == "count" else None
                 return {
                     "min": min(vals),
                     "max": max(vals),

@@ -354,9 +354,14 @@ class AtlasHandler(BaseHTTPRequestHandler):
         # IdParamSanitizer)
         from .util.id_sanitizer import sanitize
 
-        caller = sanitize(
-            qs.get("id", [None])[0] or self.headers.get("Origin") or "default"
-        )
+        # the Origin fallback applies whenever the id RESOLVES to
+        # "default" — including an id param that sanitized away (e.g.
+        # id=1.2.3.4) — not only when the param is absent
+        # (Grapher.scala:78-84 checks config.id == "default" after
+        # toGraphConfig already sanitized the param)
+        caller = sanitize(qs.get("id", ["default"])[0])
+        if caller == "default" and self.headers.get("Origin"):
+            caller = sanitize(self.headers["Origin"])
         counts = getattr(self.server, "graph_request_counts", None)
         if counts is not None:
             counts[caller] = counts.get(caller, 0) + 1
@@ -745,7 +750,18 @@ def serve(
     returns the server — call serve_forever() (or use start() for a
     daemon thread).  `sub_ttl` expires subscriptions not refreshed
     within that many seconds (the reference's exprs-ttl,
-    ExpressionApi.scala:61)."""
+    ExpressionApi.scala:61).
+
+    `render_partitions=None` (default) auto-caps the render plane at
+    max(2, cores//4) — the PERF.md r14 concurrency study showed the
+    uncapped single session saturating the cluster per render; pass 0
+    to disable the cloned render session entirely."""
+    if render_partitions is None:
+        try:
+            cores = engine.spark.sparkContext.defaultParallelism
+        except Exception:
+            cores = os.cpu_count() or 8
+        render_partitions = max(2, cores // 4)
     if spool_dir:
         os.makedirs(spool_dir, exist_ok=True)
     from .streaming.lwc_wire import StreamSubscriptionManager
@@ -760,12 +776,26 @@ def serve(
     # whose spark.sql.shuffle.partitions bounds each render's shuffle
     # stages, letting several renders overlap instead of serializing.
     srv.render_engine = engine
-    if render_partitions and getattr(engine, "sf_dir", None):
+    # Clone ONLY an engine whose source derives from sf_dir (and whose
+    # catalog, if any, is a re-readable path): a custom source's frames
+    # are bound to the ORIGINAL session, so a rebuilt clone would
+    # silently render against the default events source instead.  Such
+    # engines keep the uncapped single-session path.
+    clonable = (
+        getattr(engine, "sf_dir", None)
+        and getattr(engine, "default_source", False)
+        and (
+            getattr(engine, "_catalog_df", None) is None
+            or getattr(engine, "catalog_path", None)
+        )
+    )
+    if render_partitions and clonable:
         rspark = engine.spark.newSession()
         srv.render_engine = Engine(
             rspark,
             engine.sf_dir,
             default_window=engine.default_window,
+            catalog=getattr(engine, "catalog_path", None),
             png_metadata=getattr(engine, "png_metadata", False),
         )
         srv.render_engine.host_rewriter = engine.host_rewriter
@@ -845,7 +875,7 @@ def main(argv=None):
         port=args.port,
         spool_dir=args.spool_dir,
         verbose=True,
-        render_partitions=args.render_partitions or None,
+        render_partitions=args.render_partitions,
     )
     print(f"atlas_spark api on http://127.0.0.1:{srv.server_address[1]}")
     srv.serve_forever()

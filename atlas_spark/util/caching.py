@@ -18,12 +18,20 @@ a sweep (tests assert `getRDDStorageInfo` is empty afterwards).
 
 from __future__ import annotations
 
+import threading
 from collections import OrderedDict
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
 
 _SCOPED: list[DataFrame] = []
+
+# Guards _SHARED: registry ops can run from the ThreadingHTTPServer or a
+# parallel harness; unguarded, two threads could double-persist one key
+# or evict-and-unpersist a frame another thread just received.  Builds
+# run OUTSIDE the lock (they trigger Spark jobs); the losing duplicate
+# build is discarded unpersisted.
+_SHARED_LOCK = threading.Lock()
 
 # Keyed tier: frames SEVERAL registry queries derive from the same
 # immutable input (the xxhash64 shingle frame over documents at one
@@ -42,14 +50,25 @@ def shared_persist(key: str, builder: Callable[[], DataFrame]) -> DataFrame:
     use.  Assumes the underlying input is immutable for the session
     (true for the testdata sf_dir contract); eviction only costs
     recomputation."""
-    df = _SHARED.get(key)
-    if df is not None:
-        _SHARED.move_to_end(key)
-        return df
-    df = builder().persist()
-    _SHARED[key] = df
-    while len(_SHARED) > SHARED_MAX:
-        _, old = _SHARED.popitem(last=False)
+    with _SHARED_LOCK:
+        df = _SHARED.get(key)
+        if df is not None:
+            _SHARED.move_to_end(key)
+            return df
+    built = builder().persist()
+    evicted: list[DataFrame] = []
+    with _SHARED_LOCK:
+        df = _SHARED.get(key)
+        if df is not None:
+            # another thread won the race — keep its frame, drop ours
+            _SHARED.move_to_end(key)
+            evicted.append(built)
+        else:
+            _SHARED[key] = df = built
+            while len(_SHARED) > SHARED_MAX:
+                _, old = _SHARED.popitem(last=False)
+                evicted.append(old)
+    for old in evicted:
         try:
             old.unpersist()
         except Exception:
@@ -59,14 +78,15 @@ def shared_persist(key: str, builder: Callable[[], DataFrame]) -> DataFrame:
 
 def release_shared() -> int:
     """Drop every keyed cache (end-of-sweep / harness drain)."""
-    n = len(_SHARED)
-    for df in _SHARED.values():
+    with _SHARED_LOCK:
+        frames = list(_SHARED.values())
+        _SHARED.clear()
+    for df in frames:
         try:
             df.unpersist()
         except Exception:
             pass
-    _SHARED.clear()
-    return n
+    return len(frames)
 
 
 def scoped_persist(df: DataFrame) -> DataFrame:

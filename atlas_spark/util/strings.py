@@ -191,7 +191,10 @@ def parse_date(
     now: dt.datetime | None = None,
 ) -> dt.datetime:
     """Strings.parseDate -> aware datetime."""
-    s = s.strip()
+    # Form-decoding (parse_qs) turns an un-escaped `+` into a space
+    # (`e=s+6h` arrives as "s 6h"); no form of the date grammar contains
+    # a space, so restore it rather than reject the common URI spelling.
+    s = s.strip().replace(" ", "+")
     refs = refs or {}
     tzinfo = _zoneinfo(zone)
 
@@ -261,6 +264,37 @@ def time_range(s: str, e: str, ctx, zone: str = "UTC") -> tuple[int, int]:
     if _epoch_s(start) > _epoch_s(end):
         raise ValueError("start must be <= end")
     return _epoch_s(start), _epoch_s(end)
+
+
+def graph_time_range(
+    s: str, e: str, zone: str = "UTC", now: dt.datetime | None = None
+) -> tuple[int, int]:
+    """Strings.timeRange (Strings.scala:605-628) — the GRAPH param
+    layer's s/e resolution, distinct from the `:time-span` grammar in
+    `time_range`: when `s` is custom-relative (ref other than
+    now/epoch) or the bare named ref `e`, the end parses FIRST and `s`
+    may reference it; otherwise `s` parses first and `e` may reference
+    it (`e=s+6h`).  Both custom-relative is rejected.  Absolute date
+    literals parse in the REQUEST timezone (`tz = timezoneIds.head`,
+    GraphConfig.scala:59-65); unknown named refs fall back to `now`
+    like the reference's parseRefVar.  start == end is allowed — the
+    step-rounding backward extension serves one cell."""
+    # restore form-decoded `+` BEFORE the branch test, else `s=e+3h`
+    # (arriving "e 3h") would misclassify as absolute
+    s = s.strip().replace(" ", "+")
+    e = e.strip().replace(" ", "+")
+    if is_relative_date(s, custom_ref=True) or s == "e":
+        if is_relative_date(e, custom_ref=True):
+            raise ValueError("start and end are both relative")
+        end = parse_date(e, zone, now=now)
+        start = parse_date(s, zone, {"e": end}, now=now)
+    else:
+        start = parse_date(s, zone, now=now)
+        end = parse_date(e, zone, {"s": start}, now=now)
+    rs, re_ = _epoch_s(start), _epoch_s(end)
+    if re_ < rs:
+        raise ValueError("end time is before start time")
+    return rs, re_
 
 
 _VAR_CHARS = frozenset(

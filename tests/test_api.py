@@ -34,8 +34,14 @@ def test_graph_group_by_legend(engine):
 
 def test_graph_tz_time_span(engine):
     """tz param shifts absolute time-span boundaries: 2024-01-02 in
-    US/Pacific begins at 08:00 UTC (Grapher.scala:169-171)."""
-    base = "/api/v1/graph?q=2024-01-02,2024-01-03,:time-span&s=2024-01-02&e=2024-01-03"
+    US/Pacific begins at 08:00 UTC (Grapher.scala:169-171).  The graph
+    window is pinned with explicit-zone literals (which win over tz —
+    IsoDateTimeParser) so only the span boundary moves here; the window
+    shift itself is covered by test_graph_window_request_tz."""
+    base = (
+        "/api/v1/graph?q=2024-01-02,2024-01-03,:time-span"
+        "&s=2024-01-02T00:00Z&e=2024-01-03T00:00Z"
+    )
     utc = engine.graph(base)
     pac = engine.graph(base + "&tz=US/Pacific")
     # UTC: inside the span from the first interval; Pacific: first 8 hours out
@@ -73,6 +79,49 @@ def test_graph_step_param(engine):
         "/api/v1/graph?q=name,click,:eq,:sum&s=2024-01-02&e=2024-01-03&step=6h"
     )
     assert g.step == 21600 or g.step == 3600  # consolidated step honored
+
+
+def test_graph_window_request_tz(engine):
+    # Strings.timeRange parity (GraphConfig.scala:59-65): absolute date
+    # literals parse in the REQUEST timezone, so tz=US/Pacific shifts
+    # the whole window +8h vs UTC (PST, January).
+    base = "/api/v1/graph?q=name,click,:eq,:sum&s=2024-01-02&e=2024-01-03"
+    utc = engine.graph(base)
+    pst = engine.graph(base + "&tz=US/Pacific")
+    assert pst.start - utc.start == 8 * 3600
+    assert pst.end - utc.end == 8 * 3600
+    # explicit zone in the literal wins over the tz param
+    z = engine.graph(
+        "/api/v1/graph?q=name,click,:eq,:sum&s=2024-01-02T00:00Z"
+        "&e=2024-01-03T00:00Z&tz=US/Pacific"
+    )
+    assert (z.start, z.end) == (utc.start, utc.end)
+
+
+def test_graph_window_e_references_s(engine):
+    # absolute s, e=s+6h resolves against the request's s
+    # (Strings.scala:617-620: refs + ("s" -> start))
+    g = engine.graph("/api/v1/graph?q=name,click,:eq,:sum&s=2024-01-02&e=s+6h")
+    assert g.start == 1704153600  # 2024-01-02T00:00Z
+    assert g.end - g.start == 6 * 3600
+    # relative s resolves against an absolute e (refs + ("e" -> end))
+    g2 = engine.graph("/api/v1/graph?q=name,click,:eq,:sum&s=e-6h&e=2024-01-02T06:00")
+    assert (g2.start, g2.end) == (g.start, g.end)
+
+
+def test_graph_window_both_relative_rejected(engine):
+    with pytest.raises(ValueError, match="both relative"):
+        engine.graph("/api/v1/graph?q=name,click,:eq,:sum&s=e-3h&e=s+1h")
+
+
+def test_graph_nonpositive_width_rejected_all_formats(engine):
+    # w<=0 is a client error for json/csv too, not a silent clamp
+    for fmt in ("json", "csv"):
+        with pytest.raises(ValueError, match="w must be positive"):
+            engine.graph(
+                "/api/v1/graph?q=name,click,:eq,:sum&s=2024-01-02"
+                f"&e=2024-01-03&w=0&format={fmt}"
+            )
 
 
 def test_fetch_distributed(engine):
@@ -456,8 +505,12 @@ def test_graph_multi_tz(engine):
     """Repeated tz params: first zone drives expression semantics (the
     `tz` interpreter var), all zones land in GraphResult.timezones and get
     their own axis row in the PNG (Grapher.scala:169-196,
-    GraphDef.timezones)."""
-    base = "/api/v1/graph?q=2024-01-02,2024-01-03,:time-span&s=2024-01-02&e=2024-01-03"
+    GraphDef.timezones).  Window pinned with explicit-zone literals so
+    the span shift is isolated from the (also tz-driven) window shift."""
+    base = (
+        "/api/v1/graph?q=2024-01-02,2024-01-03,:time-span"
+        "&s=2024-01-02T00:00Z&e=2024-01-03T00:00Z"
+    )
     g = engine.graph(base + "&tz=US/Pacific&tz=UTC")
     assert g.timezones == ["US/Pacific", "UTC"]
     # expression semantics follow the FIRST zone (Pacific): first 8 h out
@@ -622,7 +675,7 @@ def test_graph_end_before_start_rejected(engine):
     flooring into one cell must not mask a reversed window)."""
     import pytest
 
-    with pytest.raises(ValueError, match="must not be before"):
+    with pytest.raises(ValueError, match="before start"):
         engine.graph(
             "/api/v1/graph?s=2024-01-02T19:52&e=2024-01-02T19:42&q=name,click,:eq,:sum"
         )

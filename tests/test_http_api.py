@@ -617,7 +617,15 @@ def test_graph_caller_id_sanitized_counter(spark, sf_dir, tmp_path_factory):
         req.add_header("Origin", "FooApp")
         with urllib.request.urlopen(req):
             pass
-        assert srv.graph_request_counts == {"mydash": 1, "default": 1, "fooapp": 1}
+        # an id param that sanitizes away still falls back to Origin
+        # (Grapher.scala:78-84 tests config.id AFTER sanitization)
+        req = urllib.request.Request(f"{base}/api/v1/graph?{GRAPH_Q}&id=1.2.3.4")
+        req.add_header("Origin", "BarApp")
+        with urllib.request.urlopen(req):
+            pass
+        assert srv.graph_request_counts == {
+            "mydash": 1, "default": 1, "fooapp": 1, "barapp": 1,
+        }
     finally:
         srv.shutdown()
 
@@ -732,10 +740,36 @@ def test_render_partitions_caps_render_session(spark, sf_dir):
         srv.shutdown()
 
 
-def test_render_partitions_default_shares_engine(spark, sf_dir):
-    """Without the cap the server renders on the given engine itself."""
+def test_render_partitions_default_auto_caps(spark, sf_dir):
+    """serve()/start() WITHOUT the arg default to the auto cap
+    max(2, cores//4) — library users get the measured concurrency
+    behavior, not the saturating single session; 0 disables."""
     engine = Engine(spark, sf_dir)
     srv, _t = http_api.start(engine, port=0)
+    try:
+        re = srv.render_engine
+        assert re is not engine and re.spark is not engine.spark
+        cores = spark.sparkContext.defaultParallelism
+        expect = max(2, cores // 4)
+        assert re.spark.conf.get("spark.sql.shuffle.partitions") == str(expect)
+    finally:
+        srv.shutdown()
+    srv, _t = http_api.start(engine, port=0, render_partitions=0)
+    try:
+        assert srv.render_engine is engine
+    finally:
+        srv.shutdown()
+
+
+def test_render_partitions_custom_source_not_cloned(spark, sf_dir):
+    """An engine with a CUSTOM source (or DataFrame catalog) must not be
+    cloned — the rebuilt clone would silently render the default events
+    source instead (the clone path rebuilds from sf_dir alone)."""
+    from atlas_spark.sources.datapoints import events_datapoints
+
+    src = events_datapoints(spark, sf_dir)
+    engine = Engine(spark, sf_dir, source=src)
+    srv, _t = http_api.start(engine, port=0, render_partitions=4)
     try:
         assert srv.render_engine is engine
     finally:
