@@ -762,7 +762,7 @@ def minhash_stream_candidates(
     # candidate stream itself is exactly-once via earliest-common-window
     # emission)
     materialized = _run_stream_to_table(
-        spark, cand, "mh_stream", cleanup=tmp
+        spark, cand, "mh_stream", cleanup=tmp, twin="minhash_candidate_stream"
     ).distinct()
 
     docs = load_documents(spark, sf_dir)
@@ -833,12 +833,24 @@ _SINK_KEEP = 8
 
 
 def _run_stream_to_table(
-    spark: SparkSession, out: DataFrame, prefix: str, cleanup: str | None = None
+    spark: SparkSession,
+    out: DataFrame,
+    prefix: str,
+    cleanup: str | None = None,
+    twin: str | None = None,
 ) -> DataFrame:
     """Run a bounded stream to completion into a memory sink and return
-    the materialized table (the batch frame a driver can collect)."""
+    the materialized table (the batch frame a driver can collect).
+    `twin` selects the recommended state-store provider for the stream
+    (streaming/rollup.py::apply_state_store — RocksDB for
+    content-scaled state, default provider for small fixed state)."""
     import shutil
     import uuid
+
+    if twin is not None:
+        from ..streaming.rollup import apply_state_store
+
+        apply_state_store(spark, twin)
 
     while len(_SINK_TABLES) >= _SINK_KEEP:
         stale = _SINK_TABLES.pop(0)
@@ -878,7 +890,9 @@ def dedup_stream_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream, tmp = _replay_documents(spark, sf_dir, sentinel=False)
     out = dedup_exact_stream(stream).select("h")
-    return _run_stream_to_table(spark, out, "dedup_stream", cleanup=tmp)
+    return _run_stream_to_table(
+        spark, out, "dedup_stream", cleanup=tmp, twin="dedup_exact_stream"
+    )
 
 
 DEDUP_STREAM_SQL = "SELECT DISTINCT sha256(text) AS h FROM documents"
@@ -899,7 +913,9 @@ def chunk_dedup_stream_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream, tmp = _replay_documents(spark, sf_dir, sentinel=False)
     out = chunk_dedup_stream(stream).select("ch")
-    return _run_stream_to_table(spark, out, "chunk_stream", cleanup=tmp)
+    return _run_stream_to_table(
+        spark, out, "chunk_stream", cleanup=tmp, twin="chunk_dedup_stream"
+    )
 
 
 CHUNK_STREAM_SQL = """
@@ -925,7 +941,9 @@ def span_dedup_stream_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream, tmp = _replay_documents(spark, sf_dir, sentinel=False)
     out = span_dedup_stream(stream).select("gh")
-    return _run_stream_to_table(spark, out, "span_stream", cleanup=tmp)
+    return _run_stream_to_table(
+        spark, out, "span_stream", cleanup=tmp, twin="span_dedup_stream"
+    )
 
 
 SPAN_STREAM_SQL = """
@@ -982,7 +1000,10 @@ def minhash_verified_stream_pairs(
         # feed is exactly-once) — materialized eagerly by the memory sink,
         # so the staged shingle parquet can be removed on exit
         return (
-            _run_stream_to_table(spark, out, "mh_verified", cleanup=tmp)
+            _run_stream_to_table(
+                spark, out, "mh_verified", cleanup=tmp,
+                twin="minhash_verified_stream",
+            )
             .distinct()
         )
     finally:

@@ -557,6 +557,12 @@ class StreamingEvaluator:
         decomposition outright (e.g. a non-subset-key cross-line join),
         matching the reference's own single-node FinalExprEval state.
         """
+        # subscription-evaluator state is keyed by SERIES (windowed aggs
+        # + per-series stateful kernels) — key-cardinality regime, so the
+        # default provider's cheaper commit path wins (rollup.py r14 A/B)
+        from .rollup import apply_state_store
+
+        apply_state_store(stream.sparkSession, "subscription_evaluator")
         if self.state_plan is not None:
             return self._start_state_store(stream, query_name)
         return self._start_buffered(stream, query_name)

@@ -40,11 +40,68 @@ streaming/stateful.py.)
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..session import configure_existing
 from ..sources.datapoints import sanitize
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+HDFS_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+)
+
+# Twins whose state grows with corpus CONTENT (candidate pairs / grams
+# per window — millions of rows at the 200k-doc replay) rather than key
+# cardinality.  r14 A/B (PERF.md "RocksDB vs default state store",
+# back-to-back on one host): RocksDB 1.4-1.8x the throughput with
+# tracked state memory ~290MB vs ~2GB on-heap — the default provider
+# would exhaust executor heap before a 100TB horizon's watermark fills.
+# Small-fixed-state twins keep the default provider (its cheaper commit
+# path measured ~15-45% faster there).
+_CONTENT_SCALED_TWINS = frozenset(
+    {
+        "minhash_candidate_stream",
+        "minhash_verified_stream",
+        "span_dedup_stream",
+    }
+)
+
+# Spark 4 requires the RocksDB provider for transformWithStateInPandas
+# regardless of state size (streaming/stateful.py::stateful_stream_tws)
+_ROCKSDB_MANDATED = frozenset({"stateful_tws"})
+
+
+def recommended_state_store(twin: str) -> str:
+    """Provider class the r14 A/B recommends for a streaming twin."""
+    if twin in _CONTENT_SCALED_TWINS or twin in _ROCKSDB_MANDATED:
+        return ROCKSDB_PROVIDER
+    return HDFS_PROVIDER
+
+
+def apply_state_store(spark: SparkSession, twin: str) -> str:
+    """Set `spark.sql.streaming.stateStore.providerClass` to the twin's
+    recommended provider and return the class applied.  Overridable:
+    the `ATLAS_STATE_STORE` env var or the
+    `spark.atlas.stateStore.provider` session conf (values `rocksdb` |
+    `default`) pin one provider for every twin — e.g. the A/B scripts.
+    The conf is read once per query START, so call this immediately
+    before starting the twin's stream (sequential starts only — two
+    threads starting twins with different regimes would race on the
+    session conf)."""
+    override = os.environ.get("ATLAS_STATE_STORE") or spark.conf.get(
+        "spark.atlas.stateStore.provider", None
+    )
+    if override and override.lower() not in ("", "auto"):
+        cls = ROCKSDB_PROVIDER if override.lower() == "rocksdb" else HDFS_PROVIDER
+    else:
+        cls = recommended_state_store(twin)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", cls)
+    return cls
 
 
 def silver_rollup_stream(

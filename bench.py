@@ -62,7 +62,13 @@ QUIET_WAIT_MAX = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_WAIT", "420"))
 BUSY_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_BUSY_RUNS", "5"))
 # extra min-hunting passes for queries whose best time was recorded on a
 # loaded host (loadavg >= QUIET_LOAD at measurement time)
-RETRY_PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_RETRY_PASSES", "2"))
+RETRY_PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_RETRY_PASSES", "3"))
+# dedicated quiet-wait budget for retrying EXPENSIVE (>1s) flagged
+# queries — a busy min on a 2s query moves the total far more than on a
+# 0.3s one, so it earns its own wait budget even after the shared gate
+# budget is spent (r14: op_minhash_candidates flagged at loadavg 4.41
+# while every cheap query had settled)
+RETRY_QUIET_EXTRA = float(os.environ.get("SPARK_GRAFT_BENCH_RETRY_QUIET", "240"))
 
 
 class _QuietGate:
@@ -135,16 +141,31 @@ def main() -> None:
 
     # targeted retries: any query whose recorded min was measured on a
     # loaded host gets extra quiet-host attempts (the whole-pass min can
-    # still carry a busy-window artifact for late-in-pass queries)
+    # still carry a busy-window artifact for late-in-pass queries).
+    # Expensive (>1s) flagged queries draw on a dedicated quiet-wait
+    # budget and get two attempts per pass — their busy mins dominate
+    # the total, and a single attempt right after the wait often lands
+    # on the loadavg tail of the wait's own decay.
+    heavy_gate = _QuietGate(RETRY_QUIET_EXTRA)
     for _ in range(RETRY_PASSES):
         stale = [
             n for n in HEADLINE
             if n in times and load_at_min.get(n, 0.0) >= QUIET_LOAD
         ]
-        if not stale or not gate.wait():
+        if not stale:
             break
+        quiet = gate.wait()
         for name in stale:
-            _measure(name)
+            heavy = times.get(name, 0.0) > 1.0
+            if heavy:
+                quiet_h = heavy_gate.wait()
+                if quiet_h or quiet:
+                    _measure(name)
+                    _measure(name)
+            elif quiet:
+                _measure(name)
+        if not quiet and heavy_gate.waited >= heavy_gate.budget:
+            break
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {

@@ -58,7 +58,10 @@ from atlas_spark.operators.dedup import (  # noqa: E402
     minhash_candidate_stream,
     minhash_verified_stream,
 )
-from atlas_spark.streaming.rollup import dedup_exact_stream  # noqa: E402
+from atlas_spark.streaming.rollup import (  # noqa: E402
+    apply_state_store,
+    dedup_exact_stream,
+)
 
 
 def docs_frame():
@@ -113,7 +116,12 @@ def src():
     )
 
 
-def run(label, out_df, count_cols):
+def run(label, out_df, count_cols, twin=None):
+    # per-regime provider selection (streaming/rollup.py r14 A/B);
+    # ATLAS_STATE_STORE still pins one provider for the A/B comparison
+    if twin:
+        provider = apply_state_store(spark, twin)
+        print(f"{label.strip()}: provider {provider.rsplit('.', 1)[-1]}", flush=True)
     emitted = [0]
     distinct: set = set()
 
@@ -165,14 +173,17 @@ def run(label, out_df, count_cols):
     return wall
 
 
-run("dedup_exact_stream    ", dedup_exact_stream(src(), within=WITHIN), ("h",))
+run("dedup_exact_stream    ", dedup_exact_stream(src(), within=WITHIN), ("h",),
+    twin="dedup_exact_stream")
 from atlas_spark.streaming.rollup import chunk_dedup_stream  # noqa: E402
 
-run("chunk_dedup_stream    ", chunk_dedup_stream(src(), within=WITHIN), ("ch",))
+run("chunk_dedup_stream    ", chunk_dedup_stream(src(), within=WITHIN), ("ch",),
+    twin="chunk_dedup_stream")
 run(
     "minhash_candidates    ",
     minhash_candidate_stream(src(), within=WITHIN),
     ("id_a", "id_b"),
+    twin="minhash_candidate_stream",
 )
 # the landed corpus is a LAKE TABLE in a real intake pipeline — and the
 # landed column is the SHINGLE ARRAY, not raw text: a stream-static join
@@ -190,6 +201,7 @@ run(
     "minhash_verified      ",
     minhash_verified_stream(src(), corpus, within=WITHIN),
     ("id_a", "id_b"),
+    twin="minhash_verified_stream",
 )
 shutil.rmtree(corpus_path, ignore_errors=True)
 

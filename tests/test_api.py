@@ -588,6 +588,36 @@ def test_fetch_sse_chunked_stateful(engine):
             assert abs(a - b) < 1e-9
 
 
+def test_fetch_sse_parity_at_coarse_auto_step(engine):
+    """Auto-step (GraphConfig.stepSize) coarsens the effective step when
+    the window outgrows the pixel budget; the SSE chunker's lookback and
+    chunk-grid math must run at THAT step, so stitched chunked values
+    still equal the one-shot evaluation (the r4 lookback tests predate
+    auto-step and only covered step == storage step)."""
+    # 30d window at w=300 -> 720 hourly cells / 300 px -> 3h effective
+    # step (test_resolve_auto_step_from_width); 7-step chunks do NOT
+    # divide the 240-cell range, exercising the tail chunk too
+    uri = "/api/v1/fetch?q=name,click,:eq,:sum,4,:rolling-sum&s=e-30d&w=300"
+    one_shot = engine.graph(uri.replace("/fetch", "/graph"))
+    assert one_shot.step == 3 * 3600
+    truth = one_shot.lines[0].data
+
+    msgs = list(engine.fetch_sse(uri, chunk_steps=7))
+    meta = msgs[0]
+    assert meta["step"] == 3 * 3600 * 1000
+    ts = [m for m in msgs if m["type"] == "timeseries"]
+    stitched = []
+    for m in ts:
+        assert (m["end"] - m["start"]) // meta["step"] == len(m["data"]["values"])
+        stitched.extend(m["data"]["values"])
+    assert len(stitched) == len(truth) == 240
+    for a, b in zip(stitched, truth):
+        if a is None or b is None:
+            assert a == b
+        else:
+            assert abs(a - b) < 1e-9
+
+
 def test_render_png_size_params(engine):
     """`w`/`h` URL params size the PNG like the reference's GraphFlags,
     clamped to sane limits."""

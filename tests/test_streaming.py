@@ -1561,3 +1561,95 @@ def test_chunk_dedup_stream_keeper_semantics(spark, tmp_path):
         by_doc.setdefault(doc, []).append(idx)
     assert sorted(by_doc[0]) == [1, 2]
     assert by_doc[1] == [2]
+
+
+# --------------------------------------------- state-store provider selection
+
+
+def test_state_store_provider_recommendations():
+    """Each streaming twin requests the provider the r14 back-to-back A/B
+    recommends (rollup.py module docstring + PERF.md provider table):
+    RocksDB for content-scaled state (banded candidates / sliding grams),
+    the default HDFS-backed provider for key-cardinality state."""
+    from atlas_spark.streaming.rollup import (
+        HDFS_PROVIDER,
+        ROCKSDB_PROVIDER,
+        recommended_state_store,
+    )
+
+    for twin in (
+        "minhash_candidate_stream",
+        "minhash_verified_stream",
+        "span_dedup_stream",
+        "stateful_tws",  # Spark 4 API mandate, not a sizing call
+    ):
+        assert recommended_state_store(twin) == ROCKSDB_PROVIDER, twin
+    for twin in (
+        "dedup_exact_stream",
+        "chunk_dedup_stream",
+        "subscription_evaluator",
+        "silver_rollup",
+    ):
+        assert recommended_state_store(twin) == HDFS_PROVIDER, twin
+
+
+def test_apply_state_store_override(spark, monkeypatch):
+    """ATLAS_STATE_STORE env / spark.atlas.stateStore.provider conf pin
+    one provider for every twin (the A/B protocol); 'auto' or unset
+    falls through to the per-regime recommendation."""
+    from atlas_spark.streaming.rollup import (
+        HDFS_PROVIDER,
+        ROCKSDB_PROVIDER,
+        apply_state_store,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    try:
+        monkeypatch.delenv("ATLAS_STATE_STORE", raising=False)
+        assert apply_state_store(spark, "span_dedup_stream") == ROCKSDB_PROVIDER
+        assert spark.conf.get(key) == ROCKSDB_PROVIDER
+        assert apply_state_store(spark, "dedup_exact_stream") == HDFS_PROVIDER
+        assert spark.conf.get(key) == HDFS_PROVIDER
+
+        monkeypatch.setenv("ATLAS_STATE_STORE", "default")
+        assert apply_state_store(spark, "span_dedup_stream") == HDFS_PROVIDER
+        monkeypatch.setenv("ATLAS_STATE_STORE", "rocksdb")
+        assert apply_state_store(spark, "dedup_exact_stream") == ROCKSDB_PROVIDER
+
+        monkeypatch.delenv("ATLAS_STATE_STORE", raising=False)
+        spark.conf.set("spark.atlas.stateStore.provider", "default")
+        assert apply_state_store(spark, "span_dedup_stream") == HDFS_PROVIDER
+        spark.conf.set("spark.atlas.stateStore.provider", "auto")
+        assert apply_state_store(spark, "span_dedup_stream") == ROCKSDB_PROVIDER
+    finally:
+        spark.conf.unset("spark.atlas.stateStore.provider")
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
+def test_twin_surfaces_apply_recommended_provider(spark, sf_dir):
+    """The driver-visible twin surfaces route through
+    _run_stream_to_table(twin=...), which applies the recommendation at
+    query start: after a run the session conf holds the twin's
+    provider (RocksDB for the span twin, default for exact dedup)."""
+    from atlas_spark.operators.dedup import (
+        dedup_stream_hashes,
+        span_dedup_stream_hashes,
+    )
+    from atlas_spark.streaming.rollup import HDFS_PROVIDER, ROCKSDB_PROVIDER
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    try:
+        assert span_dedup_stream_hashes(spark, sf_dir).count() > 0
+        assert spark.conf.get(key) == ROCKSDB_PROVIDER
+        assert dedup_stream_hashes(spark, sf_dir).count() > 0
+        assert spark.conf.get(key) == HDFS_PROVIDER
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
