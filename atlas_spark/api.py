@@ -28,7 +28,7 @@ from .plans.builder import Evaluator, ResultFrame
 from .plans.context import EvalContext
 from .sources.datapoints import DatapointSource, EVENTS_END, EVENTS_START, events_datapoints
 from .stacklang.vocab import parse as parse_asl
-from .util.strings import duration_to_string, parse_duration, parse_time_ref
+from .util.strings import duration_to_string, parse_duration
 
 
 @dataclass
