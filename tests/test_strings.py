@@ -120,3 +120,86 @@ def test_duration_to_string_zero_renders_weeks():
     assert duration_to_string(120) == "2m"
     assert duration_to_string(604800) == "1w"
     assert duration_to_string(90) == "90s"
+
+
+# ------------------------------------------- graph_time_range (Strings.timeRange)
+
+
+def _now_dt():
+    import datetime as dt
+
+    return dt.datetime.fromtimestamp(1704672000, tz=dt.timezone.utc)  # 2024-01-08
+
+
+def test_graph_time_range_branches():
+    """Strings.timeRange (Strings.scala:605-628): custom-relative or
+    bare-`e` start resolves end first; otherwise start first with `e`
+    allowed to reference it."""
+    from atlas_spark.util.strings import graph_time_range
+
+    now = _now_dt()
+    # relative s against absolute e
+    s, e = graph_time_range("e-6h", "2024-01-02T06:00", now=now)
+    assert (s, e) == (1704153600, 1704175200)
+    # absolute s, e references it
+    s2, e2 = graph_time_range("2024-01-02", "s+6h", now=now)
+    assert (s2, e2) == (s, e)
+    # bare "e" start is branch A even though not RelativeDate
+    s3, e3 = graph_time_range("e", "2024-01-02T06:00", now=now)
+    assert s3 == e3 == 1704175200  # start == end allowed
+    # now-relative s is NOT custom-relative -> branch B, e may ref s
+    s4, e4 = graph_time_range("now-1h", "s+30m", now=now)
+    assert e4 - s4 == 1800 and s4 == 1704672000 - 3600
+
+
+def test_graph_time_range_tz_and_errors():
+    from atlas_spark.util.strings import graph_time_range
+
+    now = _now_dt()
+    # absolute literals parse in the request zone (PST = UTC-8 in Jan)
+    s_utc, _ = graph_time_range("2024-01-02", "s+1h", "UTC", now=now)
+    s_pst, _ = graph_time_range("2024-01-02", "s+1h", "US/Pacific", now=now)
+    assert s_pst - s_utc == 8 * 3600
+    # explicit zone in the literal wins over the request zone
+    s_z, _ = graph_time_range("2024-01-02T00:00Z", "s+1h", "US/Pacific", now=now)
+    assert s_z == s_utc
+    import pytest
+
+    with pytest.raises(ValueError, match="both relative"):
+        graph_time_range("e-3h", "s+1h", now=now)
+    with pytest.raises(ValueError, match="before start"):
+        graph_time_range("2024-01-03", "2024-01-02", now=now)
+    # form-decoded '+' (space) still parses as the offset op
+    s5, e5 = graph_time_range("2024-01-02", "s 6h", now=now)
+    assert e5 - s5 == 6 * 3600
+    s6, e6 = graph_time_range("e 0h", "2024-01-02", now=now)
+    assert s6 == e6
+
+
+def test_graph_time_range_properties():
+    """Invariants over random relative offsets and zones: a custom-
+    relative s always lands exactly its offset before e; e=s+d always
+    spans d; results are zone-independent for relative-only forms."""
+    from hypothesis import given, settings, strategies as st
+
+    from atlas_spark.util.strings import graph_time_range
+
+    now = _now_dt()
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        mins=st.integers(min_value=1, max_value=10 * 24 * 60),
+        zone=st.sampled_from(["UTC", "US/Pacific", "Asia/Tokyo", "+05:30"]),
+        form=st.sampled_from(["s_rel", "e_rel"]),
+    )
+    def check(mins, zone, form):
+        if form == "s_rel":
+            s, e = graph_time_range(f"e-{mins}m", "2024-01-05T12:00Z", zone, now=now)
+        else:
+            s, e = graph_time_range("2024-01-05T12:00Z", f"s+{mins}m", zone, now=now)
+        assert e - s == mins * 60
+        # the absolute anchor carried its own zone: result zone-free
+        anchor = 1704456000  # 2024-01-05T12:00Z
+        assert (s if form == "e_rel" else e) == anchor
+
+    check()
