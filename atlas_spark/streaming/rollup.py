@@ -57,12 +57,16 @@ HDFS_PROVIDER = (
 
 # Twins whose state grows with corpus CONTENT (candidate pairs / grams
 # per window — millions of rows at the 200k-doc replay) rather than key
-# cardinality.  r14 A/B (PERF.md "RocksDB vs default state store",
-# back-to-back on one host): RocksDB 1.4-1.8x the throughput with
-# tracked state memory ~290MB vs ~2GB on-heap — the default provider
-# would exhaust executor heap before a 100TB horizon's watermark fills.
-# Small-fixed-state twins keep the default provider (its cheaper commit
-# path measured ~15-45% faster there).
+# cardinality.  Measured back-to-back (r14 + r15 A/B, PERF.md provider
+# tables): for the minhash WINDOWED-AGGREGATION twins RocksDB wins both
+# ways (1.4-1.8x throughput, ~290MB vs ~2GB tracked); for the span
+# dropDuplicates twin RocksDB costs ~1.2x wall at 200k docs but bounds
+# state memory 274MB vs 986MB ON-HEAP at a 2.6M-row horizon — on-heap
+# grows with the horizon and exhausts executor heap long before a
+# 100TB feed's watermark fills, so RocksDB is still the at-scale
+# default there (memory headroom, not local speed).  Small-fixed-state
+# twins keep the default provider: 1.1x faster AND smaller (chunk at
+# 340k rows: 120MB on-heap vs RocksDB's ~270MB floor).
 _CONTENT_SCALED_TWINS = frozenset(
     {
         "minhash_candidate_stream",
