@@ -558,6 +558,20 @@ def _fmt_value(v: float, mode: str = "decimal") -> str:
     return f"{v:.2g}"
 
 
+def _sub_ylabel(label: str, lines) -> str:
+    """Axis ylabel `$(tag)` substitution (Axis.scala:52-63 newPlotDef):
+    variables resolve against the INTERSECTION of the axis's line tags;
+    a key absent from the common tags renders as the key itself
+    (Strings.substitute Map overload, Strings.scala:428-430)."""
+    if not label or "$" not in label:
+        return label
+    from .util.strings import substitute
+
+    tag_sets = [set((getattr(ln, "tags", None) or {}).items()) for ln in lines]
+    common = dict(set.intersection(*tag_sets)) if tag_sets else {}
+    return substitute(label, lambda k: common.get(k, k))
+
+
 def render_png(result, width: int = 700, height: int = 300,
                source: str | None = None) -> bytes:
     """Render a GraphResult (api.GraphResult) to PNG bytes.
@@ -774,6 +788,12 @@ def render_png(result, width: int = 700, height: int = 300,
         tw = min(len(title), width // 6) * 6
         cv.text(max(0, (width - tw) // 2), 1, title[: width // 6], th["text"])
     if ylabel:
+        # $(tag) substitution from the INTERSECTION of the axis's line
+        # tags (Axis.scala:63 newPlotDef: Strings.substitute(ylabel,
+        # getAxisTags); unknown keys render as the key itself)
+        ylabel = _sub_ylabel(
+            ylabel, [ln for ln in result.lines if axis_of(ln) == 0]
+        )
         # vertical label: one glyph per row down the far-left column
         start = max(pad_t, pad_t + (plot_h - len(ylabel) * 8) // 2)
         for k, ch in enumerate(ylabel[: plot_h // 8]):
@@ -854,6 +874,9 @@ def render_png(result, width: int = 700, height: int = 300,
         # right column (Axis.ylabel per axis, Grapher newAxis)
         yl2 = (axes_over.get(aid2) or {}).get("ylabel")
         if yl2:
+            yl2 = _sub_ylabel(
+                yl2, [ln for ln in result.lines if axis_of(ln) == aid2]
+            )
             start = max(pad_t, pad_t + (plot_h - len(yl2) * 8) // 2)
             for k, ch in enumerate(yl2[: plot_h // 8]):
                 cv.text(width - 7, start + k * 8, ch, _axis_label_color(aid2))

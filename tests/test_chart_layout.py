@@ -267,6 +267,20 @@ def test_per_axis_ylabel_param(engine):
     assert PALETTE[1] not in right1
 
 
+def test_ylabel_tag_substitution(engine):
+    """Axis.scala:52-63: ylabel supports $(tag) substitution against the
+    INTERSECTION of the axis's line tags; a key not in the common tags
+    renders as the key itself (Strings.substitute Map overload)."""
+    one = f"/api/v1/graph?q=name,click,:eq,:sum,(,name,),:by&{WINDOW}"
+    sub = engine.graph_png(f"{one}&ylabel=$(name)+rate", width=W, height=H)
+    lit = engine.graph_png(f"{one}&ylabel=click+rate", width=W, height=H)
+    assert sub == lit
+    # multi-name axis: `name` is NOT common -> renders as the key
+    multi = engine.graph_png(f"{BASE}&ylabel=$(name)+rate", width=W, height=H)
+    key = engine.graph_png(f"{BASE}&ylabel=name+rate", width=W, height=H)
+    assert multi == key
+
+
 def test_clamp_notice_order_matches_reference():
     # GraphConstants.validate:48-58 emits height, width, zoom in that
     # order when all three exceed their caps
