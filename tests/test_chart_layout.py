@@ -328,6 +328,13 @@ def test_empty_lines_sort_last_both_directions(engine):
     assert [ln.label for ln in asc.lines][:2] == list(
         reversed([ln.label for ln in desc.lines][:2])
     )
+    # EXCEPTION: sort=count — SummaryStats.empty has count=0, a real
+    # number (not NaN), so an empty line sorts FIRST ascending and last
+    # descending (ADVICE r14)
+    casc = engine.graph(uri + "&sort=count")
+    assert [ln.label for ln in casc.lines][0] == "NO DATA"
+    cdesc = engine.graph(uri + "&sort=count&order=desc")
+    assert [ln.label for ln in cdesc.lines][-1] == "NO DATA"
 
 
 def test_only_graph_multi_axis_fills_width(engine):
