@@ -106,15 +106,45 @@ class GraphResult:
         }
 
     def to_csv(self, sep: str = ",") -> str:
-        header = ["timestamp"] + [ln.label for ln in self.lines]
+        """CsvGraphEngine.write parity (CsvGraphEngine.scala:31-60):
+        quoted header labels, timestamps as ISO-offset date-times in the
+        graph's FIRST timezone (seconds omitted when zero, `Z` for UTC —
+        DateTimeFormatter.ISO_OFFSET_DATE_TIME), values through the `%f`
+        number format with Java's NaN/Infinity spellings for missing or
+        infinite data; every row newline-terminated."""
+        import math
+
+        from .util.strings import _zoneinfo
+
+        tz = _zoneinfo((self.timezones or ["UTC"])[0])
+        header = ['"timestamp"'] + [f'"{ln.label}"' for ln in self.lines]
         rows = [sep.join(header)]
         for i in range((self.end - self.start) // self.step):
-            t = self.start + i * self.step
-            vals = [
-                "" if ln.data[i] is None else repr(ln.data[i]) for ln in self.lines
-            ]
-            rows.append(sep.join([str(t)] + vals))
-        return "\n".join(rows)
+            t = _dt.datetime.fromtimestamp(self.start + i * self.step, tz=tz)
+            ts = t.strftime("%Y-%m-%dT%H:%M")
+            if t.second or t.microsecond:
+                ts += f":{t.second:02d}"
+            off = t.utcoffset() or _dt.timedelta(0)
+            if not off:
+                ts += "Z"
+            else:
+                total = int(off.total_seconds())
+                sign = "+" if total >= 0 else "-"
+                total = abs(total)
+                ts += f"{sign}{total // 3600:02d}:{(total % 3600) // 60:02d}"
+            vals = []
+            for ln in self.lines:
+                v = ln.data[i]
+                if v is None or (isinstance(v, float) and math.isnan(v)):
+                    vals.append("NaN")
+                elif v == math.inf:
+                    vals.append("Infinity")
+                elif v == -math.inf:
+                    vals.append("-Infinity")
+                else:
+                    vals.append("%f" % v)
+            rows.append(sep.join([ts] + vals))
+        return "\n".join(rows) + "\n"
 
     def to_txt(self) -> str:
         """Tab-separated variant (TabSepGraphEngine)."""

@@ -63,8 +63,20 @@ def test_graph_json_csv(engine):
     assert js["step"] == 3600000
     assert len(js["values"]) == 1
     csv = g.to_csv()
-    assert csv.splitlines()[0].startswith("timestamp,")
-    assert len(csv.splitlines()) == 7
+    # CsvGraphEngine shape: quoted header, ISO-offset timestamps in the
+    # graph tz (Z for UTC, seconds omitted when zero), %f values
+    lines = csv.splitlines()
+    assert lines[0] == '"timestamp","click"'
+    assert len(lines) == 7
+    assert lines[1].startswith("2024-01-02T00:00Z,")
+    val = lines[1].split(",", 1)[1]
+    assert val == "NaN" or "." in val  # %f renders 6 decimals
+    # timestamps render in the graph's first timezone with its offset
+    pac = engine.graph(
+        "/api/v1/graph?q=name,click,:eq,:sum&s=2024-01-02T00:00Z"
+        "&e=2024-01-02T06:00Z&tz=US/Pacific"
+    )
+    assert pac.to_csv().splitlines()[1].startswith("2024-01-01T16:00-08:00,")
 
 
 def test_graph_default_window(engine):
@@ -332,7 +344,7 @@ def test_render_formats(engine):
     txt = engine.render(base + "&format=txt")
     assert "\t" in txt.splitlines()[0]
     csv = engine.render(base + "&format=csv")
-    assert csv.splitlines()[0].startswith("timestamp,")
+    assert csv.splitlines()[0].startswith('"timestamp",')
     png = engine.render(base + "&format=png")
     assert png[:8] == b"\x89PNG\r\n\x1a\n"
 
