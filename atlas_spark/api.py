@@ -92,15 +92,34 @@ class GraphResult:
     warnings: list = field(default_factory=list)
 
     def to_json(self) -> dict[str, Any]:
-        """std.json-style payload (one message per line)."""
+        """json / std.json payload (JsonGraphEngine.write,
+        JsonGraphEngine.scala:32-75): `start` + `step` only (no end/tz
+        keys), legend, metrics with tags SORTED by key, and `values` as
+        one row PER TIMESTAMP (each row holds one value per series —
+        the transpose of the per-line arrays).  Non-numeric values are
+        spelled as quoted strings ("NaN"/"Infinity"), the std.json
+        behavior the `json` name now shares (StdJsonGraphEngine.scala:
+        20-28)."""
+        import math
+
+        def enc(v):
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                return "NaN"
+            if v == math.inf:
+                return "Infinity"
+            if v == -math.inf:
+                return "-Infinity"
+            return v
+
+        n = (self.end - self.start) // self.step
         return {
             "start": self.start * 1000,
-            "end": self.end * 1000,
             "step": self.step * 1000,
-            "timezones": list(self.timezones),
             "legend": [ln.label for ln in self.lines],
-            "metrics": [ln.tags for ln in self.lines],
-            "values": [ln.data for ln in self.lines],
+            "metrics": [dict(sorted(ln.tags.items())) for ln in self.lines],
+            "values": [
+                [enc(ln.data[i]) for ln in self.lines] for i in range(n)
+            ],
             # JsonGraphEngine.scala:72-73 writes warnings as `notices`
             "notices": list(self.warnings),
         }

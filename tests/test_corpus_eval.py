@@ -125,17 +125,22 @@ def _check_std_json(doc, n_steps):
     import json as _json
 
     assert isinstance(doc, dict)
-    for k in ("start", "end", "step"):
+    for k in ("start", "step"):
         assert isinstance(doc[k], int) and doc[k] % 1000 == 0
-    assert doc["start"] < doc["end"]
-    assert isinstance(doc["timezones"], list) and doc["timezones"]
     n = len(doc["legend"])
-    assert len(doc["metrics"]) == len(doc["values"]) == n
-    for label, tags, vals in zip(doc["legend"], doc["metrics"], doc["values"]):
+    assert len(doc["metrics"]) == n
+    # values: one row per timestamp, one column per series; non-numeric
+    # values quoted like the reference's std.json behavior
+    assert len(doc["values"]) == n_steps
+    for row in doc["values"]:
+        assert len(row) == n
+        assert all(
+            isinstance(v, (int, float)) or v in ("NaN", "Infinity", "-Infinity")
+            for v in row
+        )
+    for label, tags in zip(doc["legend"], doc["metrics"]):
         assert isinstance(label, str)
         assert isinstance(tags, dict)
-        assert isinstance(vals, list) and len(vals) == n_steps
-        assert all(v is None or isinstance(v, (int, float)) for v in vals)
     _json.dumps(doc)  # serializable end-to-end (no numpy scalars)
 
 
