@@ -171,8 +171,10 @@ class GraphResult:
 
     def to_stats_json(self) -> dict[str, Any]:
         """Per-line summary stats instead of raw data
-        (StatsJsonGraphEngine.scala:27-80: start/end/step, legend, metrics,
-        stats objects with count/avg/total/max/min/last)."""
+        (StatsJsonGraphEngine.scala:27-87: start/end/step, legend, metrics
+        with tags sorted by key, stats objects with count always present
+        and avg/total/max/min/last written for EVERY line — "NaN"-quoted
+        when the line has no data, SummaryStats.empty)."""
         stats = []
         for ln in self.lines:
             vals = [v for v in ln.data if v is not None]
@@ -185,13 +187,15 @@ class GraphResult:
                     min=min(vals),
                     last=vals[-1],
                 )
+            else:
+                s.update(avg="NaN", total="NaN", max="NaN", min="NaN", last="NaN")
             stats.append(s)
         return {
             "start": self.start * 1000,
             "end": self.end * 1000,
             "step": self.step * 1000,
             "legend": [ln.label for ln in self.lines],
-            "metrics": [ln.tags for ln in self.lines],
+            "metrics": [dict(sorted(ln.tags.items())) for ln in self.lines],
             "stats": stats,
             "notices": list(self.warnings),
         }

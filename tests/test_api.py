@@ -352,6 +352,20 @@ def test_render_formats(engine):
     assert png[:8] == b"\x89PNG\r\n\x1a\n"
 
 
+def test_stats_json_empty_line_nan_quoted(engine):
+    """StatsJsonGraphEngine writes avg/total/max/min/last for EVERY
+    line; an empty line (SummaryStats.empty) carries count=0 and
+    "NaN"-quoted stats rather than omitting the keys."""
+    st = engine.render(
+        "/api/v1/graph?q=name,nosuchname,:eq,:sum&s=2024-01-02&e=2024-01-03"
+        "&format=stats.json"
+    )
+    s = st["stats"][0]
+    assert s["count"] == 0
+    for k in ("avg", "total", "max", "min", "last"):
+        assert s[k] == "NaN"
+
+
 def test_expr_queries_endpoint(engine):
     qs = engine.queries(
         "name,click,:eq,:sum,name,view,:eq,:max,:add,name,click,:eq,:count"
