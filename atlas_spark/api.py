@@ -200,27 +200,142 @@ class GraphResult:
             "notices": list(self.warnings),
         }
 
-    def to_v2_json(self) -> list[dict[str, Any]]:
-        """Incremental message-array format (JsonCodec.scala:44-60 shape:
-        graph-metadata first, then plot-metadata, then one timeseries
-        message per line referencing its plot)."""
-        out: list[dict[str, Any]] = [
-            {
-                "type": "graph-metadata",
-                "startTime": self.start * 1000,
-                "endTime": self.end * 1000,
-                "step": self.step * 1000,
-            },
-            {"type": "plot-metadata", "id": 0},
-        ]
+    def to_v2_json(
+        self, width: int = 700, height: int = 300, zoom: float = 1.0
+    ) -> list[dict[str, Any]]:
+        """Incremental message-array format (V2JsonGraphEngine via
+        JsonCodec.writeGraphDef, JsonCodec.scala:95-364): graph-image (a
+        base64 PNG data URI, suppressed by the `no-image` rendering
+        hint), graph-metadata with the full chart config, one
+        plot-metadata per axis in use (scale/bounds/tick mode as the
+        reference's enum spellings), then one timeseries message per
+        line with its RESOLVED color (8-hex ARGB), line style/width,
+        tags, and "NaN"-quoted standard-JSON values.  Heatmap cell
+        blocks are a documented omission — the heatmap renders in the
+        PNG but its cell counts are not re-emitted as a `heatmap`
+        message."""
+        import base64
+        import math
+
+        from . import chart as _chart
+
+        def enc(v):
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                return "NaN"
+            if v == math.inf:
+                return "Infinity"
+            if v == -math.inf:
+                return "-Infinity"
+            return v
+
+        hints = {h for h in (getattr(self, "hints", None) or ()) if h}
+        out: list[dict[str, Any]] = []
+        if "no-image" not in hints:
+            # DefaultGraphEngine applies zoom after clamping, so the
+            # embedded image scales while width/height stay canvas dims
+            png = _chart.render_png(
+                self, max(64, int(width * zoom)), max(64, int(height * zoom))
+            )
+            out.append(
+                {
+                    "type": "graph-image",
+                    "data": "data:image/png;base64,"
+                    + base64.b64encode(png).decode(),
+                }
+            )
+        if not self.show_legend:
+            legend_type = "OFF"
+        elif self.show_legend_stats:
+            legend_type = "LABELS_WITH_STATS"
+        else:
+            legend_type = "LABELS_ONLY"
+        meta: dict[str, Any] = {
+            "type": "graph-metadata",
+            "startTime": self.start * 1000,
+            "endTime": self.end * 1000,
+            "timezones": list(self.timezones),
+            "step": self.step * 1000,
+            "width": width,
+            "height": height,
+            "layout": {
+                "canvas": "CANVAS",
+                "image": "IMAGE",
+                "iw": "IMAGE_WIDTH",
+                "ih": "IMAGE_HEIGHT",
+            }.get(self.layout, "CANVAS"),
+            "zoom": zoom,
+        }
+        if self.title:
+            meta["title"] = self.title
+        meta["legendType"] = legend_type
+        meta["onlyGraph"] = bool(self.only_graph)
+        meta["theme"] = self.theme
+        meta["warnings"] = list(self.warnings)
+        if hints:
+            meta["renderingHints"] = sorted(hints)
+        out.append(meta)
+
+        scale_names = {
+            "linear": "LINEAR",
+            "log": "LOGARITHMIC",
+            "log-linear": "LOG_LINEAR",
+            "pow2": "POWER_2",
+            "sqrt": "SQRT",
+        }
+        tick_names = {
+            "off": "OFF",
+            "decimal": "DECIMAL",
+            "binary": "BINARY",
+            "duration": "DURATION",
+        }
+
+        def bound(v) -> str:
+            # PlotBound.toString: auto-style default, auto-data keyword,
+            # explicit values via Double.toString
+            if v is None:
+                return "auto-style"
+            if isinstance(v, str):
+                return v
+            return repr(float(v))
+
+        axis_ids = sorted({_chart.line_axis(ln) for ln in self.lines} | {0})
+        for aid in axis_ids:
+            cfg = _chart.axis_config(self, aid)
+            pm: dict[str, Any] = {"type": "plot-metadata", "id": aid}
+            yl = ((self.axes or {}).get(aid) or {}).get("ylabel") or (
+                self.ylabel if aid == 0 else None
+            )
+            if yl:
+                pm["ylabel"] = _chart._sub_ylabel(
+                    yl, [ln for ln in self.lines if _chart.line_axis(ln) == aid]
+                )
+            pm["scale"] = scale_names.get(cfg["scale"], "LINEAR")
+            pm["upper"] = bound(cfg["upper"])
+            pm["lower"] = bound(cfg["lower"])
+            pm["tickLabelMode"] = tick_names.get(cfg["tick_labels"], "DECIMAL")
+            out.append(pm)
+
+        colors = _chart.resolve_line_colors(self)
         for ln in self.lines:
+            (r, g, b), a = colors[id(ln)]
+            settings = getattr(ln, "settings", {}) or {}
+            try:
+                lw = float(settings.get("lw", 1.0) or 1.0)
+            except (TypeError, ValueError):
+                lw = 1.0
             out.append(
                 {
                     "type": "timeseries",
-                    "plot": 0,
+                    "plot": _chart.line_axis(ln),
                     "label": ln.label,
+                    "color": f"{int(round(a * 255)):02x}{r:02x}{g:02x}{b:02x}",
+                    "lineStyle": _chart.line_style(self, ln).upper(),
+                    "lineWidth": lw,
                     "tags": ln.tags,
-                    "data": {"type": "array", "values": ln.data},
+                    "data": {
+                        "type": "array",
+                        "values": [enc(v) for v in ln.data],
+                    },
                 }
             )
         return out
@@ -395,6 +510,22 @@ def _validate_image_dims(qs: dict[str, list[str]]) -> tuple[int, int, list[str]]
         zoom = 2.0
     zoom = max(0.1, zoom)
     return max(64, int(w * zoom)), max(64, int(h * zoom)), warnings
+
+
+def _clamped_canvas_dims(
+    qs: dict[str, list[str]]
+) -> tuple[int, int, float, list[str]]:
+    """Like `_validate_image_dims` but returns the PRE-zoom clamped
+    canvas dims plus the clamped zoom separately — the quantities
+    GraphDef records (width/height/zoom as independent fields,
+    JsonCodec graph-metadata)."""
+    w, h, warnings = _validate_image_dims(qs)
+    try:
+        zoom = float(qs.get("zoom", ["1"])[0])
+    except (TypeError, ValueError):
+        zoom = 1.0
+    zoom = max(0.1, min(2.0, zoom))
+    return round(w / zoom), round(h / zoom), zoom, warnings
 
 
 class Engine:
@@ -1017,7 +1148,12 @@ class Engine:
         if fmt in ("json", "std.json"):
             return g.to_json()
         if fmt == "v2.json":
-            return g.to_v2_json()
+            # metadata carries the PRE-zoom canvas dims + zoom like
+            # GraphDef; the embedded graph-image renders at the same
+            # scaled size as the png engine; clamp notices join warnings
+            width, height, zoom, warnings = _clamped_canvas_dims(qs)
+            g.warnings = warnings + list(g.warnings)
+            return g.to_v2_json(width=width, height=height, zoom=zoom)
         if fmt == "stats.json":
             return g.to_stats_json()
         if fmt == "csv":

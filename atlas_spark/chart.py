@@ -558,6 +558,77 @@ def _fmt_value(v: float, mode: str = "decimal") -> str:
     return f"{v:.2g}"
 
 
+def line_axis(ln) -> int:
+    """Axis id a line renders on (`:axis` style setting); out-of-range
+    ids are client errors (GraphConstants max-yaxes = 5, axes 0-4)."""
+    try:
+        aid = int((getattr(ln, "settings", {}) or {}).get("axis", 0) or 0)
+    except (TypeError, ValueError):
+        return 0
+    if not 0 <= aid <= 4:
+        raise ValueError(f"invalid axis id {aid} (max-yaxes = 5)")
+    return aid
+
+
+def axis_config(result, aid: int) -> dict:
+    """Effective per-axis config: the axis's `.N` overrides fall back to
+    the unsuffixed/global values (Grapher getAxisParam)."""
+    o = (dict(getattr(result, "axes", None) or {})).get(aid) or {}
+    return {
+        "scale": o.get("scale") or (getattr(result, "scale", None) or "linear"),
+        "upper": o.get("upper", getattr(result, "upper", None)),
+        "lower": o.get("lower", getattr(result, "lower", None)),
+        "stack": o.get("stack", bool(getattr(result, "axis_stack", False))),
+        "tick_labels": (
+            o.get("tick_labels")
+            or (getattr(result, "tick_labels", None) or "decimal")
+        ).lower(),
+    }
+
+
+def line_style(result, ln) -> str:
+    """Effective line style: explicit `:ls` wins, else the axis's
+    stack-by-default flag (`stack`/`stack.N`), else line."""
+    s = (getattr(ln, "settings", {}) or {}).get("ls")
+    if s:
+        return s
+    return "stack" if axis_config(result, line_axis(ln))["stack"] else "line"
+
+
+def resolve_line_colors(result) -> dict:
+    """Resolved (rgb, alpha) per line keyed by id(line): explicit
+    `color` wins; otherwise cycle the line's own `:palette` (per
+    palette-group), else the per-axis `palette.N` param (its own
+    iterator per axis, Grapher axisPalette), else the global `palette`
+    param or the default palette; vision simulation applied last
+    (Palette.create / StyleExpr color resolution)."""
+    axes_over = dict(getattr(result, "axes", None) or {})
+    axis_pal = palette_colors(getattr(result, "palette", None)) or PALETTE
+    _pal_counters: dict = {}
+    out: dict = {}
+    for ln in result.lines:
+        settings = getattr(ln, "settings", {}) or {}
+        pdesc = settings.get("palette")
+        key = pdesc
+        pal = palette_colors(pdesc)
+        if pal is None:
+            aid = line_axis(ln)
+            adesc = (axes_over.get(aid) or {}).get("palette")
+            pal = palette_colors(adesc)
+            if pal is not None:
+                key = f"axis{aid}:{adesc}"
+        pal = pal or axis_pal
+        i = _pal_counters.get(key, 0)
+        _pal_counters[key] = i + 1
+        c, a = _parse_color(
+            settings.get("color"),
+            pal[i % len(pal)],
+            theme=getattr(result, "theme", None) or "light",
+        )
+        out[id(ln)] = (vision_filter(c, getattr(result, "vision", None)), a)
+    return out
+
+
 def _sub_ylabel(label: str, lines) -> str:
     """Axis ylabel `$(tag)` substitution (Axis.scala:52-63 newPlotDef):
     variables resolve against the INTERSECTION of the axis's line tags;
@@ -612,35 +683,15 @@ def render_png(result, width: int = 700, height: int = 300,
     # Lines choose their y-axis via the `:axis` style setting; per-axis
     # URL params (`u.1`, `scale.1`, ...) arrive in `result.axes` and fall
     # back to the unsuffixed params (getAxisParam).
-    scale = getattr(result, "scale", None) or "linear"
-    axis_stack = bool(getattr(result, "axis_stack", False))
     tick_mode = (getattr(result, "tick_labels", None) or "decimal").lower()
     axes_over = dict(getattr(result, "axes", None) or {})
 
-    def axis_of(ln) -> int:
-        try:
-            aid = int((getattr(ln, "settings", {}) or {}).get("axis", 0) or 0)
-        except (TypeError, ValueError):
-            return 0
-        if not 0 <= aid <= 4:
-            # out-of-range axis ids are client errors, never silently
-            # remapped (GraphConstants max-yaxes = 5, axes 0-4;
-            # GrapherSuite 'multi-Y, 6 axes' rejects)
-            raise ValueError(f"invalid axis id {aid} (max-yaxes = 5)")
-        return aid
-
+    axis_of = line_axis
     _cfg_cache: dict = {}
 
     def axis_cfg(aid: int) -> dict:
         if aid not in _cfg_cache:
-            o = axes_over.get(aid) or {}
-            _cfg_cache[aid] = {
-                "scale": o.get("scale") or scale,
-                "upper": o.get("upper", getattr(result, "upper", None)),
-                "lower": o.get("lower", getattr(result, "lower", None)),
-                "stack": o.get("stack", axis_stack),
-                "tick_labels": (o.get("tick_labels") or tick_mode).lower(),
-            }
+            _cfg_cache[aid] = axis_config(result, aid)
         return _cfg_cache[aid]
 
     def _style(ln) -> str:
@@ -798,38 +849,9 @@ def render_png(result, width: int = 700, height: int = 300,
         start = max(pad_t, pad_t + (plot_h - len(ylabel) * 8) // 2)
         for k, ch in enumerate(ylabel[: plot_h // 8]):
             cv.text(0, start + k * 8, ch, th["text"])
-    # per-line colors: explicit `color` wins; otherwise cycle the line's
-    # own `:palette` (per palette-group), else the per-axis `palette.N`
-    # param (its own iterator per axis, Grapher axisPalette), else the
-    # global `palette` param or the default (Palette.create / StyleExpr
-    # color resolution; axes without an override share the global
-    # iterator, matching axisCfg.palette.fold(palette))
-    axis_pal = palette_colors(getattr(result, "palette", None)) or PALETTE
-    _pal_counters: dict = {}
-    line_color: dict = {}
-    for ln in result.lines:
-        settings = getattr(ln, "settings", {}) or {}
-        pdesc = settings.get("palette")
-        key = pdesc
-        pal = palette_colors(pdesc)
-        if pal is None:
-            aid = axis_of(ln)
-            adesc = (axes_over.get(aid) or {}).get("palette")
-            pal = palette_colors(adesc)
-            if pal is not None:
-                key = f"axis{aid}:{adesc}"
-        pal = pal or axis_pal
-        i = _pal_counters.get(key, 0)
-        _pal_counters[key] = i + 1
-        c, a = _parse_color(
-            settings.get("color"),
-            pal[i % len(pal)],
-            theme=getattr(result, "theme", None) or "light",
-        )
-        line_color[id(ln)] = (
-            vision_filter(c, getattr(result, "vision", None)),
-            a,
-        )
+    # per-line colors (resolve_line_colors: explicit color > line
+    # :palette group > per-axis palette.N iterator > global palette)
+    line_color = resolve_line_colors(result)
 
     # multi-Y axis disambiguation (Grapher.scala:335, Axis.scala:68,
     # GraphDef.ambiguousMultiY): with >1 y-axis each axis's labels take

@@ -333,9 +333,21 @@ def test_render_formats(engine):
     base = "/api/v1/graph?q=name,click,:eq,:sum&s=2024-01-02&e=2024-01-03"
     j = engine.render(base + "&format=json")
     assert j["legend"] and j["values"]
+    # v2.json: graph-image (base64 data URI) leads unless the no-image
+    # hint is set, then graph-metadata, plot-metadata per axis, lines
     v2 = engine.render(base + "&format=v2.json")
-    assert v2[0]["type"] == "graph-metadata" and v2[1]["type"] == "plot-metadata"
-    assert v2[2]["type"] == "timeseries" and v2[2]["data"]["values"]
+    assert v2[0]["type"] == "graph-image"
+    assert v2[0]["data"].startswith("data:image/png;base64,")
+    assert v2[1]["type"] == "graph-metadata" and v2[2]["type"] == "plot-metadata"
+    assert v2[1]["legendType"] == "LABELS_WITH_STATS"
+    assert (v2[1]["width"], v2[1]["height"], v2[1]["zoom"]) == (700, 300, 1.0)
+    assert v2[2]["scale"] == "LINEAR" and v2[2]["upper"] == "auto-style"
+    ts = v2[3]
+    assert ts["type"] == "timeseries" and ts["data"]["values"]
+    assert len(ts["color"]) == 8 and ts["lineStyle"] == "LINE"
+    nov2 = engine.render(base + "&format=v2.json&hints=no-image")
+    assert nov2[0]["type"] == "graph-metadata"
+    assert nov2[0]["renderingHints"] == ["no-image"]
     st = engine.render(base + "&format=stats.json")
     s = st["stats"][0]
     # json values are rows per TIMESTAMP; series 0 = column 0, missing

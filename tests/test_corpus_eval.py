@@ -165,21 +165,32 @@ def _check_stats_json(doc):
     _json.dumps(doc)
 
 
-def _check_v2_json(doc, n_steps):
-    """JsonCodec.scala:44-60 message order: graph-metadata, plot-metadata,
-    then one timeseries message per line referencing its plot."""
+def _check_v2_json(doc, n_steps, n_lines):
+    """JsonCodec.writeGraphDef message order: graph-metadata (image
+    suppressed by the no-image hint), one plot-metadata per axis in
+    use, then one timeseries message per line referencing its plot."""
     import json as _json
 
     assert isinstance(doc, list) and len(doc) >= 2
-    gm, pm = doc[0], doc[1]
+    gm = doc[0]
     assert gm["type"] == "graph-metadata"
     assert gm["startTime"] < gm["endTime"] and gm["step"] > 0
-    assert pm == {"type": "plot-metadata", "id": 0}
-    for ts in doc[2:]:
-        assert ts["type"] == "timeseries"
-        assert ts["plot"] == 0
+    assert gm["layout"] in ("CANVAS", "IMAGE", "IMAGE_WIDTH", "IMAGE_HEIGHT")
+    plots = [m for m in doc if m["type"] == "plot-metadata"]
+    assert plots and all(
+        m["scale"]
+        in ("LINEAR", "LOGARITHMIC", "LOG_LINEAR", "POWER_2", "SQRT")
+        for m in plots
+    )
+    plot_ids = {m["id"] for m in plots}
+    series = [m for m in doc if m["type"] == "timeseries"]
+    assert len(series) == n_lines
+    for ts in series:
+        assert ts["plot"] in plot_ids
         assert isinstance(ts["label"], str)
         assert isinstance(ts["tags"], dict)
+        assert len(ts["color"]) == 8
+        assert ts["lineStyle"] in ("LINE", "AREA", "STACK", "VSPAN", "HEATMAP")
         assert ts["data"]["type"] == "array"
         assert len(ts["data"]["values"]) == n_steps
     _json.dumps(doc)
@@ -210,9 +221,9 @@ def test_corpus_json_render_formats(spark):
             n_steps = (g.end - g.start) // g.step
             _check_std_json(g.to_json(), n_steps)
             _check_stats_json(g.to_stats_json())
-            _check_v2_json(g.to_v2_json(), n_steps)
-            # line counts agree across all three engines
-            assert len(g.to_json()["legend"]) == len(g.to_v2_json()) - 2
+            # no-image: skip the embedded PNG for the 372-URI sweep
+            g.hints = frozenset(set(g.hints or ()) | {"no-image"})
+            _check_v2_json(g.to_v2_json(), n_steps, len(g.lines))
             return None
         except Exception as ex:  # noqa: BLE001
             return (u[:110], f"{type(ex).__name__}: {str(ex)[:120]}")
