@@ -39,6 +39,33 @@ class GraphLine:
     settings: dict[str, str] = field(default_factory=dict)  # style words
 
 
+import math as _math
+
+
+def _finite_vals(data) -> list[float]:
+    """Samples a SummaryStats would count: None (no data) and float NaN
+    are both excluded (SummaryStats.scala:29-40 skips v.isNaN)."""
+    return [
+        v
+        for v in data
+        if v is not None and not (isinstance(v, float) and _math.isnan(v))
+    ]
+
+
+def _json_value(v):
+    """Standard-JSON value spelling shared by the json/std.json, v2.json
+    and stats.json engines: non-finite values become the QUOTED strings
+    NaN / Infinity / -Infinity (StdJsonGraphEngine convention); finite
+    values pass through."""
+    if v is None or (isinstance(v, float) and _math.isnan(v)):
+        return "NaN"
+    if v == _math.inf:
+        return "Infinity"
+    if v == -_math.inf:
+        return "-Infinity"
+    return v
+
+
 @dataclass
 class GraphResult:
     start: int
@@ -100,17 +127,6 @@ class GraphResult:
         spelled as quoted strings ("NaN"/"Infinity"), the std.json
         behavior the `json` name now shares (StdJsonGraphEngine.scala:
         20-28)."""
-        import math
-
-        def enc(v):
-            if v is None or (isinstance(v, float) and math.isnan(v)):
-                return "NaN"
-            if v == math.inf:
-                return "Infinity"
-            if v == -math.inf:
-                return "-Infinity"
-            return v
-
         n = (self.end - self.start) // self.step
         return {
             "start": self.start * 1000,
@@ -118,7 +134,8 @@ class GraphResult:
             "legend": [ln.label for ln in self.lines],
             "metrics": [dict(sorted(ln.tags.items())) for ln in self.lines],
             "values": [
-                [enc(ln.data[i]) for ln in self.lines] for i in range(n)
+                [_json_value(ln.data[i]) for ln in self.lines]
+                for i in range(n)
             ],
             # JsonGraphEngine.scala:72-73 writes warnings as `notices`
             "notices": list(self.warnings),
@@ -131,8 +148,6 @@ class GraphResult:
         DateTimeFormatter.ISO_OFFSET_DATE_TIME), values through the `%f`
         number format with Java's NaN/Infinity spellings for missing or
         infinite data; every row newline-terminated."""
-        import math
-
         from .util.strings import _zoneinfo
 
         tz = _zoneinfo((self.timezones or ["UTC"])[0])
@@ -153,15 +168,8 @@ class GraphResult:
                 ts += f"{sign}{total // 3600:02d}:{(total % 3600) // 60:02d}"
             vals = []
             for ln in self.lines:
-                v = ln.data[i]
-                if v is None or (isinstance(v, float) and math.isnan(v)):
-                    vals.append("NaN")
-                elif v == math.inf:
-                    vals.append("Infinity")
-                elif v == -math.inf:
-                    vals.append("-Infinity")
-                else:
-                    vals.append("%f" % v)
+                x = _json_value(ln.data[i])
+                vals.append(x if isinstance(x, str) else "%f" % x)
             rows.append(sep.join([ts] + vals))
         return "\n".join(rows) + "\n"
 
@@ -177,7 +185,7 @@ class GraphResult:
         when the line has no data, SummaryStats.empty)."""
         stats = []
         for ln in self.lines:
-            vals = [v for v in ln.data if v is not None]
+            vals = _finite_vals(ln.data)
             s: dict[str, Any] = {"count": len(vals)}
             if vals:
                 s.update(
@@ -215,18 +223,8 @@ class GraphResult:
         PNG but its cell counts are not re-emitted as a `heatmap`
         message."""
         import base64
-        import math
 
         from . import chart as _chart
-
-        def enc(v):
-            if v is None or (isinstance(v, float) and math.isnan(v)):
-                return "NaN"
-            if v == math.inf:
-                return "Infinity"
-            if v == -math.inf:
-                return "-Infinity"
-            return v
 
         hints = {h for h in (getattr(self, "hints", None) or ()) if h}
         out: list[dict[str, Any]] = []
@@ -298,10 +296,14 @@ class GraphResult:
                 return v
             return repr(float(v))
 
-        axis_ids = sorted({_chart.line_axis(ln) for ln in self.lines} | {0})
-        for aid in axis_ids:
+        # plot ids are DENSE positional indexes over the axes actually in
+        # use, in sorted axis order (JsonCodec writes plots.zipWithIndex —
+        # Grapher groups lines by axis and sorts, so an all-axis-1 graph
+        # has ONE plot with id 0); lines emit grouped by plot
+        used_axes = sorted({_chart.line_axis(ln) for ln in self.lines}) or [0]
+        for pid, aid in enumerate(used_axes):
             cfg = _chart.axis_config(self, aid)
-            pm: dict[str, Any] = {"type": "plot-metadata", "id": aid}
+            pm: dict[str, Any] = {"type": "plot-metadata", "id": pid}
             yl = ((self.axes or {}).get(aid) or {}).get("ylabel") or (
                 self.ylabel if aid == 0 else None
             )
@@ -316,28 +318,31 @@ class GraphResult:
             out.append(pm)
 
         colors = _chart.resolve_line_colors(self)
-        for ln in self.lines:
-            (r, g, b), a = colors[id(ln)]
-            settings = getattr(ln, "settings", {}) or {}
-            try:
-                lw = float(settings.get("lw", 1.0) or 1.0)
-            except (TypeError, ValueError):
-                lw = 1.0
-            out.append(
-                {
-                    "type": "timeseries",
-                    "plot": _chart.line_axis(ln),
-                    "label": ln.label,
-                    "color": f"{int(round(a * 255)):02x}{r:02x}{g:02x}{b:02x}",
-                    "lineStyle": _chart.line_style(self, ln).upper(),
-                    "lineWidth": lw,
-                    "tags": ln.tags,
-                    "data": {
-                        "type": "array",
-                        "values": [enc(v) for v in ln.data],
-                    },
-                }
-            )
+        for pid, aid in enumerate(used_axes):
+            for ln in self.lines:
+                if _chart.line_axis(ln) != aid:
+                    continue
+                (r, g, b), a = colors[id(ln)]
+                settings = getattr(ln, "settings", {}) or {}
+                try:
+                    lw = float(settings.get("lw", 1.0) or 1.0)
+                except (TypeError, ValueError):
+                    lw = 1.0
+                out.append(
+                    {
+                        "type": "timeseries",
+                        "plot": pid,
+                        "label": ln.label,
+                        "color": f"{int(round(a * 255)):02x}{r:02x}{g:02x}{b:02x}",
+                        "lineStyle": _chart.line_style(self, ln).upper(),
+                        "lineWidth": lw,
+                        "tags": ln.tags,
+                        "data": {
+                            "type": "array",
+                            "values": [_json_value(v) for v in ln.data],
+                        },
+                    }
+                )
         return out
 
 
@@ -517,15 +522,30 @@ def _clamped_canvas_dims(
 ) -> tuple[int, int, float, list[str]]:
     """Like `_validate_image_dims` but returns the PRE-zoom clamped
     canvas dims plus the clamped zoom separately — the quantities
-    GraphDef records (width/height/zoom as independent fields,
-    JsonCodec graph-metadata)."""
-    w, h, warnings = _validate_image_dims(qs)
+    GraphDef records (width/height/zoom as independent fields, JsonCodec
+    graph-metadata).  Parsed directly rather than divided back out of
+    the scaled image dims, so the 64px image floor can't distort them;
+    the validator still runs first for the clamp notices and the
+    non-positive-size client error."""
+    _, _, warnings = _validate_image_dims(qs)
+
+    def _dim(name: str, default: int, cap: int) -> int:
+        try:
+            v = int(qs.get(name, [default])[0])
+        except (TypeError, ValueError):
+            v = default
+        return min(v, cap)
+
     try:
         zoom = float(qs.get("zoom", ["1"])[0])
     except (TypeError, ValueError):
         zoom = 1.0
-    zoom = max(0.1, min(2.0, zoom))
-    return round(w / zoom), round(h / zoom), zoom, warnings
+    return (
+        _dim("w", 700, 2000),
+        _dim("h", 300, 1000),
+        max(0.1, min(2.0, zoom)),
+        warnings,
+    )
 
 
 class Engine:
@@ -927,7 +947,9 @@ class Engine:
             for k in qs
         ):
             def _stat(ln: GraphLine, mode: str):
-                vals = [v for v in ln.data if v is not None]
+                # SummaryStats counts only non-NaN samples, so an
+                # all-NaN line is EMPTY for every stat mode
+                vals = _finite_vals(ln.data)
                 if mode == "legend":
                     return ln.label
                 if not vals:

@@ -586,13 +586,15 @@ def axis_config(result, aid: int) -> dict:
     }
 
 
-def line_style(result, ln) -> str:
+def line_style(result, ln, axis_cfg=None) -> str:
     """Effective line style: explicit `:ls` wins, else the axis's
-    stack-by-default flag (`stack`/`stack.N`), else line."""
+    stack-by-default flag (`stack`/`stack.N`), else line.  `axis_cfg`
+    lets a caller supply a cached axis_config lookup."""
     s = (getattr(ln, "settings", {}) or {}).get("ls")
     if s:
         return s
-    return "stack" if axis_config(result, line_axis(ln))["stack"] else "line"
+    cfg = (axis_cfg or (lambda aid: axis_config(result, aid)))(line_axis(ln))
+    return "stack" if cfg["stack"] else "line"
 
 
 def resolve_line_colors(result) -> dict:
@@ -695,10 +697,7 @@ def render_png(result, width: int = 700, height: int = 300,
         return _cfg_cache[aid]
 
     def _style(ln) -> str:
-        s = (getattr(ln, "settings", {}) or {}).get("ls")
-        if s:
-            return s
-        return "stack" if axis_cfg(axis_of(ln))["stack"] else "line"
+        return line_style(result, ln, axis_cfg)
 
     hm_lines = [ln for ln in result.lines if _style(ln) == "heatmap"]
     ts_lines = [ln for ln in result.lines if ln not in hm_lines]

@@ -361,7 +361,14 @@ class AtlasHandler(BaseHTTPRequestHandler):
         # toGraphConfig already sanitized the param)
         caller = sanitize(qs.get("id", ["default"])[0])
         if caller == "default" and self.headers.get("Origin"):
-            caller = sanitize(self.headers["Origin"])
+            # the reference sanitizes the HOSTNAME, not the raw header
+            # (Cors.normalizedOrigin extracts Uri(origin).authority.host
+            # before IdParamSanitizer — the scheme colon would otherwise
+            # collapse every real browser Origin to "default")
+            origin = self.headers["Origin"]
+            if origin.startswith(("http:", "https:")):
+                origin = urlparse(origin).hostname or origin
+            caller = sanitize(origin)
         counts = getattr(self.server, "graph_request_counts", None)
         if counts is not None:
             counts[caller] = counts.get(caller, 0) + 1

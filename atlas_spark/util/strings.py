@@ -226,15 +226,6 @@ def _epoch_s(d: dt.datetime) -> int:
     return int(d.timestamp())
 
 
-def parse_time_ref(s: str, ctx, zone: str = "UTC") -> int:
-    """Back-compat single-ref resolution against an EvalContext: graph
-    range refs map to the context window, `now` to the context end."""
-    start = dt.datetime.fromtimestamp(ctx.start, tz=dt.timezone.utc)
-    end = dt.datetime.fromtimestamp(ctx.end, tz=dt.timezone.utc)
-    refs = {"gs": start, "ge": end, "s": start, "e": end, "now": end}
-    return _epoch_s(parse_date(s, zone, refs, now=end))
-
-
 def time_range(s: str, e: str, ctx, zone: str = "UTC") -> tuple[int, int]:
     """TimeSpan.parseDates (MathExpr.scala:239-282): `s`/`e` cross-refs
     resolve against each other, `gs`/`ge` against the graph range; self

@@ -348,6 +348,15 @@ def test_render_formats(engine):
     nov2 = engine.render(base + "&format=v2.json&hints=no-image")
     assert nov2[0]["type"] == "graph-metadata"
     assert nov2[0]["renderingHints"] == ["no-image"]
+    # plot ids are DENSE over the axes in use (plots.zipWithIndex): a
+    # graph whose only lines sit on axis 1 has ONE plot with id 0
+    ax1 = engine.render(
+        "/api/v1/graph?q=name,click,:eq,:sum,1,:axis"
+        "&s=2024-01-02&e=2024-01-03&format=v2.json&hints=no-image"
+    )
+    plots = [m for m in ax1 if m["type"] == "plot-metadata"]
+    assert [m["id"] for m in plots] == [0]
+    assert all(m["plot"] == 0 for m in ax1 if m["type"] == "timeseries")
     st = engine.render(base + "&format=stats.json")
     s = st["stats"][0]
     # json values are rows per TIMESTAMP; series 0 = column 0, missing

@@ -613,8 +613,11 @@ def test_graph_caller_id_sanitized_counter(spark, sf_dir, tmp_path_factory):
         base = f"http://127.0.0.1:{srv.server_address[1]}"
         _get(f"{base}/api/v1/graph?{GRAPH_Q}&id=MyDash")
         _get(f"{base}/api/v1/graph?{GRAPH_Q}&id=1.2.3.4")
+        # a real browser Origin: the HOSTNAME is sanitized, not the raw
+        # header (Cors.normalizedOrigin extracts it before the
+        # sanitizer — the scheme colon would otherwise match ':')
         req = urllib.request.Request(f"{base}/api/v1/graph?{GRAPH_Q}")
-        req.add_header("Origin", "FooApp")
+        req.add_header("Origin", "https://FooApp.example.com")
         with urllib.request.urlopen(req):
             pass
         # an id param that sanitizes away still falls back to Origin
@@ -624,7 +627,7 @@ def test_graph_caller_id_sanitized_counter(spark, sf_dir, tmp_path_factory):
         with urllib.request.urlopen(req):
             pass
         assert srv.graph_request_counts == {
-            "mydash": 1, "default": 1, "fooapp": 1, "barapp": 1,
+            "mydash": 1, "default": 1, "fooapp.example.com": 1, "barapp": 1,
         }
     finally:
         srv.shutdown()
