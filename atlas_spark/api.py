@@ -218,10 +218,10 @@ class GraphResult:
         plot-metadata per axis in use (scale/bounds/tick mode as the
         reference's enum spellings), then one timeseries message per
         line with its RESOLVED color (8-hex ARGB), line style/width,
-        tags, and "NaN"-quoted standard-JSON values.  Heatmap cell
-        blocks are a documented omission — the heatmap renders in the
-        PNG but its cell counts are not re-emitted as a `heatmap`
-        message."""
+        tags, and "NaN"-quoted standard-JSON values.  Plots carrying
+        heatmap lines additionally emit a `heatmap` message whose cell
+        grid, bounds and color mapping are THIS engine's rendering
+        (the reference derives its grid from axis ticks instead)."""
         import base64
 
         from . import chart as _chart
@@ -316,6 +316,66 @@ class GraphResult:
             pm["lower"] = bound(cfg["lower"])
             pm["tickLabelMode"] = tick_names.get(cfg["tick_labels"], "DECIMAL")
             out.append(pm)
+
+        # heatmap cell block (JsonCodec.writeHeatmapDef): emitted when a
+        # plot carries heatmap lines — the same cell grid, bounds and
+        # color mapping the PNG renderer uses, so the message
+        # reconstructs THIS engine's rendering (the reference derives
+        # its grid from axis ticks instead; divergence documented)
+        n = (self.end - self.start) // self.step
+        hm_lines = [
+            ln
+            for ln in self.lines
+            if _chart.line_style(self, ln) == "heatmap"
+        ]
+        if hm_lines and n > 0:
+            aid0 = 0  # heatmap lines render on axis 0
+            pid0 = used_axes.index(aid0) if aid0 in used_axes else 0
+            lo, hi = _chart.axis_bounds(self, aid0, n)
+            edges, counts = _chart.heatmap_cells(hm_lines, n, lo, hi)
+            if any(c > 0.0 for row in counts for c in row):
+                opts = (self.axes or {}).get(aid0) or {}
+                hm_scale = (opts.get("heatmap_scale") or "linear").lower()
+                hmsg: dict[str, Any] = {
+                    "type": "heatmap",
+                    "plot": pid0,
+                    "colorScale": scale_names.get(hm_scale, "LINEAR"),
+                    "upper": bound(opts.get("heatmap_u")),
+                    "lower": bound(opts.get("heatmap_l")),
+                }
+                if opts.get("heatmap_label"):
+                    hmsg["label"] = opts["heatmap_label"]
+                hmsg["yTicks"] = [
+                    {
+                        "min": edges[c],
+                        "max": edges[c + 1],
+                        "label": _chart._fmt_value(edges[c + 1]),
+                    }
+                    for c in range(len(edges) - 1)
+                ]
+                pal = _chart.palette_colors(opts.get("heatmap_palette"))
+                if pal:
+                    # ascending count segments, highest count -> FIRST
+                    # palette color (the renderer's lookupColor order)
+                    pos = [c for row in counts for c in row if c > 0.0]
+                    lo_c = float(opts.get("heatmap_l") or min(pos))
+                    hi_c = float(opts.get("heatmap_u") or max(pos))
+                    if hi_c <= lo_c:
+                        hi_c = lo_c + 1.0
+                    k = len(pal)
+                    seg = [lo_c + (hi_c - lo_c) * i / k for i in range(k + 1)]
+                    hmsg["colorTicks"] = [
+                        {
+                            "color": "ff"
+                            + "".join(f"{v:02x}" for v in pal[k - 1 - i]),
+                            "min": seg[i],
+                            "max": seg[i + 1],
+                            "label": _chart._fmt_value(seg[i + 1]),
+                        }
+                        for i in range(k)
+                    ]
+                hmsg["data"] = {"type": "heatmap", "values": counts}
+                out.append(hmsg)
 
         colors = _chart.resolve_line_colors(self)
         for pid, aid in enumerate(used_axes):

@@ -352,22 +352,14 @@ def _pct_bucket_range(tags: dict) -> tuple[float, float] | None:
     return lo, hi
 
 
-def _render_heatmap(
-    cv, hm_lines, n_steps, tx, ty, lo, hi, pad_t, plot_h, n_cells=25, opts=None
-):
+def heatmap_cells(
+    hm_lines, n_steps: int, lo: float, hi: float, n_cells: int = 25
+) -> tuple[list, list]:
     """Heatmap cell counts per (time step, y cell) following
-    Heatmap.scala:182-210: percentile-bucket lines spread their count over
-    the y-cells overlapping the bucket's value range, weighted by overlap;
-    plain lines count 1 in the cell containing their value.
-
-    Color (Heatmap.scala:96-101,231): the count is bounded to
-    [heatmap_l, heatmap_u] (defaults: smallest positive count, max count)
-    and mapped through the heatmap_scale (linear | log) onto the
-    heatmap_palette's color list with the HIGHEST count taking the FIRST
-    color (the reference's Scales.factory(lower -> size, upper -> 0));
-    without a palette a red intensity ramp stands in for
-    Palette.gradient(line color)."""
-    opts = opts or {}
+    Heatmap.scala:182-210: percentile-bucket lines spread their count
+    over the y-cells overlapping the bucket's value range, weighted by
+    overlap; plain lines count 1 in the cell containing their value.
+    Returns (cell_edges[n_cells+1], counts[n_steps][n_cells])."""
     cell_edges = [lo + (hi - lo) * c / n_cells for c in range(n_cells + 1)]
     counts = [[0.0] * n_cells for _ in range(n_steps)]
     for ln in hm_lines:
@@ -389,6 +381,26 @@ def _render_heatmap(
                 if lo <= v <= hi:
                     c = min(n_cells - 1, int((v - lo) / (hi - lo) * n_cells))
                     counts[i][c] += 1.0
+    return cell_edges, counts
+
+
+def _render_heatmap(
+    cv, hm_lines, n_steps, tx, ty, lo, hi, pad_t, plot_h, n_cells=25, opts=None
+):
+    """Heatmap cell counts per (time step, y cell) following
+    Heatmap.scala:182-210: percentile-bucket lines spread their count over
+    the y-cells overlapping the bucket's value range, weighted by overlap;
+    plain lines count 1 in the cell containing their value.
+
+    Color (Heatmap.scala:96-101,231): the count is bounded to
+    [heatmap_l, heatmap_u] (defaults: smallest positive count, max count)
+    and mapped through the heatmap_scale (linear | log) onto the
+    heatmap_palette's color list with the HIGHEST count taking the FIRST
+    color (the reference's Scales.factory(lower -> size, upper -> 0));
+    without a palette a red intensity ramp stands in for
+    Palette.gradient(line color)."""
+    opts = opts or {}
+    cell_edges, counts = heatmap_cells(hm_lines, n_steps, lo, hi, n_cells)
     max_count = max((c for row in counts for c in row), default=0.0)
     if max_count <= 0.0:
         return
@@ -631,6 +643,73 @@ def resolve_line_colors(result) -> dict:
     return out
 
 
+def axis_bounds(result, aid: int, n_steps: int, axis_cfg=None) -> tuple:
+    """y bounds for one axis (PlotDef.finalBounds / PlotBound): explicit
+    u/l win; auto-style includes 0 when any filled style is present
+    (area, stack, heatmap), else tight data bounds; l=auto-data is
+    always tight.  Stacked lines contribute their per-step
+    positive/negative TOTALS, not individual values.  Heatmap lines
+    render on axis 0 only."""
+    cfgf = axis_cfg or (lambda a: axis_config(result, a))
+
+    def _st(ln):
+        return line_style(result, ln, cfgf)
+
+    hm_lines = [ln for ln in result.lines if _st(ln) == "heatmap"]
+    ts_lines = [ln for ln in result.lines if ln not in hm_lines]
+    lines = [ln for ln in ts_lines if line_axis(ln) == aid]
+    pos_tot = [0.0] * n_steps
+    neg_tot = [0.0] * n_steps
+    for ln in lines:
+        if _st(ln) == "stack":
+            for i, v in enumerate(ln.data[:n_steps]):
+                if v is None or not math.isfinite(v):
+                    continue
+                if v > 0.0:
+                    pos_tot[i] += v
+                elif v < 0.0:
+                    neg_tot[i] += v
+    hm = hm_lines if aid == 0 else []
+    if hm and all(_pct_bucket_range(ln.tags) for ln in hm):
+        # percentile heatmap: y axis spans the bucket ranges present
+        ranges = [_pct_bucket_range(ln.tags) for ln in hm]
+        finite = [b for r in ranges for b in r]
+    else:
+        finite = [
+            v
+            for ln in lines
+            if _st(ln) != "stack"
+            for v in ln.data
+            if v is not None and math.isfinite(v)
+        ] + [v for v in pos_tot + neg_tot if v != 0.0]
+        finite += [
+            v
+            for ln in hm
+            for v in ln.data
+            if v is not None and math.isfinite(v)
+        ]
+    data_lo = min(finite) if finite else 0.0
+    data_hi = max(finite) if finite else 1.0
+    has_fill = bool(hm) or any(_st(ln) in ("area", "stack") for ln in lines)
+    cfg = cfgf(aid)
+    lower, upper = cfg["lower"], cfg["upper"]
+    if isinstance(lower, (int, float)):
+        lo = float(lower)
+    elif lower == "auto-data":
+        lo = data_lo
+    else:
+        lo = min(0.0, data_lo) if has_fill else data_lo
+    if isinstance(upper, (int, float)):
+        hi = float(upper)
+    else:
+        # fills anchor at the axis, so 0 joins the range on BOTH sides
+        # (an all-negative stack still shows the zero line at the top)
+        hi = max(0.0, data_hi) if has_fill else data_hi
+    if hi <= lo:
+        hi = lo + 1.0
+    return lo, hi
+
+
 def _sub_ylabel(label: str, lines) -> str:
     """Axis ylabel `$(tag)` substitution (Axis.scala:52-63 newPlotDef):
     variables resolve against the INTERSECTION of the axis's line tags;
@@ -755,65 +834,9 @@ def render_png(result, width: int = 700, height: int = 300,
     bg = _WARN_BG if notices and fixed_h else th["bg"]
     cv = Canvas(width, height, bg=bg)
 
-    def _axis_bounds(aid: int) -> tuple[float, float]:
-        """y bounds for one axis (PlotDef.finalBounds / PlotBound):
-        explicit u/l win; auto-style includes 0 when any filled style is
-        present (area, stack, heatmap), else tight data bounds;
-        l=auto-data is always tight.  Stacked lines contribute their
-        per-step positive/negative TOTALS, not individual values."""
-        lines = [ln for ln in ts_lines if axis_of(ln) == aid]
-        pos_tot = [0.0] * n_steps
-        neg_tot = [0.0] * n_steps
-        for ln in lines:
-            if _style(ln) == "stack":
-                for i, v in enumerate(ln.data[:n_steps]):
-                    if v is None or not math.isfinite(v):
-                        continue
-                    if v > 0.0:
-                        pos_tot[i] += v
-                    elif v < 0.0:
-                        neg_tot[i] += v
-        hm = hm_lines if aid == 0 else []
-        if hm and all(_pct_bucket_range(ln.tags) for ln in hm):
-            # percentile heatmap: y axis spans the bucket ranges present
-            ranges = [_pct_bucket_range(ln.tags) for ln in hm]
-            finite = [b for r in ranges for b in r]
-        else:
-            finite = [
-                v
-                for ln in lines
-                if _style(ln) != "stack"
-                for v in ln.data
-                if v is not None and math.isfinite(v)
-            ] + [v for v in pos_tot + neg_tot if v != 0.0]
-            finite += [
-                v
-                for ln in hm
-                for v in ln.data
-                if v is not None and math.isfinite(v)
-            ]
-        data_lo = min(finite) if finite else 0.0
-        data_hi = max(finite) if finite else 1.0
-        has_fill = bool(hm) or any(_style(ln) in ("area", "stack") for ln in lines)
-        cfg = axis_cfg(aid)
-        lower, upper = cfg["lower"], cfg["upper"]
-        if isinstance(lower, (int, float)):
-            lo = float(lower)
-        elif lower == "auto-data":
-            lo = data_lo
-        else:
-            lo = min(0.0, data_lo) if has_fill else data_lo
-        if isinstance(upper, (int, float)):
-            hi = float(upper)
-        else:
-            # fills anchor at the axis, so 0 joins the range on BOTH sides
-            # (an all-negative stack still shows the zero line at the top)
-            hi = max(0.0, data_hi) if has_fill else data_hi
-        if hi <= lo:
-            hi = lo + 1.0
-        return lo, hi
-
-    bounds = {aid: _axis_bounds(aid) for aid in axis_ids}
+    bounds = {
+        aid: axis_bounds(result, aid, n_steps, axis_cfg) for aid in axis_ids
+    }
     tys = {}
     for aid in axis_ids:
         a_lo, a_hi = bounds[aid]

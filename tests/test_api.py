@@ -577,6 +577,48 @@ def test_graph_multi_tz(engine):
     assert png1 != png2
 
 
+def test_v2_json_heatmap_block(engine):
+    """v2.json emits a heatmap message for plots carrying heatmap lines
+    (JsonCodec.writeHeatmapDef): cell-count grid + yTicks reconstruct
+    the renderer's cells; with a heatmap_palette, colorTicks map count
+    segments to the palette colors."""
+    from atlas_spark.api import Engine
+    from atlas_spark.sources.datapoints import percentile_datapoints
+
+    pct_engine = Engine(
+        engine.spark,
+        source=percentile_datapoints(engine.spark, "/root/testdata/sf0.01"),
+    )
+    uri = (
+        "/api/v1/graph?q=name,click,:eq,:sum,:percentiles-heatmap"
+        "&s=2024-01-02&e=2024-01-03&format=v2.json&hints=no-image"
+        "&heatmap_palette=reds&heatmap_label=reqs"
+    )
+    msgs = pct_engine.render(uri)
+    hms = [m for m in msgs if m["type"] == "heatmap"]
+    assert len(hms) == 1
+    hm = hms[0]
+    assert hm["plot"] == 0 and hm["label"] == "reqs"
+    assert hm["colorScale"] == "LINEAR"
+    n_steps = (
+        [m for m in msgs if m["type"] == "graph-metadata"][0]["endTime"]
+        - [m for m in msgs if m["type"] == "graph-metadata"][0]["startTime"]
+    ) // [m for m in msgs if m["type"] == "graph-metadata"][0]["step"]
+    vals = hm["data"]["values"]
+    assert hm["data"]["type"] == "heatmap"
+    assert len(vals) == n_steps and len(vals[0]) == len(hm["yTicks"])
+    assert sum(c for row in vals for c in row) > 0
+    # yTicks tile the axis range contiguously
+    for a, b in zip(hm["yTicks"], hm["yTicks"][1:]):
+        assert a["max"] == b["min"]
+    assert len(hm["colorTicks"]) == 7  # reds palette has 7 colors
+    assert all(len(t["color"]) == 8 for t in hm["colorTicks"])
+    # heatmap lines still emit as timeseries with lineStyle HEATMAP
+    assert any(
+        m["type"] == "timeseries" and m["lineStyle"] == "HEATMAP" for m in msgs
+    )
+
+
 def test_graph_png_heatmap(engine):
     """:percentiles-heatmap renders heatmap cells: the PNG must contain
     gradient-colored pixels (red channel ramp) that neither the palette
