@@ -384,6 +384,14 @@ class GraphResult:
                     continue
                 (r, g, b), a = colors[id(ln)]
                 settings = getattr(ln, "settings", {}) or {}
+                # `:alpha` overrides the color's alpha at render time
+                # (StyleExpr folds it into LineDef.color) — fold it into
+                # the emitted ARGB the same way
+                if "alpha" in settings:
+                    try:
+                        a = int(settings["alpha"], 16) / 255.0
+                    except ValueError:
+                        pass
                 try:
                     lw = float(settings.get("lw", 1.0) or 1.0)
                 except (TypeError, ValueError):
@@ -404,6 +412,109 @@ class GraphResult:
                     }
                 )
         return out
+
+
+def from_v2_json(msgs: list[dict]) -> "GraphResult":
+    """Decode a v2.json message stream back into a renderable
+    GraphResult (JsonCodec.readGraphDef role): the graph re-renders
+    from the decoded config — the format's stated purpose is that the
+    output "can be used to precisely recreate the image".  Plot ids
+    are dense, so decoded lines land on axis == plot id; decoded
+    colors/styles/widths become explicit line settings (they were the
+    RESOLVED values), and "NaN" values decode to gaps.  graph-image
+    and heatmap messages are skipped — the image re-renders and
+    heatmap cells recompute from the heatmap timeseries lines."""
+    scale_rev = {
+        "LINEAR": "linear",
+        "LOGARITHMIC": "log",
+        "LOG_LINEAR": "log-linear",
+        "POWER_2": "pow2",
+        "SQRT": "sqrt",
+    }
+    tick_rev = {
+        "OFF": "off",
+        "DECIMAL": "decimal",
+        "BINARY": "binary",
+        "DURATION": "duration",
+    }
+    layout_rev = {
+        "CANVAS": "canvas",
+        "IMAGE": "image",
+        "IMAGE_WIDTH": "iw",
+        "IMAGE_HEIGHT": "ih",
+    }
+
+    def unbound(v: str):
+        if v == "auto-style":
+            return None
+        if v == "auto-data":
+            return v
+        return float(v)
+
+    meta = next(m for m in msgs if m["type"] == "graph-metadata")
+    step = meta["step"] // 1000
+    axes: dict[int, dict] = {}
+    for m in msgs:
+        if m["type"] != "plot-metadata":
+            continue
+        sub: dict = {
+            "scale": scale_rev.get(m.get("scale", "LINEAR"), "linear"),
+            "tick_labels": tick_rev.get(m.get("tickLabelMode"), "decimal"),
+        }
+        up = unbound(m.get("upper", "auto-style"))
+        lo = unbound(m.get("lower", "auto-style"))
+        if up is not None:
+            sub["upper"] = up
+        if lo is not None:
+            sub["lower"] = lo
+        if m.get("ylabel"):
+            sub["ylabel"] = m["ylabel"]
+        axes[m["id"]] = sub
+    lines: list[GraphLine] = []
+    for m in msgs:
+        if m["type"] != "timeseries":
+            continue
+        settings = {
+            "color": m["color"],  # AARRGGBB — _parse_color's 8-hex form
+            "ls": m["lineStyle"].lower(),
+            "lw": str(m.get("lineWidth", 1.0)),
+        }
+        if m["plot"]:
+            settings["axis"] = str(m["plot"])
+        lines.append(
+            GraphLine(
+                tags=dict(m.get("tags") or {}),
+                label=m.get("label", ""),
+                data=[
+                    None
+                    if v == "NaN"
+                    else _math.inf
+                    if v == "Infinity"
+                    else -_math.inf
+                    if v == "-Infinity"
+                    else v
+                    for v in m["data"]["values"]
+                ],
+                settings=settings,
+            )
+        )
+    legend_type = meta.get("legendType", "LABELS_WITH_STATS")
+    return GraphResult(
+        start=meta["startTime"] // 1000,
+        end=meta["endTime"] // 1000,
+        step=step,
+        lines=lines,
+        timezones=list(meta.get("timezones") or ["UTC"]),
+        show_legend=legend_type != "OFF",
+        show_legend_stats=legend_type == "LABELS_WITH_STATS",
+        theme=meta.get("theme", "light"),
+        title=meta.get("title"),
+        axes=axes,
+        layout=layout_rev.get(meta.get("layout", "CANVAS"), "canvas"),
+        only_graph=bool(meta.get("onlyGraph", False)),
+        hints=frozenset(meta.get("renderingHints") or ()),
+        warnings=list(meta.get("warnings") or []),
+    )
 
 
 def _type_summary(stack: list) -> str:

@@ -1071,9 +1071,11 @@ def render_png(result, width: int = 700, height: int = 300,
                     v for v in ln.data if v is not None and math.isfinite(v)
                 ]
                 if vals:
-                    # legend stats format with the plot's tick label mode
-                    # (LegendEntry.format -> plot.tickLabelMode)
-                    fmt = lambda x: _fmt_value(x, tick_mode)  # noqa: E731
+                    # legend stats format with the LINE'S plot tick label
+                    # mode (LegendEntry.format -> plot.tickLabelMode),
+                    # which may differ per axis via tick_labels.N
+                    lt_mode = axis_cfg(axis_of(ln))["tick_labels"]
+                    fmt = lambda x: _fmt_value(x, lt_mode)  # noqa: E731
                     stats = [
                         ("MAX", fmt(max(vals)), "MIN", fmt(min(vals))),
                         (

@@ -830,3 +830,32 @@ def test_graph_rejects_invalid_sizes_axes_and_stack_garbage(engine):
         )
     with pytest.raises(ValueError, match="expecting time series expr, found String 'foo'"):
         engine.graph(f"/api/v1/graph?q=name,click,:eq,:sum,(,name,),:by,foo&{w}")
+
+
+def test_v2_json_round_trip_recreates_image(engine):
+    """The v2.json contract is that the payload 'can be used to
+    precisely recreate the image' (V2JsonGraphEngine header): decoding
+    the message stream (from_v2_json, the JsonCodec.readGraphDef role)
+    and re-rendering yields the SAME PNG as rendering the original
+    GraphResult — styles, resolved colors, axes config, legend, theme
+    and warnings all survive the round trip."""
+    from atlas_spark.api import from_v2_json
+    from atlas_spark.chart import render_png
+
+    # lines already in plot-grouped order: the v2 stream groups lines
+    # by plot (JsonCodec writes plot.data per plot), so decode order ==
+    # original order only for plot-grouped inputs
+    uri = (
+        "/api/v1/graph?q="
+        "name,click,:eq,:sum,f00,:color,2,:lw,"
+        ":true,:count,40,:alpha,"
+        "name,view,:eq,:sum,1,:axis,:area"
+        "&s=2024-01-02&e=2024-01-03&scale.1=log&u=500&tick_labels=binary"
+        "&theme=dark&ylabel=events"
+    )
+    g = engine.graph(uri)
+    rt = from_v2_json(g.to_v2_json(width=320, height=160))
+    assert render_png(rt, 320, 160) == render_png(g, 320, 160)
+    # data fidelity: gaps and values identical line-for-line
+    assert [ln.data for ln in rt.lines] == [ln.data for ln in g.lines]
+    assert [ln.tags for ln in rt.lines] == [ln.tags for ln in g.lines]
