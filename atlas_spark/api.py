@@ -117,6 +117,10 @@ class GraphResult:
     # user-facing notices (GraphDef.warnings): size/zoom clamp messages
     # etc. — rendered as a notice band and written as `notices` in JSON
     warnings: list = field(default_factory=list)
+    # CollectorStats-style scan accounting (CollectorStats.scala) and
+    # data-fetch wall time; None / -1 = unknown (no explain/stats blocks)
+    stats: dict | None = None
+    load_time_ms: int = -1
 
     def to_json(self) -> dict[str, Any]:
         """json / std.json payload (JsonGraphEngine.write,
@@ -128,7 +132,7 @@ class GraphResult:
         behavior the `json` name now shares (StdJsonGraphEngine.scala:
         20-28)."""
         n = (self.end - self.start) // self.step
-        return {
+        out: dict[str, Any] = {
             "start": self.start * 1000,
             "step": self.step * 1000,
             "legend": [ln.label for ln in self.lines],
@@ -140,6 +144,23 @@ class GraphResult:
             # JsonGraphEngine.scala:72-73 writes warnings as `notices`
             "notices": list(self.warnings),
         }
+        # explain block (JsonGraphEngine.scala:77-92): written when the
+        # collector stats are known (inputLines > 0)
+        if self.stats and self.stats.get("inputLines", 0) > 0:
+            graph_lines = len(self.lines)
+            graph_datapoints = graph_lines * (
+                (self.end - self.start) // self.step + 1
+            )
+            out["explain"] = {
+                "dataFetchTime": self.load_time_ms,
+                "inputLines": self.stats["inputLines"],
+                "intermediateLines": self.stats["outputLines"],
+                "graphLines": graph_lines,
+                "inputDatapoints": self.stats["inputDatapoints"],
+                "intermediateDatapoints": self.stats["outputDatapoints"],
+                "graphDatapoints": graph_datapoints,
+            }
+        return out
 
     def to_csv(self, sep: str = ",") -> str:
         """CsvGraphEngine.write parity (CsvGraphEngine.scala:31-60):
@@ -268,6 +289,15 @@ class GraphResult:
         meta["legendType"] = legend_type
         meta["onlyGraph"] = bool(self.only_graph)
         meta["theme"] = self.theme
+        if self.load_time_ms > 0:
+            meta["loadTime"] = self.load_time_ms
+        if self.stats:
+            meta["stats"] = {
+                "inputLines": self.stats["inputLines"],
+                "inputDatapoints": self.stats["inputDatapoints"],
+                "outputLines": self.stats["outputLines"],
+                "outputDatapoints": self.stats["outputDatapoints"],
+            }
         meta["warnings"] = list(self.warnings)
         if hints:
             meta["renderingHints"] = sorted(hints)
@@ -1050,7 +1080,10 @@ class Engine:
         # configured pattern and `key,$1,:eq` is ANDed onto every expression
         if parsed.hostname:
             exprs = self.host_rewriter.rewrite(parsed.hostname, exprs)
-        ev = Evaluator(self.source, ctx)
+        import time as _time
+
+        t_fetch0 = _time.perf_counter()
+        ev = Evaluator(self.source, ctx, collect_stats=True)
 
         # simple legends (Grapher.scala:184-188, default-enabled like
         # simple-legends-enabled): after per-offset expansion, derive the
@@ -1218,6 +1251,23 @@ class Engine:
             for h in raw.split(",")
             if h.strip()
         )
+        # CollectorStats-style accounting: observation metrics rode the
+        # collect actions above; missing metrics (a frame that never ran
+        # an action, or a generator-only graph with no scans) leave the
+        # stats unknown — the reference's CollectorStats.unknown case
+        from .plans.builder import observed_metrics
+
+        load_time_ms = int((_time.perf_counter() - t_fetch0) * 1000)
+        stats = None
+        metrics = [observed_metrics(o) for o in ev.observations]
+        if metrics and all(m is not None for m in metrics):
+            n_steps = (ctx.end - ctx.start) // ctx.step
+            stats = {
+                "inputLines": sum(int(m["lines"]) for m in metrics),
+                "inputDatapoints": sum(int(m["datapoints"]) for m in metrics),
+                "outputLines": len(lines),
+                "outputDatapoints": len(lines) * n_steps,
+            }
         return GraphResult(
             ctx.start,
             ctx.end,
@@ -1241,6 +1291,8 @@ class Engine:
             only_graph=only_graph,
             hints=hints,
             warnings=sort_warnings,
+            stats=stats,
+            load_time_ms=load_time_ms,
         )
 
     @staticmethod

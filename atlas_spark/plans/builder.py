@@ -208,6 +208,25 @@ def time_value_col(mode: str):
     return chrono[mode]
 
 
+def observed_metrics(obs) -> dict | None:
+    """Non-blocking read of an Observation's metrics: None when the
+    observed frame never ran an action (Observation.get would block
+    forever; the JVM side exposes getRowOrEmpty)."""
+    try:
+        jopt = obs._jo.getRowOrEmpty()
+        if jopt.isEmpty():
+            return None
+        from pyspark.serializers import CPickleSerializer
+
+        utils = getattr(
+            obs._jvm, "org.apache.spark.sql.api.python.PythonSQLUtils"
+        )
+        row = CPickleSerializer().loads(utils.toPyRow(jopt.get()))
+        return row.asDict(recursive=False)
+    except Exception:
+        return None
+
+
 class Evaluator:
     """Evaluates expression trees against one DatapointSource + EvalContext.
 
@@ -215,11 +234,23 @@ class Evaluator:
     reference's DataExpr dedup across expressions (GraphApi.scala:72-76).
     """
 
-    def __init__(self, source: DatapointSource, ctx: EvalContext):
+    def __init__(
+        self,
+        source: DatapointSource,
+        ctx: EvalContext,
+        collect_stats: bool = False,
+    ):
         self.source = source
         self.ctx = ctx
         self.spark: SparkSession = source.df.sparkSession
         self._data_cache: dict[str, ResultFrame] = {}
+        # CollectorStats-style input accounting (CollectorStats.scala):
+        # when enabled, every DataExpr scan carries an Observation
+        # measuring post-predicate rows + approximate distinct series —
+        # metrics ride the SAME action (CollectMetrics node), no extra
+        # job.  Off by default so registry/bench plan pins stay exact.
+        self.collect_stats = collect_stats
+        self.observations: list = []
 
     # ---------------------------------------------------------- grid helpers
 
@@ -360,6 +391,18 @@ class Evaluator:
         else:
             base = self.source.ranged_df(ctx.start, ctx.end)
         df = base.filter(query_to_column(e.query, self.source))
+        if self.collect_stats:
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            cols = list(self.source.colmap.values())
+            series = F.struct(*cols) if cols else F.lit(1)
+            df = df.observe(
+                obs,
+                F.count(F.lit(1)).alias("datapoints"),
+                F.approx_count_distinct(series).alias("lines"),
+            )
+            self.observations.append(obs)
         if offset:
             # report shifted data at the unshifted timestamp
             # (MemoryDatabase.scala:288-297)

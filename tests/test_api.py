@@ -859,3 +859,38 @@ def test_v2_json_round_trip_recreates_image(engine):
     # data fidelity: gaps and values identical line-for-line
     assert [ln.data for ln in rt.lines] == [ln.data for ln in g.lines]
     assert [ln.tags for ln in rt.lines] == [ln.tags for ln in g.lines]
+
+
+def test_json_explain_block(engine):
+    """format=json carries the explain block when collector stats are
+    known (JsonGraphEngine.scala:77-92): input scan accounting rides the
+    collect actions as Observation metrics (CollectMetrics in the same
+    job, no extra Spark job)."""
+    j = engine.render(
+        "/api/v1/graph?q=:true,:sum,(,name,),:by&s=2024-01-02&e=2024-01-03"
+        "&format=json"
+    )
+    ex = j["explain"]
+    assert ex["graphLines"] == len(j["legend"]) == 5
+    assert ex["intermediateLines"] == 5
+    # the scan saw at least one input line per output group and at
+    # least one datapoint per non-gap output cell
+    assert ex["inputLines"] >= 5
+    assert ex["inputDatapoints"] >= sum(
+        1 for row in j["values"] for v in row if v != "NaN"
+    )
+    assert ex["graphDatapoints"] == 5 * 25  # lines * (steps + 1)
+    assert ex["dataFetchTime"] >= 0
+    # generator-only graphs have no scans -> stats unknown, no explain
+    g2 = engine.render(
+        "/api/v1/graph?q=42,:const&s=2024-01-02&e=2024-01-03&format=json"
+    )
+    assert "explain" not in g2
+    # v2.json graph-metadata carries the stats object (JsonCodec)
+    v2 = engine.render(
+        "/api/v1/graph?q=:true,:sum,(,name,),:by&s=2024-01-02&e=2024-01-03"
+        "&format=v2.json&hints=no-image"
+    )
+    meta = [m for m in v2 if m["type"] == "graph-metadata"][0]
+    assert meta["stats"]["inputLines"] >= 5
+    assert meta["stats"]["outputLines"] == 5
