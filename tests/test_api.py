@@ -894,3 +894,23 @@ def test_json_explain_block(engine):
     meta = [m for m in v2 if m["type"] == "graph-metadata"][0]
     assert meta["stats"]["inputLines"] >= 5
     assert meta["stats"]["outputLines"] == 5
+
+
+def test_v2_canvas_dims_not_floor_distorted(engine):
+    """graph-metadata width/height are the clamped PRE-zoom canvas dims
+    (GraphDef fields), parsed directly — not divided back out of the
+    64px-floored image size (w=65&zoom=0.1 would otherwise report 640)."""
+    v2 = engine.render(
+        "/api/v1/graph?q=name,click,:eq,:sum&s=2024-01-02&e=2024-01-03"
+        "&format=v2.json&hints=no-image&w=65&h=80&zoom=0.1"
+    )
+    meta = [m for m in v2 if m["type"] == "graph-metadata"][0]
+    assert (meta["width"], meta["height"], meta["zoom"]) == (65, 80, 0.1)
+    # clamps still apply with their notices
+    v2b = engine.render(
+        "/api/v1/graph?q=name,click,:eq,:sum&s=2024-01-02&e=2024-01-03"
+        "&format=v2.json&hints=no-image&w=5000&zoom=9"
+    )
+    metab = [m for m in v2b if m["type"] == "graph-metadata"][0]
+    assert (metab["width"], metab["zoom"]) == (2000, 2.0)
+    assert any("Restricted" in w for w in metab["warnings"])
