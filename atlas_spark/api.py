@@ -1039,7 +1039,7 @@ class Engine:
 
     # ---------------------------------------------------------------- graph
 
-    def graph(self, uri: str) -> GraphResult:
+    def graph(self, uri: str, collect_stats: bool = False) -> GraphResult:
         parsed = urlparse(uri)
         qs = parse_qs(parsed.query)
         if "q" not in qs:
@@ -1083,7 +1083,12 @@ class Engine:
         import time as _time
 
         t_fetch0 = _time.perf_counter()
-        ev = Evaluator(self.source, ctx, collect_stats=True)
+        # CollectorStats accounting only when the caller's output format
+        # emits it (render() enables for json/std.json/v2.json): the
+        # CollectMetrics node costs ~20% wall (and the HLL series
+        # estimate more), which the png/csv dashboard hot path must not
+        # pay for metadata it never writes
+        ev = Evaluator(self.source, ctx, collect_stats=collect_stats)
 
         # simple legends (Grapher.scala:184-188, default-enabled like
         # simple-legends-enabled): after per-offset expansion, derive the
@@ -1259,7 +1264,11 @@ class Engine:
 
         load_time_ms = int((_time.perf_counter() - t_fetch0) * 1000)
         stats = None
-        metrics = [observed_metrics(o) for o in ev.observations]
+        metrics = (
+            [observed_metrics(o) for o in ev.observations]
+            if collect_stats
+            else []
+        )
         if metrics and all(m is not None for m in metrics):
             n_steps = (ctx.end - ctx.start) // ctx.step
             stats = {
@@ -1389,7 +1398,7 @@ class Engine:
             width, height, warnings = _validate_image_dims(qs)
             return self.graph_png(uri, width=width, height=height,
                                   warnings=warnings)
-        g = self.graph(uri)
+        g = self.graph(uri, collect_stats=fmt in ("json", "std.json", "v2.json"))
         if fmt in ("json", "std.json"):
             return g.to_json()
         if fmt == "v2.json":
