@@ -148,8 +148,12 @@ class GraphResult:
         # collector stats are known (inputLines > 0)
         if self.stats and self.stats.get("inputLines", 0) > 0:
             graph_lines = len(self.lines)
+            # the reference writes steps+1 per line because ITS window
+            # convention carries one extra inclusive cell; this engine's
+            # [start, end) window has exactly n cells, so the explain
+            # totals stay cross-checkable against len(values)
             graph_datapoints = graph_lines * (
-                (self.end - self.start) // self.step + 1
+                (self.end - self.start) // self.step
             )
             out["explain"] = {
                 "dataFetchTime": self.load_time_ms,
@@ -366,6 +370,7 @@ class GraphResult:
             if any(c > 0.0 for row in counts for c in row):
                 opts = (self.axes or {}).get(aid0) or {}
                 hm_scale = (opts.get("heatmap_scale") or "linear").lower()
+                y_mode = _chart.axis_config(self, aid0)["tick_labels"]
                 hmsg: dict[str, Any] = {
                     "type": "heatmap",
                     "plot": pid0,
@@ -375,35 +380,70 @@ class GraphResult:
                 }
                 if opts.get("heatmap_label"):
                     hmsg["label"] = opts["heatmap_label"]
+                # y cell labels use the AXIS's tick label mode, like the
+                # rendered y-axis labels
                 hmsg["yTicks"] = [
                     {
                         "min": edges[c],
                         "max": edges[c + 1],
-                        "label": _chart._fmt_value(edges[c + 1]),
+                        "label": _chart._fmt_value(edges[c + 1], y_mode),
                     }
                     for c in range(len(edges) - 1)
                 ]
                 pal = _chart.palette_colors(opts.get("heatmap_palette"))
                 if pal:
-                    # ascending count segments, highest count -> FIRST
-                    # palette color (the renderer's lookupColor order)
+                    # ascending-count segments whose boundaries are the
+                    # EXACT counts where the renderer's color changes:
+                    # color index = round((1-frac)*(k-1)) over the
+                    # (linear | vizlog) count fraction between the
+                    # bounds — explicit heatmap_l/u of 0 are honored
+                    # (is-not-None, matching _render_heatmap)
                     pos = [c for row in counts for c in row if c > 0.0]
-                    lo_c = float(opts.get("heatmap_l") or min(pos))
-                    hi_c = float(opts.get("heatmap_u") or max(pos))
+                    hl, hu = opts.get("heatmap_l"), opts.get("heatmap_u")
+                    lo_c = float(hl) if hl is not None else min(pos)
+                    hi_c = float(hu) if hu is not None else max(pos)
                     if hi_c <= lo_c:
                         hi_c = lo_c + 1.0
                     k = len(pal)
-                    seg = [lo_c + (hi_c - lo_c) * i / k for i in range(k + 1)]
-                    hmsg["colorTicks"] = [
-                        {
-                            "color": "ff"
-                            + "".join(f"{v:02x}" for v in pal[k - 1 - i]),
-                            "min": seg[i],
-                            "max": seg[i + 1],
-                            "label": _chart._fmt_value(seg[i + 1]),
-                        }
-                        for i in range(k)
-                    ]
+
+                    if hm_scale == "log":
+                        vlo, vhi = _chart._vizlog(lo_c), _chart._vizlog(hi_c)
+
+                        def from_frac(f: float) -> float:
+                            return _chart._vizlog_inv(vlo + f * (vhi - vlo))
+
+                    else:
+
+                        def from_frac(f: float) -> float:
+                            return lo_c + f * (hi_c - lo_c)
+
+                    ticks = []
+                    if k == 1:
+                        ticks.append(
+                            {
+                                "color": "ff"
+                                + "".join(f"{v:02x}" for v in pal[0]),
+                                "min": lo_c,
+                                "max": hi_c,
+                                "label": _chart._fmt_value(hi_c, y_mode),
+                            }
+                        )
+                        k = 0  # skip the loop below
+                    for j in range(k):  # ascending count
+                        i = k - 1 - j  # renderer color index
+                        f0 = 0.0 if j == 0 else 1 - (i + 0.5) / (k - 1)
+                        f1 = 1.0 if j == k - 1 else 1 - (i - 0.5) / (k - 1)
+                        c0, c1 = from_frac(max(0.0, f0)), from_frac(min(1.0, f1))
+                        ticks.append(
+                            {
+                                "color": "ff"
+                                + "".join(f"{v:02x}" for v in pal[i]),
+                                "min": c0,
+                                "max": c1,
+                                "label": _chart._fmt_value(c1, y_mode),
+                            }
+                        )
+                    hmsg["colorTicks"] = ticks
                 hmsg["data"] = {"type": "heatmap", "values": counts}
                 out.append(hmsg)
 
@@ -500,6 +540,26 @@ def from_v2_json(msgs: list[dict]) -> "GraphResult":
         if m.get("ylabel"):
             sub["ylabel"] = m["ylabel"]
         axes[m["id"]] = sub
+    # heatmap messages carry the color config: restore it onto the
+    # plot's axis so heatmap graphs re-render with the same palette,
+    # scale, bounds and label (the palette rebuilds as an explicit
+    # colors: list from the colorTicks, first color = highest count)
+    for m in msgs:
+        if m["type"] != "heatmap":
+            continue
+        sub = axes.setdefault(m["plot"], {})
+        sub["heatmap_scale"] = scale_rev.get(m.get("colorScale"), "linear")
+        up = unbound(m.get("upper", "auto-style"))
+        lo = unbound(m.get("lower", "auto-style"))
+        if up is not None and up != "auto-data":
+            sub["heatmap_u"] = up
+        if lo is not None and lo != "auto-data":
+            sub["heatmap_l"] = lo
+        if m.get("label"):
+            sub["heatmap_label"] = m["label"]
+        if m.get("colorTicks"):
+            cols = [t["color"][2:] for t in reversed(m["colorTicks"])]
+            sub["heatmap_palette"] = "colors:" + ",".join(cols)
     lines: list[GraphLine] = []
     for m in msgs:
         if m["type"] != "timeseries":

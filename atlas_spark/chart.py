@@ -460,6 +460,15 @@ def _vizlog(v: float) -> float:
     return 0.0
 
 
+def _vizlog_inv(x: float) -> float:
+    """Inverse of `_vizlog` (sign-symmetric log10 with the +-1 shifts)."""
+    if x > 0.0:
+        return math.pow(10.0, x) - 1.0
+    if x < 0.0:
+        return -(math.pow(10.0, -x) - 1.0)
+    return 0.0
+
+
 def _vizpow(v: float, exp: float) -> float:
     """Sign-preserving power map (Scales.scala:98-104)."""
     if v > 0.0:
@@ -656,8 +665,12 @@ def axis_bounds(result, aid: int, n_steps: int, axis_cfg=None) -> tuple:
         return line_style(result, ln, cfgf)
 
     hm_lines = [ln for ln in result.lines if _st(ln) == "heatmap"]
-    ts_lines = [ln for ln in result.lines if ln not in hm_lines]
-    lines = [ln for ln in ts_lines if line_axis(ln) == aid]
+    hm_ids = {id(ln) for ln in hm_lines}
+    lines = [
+        ln
+        for ln in result.lines
+        if id(ln) not in hm_ids and line_axis(ln) == aid
+    ]
     pos_tot = [0.0] * n_steps
     neg_tot = [0.0] * n_steps
     for ln in lines:
@@ -764,7 +777,6 @@ def render_png(result, width: int = 700, height: int = 300,
     # Lines choose their y-axis via the `:axis` style setting; per-axis
     # URL params (`u.1`, `scale.1`, ...) arrive in `result.axes` and fall
     # back to the unsuffixed params (getAxisParam).
-    tick_mode = (getattr(result, "tick_labels", None) or "decimal").lower()
     axes_over = dict(getattr(result, "axes", None) or {})
 
     axis_of = line_axis

@@ -879,7 +879,8 @@ def test_json_explain_block(engine):
     assert ex["inputDatapoints"] >= sum(
         1 for row in j["values"] for v in row if v != "NaN"
     )
-    assert ex["graphDatapoints"] == 5 * 25  # lines * (steps + 1)
+    # lines * steps — consistent with len(values) (our [start,end) window)
+    assert ex["graphDatapoints"] == 5 * 24 == len(j["values"]) * 5
     assert ex["dataFetchTime"] >= 0
     # generator-only graphs have no scans -> stats unknown, no explain
     g2 = engine.render(
@@ -914,3 +915,25 @@ def test_v2_canvas_dims_not_floor_distorted(engine):
     metab = [m for m in v2b if m["type"] == "graph-metadata"][0]
     assert (metab["width"], metab["zoom"]) == (2000, 2.0)
     assert any("Restricted" in w for w in metab["warnings"])
+
+
+def test_v2_json_heatmap_round_trip(engine):
+    """Heatmap graphs round-trip too: the heatmap message carries the
+    color config (palette via colorTicks, scale, bounds, label), so
+    decode + re-render matches the original PNG byte-for-byte."""
+    from atlas_spark.api import Engine, from_v2_json
+    from atlas_spark.chart import render_png
+    from atlas_spark.sources.datapoints import percentile_datapoints
+
+    pct_engine = Engine(
+        engine.spark,
+        source=percentile_datapoints(engine.spark, "/root/testdata/sf0.01"),
+    )
+    uri = (
+        "/api/v1/graph?q=name,click,:eq,:sum,:percentiles-heatmap"
+        "&s=2024-01-02&e=2024-01-03"
+        "&heatmap_palette=reds&heatmap_label=reqs&heatmap_scale=log"
+    )
+    g = pct_engine.graph(uri)
+    rt = from_v2_json(g.to_v2_json(width=320, height=160))
+    assert render_png(rt, 320, 160) == render_png(g, 320, 160)
