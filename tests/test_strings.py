@@ -203,3 +203,33 @@ def test_graph_time_range_properties():
         assert (s if form == "e_rel" else e) == anchor
 
     check()
+
+
+def test_graph_time_range_reference_suite_cases():
+    """StringsSuite timeRange cases pinned one-for-one
+    (StringsSuite.scala:724-770)."""
+    import pytest
+
+    from atlas_spark.util.strings import graph_time_range
+
+    now = _now_dt()
+    # plain absolute range
+    s, e = graph_time_range("2018-07-24", "2018-07-24T00:05", now=now)
+    assert e - s == 300
+    # end before start rejected
+    with pytest.raises(ValueError):
+        graph_time_range("2018-07-24T00:05", "2018-07-24", now=now)
+    # start == end allowed
+    s, e = graph_time_range("2018-07-24", "2018-07-24", now=now)
+    assert s == e
+    # both relative rejected
+    with pytest.raises(ValueError, match="both relative"):
+        graph_time_range("e-5m", "s+5m", now=now)
+    # unix time WITH op is not relative: e anchors, s references it
+    s, e = graph_time_range("e-5m", "1733292000+5m", now=now)
+    assert e == 1733292000 + 300 and s == 1733292000
+    # start relative to end / end relative to start
+    s, e = graph_time_range("e-5m", "2018-07-24T00:05", now=now)
+    assert e - s == 300
+    s2, e2 = graph_time_range("2018-07-24", "s+5m", now=now)
+    assert (s2, e2) == (s, e)
