@@ -57,9 +57,13 @@ def test_graph_json_matches_engine(served):
     status, headers, body = _get(f"{base}/api/v1/graph?{GRAPH_Q}")
     assert status == 200
     assert headers["Content-Type"] == "application/json"
-    assert json.loads(body) == json.loads(
-        json.dumps(engine.render(f"/api/v1/graph?{GRAPH_Q}"))
-    )
+    got = json.loads(body)
+    want = json.loads(json.dumps(engine.render(f"/api/v1/graph?{GRAPH_Q}")))
+    # dataFetchTime is wall time — nondeterministic between two renders
+    # (the reference's loadTime varies the same way)
+    for d in (got, want):
+        d.get("explain", {}).pop("dataFetchTime", None)
+    assert got == want
 
 
 def test_graph_csv_content_type(served):
