@@ -1316,24 +1316,18 @@ class Engine:
             for h in raw.split(",")
             if h.strip()
         )
-        # CollectorStats-style accounting: observation metrics rode the
-        # collect actions above; missing metrics (a frame that never ran
-        # an action, or a generator-only graph with no scans) leave the
-        # stats unknown — the reference's CollectorStats.unknown case
-        from .plans.builder import observed_metrics
-
+        # CollectorStats-style accounting via a bounded follow-up
+        # aggregation per DataExpr (see Evaluator.input_stats for why
+        # this is NOT an Observation); a generator-only graph has no
+        # scans, leaving stats unknown — CollectorStats.unknown
         load_time_ms = int((_time.perf_counter() - t_fetch0) * 1000)
         stats = None
-        metrics = (
-            [observed_metrics(o) for o in ev.observations]
-            if collect_stats
-            else []
-        )
-        if metrics and all(m is not None for m in metrics):
+        inp = ev.input_stats() if collect_stats else None
+        if inp is not None:
             n_steps = (ctx.end - ctx.start) // ctx.step
             stats = {
-                "inputLines": sum(int(m["lines"]) for m in metrics),
-                "inputDatapoints": sum(int(m["datapoints"]) for m in metrics),
+                "inputLines": inp["lines"],
+                "inputDatapoints": inp["datapoints"],
                 "outputLines": len(lines),
                 "outputDatapoints": len(lines) * n_steps,
             }

@@ -208,25 +208,6 @@ def time_value_col(mode: str):
     return chrono[mode]
 
 
-def observed_metrics(obs) -> dict | None:
-    """Non-blocking read of an Observation's metrics: None when the
-    observed frame never ran an action (Observation.get would block
-    forever; the JVM side exposes getRowOrEmpty)."""
-    try:
-        jopt = obs._jo.getRowOrEmpty()
-        if jopt.isEmpty():
-            return None
-        from pyspark.serializers import CPickleSerializer
-
-        utils = getattr(
-            obs._jvm, "org.apache.spark.sql.api.python.PythonSQLUtils"
-        )
-        row = CPickleSerializer().loads(utils.toPyRow(jopt.get()))
-        return row.asDict(recursive=False)
-    except Exception:
-        return None
-
-
 class Evaluator:
     """Evaluates expression trees against one DatapointSource + EvalContext.
 
@@ -245,12 +226,36 @@ class Evaluator:
         self.spark: SparkSession = source.df.sparkSession
         self._data_cache: dict[str, ResultFrame] = {}
         # CollectorStats-style input accounting (CollectorStats.scala):
-        # when enabled, every DataExpr scan carries an Observation
-        # measuring post-predicate rows + approximate distinct series —
-        # metrics ride the SAME action (CollectMetrics node), no extra
-        # job.  Off by default so registry/bench plan pins stay exact.
+        # when enabled, every DataExpr's post-predicate scan frame is
+        # RECORDED for a later bounded stats aggregation (input_stats).
+        # Deliberately NOT an Observation: CollectMetrics registers a
+        # listener on the SHARED SparkContext bus, and a measured 16-
+        # client A/B showed one observed URI in the mix halving TOTAL
+        # server throughput (cross-request p95 blowups); a separate tiny
+        # agg job costs only the requesting format.  Off by default so
+        # registry/bench plan pins stay exact.
         self.collect_stats = collect_stats
-        self.observations: list = []
+        self.stat_frames: list[DataFrame] = []
+
+    def input_stats(self) -> dict | None:
+        """Aggregate the recorded scan frames into CollectorStats input
+        counts (rows + approximate distinct series per DataExpr, summed)
+        — one small job per distinct DataExpr, run only when the caller
+        asked for stats."""
+        if not self.stat_frames:
+            return None
+        cols = list(self.source.colmap.values())
+        lines = 0
+        datapoints = 0
+        for df in self.stat_frames:
+            series = F.struct(*cols) if cols else F.lit(1)
+            row = df.agg(
+                F.count(F.lit(1)).alias("datapoints"),
+                F.approx_count_distinct(series).alias("lines"),
+            ).first()
+            datapoints += int(row["datapoints"])
+            lines += int(row["lines"])
+        return {"lines": lines, "datapoints": datapoints}
 
     # ---------------------------------------------------------- grid helpers
 
@@ -392,17 +397,7 @@ class Evaluator:
             base = self.source.ranged_df(ctx.start, ctx.end)
         df = base.filter(query_to_column(e.query, self.source))
         if self.collect_stats:
-            from pyspark.sql import Observation
-
-            obs = Observation()
-            cols = list(self.source.colmap.values())
-            series = F.struct(*cols) if cols else F.lit(1)
-            df = df.observe(
-                obs,
-                F.count(F.lit(1)).alias("datapoints"),
-                F.approx_count_distinct(series).alias("lines"),
-            )
-            self.observations.append(obs)
+            self.stat_frames.append(df)
         if offset:
             # report shifted data at the unshifted timestamp
             # (MemoryDatabase.scala:288-297)
