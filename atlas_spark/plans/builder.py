@@ -226,8 +226,9 @@ class Evaluator:
         self.spark: SparkSession = source.df.sparkSession
         self._data_cache: dict[str, ResultFrame] = {}
         # CollectorStats-style input accounting (CollectorStats.scala):
-        # when enabled, every DataExpr's post-predicate scan frame is
-        # RECORDED for a later bounded stats aggregation (input_stats).
+        # when enabled, each post-predicate scan frame is RECORDED for a
+        # later bounded stats aggregation (input_stats) — the standard
+        # _eval_data path plus the rollup/condagg binary rewrites.
         # Deliberately NOT an Observation: CollectMetrics registers a
         # listener on the SHARED SparkContext bus, and a measured 16-
         # client A/B showed one observed URI in the mix halving TOTAL
@@ -239,23 +240,42 @@ class Evaluator:
 
     def input_stats(self) -> dict | None:
         """Aggregate the recorded scan frames into CollectorStats input
-        counts (rows + approximate distinct series per DataExpr, summed)
-        — one small job per distinct DataExpr, run only when the caller
-        asked for stats."""
+        counts: rows + approximate distinct series per recorded scan,
+        summed, as ONE Spark job (the per-frame 1-row aggregates union
+        before a final sum).  Returns None — stats unknown — when
+        nothing was recorded or the follow-up job fails (the graph data
+        was already fetched; a stats failure must never fail the
+        request).  Note: the job re-reads the source AFTER the render's
+        collect, so on a live-ingesting source the counts reflect the
+        data at stats time, not the exact rows the collect saw — the
+        alternative (an Observation riding the collect) measurably
+        poisons concurrent renders via the shared listener bus (r15
+        server A/B; PERF.md)."""
         if not self.stat_frames:
             return None
-        cols = list(self.source.colmap.values())
-        lines = 0
-        datapoints = 0
-        for df in self.stat_frames:
+        try:
+            cols = list(self.source.colmap.values())
             series = F.struct(*cols) if cols else F.lit(1)
-            row = df.agg(
-                F.count(F.lit(1)).alias("datapoints"),
-                F.approx_count_distinct(series).alias("lines"),
+            aggs = [
+                df.agg(
+                    F.count(F.lit(1)).alias("datapoints"),
+                    F.approx_count_distinct(series).alias("lines"),
+                )
+                for df in self.stat_frames
+            ]
+            combined = aggs[0]
+            for a in aggs[1:]:
+                combined = combined.unionAll(a)
+            row = combined.agg(
+                F.sum("datapoints").alias("datapoints"),
+                F.sum("lines").alias("lines"),
             ).first()
-            datapoints += int(row["datapoints"])
-            lines += int(row["lines"])
-        return {"lines": lines, "datapoints": datapoints}
+            return {
+                "lines": int(row["lines"]),
+                "datapoints": int(row["datapoints"]),
+            }
+        except Exception:
+            return None
 
     # ---------------------------------------------------------- grid helpers
 
@@ -539,6 +559,8 @@ class Evaluator:
         else:
             base = self.source.ranged_df(ctx.start, ctx.end)
         df = base.filter(query_to_column(sup_e.query, self.source))
+        if self.collect_stats:
+            self.stat_frames.append(df)
         if offset:
             df = df.withColumn("t", (F.col("t") + offset * self.ctx.step).cast("long"))
         cm = {k: self.source.colmap[k] for k in sup_e.keys}
@@ -613,6 +635,8 @@ class Evaluator:
         c1 = query_to_column(q1, self.source)
         c2 = query_to_column(q2, self.source)
         df = base.filter(c1 | c2)
+        if self.collect_stats:
+            self.stat_frames.append(df)
         cm = {k: self.source.colmap[k] for k in k1}
         for c in cm.values():
             df = df.filter(F.col(c).isNotNull())

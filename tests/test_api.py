@@ -937,3 +937,16 @@ def test_v2_json_heatmap_round_trip(engine):
     g = pct_engine.graph(uri)
     rt = from_v2_json(g.to_v2_json(width=320, height=160))
     assert render_png(rt, 320, 160) == render_png(g, 320, 160)
+
+
+def test_json_explain_covers_rewrite_paths(engine):
+    """The rollup/condagg binary rewrites scan without _eval_data; their
+    scans are recorded too, so a rewrite-only json graph still carries
+    an explain block with non-zero input counts."""
+    j = engine.render(
+        "/api/v1/graph?q=name,click,:eq,:sum,(,bucket,),:by,"
+        "name,view,:eq,:sum,(,bucket,),:by,:fsub"
+        "&s=2024-01-02&e=2024-01-03&format=json"
+    )
+    ex = j["explain"]
+    assert ex["inputLines"] > 0 and ex["inputDatapoints"] > 0
