@@ -842,15 +842,20 @@ def _run_stream_to_table(
     """Run a bounded stream to completion into a memory sink and return
     the materialized table (the batch frame a driver can collect).
     `twin` selects the recommended state-store provider for the stream
-    (streaming/rollup.py::apply_state_store — RocksDB for
-    content-scaled state, default provider for small fixed state)."""
+    (streaming/rollup.py::scoped_state_store — RocksDB for
+    content-scaled state, default provider for small fixed state; the
+    conf is lock-scoped around the start and restored after, so
+    concurrent twins with different regimes never race)."""
+    import contextlib
     import shutil
     import uuid
 
     if twin is not None:
-        from ..streaming.rollup import apply_state_store
+        from ..streaming.rollup import scoped_state_store
 
-        apply_state_store(spark, twin)
+        provider_scope = scoped_state_store(spark, twin)
+    else:
+        provider_scope = contextlib.nullcontext()
 
     while len(_SINK_TABLES) >= _SINK_KEEP:
         stale = _SINK_TABLES.pop(0)
@@ -860,12 +865,13 @@ def _run_stream_to_table(
             pass
     name = f"{prefix}_{uuid.uuid4().hex[:10]}"
     _SINK_TABLES.append(name)
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .start()
-    )
+    with provider_scope:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
     try:
         q.processAllAvailable()
     finally:

@@ -8,6 +8,11 @@ from pyspark.sql import SparkSession
 
 
 def get_spark(app: str = "atlas-spark", cpus: int | None = None) -> SparkSession:
+    # must precede JVM launch: TWS python workers inherit the JVM env
+    # (util/pbruntime.py docstring) — harmless no-op if already probed
+    from .util.pbruntime import ensure_protobuf_runtime
+
+    ensure_protobuf_runtime()
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or None
     master = f"local[{cpus}]" if cpus else "local[*]"

@@ -24,6 +24,7 @@ Spark, mirroring TimeGrouped's `droppedOld` behavior
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import tempfile
 from dataclasses import dataclass
@@ -37,7 +38,7 @@ from ..plans.builder import Evaluator, query_to_column
 from ..plans.context import EvalContext
 from ..sources.datapoints import DatapointSource
 from ..stacklang.vocab import parse as parse_asl
-from .stateful import stateful_stream
+from .stateful import stateful_stream, stateful_stream_tws
 
 _SERIES_SEP = "\x1f"
 _NO_KEY = "__all__"
@@ -535,6 +536,10 @@ class StreamingEvaluator:
         self._ingest_obs_names: set[str] = set()  # observe() names of guards
         self.intervals_seen: set[int] = set()
         self._tmp_dirs: list[str] = []
+        self._use_tws: bool | None = None  # memoized capability decision
+        # True while the stream under construction contains an un-started
+        # transformWithState operator (forces RocksDB at that start)
+        self._pending_tws = False
 
     # ---------------------------------------------------------------- query
 
@@ -557,15 +562,44 @@ class StreamingEvaluator:
         decomposition outright (e.g. a non-subset-key cross-line join),
         matching the reference's own single-node FinalExprEval state.
         """
-        # subscription-evaluator state is keyed by SERIES (windowed aggs
-        # + per-series stateful kernels) — key-cardinality regime, so the
-        # default provider's cheaper commit path wins (rollup.py r14 A/B)
-        from .rollup import apply_state_store
-
-        apply_state_store(stream.sparkSession, "subscription_evaluator")
         if self.state_plan is not None:
             return self._start_state_store(stream, query_name)
         return self._start_buffered(stream, query_name)
+
+    def _tws_enabled(self) -> bool:
+        """Multi-op stateful chains run as chained
+        `transformWithStateInPandas` operators inside ONE streaming query
+        when the Spark 4 API is usable
+        (stateful.py::supports_transform_with_state — needs the API, a
+        `google.protobuf` runtime for the state-server protocol, and a
+        JVM launched with it exported).  `ATLAS_TWS_CHAIN=0|off|spool`
+        forces the spooled `applyInPandasWithState` fallback, which is
+        also taken automatically when the capability probe fails."""
+        if self._use_tws is None:
+            env = os.environ.get("ATLAS_TWS_CHAIN", "auto").lower()
+            if env in ("0", "off", "spool", "false"):
+                self._use_tws = False
+            else:
+                from .stateful import supports_transform_with_state
+
+                self._use_tws = supports_transform_with_state(self.spark)
+        return self._use_tws
+
+    def _scoped_start(self, start_fn):
+        """Start a streaming query under the right state-store provider:
+        RocksDB when the query contains a transformWithState operator
+        (Spark 4 mandate), else the subscription-evaluator regime's
+        recommendation — key-cardinality state, where the default
+        provider's cheaper commit path wins (rollup.py r14 A/B).  The
+        provider conf is scoped + lock-serialized around the start so
+        concurrent twins keep their own regimes (rollup.py
+        scoped_state_store)."""
+        from .rollup import scoped_state_store
+
+        twin = "stateful_tws" if self._pending_tws else "subscription_evaluator"
+        self._pending_tws = False
+        with scoped_state_store(self.spark, twin):
+            return start_fn()
 
     def _windowed(self, stream: DataFrame, plan: _StatePlan | None) -> DataFrame:
         """Watermarked tumbling-window aggregation of finalized intervals.
@@ -661,24 +695,33 @@ class StreamingEvaluator:
         return out
 
     def _start_state_store(self, stream: DataFrame, query_name: str):
-        """N chained streaming stages with parquet spools between them
-        (the Kafka/Delta bronze->silver topology): Spark does not allow
-        applyInPandasWithState or a stream-stream join downstream of a
-        streaming aggregation / another stateful op in one query, so each
-        stateful op (and each join side) gets its own stage, finalized
-        intervals spooled and re-streamed.  State for every stage lives in
-        the executor state store — the driver buffer is never involved for
-        state-plan shapes, including multi-op chains
-        (`:rolling-sum,:des`) and cross-line joins (`a,b,:sub`)."""
+        """Fully state-store execution of a decomposed plan.
+
+        Stateful CHAIN ops run as chained `transformWithStateInPandas`
+        operators inside one streaming query when the Spark 4 API is
+        usable (`_tws_enabled`) — a plain agg-core chain is then a SINGLE
+        query end to end.  Shapes that still need their own stage get a
+        parquet spool + re-stream between queries (the Kafka/Delta
+        bronze->silver topology): cross-line joins and the sketch/fold/
+        regroup cores (their watermarked agg must advance from its own
+        finalized source), per-interval top-k stages, and — when the TWS
+        capability is absent — every stateful chain op, since
+        `applyInPandasWithState` cannot sit downstream of another
+        stateful operator in one query.  State for every stage lives in
+        the executor state store; the driver buffer is never involved for
+        state-plan shapes, including multi-op chains (`:rolling-sum,:des`)
+        and cross-line joins (`a,b,:sub`)."""
         queries: list = []
         current = self._build_plan_stream(stream, self.state_plan, query_name, queries)
         if self.state_plan.consolidate:
             current = self._consolidate_stream(current, query_name, queries)
         queries.append(
-            current.writeStream.outputMode("append")
-            .queryName(f"{query_name}_sink")
-            .foreachBatch(self._collect_batch)
-            .start()
+            self._scoped_start(
+                lambda: current.writeStream.outputMode("append")
+                .queryName(f"{query_name}_sink")
+                .foreachBatch(self._collect_batch)
+                .start()
+            )
         )
         self._queries_live = queries
         return _ChainedQueries(queries, self._tmp_dirs)
@@ -721,8 +764,8 @@ class StreamingEvaluator:
         spool = tempfile.mkdtemp(prefix="atlas_spool_")
         ck = tempfile.mkdtemp(prefix="atlas_ck_")
         self._tmp_dirs += [spool, ck]
-        q = (
-            df.writeStream.outputMode("append")
+        q = self._scoped_start(
+            lambda: df.writeStream.outputMode("append")
             .queryName(name)
             .option("checkpointLocation", ck)
             .format("parquet")
@@ -955,9 +998,15 @@ class StreamingEvaluator:
             )
         else:
             _, op, lp, rp = plan.core
+            # each side's pending-TWS flag must scope to ITS spool start:
+            # both sides build before either starts, so a single sticky
+            # flag would start the second spool under the wrong provider
             lcur = self._build_plan_stream(stream, lp, f"{name}_L", queries)
+            l_tws, self._pending_tws = self._pending_tws, False
             rcur = self._build_plan_stream(stream, rp, f"{name}_R", queries)
+            r_tws, self._pending_tws = self._pending_tws, l_tws
             ql, lre = self._spool(lcur, f"{name}_Lspool")
+            self._pending_tws = r_tws
             qr, rre = self._spool(rcur, f"{name}_Rspool")
             queries += [ql, qr]
             wm = f"{self.num_buffers * self.step} seconds"
@@ -1040,12 +1089,24 @@ class StreamingEvaluator:
             return df
 
         current = apply_steps(current, plan.steps[0])
+        use_tws = self._tws_enabled()
         for i, (op, params) in enumerate(plan.chain):
-            q, respooled = self._spool(current, f"{name}_stage{i}")
-            queries.append(q)
             if op == "topk1":
+                # per-interval watermarked agg: keep the spool boundary so
+                # its watermark advances from its own finalized source
+                q, respooled = self._spool(current, f"{name}_stage{i}")
+                queries.append(q)
                 current = self._topk_interval_stage(respooled, *params, plan.keys)
+            elif use_tws:
+                # Spark 4: transformWithState composes downstream of the
+                # windowed agg and of other stateful operators, so the
+                # whole chain stays in ONE query — no parquet spool, no
+                # extra query round-trip per op (same `_advance` kernel)
+                current = stateful_stream_tws(current, op, params, self.step)
+                self._pending_tws = True
             else:
+                q, respooled = self._spool(current, f"{name}_stage{i}")
+                queries.append(q)
                 current = stateful_stream(respooled, op, params, self.step)
             current = apply_steps(current, plan.steps[i + 1])
         return current
@@ -1160,8 +1221,8 @@ class StreamingEvaluator:
         on_batch = (
             self._on_batch_stateless if self.lookback <= 1 else self._on_batch
         )
-        q = (
-            self._windowed(stream, None)
+        q = self._scoped_start(
+            lambda: self._windowed(stream, None)
             .writeStream.outputMode("append")
             .queryName(query_name)
             .foreachBatch(on_batch)

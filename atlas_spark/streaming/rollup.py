@@ -40,7 +40,9 @@ streaming/stateful.py.)
 
 from __future__ import annotations
 
+import contextlib
 import os
+import threading
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -106,6 +108,43 @@ def apply_state_store(spark: SparkSession, twin: str) -> str:
         cls = recommended_state_store(twin)
     spark.conf.set("spark.sql.streaming.stateStore.providerClass", cls)
     return cls
+
+
+# Serializes (set provider conf -> start()) sections across threads: the
+# provider class is read from the SESSION conf at query start, so two
+# threads starting twins with different regimes would otherwise race and
+# one query could start under the other's provider.
+_START_LOCK = threading.RLock()
+
+
+@contextlib.contextmanager
+def scoped_state_store(spark: SparkSession, twin: str):
+    """Provider conf scoped to one query start.
+
+    Usage::
+
+        with scoped_state_store(spark, "span_dedup_stream") as cls:
+            q = df.writeStream...start()
+
+    Holds a process-wide lock from setting the provider until the
+    ``start()`` inside the block returns (when Spark has captured the
+    conf into the query), then restores the previous session value — so
+    concurrent starts from different threads each get their own
+    recommended provider and nothing leaks into the session.
+    """
+    with _START_LOCK:
+        prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+        cls = apply_state_store(spark, twin)
+        try:
+            yield cls
+        finally:
+            if prev is None:
+                try:
+                    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+                except Exception:
+                    pass
+            else:
+                spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
 
 
 def silver_rollup_stream(

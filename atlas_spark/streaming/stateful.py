@@ -222,9 +222,13 @@ def stateful_stream(
 
 def supports_transform_with_state(spark) -> bool:
     """Capability check for the Spark 4 `transformWithStateInPandas` API
-    (arbitrary-state v2).  Requires the API itself plus the RocksDB state
-    store provider it mandates."""
+    (arbitrary-state v2).  Requires the API itself, a usable
+    `google.protobuf` runtime for the state-server protocol gencode, and
+    a JVM launched with the runtime exported so the TWS worker processes
+    it spawns inherit it (util/pbruntime.py)."""
     from pyspark.sql import GroupedData
+
+    from ..util.pbruntime import ensure_protobuf_runtime, jvm_inherits_runtime
 
     if not hasattr(GroupedData, "transformWithStateInPandas"):
         return False
@@ -234,7 +238,7 @@ def supports_transform_with_state(spark) -> bool:
         )
     except ImportError:
         return False
-    return True
+    return ensure_protobuf_runtime() and jvm_inherits_runtime(spark)
 
 
 def stateful_stream_tws(

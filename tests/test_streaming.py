@@ -1632,24 +1632,81 @@ def test_apply_state_store_override(spark, monkeypatch):
 
 def test_twin_surfaces_apply_recommended_provider(spark, sf_dir):
     """The driver-visible twin surfaces route through
-    _run_stream_to_table(twin=...), which applies the recommendation at
-    query start: after a run the session conf holds the twin's
-    provider (RocksDB for the span twin, default for exact dedup)."""
+    _run_stream_to_table(twin=...), which SCOPES the recommendation
+    around the query start (rollup.py::scoped_state_store): the twin's
+    provider is in the session conf while its query starts, and the
+    previous session value is restored afterwards — no leak into later
+    unrelated starts."""
     from atlas_spark.operators.dedup import (
         dedup_stream_hashes,
         span_dedup_stream_hashes,
     )
-    from atlas_spark.streaming.rollup import HDFS_PROVIDER, ROCKSDB_PROVIDER
 
     key = "spark.sql.streaming.stateStore.providerClass"
     prev = spark.conf.get(key, None)
+    sentinel = "com.example.SentinelProvider"  # never a valid start value
     try:
+        spark.conf.set(key, sentinel)
         assert span_dedup_stream_hashes(spark, sf_dir).count() > 0
-        assert spark.conf.get(key) == ROCKSDB_PROVIDER
+        assert spark.conf.get(key) == sentinel  # restored, not leaked
         assert dedup_stream_hashes(spark, sf_dir).count() > 0
-        assert spark.conf.get(key) == HDFS_PROVIDER
+        assert spark.conf.get(key) == sentinel
     finally:
         if prev is None:
             spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
+def test_scoped_state_store_concurrent_regimes(spark):
+    """Two twins with different regimes started from two threads each see
+    their OWN recommended provider inside the start section — the
+    conf-set -> start() window is lock-serialized (rollup.py
+    _START_LOCK), so the session-global conf cannot race — and the
+    session value is restored once both finish."""
+    import threading
+
+    from atlas_spark.streaming.rollup import (
+        HDFS_PROVIDER,
+        ROCKSDB_PROVIDER,
+        scoped_state_store,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    seen: dict[str, str] = {}
+    errs: list[BaseException] = []
+
+    def run(twin: str) -> None:
+        try:
+            with scoped_state_store(spark, twin) as cls:
+                # simulate the work a .start() does while the conf must
+                # hold this twin's provider
+                import time
+
+                time.sleep(0.05)
+                seen[twin] = (cls, spark.conf.get(key))
+        except BaseException as e:  # noqa: BLE001 — surfaced below
+            errs.append(e)
+
+    try:
+        threads = [
+            threading.Thread(target=run, args=("span_dedup_stream",)),
+            threading.Thread(target=run, args=("dedup_exact_stream",)),
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errs, errs
+        assert seen["span_dedup_stream"] == (ROCKSDB_PROVIDER, ROCKSDB_PROVIDER)
+        assert seen["dedup_exact_stream"] == (HDFS_PROVIDER, HDFS_PROVIDER)
+        assert spark.conf.get(key, None) == prev  # both scopes unwound
+    finally:
+        if prev is None:
+            try:
+                spark.conf.unset(key)
+            except Exception:
+                pass
         else:
             spark.conf.set(key, prev)

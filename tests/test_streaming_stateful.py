@@ -286,8 +286,10 @@ def test_des_full_expression_path(spark, stream_dir):
 
 def test_multi_op_chain_state_store(spark, stream_dir):
     """Multi-op stateful chains (`:rolling-sum` then `:delay`, with
-    stateless math between) run as N chained state-store stages — no
-    driver buffer — and match batch evaluation."""
+    stateless math between) run fully in the executor state store — one
+    TWS query when the Spark 4 capability is usable, N chained spooled
+    stages otherwise; never a driver buffer — and match batch
+    evaluation whichever path runs."""
     import pyspark.sql.functions as F
 
     from atlas_spark.plans.builder import Evaluator
@@ -347,6 +349,101 @@ def test_multi_op_chain_state_store(spark, stream_dir):
             assert v == tv, (key, v, tv)
         else:
             assert abs(v - tv) < 1e-9, (key, v, tv)
+
+
+def _run_chain_eval(spark, stream_dir, asl, monkeypatch=None, force_spool=False):
+    """Run the 2-op chain ASL through the streaming evaluator and return
+    (ChainedQueries handle after stop, streaming results, batch truth)."""
+    import pyspark.sql.functions as F
+
+    from atlas_spark.plans.builder import Evaluator
+    from atlas_spark.plans.context import EvalContext
+    from atlas_spark.sources.datapoints import DatapointSource
+    from atlas_spark.stacklang.vocab import parse as parse_asl
+    from atlas_spark.streaming.evaluator import StreamingEvaluator
+
+    if force_spool:
+        monkeypatch.setenv("ATLAS_TWS_CHAIN", "0")
+    step = 60
+    base = 1704067200
+    rows = []
+    for h in range(8):
+        for name, v in (("a", float(h + 1)), ("b", 2.0 * (h + 1))):
+            rows.append(
+                {"k_name": name, "ts": pd.Timestamp(base + h * step + 5, unit="s"), "value": v}
+            )
+    pdf = pd.DataFrame(rows)
+    chunks = [pdf.iloc[:6], pdf.iloc[6:12], pdf.iloc[12:]]
+
+    sev = StreamingEvaluator(spark, asl, step, {"name": "k_name"}, num_buffers=2)
+    assert sev.state_plan is not None
+    stream = (
+        spark.readStream.schema("k_name string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    spark.createDataFrame(chunks[0]).coalesce(1).write.mode("append").parquet(stream_dir)
+    q = sev.start(stream)
+    try:
+        q.processAllAvailable()
+        for c in chunks[1:]:
+            spark.createDataFrame(c).coalesce(1).write.mode("append").parquet(stream_dir)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    dp = spark.createDataFrame(pdf).select(
+        "k_name",
+        (F.unix_timestamp("ts") - F.unix_timestamp("ts") % step).cast("long").alias("t"),
+        "value",
+    )
+    src = DatapointSource(df=dp, step=step, colmap={"name": "k_name"}, sql_cte="")
+    ctx = EvalContext(base, base + 8 * step, step)
+    rf = Evaluator(src, ctx).eval(parse_asl(asl, step=step)[0])
+    truth = {(r["k_name"], r["t"]): r["value"] for r in rf.df.collect()}
+    got = {(r["name"], r["t"]): r["value"] for r in sev.results}
+    return q, got, truth
+
+
+def _assert_chain_matches(got, truth):
+    assert got, "no streaming results"
+    for key, v in got.items():
+        assert key in truth, key
+        tv = truth[key]
+        if v is None or tv is None:
+            assert v == tv, (key, v, tv)
+        else:
+            assert abs(v - tv) < 1e-9, (key, v, tv)
+
+
+def test_multi_op_chain_single_query_tws(spark, stream_dir):
+    """With the Spark 4 transformWithState capability usable, a multi-op
+    stateful chain hosts ALL its ops in ONE streaming query — chained
+    transformWithStateInPandas downstream of the windowed agg, no
+    parquet spools, no per-op query round-trips — with batch-equal
+    values.  Skipped where the capability probe fails (the spool
+    fallback is then the default, covered by the forced-off test)."""
+    from atlas_spark.streaming.stateful import supports_transform_with_state
+
+    if not supports_transform_with_state(spark):
+        pytest.skip("transformWithStateInPandas not usable in this env")
+    asl = ":true,:sum,(,name,),:by,3,:rolling-sum,2,:mul,1,:delay"
+    q, got, truth = _run_chain_eval(spark, stream_dir, asl)
+    assert len(q.queries) == 1, "TWS chain must be a single streaming query"
+    _assert_chain_matches(got, truth)
+
+
+def test_multi_op_chain_spool_fallback_forced_off(spark, stream_dir, monkeypatch):
+    """ATLAS_TWS_CHAIN=0 forces the spooled applyInPandasWithState
+    fallback — one spooled stage per chain op plus the sink (K+1 queries
+    for a K-op chain) — with values identical to batch.  This is the
+    path every environment without the TWS capability takes."""
+    asl = ":true,:sum,(,name,),:by,3,:rolling-sum,2,:mul,1,:delay"
+    q, got, truth = _run_chain_eval(
+        spark, stream_dir, asl, monkeypatch=monkeypatch, force_spool=True
+    )
+    assert len(q.queries) == 3, "spool fallback runs K+1 queries for K ops"
+    _assert_chain_matches(got, truth)
 
 
 def test_des_after_rolling_chain(spark, stream_dir):
