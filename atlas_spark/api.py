@@ -1741,3 +1741,73 @@ def _default_label(se, tags: dict[str, str], keys: list[str], lk: tuple) -> str:
         return tags.get("name", next(iter(tags.values())))
     expr = se.expr if isinstance(se, E.StyleExpr) else se
     return expr.display()
+
+
+# ------------------------------------------------------------ driver gates
+
+# CollectorStats explain-block driver gate (VERDICT r15 #2): render a
+# json graph with stats collection on and pin every deterministic
+# explain field against a DuckDB oracle computing the same counts from
+# the same resolved context (dataFetchTime is wall clock — excluded).
+# `name,click,:eq,:sum` takes the raw_ranged scan (sum-of-sums), so
+# inputDatapoints counts RAW event rows under the predicate inside the
+# window and inputLines the exact distinct (name, bucket) series among
+# them; output/graph lines are the `:by` groups, datapoints = lines *
+# n_steps on the [start, end) grid (api.py::to_json explain block).
+EXPLAIN_GATE_Q = "name,click,:eq,:sum,(,bucket,),:by"
+# explicit absolute s/e spanning the whole events window (720 hourly
+# cells) — the URI default is e-3h, which would gate only 3 cells — and
+# a canvas wide enough (w=1000 >= 720) that auto-step keeps the 1h grid
+EXPLAIN_GATE_WINDOW = "s=2024-01-01T00:00:00Z&e=2024-01-31T00:00:00Z&w=1000"
+
+
+def explain_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row frame of the json explain block's deterministic fields,
+    produced by the REAL render path (Engine.graph with collect_stats →
+    GraphResult.to_json), not a re-computation."""
+    eng = Engine(spark, sf_dir)
+    payload = eng.graph(
+        f"/api/v1/graph?q={EXPLAIN_GATE_Q}&{EXPLAIN_GATE_WINDOW}&format=json",
+        collect_stats=True,
+    ).to_json()
+    ex = payload["explain"]
+    row = {
+        "graph_datapoints": int(ex["graphDatapoints"]),
+        "graph_lines": int(ex["graphLines"]),
+        "input_datapoints": int(ex["inputDatapoints"]),
+        "input_lines": int(ex["inputLines"]),
+        "intermediate_datapoints": int(ex["intermediateDatapoints"]),
+        "intermediate_lines": int(ex["intermediateLines"]),
+    }
+    return spark.createDataFrame(
+        [row],
+        "graph_datapoints long, graph_lines long, input_datapoints long, "
+        "input_lines long, intermediate_datapoints long, "
+        "intermediate_lines long",
+    )
+
+
+# Same counts from the raw events table over the default window: the
+# scan frame is project(range(start, end)) filtered by the predicate,
+# BEFORE the per-series step rollup (raw_ranged), so datapoints = raw
+# rows and lines = exact distinct (event_type, bucket) pairs; each
+# surviving `:by` group contributes one line x 720 hourly cells.
+EXPLAIN_STATS_SQL = f"""
+WITH scan AS (
+  SELECT event_type, 'u' || CAST(user_id % 8 AS VARCHAR) AS bucket
+  FROM events
+  WHERE epoch_ns(ts) // 1000000000 >= {EVENTS_START}
+    AND epoch_ns(ts) // 1000000000 < {EVENTS_END}
+    AND event_type = 'click'
+)
+SELECT
+  CAST(count(DISTINCT bucket) * {(EVENTS_END - EVENTS_START) // 3600} AS BIGINT)
+    AS graph_datapoints,
+  CAST(count(DISTINCT bucket) AS BIGINT) AS graph_lines,
+  CAST(count(*) AS BIGINT) AS input_datapoints,
+  CAST(count(DISTINCT event_type || '|' || bucket) AS BIGINT) AS input_lines,
+  CAST(count(DISTINCT bucket) * {(EVENTS_END - EVENTS_START) // 3600} AS BIGINT)
+    AS intermediate_datapoints,
+  CAST(count(DISTINCT bucket) AS BIGINT) AS intermediate_lines
+FROM scan
+"""

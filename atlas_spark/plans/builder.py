@@ -240,9 +240,13 @@ class Evaluator:
 
     def input_stats(self) -> dict | None:
         """Aggregate the recorded scan frames into CollectorStats input
-        counts: rows + approximate distinct series per recorded scan,
-        summed, as ONE Spark job (the per-frame 1-row aggregates union
-        before a final sum).  Returns None — stats unknown — when
+        counts: rows + EXACT distinct series per recorded scan, summed,
+        as ONE Spark job (the per-frame 1-row aggregates union before a
+        final sum).  Exact (not approx_count_distinct) because the
+        reference's CollectorStats counts the lines it actually
+        processed (CollectorStats.scala); the distinct shuffle is
+        per-request opt-in (json formats only) and partial-aggregated
+        map-side.  Returns None — stats unknown — when
         nothing was recorded or the follow-up job fails (the graph data
         was already fetched; a stats failure must never fail the
         request).  Note: the job re-reads the source AFTER the render's
@@ -259,7 +263,7 @@ class Evaluator:
             aggs = [
                 df.agg(
                     F.count(F.lit(1)).alias("datapoints"),
-                    F.approx_count_distinct(series).alias("lines"),
+                    F.count_distinct(series).alias("lines"),
                 )
                 for df in self.stat_frames
             ]
