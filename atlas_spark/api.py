@@ -352,10 +352,13 @@ class GraphResult:
             out.append(pm)
 
         # heatmap cell block (JsonCodec.writeHeatmapDef): emitted when a
-        # plot carries heatmap lines — the same cell grid, bounds and
-        # color mapping the PNG renderer uses, so the message
-        # reconstructs THIS engine's rendering (the reference derives
-        # its grid from axis ticks instead; divergence documented)
+        # plot carries heatmap lines — cell rows derive from the axis
+        # TICK ladder at the render plot height (Heatmap.scala:63 yTicks
+        # -> yaxis.ticks(0, canvasHeight)), the same grid the PNG
+        # renderer buckets by, so a reference client consuming the cell
+        # blocks sees the reference's bucket boundaries.  The grid uses
+        # the UNZOOMED height: zoom scales the embedded image, not the
+        # layout the cells were computed on.
         n = (self.end - self.start) // self.step
         hm_lines = [
             ln
@@ -366,7 +369,13 @@ class GraphResult:
             aid0 = 0  # heatmap lines render on axis 0
             pid0 = used_axes.index(aid0) if aid0 in used_axes else 0
             lo, hi = _chart.axis_bounds(self, aid0, n)
-            edges, counts = _chart.heatmap_cells(hm_lines, n, lo, hi)
+            edges = _chart.heatmap_edges(
+                lo,
+                hi,
+                _chart.heatmap_plot_height(self, height),
+                _chart.axis_config(self, aid0)["scale"],
+            )
+            counts = _chart.heatmap_cells(hm_lines, n, edges)
             if any(c > 0.0 for row in counts for c in row):
                 opts = (self.axes or {}).get(aid0) or {}
                 hm_scale = (opts.get("heatmap_scale") or "linear").lower()
@@ -380,15 +389,18 @@ class GraphResult:
                 }
                 if opts.get("heatmap_label"):
                     hmsg["label"] = opts["heatmap_label"]
-                # y cell labels use the AXIS's tick label mode, like the
-                # rendered y-axis labels
+                # one yTick entry per TICK — [min, t0], [t0, t1], ...,
+                # [t_{k-1}, t_k] — while the data rows carry k+1 values
+                # (the open [t_k, max] bucket has counts but no tick
+                # row), exactly JsonCodec.writeHeatmapDef:212-227's
+                # asymmetry; labels use the axis's tick label mode
                 hmsg["yTicks"] = [
                     {
                         "min": edges[c],
                         "max": edges[c + 1],
                         "label": _chart._fmt_value(edges[c + 1], y_mode),
                     }
-                    for c in range(len(edges) - 1)
+                    for c in range(len(edges) - 2)
                 ]
                 pal = _chart.palette_colors(opts.get("heatmap_palette"))
                 if pal:

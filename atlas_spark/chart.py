@@ -352,15 +352,143 @@ def _pct_bucket_range(tags: dict) -> tuple[float, float] | None:
     return lo, hi
 
 
-def heatmap_cells(
-    hm_lines, n_steps: int, lo: float, hi: float, n_cells: int = 25
-) -> tuple[list, list]:
-    """Heatmap cell counts per (time step, y cell) following
-    Heatmap.scala:182-210: percentile-bucket lines spread their count
-    over the y-cells overlapping the bucket's value range, weighted by
-    overlap; plain lines count 1 in the cell containing their value.
-    Returns (cell_edges[n_cells+1], counts[n_steps][n_cells])."""
-    cell_edges = [lo + (hi - lo) * c / n_cells for c in range(n_cells + 1)]
+# Smallest vertical space per labeled tick: the renderer's 8px font x 3,
+# mirroring ValueAxis.minTickLabelHeight = smallFontDims.height * 3
+# (ValueAxis.scala:307) at this renderer's font metrics.
+_MIN_TICK_LABEL_H = 24
+
+_BASE_TICK_SIZES = ((10.0, 2.0), (20.0, 5.0), (30.0, 10.0), (40.0, 10.0), (50.0, 10.0))
+
+
+def _log_floor(v: float) -> int:
+    return 0 if v <= 1 else int(math.floor(math.log10(v)))
+
+
+def _log_ceil(v: float) -> int:
+    return int(math.ceil(math.log10(v))) if v > 0 else 0
+
+
+def _linear_ticks(v1: float, v2: float, n: int) -> list:
+    """normalTicks (Ticks.scala:326-346): the smallest decade-scaled
+    (major, minor) pair with <= n majors across the range, one tick per
+    MINOR step inside [v1, v2] (major flag every minor_per_major)."""
+    r = v2 - v1
+    for i in range(-25, 26):
+        f = 10.0**i
+        for major_b, minor_b in _BASE_TICK_SIZES:
+            major, minor = major_b * f, minor_b * f
+            if r / major <= n:
+                mpm = int(round(major / minor))
+                base = major * math.floor(v1 / major)
+                out = []
+                for pos in range(int((v2 - base) / minor) + 2):
+                    v = base + pos * minor
+                    if v1 <= v <= v2:
+                        out.append((v, pos % mpm == 0))
+                return out
+    return [(v1, True), (v2, True)]  # sciTicks stand-in (beyond 1e27)
+
+
+def _log_pow10_ticks(v1: float, v2: float, step: int) -> list:
+    """logScaleTicks (Ticks.scala:461-477): one tick per power of ten
+    from logFloor(v1) to logCeil(v2); a zero lower bound puts the first
+    tick at 0 instead of 10^0; majors every `step` decades."""
+    lo_e, hi_e = _log_floor(v1), _log_ceil(v2)
+    out = []
+    for e in range(lo_e, hi_e + 1):
+        v = 0.0 if (v1 == 0 and e == 0) else 10.0**e
+        out.append((v, (e - lo_e) % step == 0))
+    return out
+
+
+def value_ticks(v1: float, v2: float, n: int, scale: str = "linear") -> list:
+    """Value-axis tick ladder, Ticks.value semantics (Ticks.scala:
+    253-263 with decimalTicks' LOGARITHMIC branches): returns
+    [(value, is_major)].  `log` uses powers of ten when the range spans
+    more than two decades (mirrored for negative ranges, split at zero
+    for mixed ones, endpoints trimmed to the range), else — and for
+    every other scale — the linear minor-step ladder."""
+    if not (math.isfinite(v1) and math.isfinite(v2)) or v2 <= v1:
+        return []
+    n = max(1, n)
+    if scale != "log":
+        return _linear_ticks(v1, v2, n)
+
+    def neg(ticks):  # toNegTicks: mirror and reverse
+        return [(-v, m) for v, m in reversed(ticks)]
+
+    if v1 >= 0:
+        ld = _log_ceil(v2) - _log_floor(v1)
+        if ld <= 2:
+            return _linear_ticks(v1, v2, n)
+        ticks = _log_pow10_ticks(v1, v2, ld // n + (1 if ld % n else 0) if ld > n else 1)
+    elif v2 <= 0:
+        ld = _log_ceil(-v1) - _log_floor(-v2)
+        if ld <= 2:
+            return _linear_ticks(v1, v2, n)
+        step = ld // n + (1 if ld % n else 0) if ld > n else 1
+        ticks = neg(_log_pow10_ticks(-v2, -v1, step))
+    else:
+        pos_ld = _log_ceil(v2) - _log_floor(0)
+        neg_ld = _log_ceil(-v1) - _log_floor(0)
+        ld = pos_ld + neg_ld
+        if pos_ld <= 2 and neg_ld <= 2:
+            return _linear_ticks(v1, v2, n)
+        step = ld // n + (1 if ld % n else 0) if ld > n else 1
+        ticks = neg(_log_pow10_ticks(0, -v1, step))[:-1] + _log_pow10_ticks(
+            0, v2, step
+        )
+    if ticks and ticks[0][0] < v1:
+        ticks = ticks[1:]
+    if ticks and ticks[-1][0] > v2:
+        ticks = ticks[:-1]
+    return ticks
+
+
+def heatmap_plot_height(result, height: int) -> int:
+    """The data-canvas height render_png would use for a requested
+    `height` — the heatmap grid's tick count derives from it
+    (Heatmap.scala canvasHeight -> yaxis.ticks).  Mirrors the layout
+    arithmetic in render_png: growable layouts (canvas / iw) size the
+    canvas directly; fixed-height layouts (image / ih / only_graph)
+    carve title, time-axis rows and pads out of the image height (the
+    legend is dropped for fixed heights, so it never shrinks the
+    plot)."""
+    layout = (getattr(result, "layout", None) or "canvas").lower()
+    only_graph = bool(getattr(result, "only_graph", False))
+    if only_graph:
+        return height - 2 - 10  # pad_t=2, pad_b=10
+    if layout in ("image", "ih"):
+        pad_t = 8 + (10 if getattr(result, "title", None) else 0)
+        tzs = getattr(result, "timezones", None) or ["UTC"]
+        pad_b = 9 + 11 * len(tzs)  # zone_row_h = 11
+        return height - pad_t - pad_b
+    return height
+
+
+def heatmap_edges(lo: float, hi: float, plot_h: int, scale: str = "linear") -> list:
+    """Cell edges for the heatmap value grid, derived from the axis tick
+    ladder exactly like the reference (Heatmap.scala:63 yTicks =
+    yaxis.ticks(0, canvasHeight); rows = [min, t0), [t0, t1), ...,
+    [t_last, max]).  Every tick — major and minor — bounds a row."""
+    n = max(1, plot_h // _MIN_TICK_LABEL_H)
+    ticks = [v for v, _ in value_ticks(lo, hi, n, scale)]
+    return [lo] + ticks + [hi]
+
+
+def heatmap_cells(hm_lines, n_steps: int, edges: list) -> list:
+    """Heatmap cell counts per (time step, y cell) on the tick-derived
+    grid, following Heatmap.scala:139-210: percentile-bucket lines
+    spread their count over the y-cells overlapping the bucket's value
+    range, weighted by overlap; plain lines count 1 in the first cell
+    whose upper tick exceeds their value (ties advance to the next
+    cell, findBucket's strict `<`).  `edges` come from heatmap_edges;
+    returns counts[n_steps][len(edges)-1]."""
+    import bisect
+
+    lo, hi = edges[0], edges[-1]
+    ticks = edges[1:-1]  # interior tick values
+    n_cells = len(edges) - 1
     counts = [[0.0] * n_cells for _ in range(n_steps)]
     for ln in hm_lines:
         rng = _pct_bucket_range(getattr(ln, "tags", {}))
@@ -372,25 +500,24 @@ def heatmap_cells(
                 if v <= 0.0 or mx <= mn:
                     continue
                 for c in range(n_cells):
-                    c_lo, c_hi = cell_edges[c], cell_edges[c + 1]
+                    c_lo, c_hi = edges[c], edges[c + 1]
                     if c_hi < mn or c_lo > mx:
                         continue
                     w = (min(mx, c_hi) - max(mn, c_lo)) / (mx - mn)
                     counts[i][c] += v * w
             else:
                 if lo <= v <= hi:
-                    c = min(n_cells - 1, int((v - lo) / (hi - lo) * n_cells))
-                    counts[i][c] += 1.0
-    return cell_edges, counts
+                    counts[i][bisect.bisect_right(ticks, v)] += 1.0
+    return counts
 
 
 def _render_heatmap(
-    cv, hm_lines, n_steps, tx, ty, lo, hi, pad_t, plot_h, n_cells=25, opts=None
+    cv, hm_lines, n_steps, tx, ty, lo, hi, pad_t, plot_h, scale="linear", opts=None
 ):
-    """Heatmap cell counts per (time step, y cell) following
-    Heatmap.scala:182-210: percentile-bucket lines spread their count over
-    the y-cells overlapping the bucket's value range, weighted by overlap;
-    plain lines count 1 in the cell containing their value.
+    """Draw heatmap cells on the tick-derived value grid (heatmap_edges
+    from the actual plot height and axis scale — the same rows
+    Heatmap.scala buckets by, so the PNG and the v2.json cell block
+    describe identical geometry).
 
     Color (Heatmap.scala:96-101,231): the count is bounded to
     [heatmap_l, heatmap_u] (defaults: smallest positive count, max count)
@@ -400,7 +527,9 @@ def _render_heatmap(
     without a palette a red intensity ramp stands in for
     Palette.gradient(line color)."""
     opts = opts or {}
-    cell_edges, counts = heatmap_cells(hm_lines, n_steps, lo, hi, n_cells)
+    cell_edges = heatmap_edges(lo, hi, plot_h, scale)
+    counts = heatmap_cells(hm_lines, n_steps, cell_edges)
+    n_cells = len(cell_edges) - 1
     max_count = max((c for row in counts for c in row), default=0.0)
     if max_count <= 0.0:
         return
@@ -979,6 +1108,7 @@ def render_png(result, width: int = 700, height: int = 300,
             hi,
             pad_t,
             plot_h,
+            scale=axis_cfg(0)["scale"],
             opts=axes_over.get(0) or {},
         )
 

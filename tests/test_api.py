@@ -606,7 +606,9 @@ def test_v2_json_heatmap_block(engine):
     ) // [m for m in msgs if m["type"] == "graph-metadata"][0]["step"]
     vals = hm["data"]["values"]
     assert hm["data"]["type"] == "heatmap"
-    assert len(vals) == n_steps and len(vals[0]) == len(hm["yTicks"])
+    # JsonCodec.writeHeatmapDef asymmetry: one yTick entry per tick,
+    # one MORE data column for the open [t_last, axis-max] bucket
+    assert len(vals) == n_steps and len(vals[0]) == len(hm["yTicks"]) + 1
     assert sum(c for row in vals for c in row) > 0
     # yTicks tile the axis range contiguously
     for a, b in zip(hm["yTicks"], hm["yTicks"][1:]):

@@ -528,3 +528,59 @@ def test_named_colors_resolve_per_theme():
     assert c == (0xFF, 0, 0) and abs(a - 0x40 / 255) < 1e-9
     c, _ = _parse_color("nosuch", (1, 2, 3))
     assert c == (1, 2, 3)
+
+
+def test_heatmap_edges_linear_pinned():
+    """Linear tick ladder row semantics (Ticks.value -> normalTicks via
+    Heatmap.scala yTicks): 0..100 at a 160px plot asks for
+    160//24 = 6 major ticks -> the (20, 5) decade size (100/20 = 5 <= 6),
+    a tick every MINOR step of 5 -> 21 ticks, 22 cells including the
+    zero-width edge rows where a tick coincides with an axis bound."""
+    from atlas_spark.chart import heatmap_edges, value_ticks
+
+    ticks = value_ticks(0.0, 100.0, 6, "linear")
+    assert [v for v, _ in ticks] == [float(5 * i) for i in range(21)]
+    # majors every minor_per_major = 4 minors (20/5)
+    assert [m for _, m in ticks] == [i % 4 == 0 for i in range(21)]
+    edges = heatmap_edges(0.0, 100.0, 160, "linear")
+    assert edges == [0.0] + [float(5 * i) for i in range(21)] + [100.0]
+
+
+def test_heatmap_edges_log_pinned():
+    """Log tick ladder row semantics (decimalTicks LOGARITHMIC ->
+    logScaleTicks): 0..50000 spans 5 decades (> the 2-decade linear
+    cutoff) -> ticks at 0 (zero lower bound stands in for 10^0) and the
+    powers of ten up to 10^4; 10^5 > 50000 trims.  A <= 2 decade log
+    range falls back to the linear ladder."""
+    from atlas_spark.chart import heatmap_edges, value_ticks
+
+    ticks = value_ticks(0.0, 50000.0, 6, "log")
+    assert [v for v, _ in ticks] == [0.0, 10.0, 100.0, 1000.0, 10000.0]
+    assert all(m for _, m in ticks)  # 5 decades <= n=6 -> all major
+    edges = heatmap_edges(0.0, 50000.0, 160, "log")
+    assert edges == [0.0, 0.0, 10.0, 100.0, 1000.0, 10000.0, 50000.0]
+    # narrow log range: linear ladder (logDistance <= 2)
+    lin = value_ticks(1.0, 50.0, 6, "log")
+    assert [v for v, _ in lin] == [float(2 * i) for i in range(1, 26)]
+
+
+def test_heatmap_cells_tick_buckets():
+    """findBucket parity (Heatmap.scala:139-152): a value equal to a
+    tick advances to the NEXT bucket (strict <); values outside the
+    axis bounds drop."""
+    from atlas_spark.chart import heatmap_cells
+
+    class _Ln:
+        tags = {}
+
+        def __init__(self, data):
+            self.data = data
+
+    edges = [0.0, 10.0, 20.0, 30.0]  # ticks at 10, 20
+    counts = heatmap_cells([_Ln([5.0, 10.0, 29.0, 30.0, 31.0, -1.0])], 6, edges)
+    assert counts[0] == [1.0, 0.0, 0.0]  # 5 < 10 -> bucket 0
+    assert counts[1] == [0.0, 1.0, 0.0]  # 10 == tick -> next bucket
+    assert counts[2] == [0.0, 0.0, 1.0]
+    assert counts[3] == [0.0, 0.0, 1.0]  # == axis max: included
+    assert counts[4] == [0.0, 0.0, 0.0]  # > axis max: dropped
+    assert counts[5] == [0.0, 0.0, 0.0]  # < axis min: dropped
