@@ -1180,30 +1180,35 @@ class Engine:
         from .util.strings import duration_to_string
 
         lines: list[GraphLine] = []
-        for (se2, off_label), se3 in zip(pairs, styled):
-            rf = ev.eval(se3)
-            legend_fmt = (
-                se3.settings_dict().get("legend")
-                if isinstance(se3, E.StyleExpr)
-                else None
-            )
-            # inline `dur,:offset` lines carry the atlas.offset tag too
-            # (the reference tags every shifted data expr), so legends
-            # referencing $(atlas.offset) resolve on both offset forms
-            inline_off = expr_offset(se3)
-            if not off_label and inline_off > 0:
-                off_label = duration_to_string(inline_off)
-            for ln in self._collect_lines(se3, rf, ctx):
-                if off_label:
-                    ln.tags["atlas.offset"] = off_label
-                    if legend_fmt is not None:
-                        # re-substitute now that atlas.offset exists; an
-                        # explicit legend never gets the automatic
-                        # " (offset=)" suffix (StyleExpr.scala:47-62)
-                        ln.label = _legend(legend_fmt, ln.tags)
-                    else:
-                        ln.label += f" (offset={off_label})"
-                lines.append(ln)
+        try:
+            for (se2, off_label), se3 in zip(pairs, styled):
+                rf = ev.eval(se3)
+                legend_fmt = (
+                    se3.settings_dict().get("legend")
+                    if isinstance(se3, E.StyleExpr)
+                    else None
+                )
+                # inline `dur,:offset` lines carry the atlas.offset tag too
+                # (the reference tags every shifted data expr), so legends
+                # referencing $(atlas.offset) resolve on both offset forms
+                inline_off = expr_offset(se3)
+                if not off_label and inline_off > 0:
+                    off_label = duration_to_string(inline_off)
+                for ln in self._collect_lines(se3, rf, ctx):
+                    if off_label:
+                        ln.tags["atlas.offset"] = off_label
+                        if legend_fmt is not None:
+                            # re-substitute now that atlas.offset exists; an
+                            # explicit legend never gets the automatic
+                            # " (offset=)" suffix (StyleExpr.scala:47-62)
+                            ln.label = _legend(legend_fmt, ln.tags)
+                        else:
+                            ln.label += f" (offset={off_label})"
+                    lines.append(ln)
+        finally:
+            # every line is collected above — drop the evaluator's
+            # shared-subtree caches before the (collect-free) format work
+            ev.release()
         # axis_per_line=1: every line gets its own y-axis (ImageFlags.
         # axisPerLine), capped at the renderer's 5 axes
         if qs.get("axis_per_line", [None])[0] == "1":
@@ -1512,6 +1517,7 @@ class Engine:
         exprs = parse_asl(qs["q"][0], step=ctx.step)
         ev = Evaluator(self.source, ctx)
         outs = []
+        from .util.caching import adopt_scoped
         for i, se in enumerate(exprs):
             rf = ev.eval(se)
             kc = rf.key_cols
@@ -1534,6 +1540,9 @@ class Engine:
         out = outs[0]
         for o in outs[1:]:
             out = out.unionByName(o)
+        # the result stays distributed (consumed after return): hand any
+        # shared-subtree caches to the scoped drain instead of releasing
+        adopt_scoped(ev.persisted)
         return out
 
     def fetch_sse(self, uri: str, chunk_steps: int = 60):
@@ -1593,24 +1602,27 @@ class Engine:
             # there in the one-shot evaluation too
             ectx = EvalContext(max(ctx.start, t0 - lookback * ctx.step), t1, ctx.step)
             ev = Evaluator(self.source, ectx)
-            for i, se in enumerate(exprs):
-                for se2, _off in self._expand_offsets(se):
-                    rf = ev.eval(se2)
-                    for ln in self._collect_lines(se2, rf, ectx):
-                        skip = (t0 - ectx.start) // ctx.step
-                        yield {
-                            "type": "timeseries",
-                            "id": str(i),
-                            "tags": ln.tags,
-                            "label": ln.label,
-                            "start": t0 * 1000,
-                            "end": t1 * 1000,
-                            "step": ctx.step * 1000,
-                            "data": {
-                                "type": "array",
-                                "values": ln.data[skip : skip + (t1 - t0) // ctx.step],
-                            },
-                        }
+            try:
+                for i, se in enumerate(exprs):
+                    for se2, _off in self._expand_offsets(se):
+                        rf = ev.eval(se2)
+                        for ln in self._collect_lines(se2, rf, ectx):
+                            skip = (t0 - ectx.start) // ctx.step
+                            yield {
+                                "type": "timeseries",
+                                "id": str(i),
+                                "tags": ln.tags,
+                                "label": ln.label,
+                                "start": t0 * 1000,
+                                "end": t1 * 1000,
+                                "step": ctx.step * 1000,
+                                "data": {
+                                    "type": "array",
+                                    "values": ln.data[skip : skip + (t1 - t0) // ctx.step],
+                                },
+                            }
+            finally:
+                ev.release()  # per-chunk caches die with the chunk
             t0 = t1
         yield {"type": "close"}
 

@@ -371,31 +371,30 @@ def _minhash_bands(feats: DataFrame, num_hashes: int = 32, bands: int = 16) -> D
     rows_per_band = num_hashes // bands
     assert rows_per_band <= 2, "bucket packing holds at most two 31-bit minima"
     consts = _perm_consts(num_hashes)
-    s28 = F.col("s").bitwiseAND(F.lit(_MASK28))
+    # expressions as single SQL strings, not per-op Column chains: each
+    # Column operator is one py4j round-trip, and 48 permutations x ~6 ops
+    # plus 24 band structs cost ~2.6 s of pure driver latency per build
+    # (r16 profile).  One F.expr per aggregate keeps the identical plan.
+    s28 = f"(s & {_MASK28}L)"
     sig = feats.groupBy("doc_id").agg(
         *[
-            F.min((F.lit(a) * s28 + F.lit(b)) % F.lit(_PERM_P)).alias(f"h{i}")
+            F.expr(f"min(({a}L * {s28} + {b}L) % {_PERM_P}L) AS h{i}")
             for i, (a, b) in enumerate(consts)
         ]
     )
 
-    def bucket(b: int):
+    def bucket(b: int) -> str:
         # minima are < 2^31: two pack exactly into a 62-bit key
-        out = F.lit(0).cast("long")
+        out = "0L"
         for r in range(rows_per_band):
-            out = out * F.lit(1 << 31) + F.col(f"h{b * rows_per_band + r}")
+            out = f"({out} * {1 << 31}L + h{b * rows_per_band + r})"
         return out
 
+    structs = ", ".join(
+        f"named_struct('band', {b}, 'bucket', {bucket(b)})" for b in range(bands)
+    )
     return sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), bucket(b).alias("bucket"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        "doc_id", F.expr(f"explode(array({structs}))").alias("bb")
     ).select("doc_id", "bb.band", "bb.bucket")
 
 

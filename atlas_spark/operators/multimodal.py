@@ -132,7 +132,9 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize an opaque-binary media table from documents (payload =
     utf-8 bytes).  In production this is a parquet/iceberg table with a
     real binary column."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from ..util.io import read_parquet
+
+    docs = read_parquet(spark, f"{sf_dir}/documents.parquet")
     return docs.select(
         "doc_id", F.col("text").cast("binary").alias("payload")
     )

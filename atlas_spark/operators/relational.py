@@ -22,7 +22,9 @@ from ..session import configure_existing
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     configure_existing(spark)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from ..util.io import read_parquet
+
+    return read_parquet(spark, f"{sf_dir}/{name}.parquet")
 
 
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:

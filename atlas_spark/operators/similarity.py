@@ -23,7 +23,9 @@ EMBEDDING_DIM = 64
 
 
 def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from ..util.io import read_parquet
+
+    return read_parquet(spark, f"{sf_dir}/embeddings.parquet")
 
 
 def _dot(a, b):

@@ -12,7 +12,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from ..util.io import read_parquet
+
+    return read_parquet(spark, f"{sf_dir}/documents.parquet")
 
 
 def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -532,7 +534,9 @@ def sessionize(spark: SparkSession, sf_dir: str, gap: int = 1800) -> DataFrame:
     # Pin the session zone to UTC so the NTZ->timestamp cast inside
     # _epoch_sec is zone-independent (matches the oracle's epoch_ns).
     configure_existing(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from ..util.io import read_parquet
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
     sec = _epoch_sec(ev)
     w = Window.partitionBy("user_id").orderBy("sec", "event_id")
     with_gap = ev.select("user_id", "event_id", "value", sec.alias("sec")).withColumn(
@@ -908,7 +912,9 @@ def asof_join(
     from ..sources.datapoints import _epoch_sec
 
     configure_existing(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from ..util.io import read_parquet
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
     e = ev.select(
         "event_id", "user_id", "event_type", "value", _epoch_sec(ev).alias("sec")
     )

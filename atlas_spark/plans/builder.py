@@ -115,6 +115,29 @@ def query_to_column(q: Q.Query, source: DatapointSource):
     return go(q)
 
 
+_BOUNDARY_SQL: str | None = None
+
+
+def _boundary_array_sql() -> str:
+    """The 276-element percentile bucket boundary array as ONE SQL string.
+
+    The former `F.array(*[F.lit(float(b)) ...])` form cost ~550 py4j
+    round-trips (~0.3 s) on every percentile query build; a single
+    `F.expr` is one round-trip for the identical literal array.  String
+    casts keep the exact double values `F.lit(float(b))` produced —
+    Python float repr round-trips to the same IEEE double."""
+    global _BOUNDARY_SQL
+    if _BOUNDARY_SQL is None:
+        from ..functions.percentile_buckets import BOUNDARIES
+
+        _BOUNDARY_SQL = (
+            "array("
+            + ",".join(f"CAST('{float(b)!r}' AS DOUBLE)" for b in BOUNDARIES)
+            + ")"
+        )
+    return _BOUNDARY_SQL
+
+
 _AGG = {
     "sum": lambda c: F.sum(c),
     "count": lambda c: F.count(c),
@@ -237,6 +260,65 @@ class Evaluator:
         # registry/bench plan pins stay exact.
         self.collect_stats = collect_stats
         self.stat_frames: list[DataFrame] = []
+        # frames persisted by _mark_reused (multi-consumer subtrees);
+        # released by release() / the registry's scoped drain
+        self.persisted: list[DataFrame] = []
+        self._reuse_persist: bool | None = None  # lazy conf read
+
+    # ------------------------------------------------- shared-subtree reuse
+
+    def _mark_reused(self, df: DataFrame) -> DataFrame:
+        """Persist a frame whose plan is about to be consumed by more than
+        one branch of the final DAG (densify's key-distinct + grid join,
+        topk's stats + join-back, a DataExpr referenced twice, ...).
+
+        Without the persist Spark re-executes the whole subtree — scan
+        included — once per consumer: st_rolling_sum's pre-change plan
+        scanned events twice (PERF.md r16).  These frames are already
+        aggregated (series-cells, not raw rows), so the cache is small at
+        any scale while the saving is a full input scan + shuffle per
+        extra consumer.  Pure cache: eviction only costs recomputation.
+        Streaming frames cannot be cached and pass through unchanged.
+        The caller must arrange release (Evaluator.release(), or the
+        registry adopts into the scoped drain).
+
+        Conf-gated, DEFAULT OFF (`spark.atlas.reuse.persist=true` to
+        enable): a measured r16 A/B at sf0.1 showed the persist 2-3x
+        SLOWER (li_topk 1.74 s vs 0.60 s, math_pct 0.77 s vs 0.29 s warm
+        min-of-3) — the duplicate subtrees execute as parallel stages
+        over idle cores while the cache serializes them and pays
+        columnar materialization for a scan that is memory-resident
+        anyway.  On a deployment where the input relation is large
+        enough that a second full scan dominates (the 100 TB case), set
+        the conf to true: the cached frame is aggregate-sized while the
+        saving is a full scan + shuffle per extra consumer."""
+        if df.isStreaming or getattr(df, "_atlas_reused", False):
+            return df
+        if self._reuse_persist is None:
+            self._reuse_persist = (
+                str(
+                    self.spark.conf.get("spark.atlas.reuse.persist", "false")
+                ).lower()
+                == "true"
+            )
+        if not self._reuse_persist:
+            return df
+        df.persist()
+        df._atlas_reused = True
+        self.persisted.append(df)
+        return df
+
+    def release(self) -> None:
+        """Unpersist every shared-subtree cache this evaluator created.
+        Call after the query's results are collected (API render,
+        streaming foreachBatch); registry queries instead hand the frames
+        to the scoped drain, released when the next query is built."""
+        for df in self.persisted:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        self.persisted.clear()
 
     def input_stats(self) -> dict | None:
         """Aggregate the recorded scan frames into CollectorStats input
@@ -302,9 +384,13 @@ class Evaluator:
         grid = F.broadcast(self.grid_df())
         kc = rf.key_cols
         if kc:
-            keys = rf.df.select(*kc).distinct()
+            # the frame feeds BOTH the key-distinct and the grid join —
+            # persist so the aggregate subtree (and its source scan)
+            # executes once, not once per consumer
+            src = self._mark_reused(rf.df)
+            keys = src.select(*kc).distinct()
             shell = keys.crossJoin(grid)
-            df = shell.join(rf.df, on=kc + ["t"], how="left")
+            df = shell.join(src, on=kc + ["t"], how="left")
         else:
             df = grid.join(rf.df, on="t", how="left")
         df = df.select(*kc, "t", "value")
@@ -325,6 +411,14 @@ class Evaluator:
             key = e.display()
             if key not in self._data_cache:
                 self._data_cache[key] = self._eval_data(e)
+            else:
+                # second reference to the same DataExpr (`:pct`'s
+                # line/total, `:stat-*` filter predicates, `:dup` without
+                # offset): persist so the shared fetch+aggregate runs
+                # once.  Safe pre-action — Spark's cache lookup is by
+                # logical plan, so the first consumer hits it too.
+                rf0 = self._data_cache[key]
+                self._mark_reused(rf0.df)
             return self._data_cache[key]
         if isinstance(e, E.ConstExpr):
             return self._generator(F.lit(float(e.v)))
@@ -873,7 +967,7 @@ class Evaluator:
         # no mass, drop them
         df = df.filter(F.col("value").isNotNull() & (F.col("value") > 0))
         idx = F.conv(F.substring(F.col(pcol), 2, 4), 16, 10).cast("int")
-        barr = F.array(*[F.lit(float(b)) for b in BOUNDARIES])
+        barr = F.expr(_boundary_array_sql())
         df = (
             df.withColumn("_idx", F.least(idx, F.lit(N_BUCKETS - 1)))
             .withColumn("_timer", F.substring(F.col(pcol), 1, 1) == "T")
@@ -1028,6 +1122,9 @@ class Evaluator:
         kc = rf.key_cols
         if not kc:
             return rf
+        # the line frame feeds the per-key stat AND the join-back below —
+        # persist so the upstream aggregation (and its scan) runs once
+        rf = replace(rf, df=self._mark_reused(rf.df))
         stats = rf.df.groupBy(*kc).agg(_STAT_FUNS[e.stat](F.col("value")).alias("_stat"))
         order = [F.col("_stat").asc_nulls_last() if e.bottom else F.col("_stat").desc_nulls_last()]
         order += [F.col(c).asc() for c in kc]  # deterministic tie-break
@@ -1092,6 +1189,7 @@ class Evaluator:
             desc = s.get("order", "desc") != "asc"
             kc = rf.key_cols
             if kc:
+                rf = replace(rf, df=self._mark_reused(rf.df))
                 stats = rf.df.groupBy(*kc).agg(_STAT_FUNS.get(stat, F.max)(F.col("value")).alias("_stat"))
                 order = [F.col("_stat").desc_nulls_last() if desc else F.col("_stat").asc_nulls_last()]
                 order += [F.col(c).asc() for c in kc]

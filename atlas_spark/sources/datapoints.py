@@ -29,6 +29,8 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql.types import LongType
 
+from ..util.io import read_parquet
+
 DEFAULT_STEP = 3600  # seconds; events testdata spans 30 days -> 720 steps
 
 _NS = 1_000_000_000
@@ -149,7 +151,7 @@ def events_datapoints(spark: SparkSession, sf_dir: str, step: int = DEFAULT_STEP
     from ..session import configure_existing
 
     configure_existing(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
 
     def project(ev_df: DataFrame) -> DataFrame:
         return ev_df.select(
@@ -200,7 +202,7 @@ def lineitem_datapoints(
     from ..session import configure_existing
 
     configure_existing(spark)
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = read_parquet(spark, f"{sf_dir}/lineitem.parquet")
 
     def project(df: DataFrame) -> DataFrame:
         return df.select(
@@ -268,7 +270,7 @@ def gauge_datapoints(
     from ..session import configure_existing
 
     configure_existing(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
 
     def build(ev_df: DataFrame) -> DataFrame:
         return (
@@ -331,7 +333,7 @@ def percentile_datapoints(
     from ..session import configure_existing
 
     configure_existing(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
     amount = F.greatest(F.lit(1), F.ceil(F.col("value") * 10).cast("long"))
     # O(1) arithmetic bucket index (exact-equal to the 276-element scan;
     # see index_of_sql_expr) — the scan cost ~276 comparisons per event
@@ -375,7 +377,7 @@ def distinct_datapoints(
     from ..session import configure_existing
 
     configure_existing(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
     h = F.md5(F.col("user_id").cast("string"))
     reg = (F.conv(F.substring(h, 1, 2), 16, 10).cast("int") % 64).alias("_reg")
     sub = F.substring(h, 3, 8)
@@ -438,7 +440,7 @@ def dist_datapoints(
     from ..session import configure_existing
 
     configure_existing(spark)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
     def build(ev_df):
         base = (
             ev_df.select(

@@ -98,8 +98,10 @@ class EventSource:
 
     def __init__(self, spark: SparkSession, sf_dir: str):
         configure_existing(spark)
+        from ..util.io import read_parquet
+
         self.df = (
-            spark.read.parquet(f"{sf_dir}/events.parquet")
+            read_parquet(spark, f"{sf_dir}/events.parquet")
             .withColumn("user_str", F.col("user_id").cast("string"))
         )
 

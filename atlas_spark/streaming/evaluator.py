@@ -1247,13 +1247,17 @@ class StreamingEvaluator:
         source = DatapointSource(
             df=batch_df, step=self.step, colmap=dict(self.key_cols), sql_cte=""
         )
-        rf = Evaluator(source, ctx).eval(self.expr)
+        ev = Evaluator(source, ctx)
+        rf = ev.eval(self.expr)
         kc = rf.key_cols
-        for r in rf.df.collect():
-            row = {"t": r["t"], "value": r["value"]}
-            for k, c in zip(rf.keys or (), kc):
-                row[k] = r[c]
-            self.results.append(row)
+        try:
+            for r in rf.df.collect():
+                row = {"t": r["t"], "value": r["value"]}
+                for k, c in zip(rf.keys or (), kc):
+                    row[k] = r[c]
+                self.results.append(row)
+        finally:
+            ev.release()  # per-batch shared-subtree caches
 
     def _on_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """FinalExprEval equivalent: merge finalized intervals into the
@@ -1355,9 +1359,13 @@ class StreamingEvaluator:
         source = DatapointSource(
             df=buf, step=self.step, colmap=dict(self.key_cols), sql_cte=""
         )
-        rf = Evaluator(source, ctx).eval(self.expr)
+        ev = Evaluator(source, ctx)
+        rf = ev.eval(self.expr)
         kc = rf.key_cols
-        out = rf.df.filter(F.col("t").isin(new_ts)).collect()
+        try:
+            out = rf.df.filter(F.col("t").isin(new_ts)).collect()
+        finally:
+            ev.release()  # per-batch shared-subtree caches
         for r in out:
             row = {"t": r["t"], "value": r["value"]}
             for k, c in zip(rf.keys or (), kc):

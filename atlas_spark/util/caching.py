@@ -96,6 +96,13 @@ def scoped_persist(df: DataFrame) -> DataFrame:
     return df
 
 
+def adopt_scoped(dfs: list[DataFrame]) -> None:
+    """Register ALREADY-persisted frames (e.g. an Evaluator's
+    shared-subtree caches) for the next `release_scoped()` drain without
+    re-persisting them."""
+    _SCOPED.extend(dfs)
+
+
 def release_scoped() -> int:
     """Unpersist every scoped cache (non-blocking); returns the count."""
     n = len(_SCOPED)
