@@ -714,21 +714,40 @@ def minhash_verified_stream(
 
 
 def _verified_pairs(sh: DataFrame, cand: DataFrame, threshold: float) -> DataFrame:
-    """Exact n-gram Jaccard over candidate pairs only: join the (small)
-    candidate list back to the shingle frame twice and intersect hashed
-    shingle arrays.  AQE converts both joins to broadcast at runtime
-    (candidates ≪ corpus by construction of the banding)."""
+    """Exact n-gram Jaccard over candidate pairs only: join the candidate
+    list back to the shingle frame twice and intersect hashed shingle
+    arrays.
+
+    The CANDIDATE side is the explicit broadcast build side of both joins
+    (r16): candidates are bounded by the banding + bucket cap while the
+    corpus side is unbounded, and before the hint AQE size estimates
+    chose BuildRight — broadcasting the whole corpus shingle table twice,
+    which cannot survive a large corpus.  With the hint the corpus frame
+    is never shuffled or broadcast: each join streams it once and probes
+    the candidate-sized hash relation (the second join broadcasts the
+    first's candidate-sized output, arrays included).  Local cost is
+    neutral (1.01 s vs 1.02 s warm at sf0.1); the win is the scale shape."""
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    return (
-        cand.join(a, on="id_a")
-        .join(b, on="id_b")
-        .withColumn(
-            "jaccard",
-            F.round(inter / (F.size("sh_a") + F.size("sh_b") - inter), 6),
+    jac = F.round(inter / (F.size("sh_a") + F.size("sh_b") - inter), 6)
+    if cand.isStreaming:
+        # stream-static verify: the streaming side cannot be a broadcast
+        # build side; keep the stream on the left and let the engine plan
+        # the static lookups per micro-batch
+        return (
+            cand.join(a, on="id_a")
+            .join(b, on="id_b")
+            .withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
         )
+    matched = a.join(F.broadcast(cand), on="id_a")  # [id_a, sh_a, id_b]
+    return (
+        b.join(F.broadcast(matched), on="id_b")
+        .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
     )
 
 

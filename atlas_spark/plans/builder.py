@@ -979,10 +979,10 @@ class Evaluator:
         """Histogram percentile estimation entirely with window functions —
         rank walk + linear interpolation inside the crossing bucket
         (MathExpr.scala:992-1010), no Python in the loop."""
-        from ..functions.percentile_buckets import BOUNDARIES, pct_label
+        from ..functions.percentile_buckets import pct_label
 
         df, ek_cols = self._pct_indexed(e)
-        barr = F.array(*[F.lit(float(b)) for b in BOUNDARIES])
+        barr = F.expr(_boundary_array_sql())  # one round-trip, not 550
         part = [F.col(c) for c in ek_cols] + [F.col("t")]
         w_ord = Window.partitionBy(*part).orderBy("_idx")
         wall = Window.partitionBy(*part)
