@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..session import configure_existing
 from ..util.caching import scoped_persist
+from ..util.io import memo_factory as _memo_factory
 from .text import load_documents
 
 # Local-bench parallelism guard: the test corpus is a single small parquet
@@ -1054,6 +1055,7 @@ def _shared_shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
     )
 
 
+@_memo_factory
 def minhash_lsh_candidates(
     spark: SparkSession,
     sf_dir: str,
@@ -1249,6 +1251,7 @@ FROM sz
 LSH_BUCKET_STATS_SQL = _lsh_bucket_stats_sql()
 
 
+@_memo_factory
 def ngram_jaccard_pairs(
     spark: SparkSession, sf_dir: str, n: int = 3, threshold: float = 0.5
 ) -> DataFrame:

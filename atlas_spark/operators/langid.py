@@ -29,25 +29,29 @@ LANG_ORDER = tuple(MARKERS)  # deterministic tie-break: first wins
 
 
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # expressions as SQL strings: each higher-order `F.filter(col, fn)`
+    # construction costs ~20 ms of py4j round-trips, x5 languages x every
+    # build (r16 profile) — one F.expr per output column emits the
+    # identical plan (same size/filter/IN/CASE tree)
     docs = load_documents(spark, sf_dir)
-    tokens = F.split(F.col("text"), " ")
 
-    def score(markers: tuple[str, ...]):
-        def is_marker(t):
-            return t.isin(*markers)
-
-        return F.size(F.filter(tokens, is_marker))
+    def score(markers: tuple[str, ...]) -> str:
+        ms = ", ".join(f"'{m}'" for m in markers)
+        return f"size(filter(split(text, ' '), t -> t IN ({ms})))"
 
     scores = {lang: score(markers) for lang, markers in MARKERS.items()}
-    pred = F.lit(LANG_ORDER[0])
+    pred = f"'{LANG_ORDER[0]}'"
     best = scores[LANG_ORDER[0]]
     for lang in LANG_ORDER[1:]:
-        pred = F.when(scores[lang] > best, F.lit(lang)).otherwise(pred)
-        best = F.greatest(best, scores[lang])
+        pred = f"CASE WHEN {scores[lang]} > {best} THEN '{lang}' ELSE {pred} END"
+        best = f"greatest({best}, {scores[lang]})"
     out = docs.select(
         "doc_id",
-        *[scores[lang].cast("long").alias(f"score_{lang}") for lang in LANG_ORDER],
-        pred.alias("pred_lang"),
+        *[
+            F.expr(f"CAST({scores[lang]} AS BIGINT) AS score_{lang}")
+            for lang in LANG_ORDER
+        ],
+        F.expr(f"{pred} AS pred_lang"),
     )
     return out
 

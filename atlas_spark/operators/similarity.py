@@ -28,14 +28,34 @@ def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_parquet(spark, f"{sf_dir}/embeddings.parquet")
 
 
-def _dot(a, b):
+def _dot_sql(a: str, b: str) -> str:
     # sequential left-to-right fold in double precision: deterministic and
     # bit-identical to the DuckDB oracle's list_sum(list_transform(...))
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    return (
+        f"aggregate(zip_with({a}, {b},"
+        " (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " 0.0D, (acc, x) -> acc + x)"
     )
+
+
+def _sqdist_sql(a: str, b: str) -> str:
+    """Squared-L2 fold over two array expressions (SQL strings), same
+    left-to-right double accumulation as the former Column lambdas."""
+    return (
+        f"aggregate(zip_with({a}, {b},"
+        " (x, y) -> power(CAST(x AS DOUBLE) - y, 2)),"
+        " 0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def _dot(a: str, b: str):
+    """Dot product of two array columns given as SQL expression STRINGS.
+
+    One `F.expr` round-trip instead of the former per-lambda
+    `F.zip_with`/`F.aggregate` Column construction (~50 ms of py4j
+    latency per call, x4 per cosine query build — r16 profile); the
+    parsed plan is the identical aggregate/zip_with fold."""
+    return F.expr(_dot_sql(a, b))
 
 
 def cosine_topk(
@@ -56,10 +76,10 @@ def cosine_topk(
         .select(
             "vec_id",
             F.round(
-                _dot(F.col("embedding"), F.col("q_emb"))
+                _dot("embedding", "q_emb")
                 / (
-                    F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
-                    * F.sqrt(_dot(F.col("q_emb"), F.col("q_emb")))
+                    F.sqrt(_dot("embedding", "embedding"))
+                    * F.sqrt(_dot("q_emb", "q_emb"))
                 ),
                 6,
             ).alias("cos_sim"),
@@ -211,7 +231,7 @@ def embedding_near_dup(
     # sqrt(sum(x^2)) so the float result is bit-equal); verify then needs a
     # single dot per candidate pair
     with_norm = emb.select(
-        "vec_id", "embedding", "label", F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm")
+        "vec_id", "embedding", "label", F.sqrt(_dot("embedding", "embedding")).alias("nrm")
     )
     a = with_norm.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"),
@@ -221,7 +241,7 @@ def embedding_near_dup(
         F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"),
         F.col("label").alias("l_b"), F.col("nrm").alias("n_b"),
     )
-    sim = _dot(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b"))
+    sim = _dot("e_a", "e_b") / (F.col("n_a") * F.col("n_b"))
     return (
         cands.join(a, "id_a")
         .join(b, "id_b")
@@ -449,14 +469,14 @@ def ivf_topk(
     cands = assigned.filter(F.col("cell").isin(probe_cells)).filter(
         F.col("vec_id") != query_id
     )
-    q_lit = F.array(*[F.lit(float(x)) for x in q_emb])
+    q_lit = "array(" + ",".join(f"{float(x)!r}D" for x in q_emb) + ")"
     sims = cands.select(
         "vec_id",
         "cell",
         F.round(
-            _dot(F.col("embedding"), q_lit)
+            _dot("embedding", q_lit)
             / (
-                F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+                F.sqrt(_dot("embedding", "embedding"))
                 * F.sqrt(_dot(q_lit, q_lit))
             ),
             6,
@@ -573,10 +593,10 @@ def lsh_bucketed_topk(
     sims = cands.select(
         "vec_id",
         F.round(
-            _dot(F.col("embedding"), F.col("q_emb"))
+            _dot("embedding", "q_emb")
             / (
-                F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
-                * F.sqrt(_dot(F.col("q_emb"), F.col("q_emb")))
+                F.sqrt(_dot("embedding", "embedding"))
+                * F.sqrt(_dot("q_emb", "q_emb"))
             ),
             6,
         ).alias("cos_sim"),
@@ -760,7 +780,7 @@ def ivf_topk_deterministic(
     q_emb = list(
         emb.filter(F.col("vec_id") == query_id).head()["embedding"]
     )
-    q_lit = F.array(*[F.lit(float(x)) for x in q_emb])
+    q_lit = "array(" + ",".join(f"{float(x)!r}D" for x in q_emb) + ")"
     # probe selection runs AS A PLAN over the n_cells centroid rows and
     # collects only the n_probe winners (TakeOrderedAndProject) — never
     # the centroid table itself, which is corpus-scaled.  Same
@@ -769,15 +789,7 @@ def ivf_topk_deterministic(
         emb.filter(F.col("vec_id") < n_cells)
         .select(
             F.col("vec_id").cast("int").alias("cell"),
-            F.aggregate(
-                F.zip_with(
-                    F.col("embedding"),
-                    q_lit,
-                    lambda x, y: (x.cast("double") - y) ** 2,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("d"),
+            F.expr(_sqdist_sql("embedding", q_lit)).alias("d"),
         )
         .orderBy("d", "cell")
         .limit(n_probe)
@@ -790,9 +802,9 @@ def ivf_topk_deterministic(
             "vec_id",
             "cell",
             F.round(
-                _dot(F.col("embedding"), q_lit)
+                _dot("embedding", q_lit)
                 / (
-                    F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+                    F.sqrt(_dot("embedding", "embedding"))
                     * F.sqrt(_dot(q_lit, q_lit))
                 ),
                 6,
@@ -899,7 +911,7 @@ def semantic_dedup(
     # precomputed scalars (bit-identical to sqrt-per-pair — same fold,
     # same doubles — but ~3x less pair work)
     with_n = assigned.withColumn(
-        "nrm", F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+        "nrm", F.sqrt(_dot("embedding", "embedding"))
     )
     a = with_n.select(
         F.col("vec_id").alias("id_a"),
@@ -914,7 +926,7 @@ def semantic_dedup(
         F.col("nrm").alias("n_b"),
     )
     cos = F.round(
-        _dot(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b")), 6
+        _dot("e_a", "e_b") / (F.col("n_a") * F.col("n_b")), 6
     )
     dups = (
         a.join(b, "cell")
@@ -991,7 +1003,7 @@ def knn_join(
     emb = load_embeddings(spark, sf_dir)
     with_b = emb.withColumn(
         "bucket", _md5_lsh_bucket_col(F.col("embedding"), planes, dim)
-    ).withColumn("nrm", F.sqrt(_dot(F.col("embedding"), F.col("embedding"))))
+    ).withColumn("nrm", F.sqrt(_dot("embedding", "embedding")))
     a = with_b.select(
         "vec_id", "bucket", F.col("embedding").alias("e_a"), F.col("nrm").alias("n_a")
     )
@@ -1008,7 +1020,7 @@ def knn_join(
             "vec_id",
             "neighbor_id",
             F.round(
-                _dot(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b")), 6
+                _dot("e_a", "e_b") / (F.col("n_a") * F.col("n_b")), 6
             ).alias("cos_sim"),
         )
     )
@@ -1202,14 +1214,8 @@ def pq_recall(
     """
     emb = load_embeddings(spark, sf_dir)
     q_emb = list(emb.filter(F.col("vec_id") == query_id).head()["embedding"])
-    q_lit = F.array(*[F.lit(float(x)) for x in q_emb])
-    d2 = F.aggregate(
-        F.zip_with(
-            F.col("embedding"), q_lit, lambda x, y: (x.cast("double") - y) ** 2
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    q_lit = "array(" + ",".join(f"{float(x)!r}D" for x in q_emb) + ")"
+    d2 = F.expr(_sqdist_sql("embedding", q_lit))
     exact = (
         emb.filter(F.col("vec_id") != query_id)
         .select("vec_id", d2.alias("d2"))

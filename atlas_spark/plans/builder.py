@@ -123,17 +123,18 @@ def _boundary_array_sql() -> str:
 
     The former `F.array(*[F.lit(float(b)) ...])` form cost ~550 py4j
     round-trips (~0.3 s) on every percentile query build; a single
-    `F.expr` is one round-trip for the identical literal array.  String
-    casts keep the exact double values `F.lit(float(b))` produced —
-    Python float repr round-trips to the same IEEE double."""
+    `F.expr` is one round-trip for the identical literal array.
+    D-suffixed literals keep the exact double values `F.lit(float(b))`
+    produced — Python float repr round-trips to the same IEEE double via
+    Double.parseDouble — and parse ~10x faster than the earlier
+    per-element CAST('..' AS DOUBLE) form (Catalyst re-parses this
+    string on every percentile build)."""
     global _BOUNDARY_SQL
     if _BOUNDARY_SQL is None:
         from ..functions.percentile_buckets import BOUNDARIES
 
         _BOUNDARY_SQL = (
-            "array("
-            + ",".join(f"CAST('{float(b)!r}' AS DOUBLE)" for b in BOUNDARIES)
-            + ")"
+            "array(" + ",".join(f"{float(b)!r}D" for b in BOUNDARIES) + ")"
         )
     return _BOUNDARY_SQL
 
@@ -962,16 +963,20 @@ class Evaluator:
         inner = self._eval(e.expr)
         pcol = inner.colmap["percentile"]
         ek_cols = [inner.colmap[k] for k in e.eval_keys()]
-        df = inner.df.filter(F.col(pcol).isNotNull())
-        # counts: non-finite -> 0 (MathExpr.scala:992-998); zero rows carry
-        # no mass, drop them
-        df = df.filter(F.col("value").isNotNull() & (F.col("value") > 0))
-        idx = F.conv(F.substring(F.col(pcol), 2, 4), 16, 10).cast("int")
-        barr = F.expr(_boundary_array_sql())
-        df = (
-            df.withColumn("_idx", F.least(idx, F.lit(N_BUCKETS - 1)))
-            .withColumn("_timer", F.substring(F.col(pcol), 1, 1) == "T")
-            .withColumn("_bval", F.element_at(barr, F.col("_idx") + 1))
+        # single-string expressions: the per-Column py4j round-trips of
+        # the former filter/withColumn chain were pure driver latency
+        # (guide §1 measure-first; r16 build profile) — the resolved plan
+        # is identical
+        df = inner.df.filter(
+            F.expr(f"{pcol} IS NOT NULL AND value IS NOT NULL AND value > 0")
+        )
+        idx = f"CAST(conv(substring({pcol}, 2, 4), 16, 10) AS INT)"
+        df = df.select(
+            "*",
+            F.expr(f"least({idx}, {N_BUCKETS - 1}) AS _idx"),
+            F.expr(f"substring({pcol}, 1, 1) = 'T' AS _timer"),
+        ).withColumn(
+            "_bval", F.expr(f"element_at({_boundary_array_sql()}, _idx + 1)")
         )
         return df, ek_cols
 
@@ -982,24 +987,30 @@ class Evaluator:
         from ..functions.percentile_buckets import pct_label
 
         df, ek_cols = self._pct_indexed(e)
-        barr = F.expr(_boundary_array_sql())  # one round-trip, not 550
-        part = [F.col(c) for c in ek_cols] + [F.col("t")]
-        w_ord = Window.partitionBy(*part).orderBy("_idx")
-        wall = Window.partitionBy(*part)
+        # whole stage as SQL strings — one py4j round-trip per select /
+        # agg instead of one per Column operator (~0.4 s of driver build
+        # latency per :percentiles query, r16 profile); identical plan
+        part_sql = ", ".join([*ek_cols, "t"])
         # Lower bound for interpolation is the PREVIOUS BOUNDARY by bucket
         # index (Spectator walks every bucket, so empty buckets still advance
         # the boundary) — NOT the previous non-empty row.  element_at is
         # 1-based: element_at(barr, _idx) == BOUNDARIES[_idx - 1].
-        prev_b = F.when(F.col("_idx") == 0, F.lit(0.0)).otherwise(
-            F.element_at(barr, F.col("_idx"))
+        df = df.select(
+            "*",
+            F.expr(
+                f"sum(value) OVER (PARTITION BY {part_sql} ORDER BY _idx"
+                " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _cum"
+            ),
+            F.expr(f"sum(value) OVER (PARTITION BY {part_sql}) AS _total"),
+            F.expr(
+                "CASE WHEN _idx = 0 THEN 0.0D ELSE"
+                f" element_at({_boundary_array_sql()}, _idx) END AS _prev_b"
+            ),
+        ).select(
+            "*",
+            F.expr("100.0D * (_cum - value) / _total AS _prev_p"),
+            F.expr("100.0D * _cum / _total AS _next_p"),
         )
-        df = (
-            df.withColumn("_cum", F.sum("value").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)))
-            .withColumn("_total", F.sum("value").over(wall))
-            .withColumn("_prev_b", prev_b)
-        )
-        df = df.withColumn("_prev_p", 100.0 * (F.col("_cum") - F.col("value")) / F.col("_total"))
-        df = df.withColumn("_next_p", 100.0 * F.col("_cum") / F.col("_total"))
 
         pcts = sorted(set(e.pcts))
         # First crossing bucket per percentile (while-loop order in the
@@ -1007,29 +1018,41 @@ class Evaluator:
         # that REUSES the window stage's (keys, t) partitioning, instead of
         # a broadcast crossjoin with the pct list + a second exchange and
         # sort for a row_number rank.  The pct list is a plan-time literal.
-        aggs = [F.first("_timer").alias("_timer")]
+        aggs = [F.expr("first(_timer) AS _timer")]
         for i, p in enumerate(pcts):
-            crossing = (F.col("_prev_p") <= p) & (F.lit(float(p)) <= F.col("_next_p"))
             aggs.append(
-                F.min_by(
-                    F.struct("_prev_p", "_next_p", "_prev_b", "_bval"),
-                    F.when(crossing, F.col("_idx")),
-                ).alias(f"_c{i}")
+                F.expr(
+                    "min_by(struct(_prev_p, _next_p, _prev_b, _bval),"
+                    f" CASE WHEN _prev_p <= {float(p)!r}D AND {float(p)!r}D <= _next_p"
+                    f" THEN _idx END) AS _c{i}"
+                )
             )
-        g = df.groupBy(*part).agg(*aggs)
-        stack_args: list = [F.lit(len(pcts))]
-        for i, p in enumerate(pcts):
-            stack_args += [F.lit(pct_label(p)), F.lit(float(p)), F.col(f"_c{i}")]
-        g = g.select(
-            *ek_cols, "t", "_timer", F.stack(*stack_args).alias("k_percentile", "_p", "_c")
+        g = df.groupBy(*[F.col(c) for c in ek_cols], F.col("t")).agg(*aggs)
+        stack_sql = ", ".join(
+            f"'{pct_label(p)}', {float(p)!r}D, _c{i}" for i, p in enumerate(pcts)
         )
-        c = F.col("_c")
-        frac = F.when(
-            c["_next_p"] == c["_prev_p"], F.lit(0.0)
-        ).otherwise((F.col("_p") - c["_prev_p"]) / (c["_next_p"] - c["_prev_p"]))
-        est = c["_prev_b"] + frac * (c["_bval"] - c["_prev_b"])
-        est = F.when(F.col("_timer"), est * 1e-9).otherwise(est)
-        out = g.select(*ek_cols, "k_percentile", "t", est.alias("value"))
+        g = g.select(
+            *ek_cols,
+            "t",
+            "_timer",
+            F.expr(
+                f"stack({len(pcts)}, {stack_sql}) AS (k_percentile, _p, _c)"
+            ),
+        )
+        est_sql = (
+            "_c._prev_b + (CASE WHEN _c._next_p = _c._prev_p THEN 0.0D"
+            " ELSE (_p - _c._prev_p) / (_c._next_p - _c._prev_p) END)"
+            " * (_c._bval - _c._prev_b)"
+        )
+        out = g.select(
+            *ek_cols,
+            "k_percentile",
+            "t",
+            F.expr(
+                f"CASE WHEN _timer THEN ({est_sql}) * 1e-09D ELSE {est_sql} END"
+                " AS value"
+            ),
+        )
         cm = {k: self.source.colmap.get(k, sanitize(k)) for k in e.eval_keys()}
         cm["percentile"] = "k_percentile"
         return ResultFrame(out, e.group_keys(), cm, e.expr.query.exact_keys())

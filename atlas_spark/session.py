@@ -29,6 +29,11 @@ def get_spark(app: str = "atlas-spark", cpus: int | None = None) -> SparkSession
         # split at runtime instead of stalling one task
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # debug-mode call-site capture wraps EVERY DataFrame API call in
+        # 4-5 py4j round-trips (getActiveSession + origin set/clear);
+        # disabling it cut a 10-query build sweep 7.3 s -> 5.5 s (r16
+        # A/B) at the cost of Python call-site lines in error messages
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )
     spark = builder.getOrCreate()
@@ -38,7 +43,15 @@ def get_spark(app: str = "atlas-spark", cpus: int | None = None) -> SparkSession
 
 def configure_existing(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable configs to a session we didn't create (the
-    driver passes its own session to `__spark_entry__.entry`)."""
+    driver passes its own session to `__spark_entry__.entry`).
+
+    Idempotent per session object: every source factory and operator
+    calls this defensively, and each conf.set is a py4j round trip
+    (~0.4 ms x 7 confs x ~40 call sites per sweep), so after the first
+    application it is a no-op flag check."""
+    if getattr(spark, "_atlas_configured", False):
+        return spark
+    spark._atlas_configured = True
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # right-size shuffles for the local bench footprint; AQE coalesces
     # further at runtime (a cluster deployment overrides via spark-submit)
@@ -52,4 +65,14 @@ def configure_existing(spark: SparkSession) -> SparkSession:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass  # static conf on some builds; events reads will fail loudly
+    try:
+        # build-latency: disable per-call debug call-site capture (see
+        # get_spark).  The pyspark module caches the flag at the FIRST
+        # wrapped DataFrame call, so this only helps when
+        # configure_existing runs before the session's first DataFrame
+        # op — true for the driver contract (entry/queries call it
+        # first thing) — and is harmless otherwise.
+        spark.conf.set("spark.python.sql.dataFrameDebugging.enabled", "false")
+    except Exception:
+        pass
     return spark

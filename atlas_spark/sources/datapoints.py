@@ -79,6 +79,36 @@ def sanitize(key: str) -> str:
     return "k_" + re.sub(r"[^A-Za-z0-9_]", "_", key)
 
 
+# Session-scoped memo for DatapointSource factories over the immutable
+# testdata: the returned object holds only lazy plan handles (df + ranged
+# builders), so sharing one instance per (session, sf_dir, step) caches
+# NO data — it removes the ~15 py4j round-trips of re-constructing the
+# identical projection/rollup tree on every query build (r16 profile).
+# DatapointSource is treated as immutable everywhere (dataclasses.replace
+# for variants).
+from ..util.io import memo_factory as _memo_source  # noqa: E402
+
+
+def _memo_range(fn):
+    """Memoize a (lo, hi) -> DataFrame ranged-plan builder.  The factory
+    that owns it is itself session-memoized, so this cache lives exactly
+    as long as its session; plans only, no data.  Evaluators call
+    ranged_df once per DataExpr reference with a handful of distinct
+    windows, so a small FIFO bound suffices."""
+    cache: dict = {}
+
+    def call(lo: int, hi: int) -> DataFrame:
+        v = cache.get((lo, hi))
+        if v is None:
+            if len(cache) >= 64:
+                cache.pop(next(iter(cache)))
+            v = fn(lo, hi)
+            cache[(lo, hi)] = v
+        return v
+
+    return call
+
+
 def date_t_range(df: DataFrame, lo: int, hi: int) -> DataFrame:
     """Ranged scan over a `date`-partitioned table with an epoch-second
     `t` column: the date bounds are computed driver-side (UTC) so Catalyst
@@ -138,6 +168,7 @@ class DatapointSource:
         return self.df.filter((F.col("t") >= lo) & (F.col("t") < hi))
 
 
+@_memo_source
 def events_datapoints(spark: SparkSession, sf_dir: str, step: int = DEFAULT_STEP) -> DatapointSource:
     """Datapoint view over the driver `events` table.
 
@@ -175,8 +206,8 @@ def events_datapoints(spark: SparkSession, sf_dir: str, step: int = DEFAULT_STEP
         colmap={"name": "k_name", "bucket": "k_bucket"},
         sql_cte=events_cte(step),
         # raw-ts bounds reach the parquet scan (row-group pruning)
-        ranged=lambda lo, hi: build(_range(lo, hi)),
-        raw_ranged=lambda lo, hi: project(_range(lo, hi)),
+        ranged=_memo_range(lambda lo, hi: build(_range(lo, hi))),
+        raw_ranged=_memo_range(lambda lo, hi: project(_range(lo, hi))),
     )
 
 
@@ -190,6 +221,7 @@ LINEITEM_END = 1009843200
 LINEITEM_STEP = 86400
 
 
+@_memo_source
 def lineitem_datapoints(
     spark: SparkSession, sf_dir: str, step: int = LINEITEM_STEP
 ) -> DatapointSource:
@@ -233,8 +265,8 @@ def lineitem_datapoints(
         step=step,
         colmap={"name": "k_name", "pbucket": "k_pbucket"},
         sql_cte=lineitem_cte(step),
-        ranged=lambda lo, hi: build(_range(lo, hi)),
-        raw_ranged=lambda lo, hi: project(_range(lo, hi)),
+        ranged=_memo_range(lambda lo, hi: build(_range(lo, hi))),
+        raw_ranged=_memo_range(lambda lo, hi: project(_range(lo, hi))),
     )
 
 
@@ -256,6 +288,7 @@ PCT_STEP = 86400  # coarser step so bucket counts have meaningful mass
 GAUGE_MIN_VALUE = 100.0
 
 
+@_memo_source
 def gauge_datapoints(
     spark: SparkSession, sf_dir: str, step: int = DEFAULT_STEP
 ) -> DatapointSource:
@@ -292,7 +325,7 @@ def gauge_datapoints(
         step=step,
         colmap={"name": "k_name", "bucket": "k_bucket"},
         sql_cte=gauge_cte(step),
-        ranged=lambda lo, hi: build(_ts_range(ev, lo, hi)),
+        ranged=_memo_range(lambda lo, hi: build(_ts_range(ev, lo, hi))),
         ds_type="gauge",
     )
 
@@ -321,6 +354,7 @@ def events_cte(step: int = DEFAULT_STEP) -> str:
 """
 
 
+@_memo_source
 def percentile_datapoints(
     spark: SparkSession, sf_dir: str, step: int = PCT_STEP
 ) -> DatapointSource:
@@ -360,10 +394,11 @@ def percentile_datapoints(
         step=step,
         colmap={"name": "k_name", "percentile": "k_percentile"},
         sql_cte=percentile_cte(step),
-        ranged=lambda lo, hi: build(_ts_range(ev, lo, hi)),
+        ranged=_memo_range(lambda lo, hi: build(_ts_range(ev, lo, hi))),
     )
 
 
+@_memo_source
 def distinct_datapoints(
     spark: SparkSession, sf_dir: str, step: int = PCT_STEP
 ) -> DatapointSource:
@@ -407,7 +442,7 @@ def distinct_datapoints(
         step=step,
         colmap={"name": "k_name", "distinct": "k_distinct"},
         sql_cte=distinct_cte(step),
-        ranged=lambda lo, hi: build(_ts_range(ev, lo, hi)),
+        ranged=_memo_range(lambda lo, hi: build(_ts_range(ev, lo, hi))),
     )
 
 
@@ -430,6 +465,7 @@ def distinct_cte(step: int = PCT_STEP) -> str:
 """
 
 
+@_memo_source
 def dist_datapoints(
     spark: SparkSession, sf_dir: str, step: int = DEFAULT_STEP
 ) -> DatapointSource:
@@ -467,7 +503,7 @@ def dist_datapoints(
         step=step,
         colmap={"name": "k_name", "statistic": "k_statistic"},
         sql_cte=dist_cte(step),
-        ranged=lambda lo, hi: build(_ts_range(ev, lo, hi)),
+        ranged=_memo_range(lambda lo, hi: build(_ts_range(ev, lo, hi))),
     )
 
 
