@@ -29,6 +29,7 @@ def _spread(df: DataFrame) -> DataFrame:
     return df.repartition(_SPREAD, "doc_id")
 
 
+@_memo_factory
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by content hash: one surviving doc_id per distinct text.
 
@@ -1312,6 +1313,7 @@ WHERE round(CAST(p.shared AS DOUBLE) / (sa.n + sb.n - p.shared), 6) >= 0.5
 """
 
 
+@_memo_factory
 def simhash(spark: SparkSession, sf_dir: str, bits: int = 60) -> DataFrame:
     """SimHash per document over word features.
 

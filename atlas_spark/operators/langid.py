@@ -16,6 +16,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from .text import load_documents
+from ..util.io import memo_factory as _memo_factory
 
 MARKERS: dict[str, tuple[str, ...]] = {
     "en": ("the", "a", "of", "and", "is"),
@@ -28,6 +29,7 @@ MARKERS: dict[str, tuple[str, ...]] = {
 LANG_ORDER = tuple(MARKERS)  # deterministic tie-break: first wins
 
 
+@_memo_factory
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     # expressions as SQL strings: each higher-order `F.filter(col, fn)`
     # construction costs ~20 ms of py4j round-trips, x5 languages x every

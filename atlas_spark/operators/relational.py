@@ -1027,3 +1027,24 @@ JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation   ON s_nationkey = n_nationkey
 WHERE qty > 1.5 * (SELECT avg(qty) FROM per_supp)
 """
+
+
+# ---------------------------------------------------------------------------
+# Build-latency memo (r16): every query above is a pure plan builder over
+# the immutable testdata tables (no driver-side collects — verified), so
+# one lazy plan handle per (session, sf_dir, args) serves every rebuild.
+# No data is cached; each action still scans parquet.
+from ..util.io import memo_factory as _memo_factory  # noqa: E402
+
+for _n in (
+    "pricing_summary", "revenue_by_nation", "top_customers",
+    "order_priority_counts", "part_supplier_stats", "shipping_priority",
+    "priority_shipments", "promo_revenue_share", "bracket_revenue",
+    "forecast_revenue", "volume_shipping", "market_share",
+    "returned_items", "order_count_distribution", "small_qty_revenue",
+    "large_orders", "idle_customers", "top_supplier", "product_profit",
+    "supplier_part_counts", "waiting_suppliers", "min_cost_supplier",
+    "important_stock", "excess_volume_suppliers",
+):
+    globals()[_n] = _memo_factory(globals()[_n])
+del _n

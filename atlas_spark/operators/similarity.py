@@ -12,6 +12,8 @@ can reuse the same bucket-join shape.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+
+from ..util.io import memo_factory as _memo_factory
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -58,6 +60,7 @@ def _dot(a: str, b: str):
     return F.expr(_dot_sql(a, b))
 
 
+@_memo_factory
 def cosine_topk(
     spark: SparkSession, sf_dir: str, query_id: int = 0, k: int = 10
 ) -> DataFrame:

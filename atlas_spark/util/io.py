@@ -79,6 +79,22 @@ def memo_plan(spark: SparkSession, key: tuple, build):
     return v
 
 
+def memo_get(spark: SparkSession, key: tuple):
+    """Conditional-memo lookup half of `memo_plan` (for callers that must
+    decide AFTER building whether the plan is safe to share)."""
+    k = (app_id(spark),) + key
+    with _LOCK:
+        return _PLANS.get(k)
+
+
+def memo_put(spark: SparkSession, key: tuple, v) -> None:
+    k = (app_id(spark),) + key
+    with _LOCK:
+        if len(_PLANS) >= _MAX_PLANS:
+            _PLANS.pop(next(iter(_PLANS)))
+        _PLANS[k] = v
+
+
 def memo_factory(fn):
     """Decorator form of `memo_plan` for `(spark, sf_dir, *hashable)`
     plan factories over the immutable testdata (datapoint sources, LSH

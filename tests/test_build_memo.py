@@ -88,6 +88,21 @@ def test_configure_existing_idempotent(spark):
     assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
 
 
+def test_asl_plan_cache_identity_and_recompute(spark, sf_dir):
+    """AslSpec.run memoizes the built frame per (session, spec, corpus):
+    same handle on rebuild, lazy (actions re-execute), keyed per
+    corpus dir."""
+    from atlas_spark import registry
+
+    qs = registry.all_queries()
+    d1 = qs["data_by_sum"](spark, sf_dir)
+    d2 = qs["data_by_sum"](spark, sf_dir)
+    assert d1 is d2
+    assert d1.count() == d2.count() > 0  # each action recomputes
+    d3 = qs["data_by_sum"](spark, "/root/testdata/sf0.001")
+    assert d3 is not d1
+
+
 def test_boundary_array_literals_exact(spark):
     """D-suffixed double literals must reproduce float(b) for every
     bucket boundary bit-for-bit (Double.parseDouble of Python repr)."""
