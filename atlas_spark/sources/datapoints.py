@@ -153,6 +153,19 @@ class DatapointSource:
     # sampled gauge that starts reporting mid-interval must not show a
     # false drop (TimeSeq.scala:203-210: "should be 90.0 not 45.0").
     ds_type: str = "rate"
+    # Optional cheap raw-path grouping: tag key -> (component column
+    # names present in `raw_ranged`'s output, label builder from those
+    # components).  When a raw-path aggregation groups by such a key, the
+    # evaluator groups on the components and synthesizes the display
+    # label AFTER the aggregate — the per-row label expression (string
+    # concat / format) then runs once per series cell instead of once
+    # per raw row, and the per-row work sits in the scan stage, which a
+    # single-row-group input serializes onto one task (guide §1.2).
+    # Contract (holds for every registered mapping): the label is
+    # injective over its components, AND the label is null exactly when
+    # some component is null — so grouping and null-dropping on the
+    # components is grouping and null-dropping on the label.
+    raw_components: "dict[str, tuple[tuple[str, ...], object]] | None" = None
 
     @property
     def tag_keys(self) -> tuple[str, ...]:
@@ -185,16 +198,40 @@ def events_datapoints(spark: SparkSession, sf_dir: str, step: int = DEFAULT_STEP
     ev = read_parquet(spark, f"{sf_dir}/events.parquet")
 
     def project(ev_df: DataFrame) -> DataFrame:
+        # `_ub` rides along so raw-path aggregations can group on the
+        # cheap ordinal and label post-agg (`raw_components` below);
+        # column pruning drops whichever of k_bucket/_ub goes unused
         return ev_df.select(
             F.col("event_type").alias("k_name"),
             F.concat(F.lit("u"), (F.col("user_id") % 8).cast("string")).alias("k_bucket"),
+            (F.col("user_id") % 8).cast("int").alias("_ub"),
             _step_t(ev_df, step),
             F.col("value"),
         )
 
     def build(ev_df: DataFrame) -> DataFrame:
-        return project(ev_df).groupBy("k_name", "k_bucket", "t").agg(
-            F.sum("value").alias("value")
+        # group on the raw bucket ordinal and synthesize the display label
+        # AFTER the rollup: the concat then runs once per cell instead of
+        # once per raw row, and the per-row work sits in the scan stage,
+        # which a single-row-group input serializes onto one task (guide
+        # §1.2 per-task work; r16 A/B).  'u' + int is injective, so the
+        # grouping is unchanged; a NULL user_id yields a NULL label either
+        # way.
+        return (
+            ev_df.select(
+                F.col("event_type").alias("k_name"),
+                (F.col("user_id") % 8).cast("int").alias("_ub"),
+                _step_t(ev_df, step),
+                F.col("value"),
+            )
+            .groupBy("k_name", "_ub", "t")
+            .agg(F.sum("value").alias("value"))
+            .select(
+                "k_name",
+                F.concat(F.lit("u"), F.col("_ub").cast("string")).alias("k_bucket"),
+                "t",
+                "value",
+            )
         )
 
     def _range(lo: int, hi: int) -> DataFrame:
@@ -208,6 +245,12 @@ def events_datapoints(spark: SparkSession, sf_dir: str, step: int = DEFAULT_STEP
         # raw-ts bounds reach the parquet scan (row-group pruning)
         ranged=_memo_range(lambda lo, hi: build(_range(lo, hi))),
         raw_ranged=_memo_range(lambda lo, hi: project(_range(lo, hi))),
+        raw_components={
+            "bucket": (
+                ("_ub",),
+                lambda: F.concat(F.lit("u"), F.col("_ub").cast("string")),
+            ),
+        },
     )
 
 
@@ -237,11 +280,16 @@ def lineitem_datapoints(
     li = read_parquet(spark, f"{sf_dir}/lineitem.parquet")
 
     def project(df: DataFrame) -> DataFrame:
+        # component columns ride along for cheap raw-path grouping
+        # (`raw_components` below); pruning drops unused ones
         return df.select(
             F.concat(F.col("l_returnflag"), F.col("l_linestatus")).alias("k_name"),
             F.concat(F.lit("p"), (F.col("l_partkey") % 16).cast("string")).alias(
                 "k_pbucket"
             ),
+            F.col("l_returnflag").alias("_rf"),
+            F.col("l_linestatus").alias("_ls"),
+            (F.col("l_partkey") % 16).cast("int").alias("_pb"),
             (
                 F.unix_timestamp("l_shipdate")
                 - F.unix_timestamp("l_shipdate") % step
@@ -250,8 +298,32 @@ def lineitem_datapoints(
         )
 
     def build(df: DataFrame) -> DataFrame:
-        return project(df).groupBy("k_name", "k_pbucket", "t").agg(
-            F.sum("value").alias("value")
+        # group on the raw flag/bucket columns and synthesize the display
+        # labels AFTER the rollup: the two per-row concats then run once
+        # per cell instead of once per 600k-row scan, and the scan stage
+        # is single-task on a single-row-group file (guide §1.2; r16 A/B
+        # 1.05 s -> 0.92 s on the grouped-share shape).  Equivalence:
+        # l_returnflag / l_linestatus are CHAR(1) flags (TPC-H spec), so
+        # concat is injective over the pair and the grouping is unchanged.
+        return (
+            df.select(
+                F.col("l_returnflag").alias("_rf"),
+                F.col("l_linestatus").alias("_ls"),
+                (F.col("l_partkey") % 16).cast("int").alias("_pb"),
+                (
+                    F.unix_timestamp("l_shipdate")
+                    - F.unix_timestamp("l_shipdate") % step
+                ).cast("long").alias("t"),
+                F.col("l_quantity").alias("value"),
+            )
+            .groupBy("_rf", "_ls", "_pb", "t")
+            .agg(F.sum("value").alias("value"))
+            .select(
+                F.concat("_rf", "_ls").alias("k_name"),
+                F.concat(F.lit("p"), F.col("_pb").cast("string")).alias("k_pbucket"),
+                "t",
+                "value",
+            )
         )
 
     def _range(lo: int, hi: int) -> DataFrame:
@@ -267,6 +339,17 @@ def lineitem_datapoints(
         sql_cte=lineitem_cte(step),
         ranged=_memo_range(lambda lo, hi: build(_range(lo, hi))),
         raw_ranged=_memo_range(lambda lo, hi: project(_range(lo, hi))),
+        raw_components={
+            # CHAR(1) flags: concat is injective over the pair
+            "name": (
+                ("_rf", "_ls"),
+                lambda: F.concat(F.col("_rf"), F.col("_ls")),
+            ),
+            "pbucket": (
+                ("_pb",),
+                lambda: F.concat(F.lit("p"), F.col("_pb").cast("string")),
+            ),
+        },
     )
 
 
@@ -306,18 +389,23 @@ def gauge_datapoints(
     ev = read_parquet(spark, f"{sf_dir}/events.parquet")
 
     def build(ev_df: DataFrame) -> DataFrame:
+        # label post-agg (same pattern + rationale as events_datapoints)
         return (
             ev_df.filter(F.col("value") > GAUGE_MIN_VALUE)
             .select(
                 F.col("event_type").alias("k_name"),
-                F.concat(F.lit("u"), (F.col("user_id") % 8).cast("string")).alias(
-                    "k_bucket"
-                ),
+                (F.col("user_id") % 8).cast("int").alias("_ub"),
                 _step_t(ev_df, step),
                 F.col("value"),
             )
-            .groupBy("k_name", "k_bucket", "t")
+            .groupBy("k_name", "_ub", "t")
             .agg(F.max("value").alias("value"))
+            .select(
+                "k_name",
+                F.concat(F.lit("u"), F.col("_ub").cast("string")).alias("k_bucket"),
+                "t",
+                "value",
+            )
         )
 
     return DatapointSource(
@@ -374,19 +462,27 @@ def percentile_datapoints(
     idx = F.expr(index_of_sql_expr("_amt"))
 
     def build(ev_df):
+        # group on the INT bucket index and format the hex label AFTER
+        # the rollup: format_string goes through java.util.Formatter and
+        # was the dominant per-row cost of the single-task scan stage
+        # (r16 A/B: 0.26-0.48 s -> 0.21-0.28 s on the source rollup).
+        # D%04X is injective over the index range, so grouping by the
+        # index is grouping by the label.
         return (
             ev_df.select(
                 F.col("event_type").alias("k_name"),
                 _step_t(ev_df, step),
                 amount.alias("_amt"),
             )
+            .select("k_name", idx.alias("_idx"), "t")
+            .groupBy("k_name", "_idx", "t")
+            .agg(F.count("*").cast("double").alias("value"))
             .select(
                 "k_name",
-                F.format_string("D%04X", idx).alias("k_percentile"),
+                F.format_string("D%04X", F.col("_idx")).alias("k_percentile"),
                 "t",
+                "value",
             )
-            .groupBy("k_name", "k_percentile", "t")
-            .agg(F.count("*").cast("double").alias("value"))
         )
 
     return DatapointSource(
@@ -416,25 +512,33 @@ def distinct_datapoints(
     h = F.md5(F.col("user_id").cast("string"))
     reg = (F.conv(F.substring(h, 1, 2), 16, 10).cast("int") % 64).alias("_reg")
     sub = F.substring(h, 3, 8)
-    z = F.length(F.regexp_extract(sub, "^(0*)", 1))
-    first = F.substring(sub, z + 1, 1)
-    extra = (
-        F.when(first == "1", 3)
-        .when(first.isin("2", "3"), 2)
-        .when(first.isin("4", "5", "6", "7"), 1)
-        .otherwise(0)
-    )
-    rho = F.when(z == 8, F.lit(33)).otherwise(4 * z + extra + 1)
+    # rho = leading-zero BITS of the 32-bit value + 1.  The definitional
+    # form walks the hex string (z = leading zero hex chars via regexp,
+    # plus the first non-zero digit's own leading bits); arithmetically
+    # that is exactly 33 - bit_length(v) with v = the 32-bit value and
+    # bit_length via bin() — pinned value-equal in the r16 A/B, and the
+    # regexp per raw row was the dominant scan-stage cost (0.39-0.44 s
+    # -> 0.26-0.30 s).  v = 0 (all 32 bits zero) is rho 33.
+    v32 = F.conv(sub, 16, 10).cast("long")
+    rho = F.when(v32 == 0, F.lit(33)).otherwise(F.lit(33) - F.length(F.bin(v32)))
+
     def build(ev_df):
+        # label post-agg: R%02X is injective over the register index
         return (
             ev_df.select(
                 F.col("event_type").alias("k_name"),
-                F.format_string("R%02X", reg).alias("k_distinct"),
+                reg,
                 _step_t(ev_df, step),
                 rho.cast("double").alias("rho"),
             )
-            .groupBy("k_name", "k_distinct", "t")
+            .groupBy("k_name", "_reg", "t")
             .agg(F.max("rho").alias("value"))
+            .select(
+                "k_name",
+                F.format_string("R%02X", F.col("_reg")).alias("k_distinct"),
+                "t",
+                "value",
+            )
         )
 
     return DatapointSource(
