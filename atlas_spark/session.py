@@ -16,13 +16,19 @@ def get_spark(app: str = "atlas-spark", cpus: int | None = None) -> SparkSession
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or None
     master = f"local[{cpus}]" if cpus else "local[*]"
+    # scale-adaptive initial shuffle width: never below the local-bench
+    # floor of 32 (AQE coalesces smaller shuffles back down), and never
+    # below the executor slot count on a bigger deployment — a constant
+    # tuned for local[32] would serialize shuffles on a real cluster
+    # (guide §2.2); explicit conf/spark-submit overrides still win
+    shuffle_parts = max(32, cpus or (os.cpu_count() or 32))
     builder = (
         SparkSession.builder.appName(app)
         .master(master)
         .config("spark.sql.session.timeZone", "UTC")
         # driver testdata events.parquet uses TIMESTAMP(NANOS); read as long
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.shuffle.partitions", str(shuffle_parts))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         # skewed band-bucket joins (LSH candidates) and hot series keys
@@ -53,9 +59,14 @@ def configure_existing(spark: SparkSession) -> SparkSession:
         return spark
     spark._atlas_configured = True
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # right-size shuffles for the local bench footprint; AQE coalesces
-    # further at runtime (a cluster deployment overrides via spark-submit)
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    # scale-adaptive shuffle width (see get_spark): local-bench floor of
+    # 32, never below the session's slot count on bigger deployments;
+    # AQE coalesces further at runtime
+    try:
+        slots = spark.sparkContext.defaultParallelism
+    except Exception:
+        slots = 32
+    spark.conf.set("spark.sql.shuffle.partitions", str(max(32, slots)))
     try:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -736,7 +736,12 @@ def test_render_partitions_caps_render_session(spark, sf_dir):
         re = srv.render_engine
         assert re is not engine and re.spark is not engine.spark
         assert re.spark.conf.get("spark.sql.shuffle.partitions") == "4"
-        assert engine.spark.conf.get("spark.sql.shuffle.partitions") == "32"
+        # main session keeps the scale-adaptive width from configure_existing
+        # (local-bench floor 32, never below the session's slot count)
+        slots = engine.spark.sparkContext.defaultParallelism
+        assert engine.spark.conf.get("spark.sql.shuffle.partitions") == str(
+            max(32, slots)
+        )
         base = f"http://127.0.0.1:{srv.server_address[1]}"
         status, _, body = _get(f"{base}/api/v1/graph?{GRAPH_Q}&format=png")
         assert status == 200 and body[:4] == b"\x89PNG"[:4]
