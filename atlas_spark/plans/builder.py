@@ -139,6 +139,11 @@ def _boundary_array_sql() -> str:
     return _BOUNDARY_SQL
 
 
+class _CommonBaseBail(Exception):
+    """Internal: abort the common-base collapse mid-build (unmappable
+    regroup key) and fall back to the generic binary path."""
+
+
 _AGG = {
     "sum": lambda c: F.sum(c),
     "count": lambda c: F.count(c),
@@ -653,6 +658,237 @@ class Evaluator:
     # count of raw rows == SUM of per-supergroup counts
     _ROLLUP2 = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
 
+    # non-strict comparison/boolean ops coalesce missing inputs to 0/1,
+    # so their value is non-null at EVERY grid cell
+    _SIGNAL_OPS = frozenset({"gt", "ge", "lt", "le", "and", "or"})
+    # data-independent generator leaves: value is a pure column function
+    # of t, defined (non-null) at every grid cell
+    _GEN_TYPES = (E.ConstExpr, E.RandomExpr, E.TimeExpr, E.TimeSpanExpr)
+
+    def _gen_col(self, g):
+        """Generator leaf as a column over `t` (same expressions the
+        standalone `_generator` path uses)."""
+        if isinstance(g, E.ConstExpr):
+            return F.lit(float(g.v))
+        if isinstance(g, E.TimeExpr):
+            return self._time_col(g.mode)
+        if isinstance(g, E.RandomExpr):
+            return self._random_col(g.seed)
+        assert isinstance(g, E.TimeSpanExpr)
+        from ..util.strings import time_range
+
+        s, t_end = time_range(g.s, g.e, self.ctx, zone=g.zone)
+        return F.when(
+            (F.col("t") >= F.lit(s)) & (F.col("t") <= F.lit(t_end)), F.lit(1.0)
+        ).otherwise(F.lit(0.0))
+
+    def _try_common_base(self, e: E.BinaryMathExpr) -> ResultFrame | None:
+        """Collapse a math tree whose every data leaf is the SAME subtree
+        into one evaluation of that base plus column arithmetic — the
+        macro family (`:stddev`, `:avg`, `:pct`, trig chains, signal
+        bands) references its input 2-7 times via `:dup`/`:over`, and the
+        generic path re-evaluates the whole base (scan + aggregate +
+        shuffle) per reference and joins the copies (guide §2.4: remove
+        shuffles outright; measured 7 scans / 15 exchanges for
+        `:stddev`, 1 scan / 2 exchanges after).
+
+        Shape: leaves are the base X (structurally equal everywhere),
+        generators (:const/:pi/:time/:random/:time-span — pure column
+        functions of t), and second-level aggregates
+        (AggrMathExpr/MathGroupByExpr) whose inner is a pointwise chain
+        over X.  Aggregates become window functions over X's frame (or
+        one groupBy when no bare-X line-level leaf remains), everything
+        else becomes nanmath column arithmetic — bit-identical per cell
+        because both paths apply the same nanmath column functions and
+        every join the generic path performs is 1:1 per cell (all sides
+        derive from the same X).
+
+        Row-presence semantics: a cell the generic path materializes
+        with a NULL value and a cell this path omits are equivalent —
+        the output null-drop (AslSpec.run / oracle drop_nulls) and every
+        downstream consumer (null-skipping stats, densify-before-window)
+        treat them identically.  Cells where the generic path produces
+        NON-null values out of missing inputs (signal ops' 0.0,
+        `pow(x,0)=1`, addNaN with a generator side) are reproduced by
+        evaluating on the DENSIFIED base (`need_dense` below simulates,
+        per cell, whether a missing base value can surface as a non-null
+        result anywhere in the tree; one densify replaces the generic
+        path's per-operand densifies).  The result keeps dense=False
+        unless the root op is non-strict AND the frame is actually
+        dense, so downstream densify never skips a fill it still needs.
+        """
+        bases: list[E.TimeSeriesExpr] = []
+        state = {"refs": 0, "bare": False, "bail": False}
+        agg_leaves: list[tuple] = []  # (leaf expr, fn, inner, part_keys)
+        V_ABSENT, V_NULL, V_NONNULL = 0, 1, 2
+
+        def scan(node, in_agg: bool) -> int:
+            if state["bail"]:
+                return V_ABSENT
+            if isinstance(node, E.NamedRewrite):
+                return scan(node.evaluated, in_agg)
+            if isinstance(node, self._GEN_TYPES):
+                state["gens"] = True
+                return V_NONNULL
+            if isinstance(node, E.UnaryMathExpr):
+                return scan(node.expr, in_agg)
+            if isinstance(node, E.BinaryMathExpr):
+                lv = scan(node.lhs, in_agg)
+                rv = scan(node.rhs, in_agg)
+                op = node.op
+                if op in self._STRICT_OPS:
+                    if V_ABSENT in (lv, rv):
+                        return V_ABSENT
+                    if V_NULL in (lv, rv):
+                        return V_NULL
+                    return V_NONNULL
+                if op in self._SIGNAL_OPS:
+                    return V_NONNULL
+                if op == "pow":
+                    # pow(x, 0) == 1 even for missing x
+                    return V_NONNULL if rv == V_NONNULL else V_NULL
+                # add / sub: addNaN — missing side contributes nothing
+                return V_NONNULL if V_NONNULL in (lv, rv) else V_NULL
+            if isinstance(node, (E.AggrMathExpr, E.MathGroupByExpr)):
+                if in_agg:  # nested second-level aggregates: generic path
+                    state["bail"] = True
+                    return V_ABSENT
+                if isinstance(node, E.MathGroupByExpr):
+                    fn, inner, keys = node.af.fn, node.af.expr, tuple(node.keys)
+                else:
+                    fn, inner, keys = node.fn, node.expr, ()
+                if fn not in _AGG:
+                    state["bail"] = True
+                    return V_ABSENT
+                n0 = state["refs"]
+                iv = scan(inner, True)
+                if state["refs"] == n0:  # aggregate over pure generators
+                    state["bail"] = True
+                    return V_ABSENT
+                agg_leaves.append((node, fn, inner, keys))
+                if iv == V_ABSENT:
+                    return V_ABSENT
+                if iv == V_NONNULL:
+                    # absent lines surface as non-null values inside the
+                    # aggregate input: only the densified frame shows the
+                    # aggregate the same rows the generic path aggregates
+                    state["force_dense"] = True
+                    return V_NONNULL
+                # null cells are skipped by sum/min/max; count() of an
+                # all-null group is 0 — non-null — like the generic cell
+                return V_NONNULL if fn == "count" else V_NULL
+            # anything else is a data leaf: must be THE single base
+            if bases and node != bases[0]:
+                state["bail"] = True
+                return V_ABSENT
+            if not bases:
+                bases.append(node)
+            state["refs"] += 1
+            if not in_agg:
+                state["bare"] = True
+            return V_ABSENT
+
+        root_v = scan(e, False)
+        if state["bail"] or not bases:
+            return None
+        # fire only when the collapse saves at least one join: a second
+        # base reference, an aggregate leaf, or a generator side
+        if state["refs"] < 2 and not agg_leaves and not state.get("gens"):
+            return None
+        need_dense = root_v == V_NONNULL or state.get("force_dense", False)
+
+        rf = self._eval(bases[0])
+        if rf.keys is None or rf.no_lines or rf.dense:
+            return None  # :all / empty-placeholder / pre-dense: generic path
+        if need_dense:
+            rf = self.densify(rf)
+        kc = rf.key_cols
+
+        scalar_only = not state["bare"]
+        if scalar_only:
+            # every aggregate must share one partitioning for the single
+            # groupBy; differing regroup keys fall back to the generic path
+            part_sets = {keys for (_, _, _, keys) in agg_leaves}
+            if len(part_sets) > 1:
+                return None
+            part_keys = next(iter(part_sets)) if part_sets else ()
+            if any(k not in rf.colmap for k in part_keys):
+                return None
+        agg_cols: dict = {}
+
+        def col(node, frame_keys=None):
+            if isinstance(node, E.NamedRewrite):
+                return col(node.evaluated)
+            if isinstance(node, self._GEN_TYPES):
+                return self._gen_col(node)
+            if isinstance(node, E.UnaryMathExpr):
+                c = col(node.expr)
+                if node.op == "per-step":
+                    return c * F.lit(float(self.ctx.step))
+                return nanmath.unary_op(node.op, c, node.param)
+            if isinstance(node, E.BinaryMathExpr):
+                return nanmath.binary_op(node.op, col(node.lhs), col(node.rhs))
+            if isinstance(node, (E.AggrMathExpr, E.MathGroupByExpr)):
+                if node in agg_cols:
+                    return agg_cols[node]
+                if isinstance(node, E.MathGroupByExpr):
+                    fn, inner, keys = node.af.fn, node.af.expr, tuple(node.keys)
+                else:
+                    fn, inner, keys = node.fn, node.expr, ()
+                if scalar_only:
+                    # filled in by the groupBy below
+                    raise AssertionError("scalar agg resolved via groupBy")
+                if any(k not in rf.colmap for k in keys):
+                    raise _CommonBaseBail()
+                pcols = [rf.colmap[k] for k in keys] + ["t"]
+                c = _AGG[fn](col(inner)).over(Window.partitionBy(*pcols))
+                agg_cols[node] = c
+                return c
+            return F.col("value")
+
+        try:
+            if scalar_only:
+                # one aggregate column per DISTINCT aggregate leaf, one
+                # groupBy, then scalar arithmetic over the aggregated frame
+                distinct = []
+                for leaf in agg_leaves:
+                    if leaf[0] not in agg_cols:
+                        alias = f"_cb{len(distinct)}"
+                        agg_cols[leaf[0]] = F.col(alias)
+                        distinct.append((alias, leaf))
+                pcols = [rf.colmap[k] for k in part_keys]
+                g = rf.df.groupBy(*pcols, "t").agg(
+                    *[
+                        _AGG[fn](col(inner)).alias(alias)
+                        for alias, (_, fn, inner, _) in distinct
+                    ]
+                )
+                value = col(e)
+                out = g.select(*pcols, "t", value.cast("double").alias("value"))
+                cm = {k: rf.colmap[k] for k in part_keys}
+                dense_flag = False  # grouped output: cells at observed t's
+                if need_dense and e.op not in self._STRICT_OPS:
+                    dense_flag = True
+                res = ResultFrame(
+                    out, tuple(part_keys), cm, dict(rf.static_tags),
+                    dense=dense_flag, no_lines=rf.no_lines,
+                )
+            else:
+                value = col(e)
+                out = rf.df.select(
+                    *kc, "t", value.cast("double").alias("value")
+                )
+                keys = e.group_keys()
+                cm = {k: rf.colmap[k] for k in keys}
+                dense_flag = need_dense and e.op not in self._STRICT_OPS
+                res = ResultFrame(
+                    out, tuple(keys), cm, dict(rf.static_tags),
+                    dense=dense_flag, no_lines=rf.no_lines,
+                )
+        except _CommonBaseBail:
+            return None
+        return res
+
     def _try_rollup_binary(self, e: E.BinaryMathExpr) -> ResultFrame | None:
         """`q,:f,(,K,),:by  OP  q,:f,(,k⊆K,),:by` (share-of-total shapes):
         the subset-side rollup is a re-aggregation of the superset-side
@@ -860,7 +1096,11 @@ class Evaluator:
         return ResultFrame(out, out_keys, cm, static)
 
     def _eval_binary(self, e: E.BinaryMathExpr) -> ResultFrame:
-        rw = self._try_rollup_binary(e) or self._try_condagg_binary(e)
+        rw = (
+            self._try_common_base(e)
+            or self._try_rollup_binary(e)
+            or self._try_condagg_binary(e)
+        )
         if rw is not None:
             return rw
         lhs, rhs = self._eval(e.lhs), self._eval(e.rhs)
