@@ -254,6 +254,12 @@ class Evaluator:
         self.ctx = ctx
         self.spark: SparkSession = source.df.sparkSession
         self._data_cache: dict[str, ResultFrame] = {}
+        # stateful subtrees referenced more than once (the des-epic macro
+        # binds pred = :des once but the tree references it 4x): one
+        # built frame per distinct StatefulMathExpr, marked reused on the
+        # second reference so the scale persist flag collapses the
+        # repeated pandas-kernel executions to one
+        self._stateful_cache: dict[E.StatefulMathExpr, ResultFrame] = {}
         # CollectorStats-style input accounting (CollectorStats.scala):
         # when enabled, each post-predicate scan frame is RECORDED for a
         # later bounded stats aggregation (input_stats) — the standard
@@ -459,7 +465,13 @@ class Evaluator:
         if isinstance(e, E.SampleCountExpr):
             return self._eval_sample_count(e)
         if isinstance(e, E.StatefulMathExpr):
-            return self._eval_stateful(e)
+            if e not in self._stateful_cache:
+                self._stateful_cache[e] = self._eval_stateful(e)
+            else:
+                # second reference to the same stateful subtree: persist
+                # (flag-gated) so the window/DES computation runs once
+                self._mark_reused(self._stateful_cache[e].df)
+            return self._stateful_cache[e]
         if isinstance(e, E.StatExpr):
             return self._eval_stat(e)
         if isinstance(e, E.StatPlaceholder):
