@@ -383,18 +383,54 @@ class Evaluator:
             (F.lit(ctx.start) + F.col("id") * ctx.step).cast("long").alias("t")
         )
 
+    # above this many steps the one-pass map-explode densify would carry
+    # per-key cell maps of unbounded width through the generator; the
+    # join-based path (which streams the frame) takes over.  The bound
+    # is also a complexity guard: Spark map lookup is a linear scan, so
+    # the per-key fill is O(steps x cells) — measured FASTER than the
+    # double-execution join at 240 steps (st_rolling_sum 2 scans -> 1,
+    # NLJ grid join gone) and slower at 2557 (li_rolling_week 0.53 s
+    # join vs 1.2 s map, r16 A/B), hence 1024.  Rendered contexts
+    # step-align to the canvas width (auto-step), far below the bound.
+    _DENSIFY_MAP_MAX_STEPS = 1024
+
     def densify(self, rf: ResultFrame) -> ResultFrame:
         """Expand to the full [start, end) grid with NULL gaps.
 
-        Grid side is broadcast (n_steps rows); the series-key dimension is a
-        distinct over the aggregated frame.
+        Keyed frames densify in ONE pass over the aggregate: collect each
+        key's (t, value) cells into a map, then explode a generated
+        struct array `transform(sequence(start..), t -> (t, m[t]))` —
+        one groupBy exchange, and the aggregate subtree executes once.
+        The former shape (`keys.distinct()` × broadcast grid, left join
+        back) executed the subtree TWICE (the key-distinct is a second
+        consumer) and shuffled both join sides; it remains the fallback
+        for contexts wider than _DENSIFY_MAP_MAX_STEPS, where the
+        per-key cell map would grow with the window.
         """
         if rf.dense:
             return rf
         if rf.no_lines:
             return replace(rf, dense=True)
-        grid = F.broadcast(self.grid_df())
         kc = rf.key_cols
+        ctx = self.ctx
+        if kc and ctx.n_steps <= self._DENSIFY_MAP_MAX_STEPS:
+            last = ctx.start + (ctx.n_steps - 1) * ctx.step
+            g = rf.df.groupBy(*kc).agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("t", "value"))
+                ).alias("_m")
+            )
+            gen = F.explode(
+                F.expr(
+                    f"transform(sequence({ctx.start}L, {last}L, {ctx.step}L),"
+                    " tt -> struct(tt AS t, _m[tt] AS value))"
+                )
+            )
+            df = g.select(*kc, gen.alias("_c")).select(
+                *kc, F.col("_c.t").alias("t"), F.col("_c.value").alias("value")
+            )
+            return replace(rf, df=df, dense=True)
+        grid = F.broadcast(self.grid_df())
         if kc:
             # the frame feeds BOTH the key-distinct and the grid join —
             # persist so the aggregate subtree (and its source scan)

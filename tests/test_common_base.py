@@ -134,3 +134,24 @@ def test_collapse_bails_to_generic(spark, ev_src, ev_ctx):
         ":true,:sum,(,name,),:by,:sum,:dup,:sum,:div",
     ):
         assert ev._try_common_base(_expr(asl, ev_ctx.step)) is None, asl
+
+
+def test_densify_map_path_matches_join_path(spark, ev_src, ev_ctx):
+    """One-pass map-explode densify (contexts <= _DENSIFY_MAP_MAX_STEPS)
+    is row-identical to the join-based fallback, and executes the
+    aggregate subtree once (single scan, no NLJ grid join)."""
+    from atlas_spark.stacklang.vocab import parse
+
+    e = parse(":true,:sum,(,name,),:by,3,:rolling-sum", step=ev_ctx.step)[0]
+
+    class _JoinDensify(Evaluator):
+        _DENSIFY_MAP_MAX_STEPS = 0  # force the fallback
+
+    a = _rows(ev_src, ev_ctx, e)
+    b = _rows(ev_src, ev_ctx, e, _JoinDensify)
+    _assert_close(a, b)
+
+    rf = Evaluator(ev_src, ev_ctx).eval(e)
+    plan = rf.df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Location: InMemoryFileIndex") <= 1
+    assert "NestedLoop" not in plan
