@@ -383,29 +383,33 @@ class Evaluator:
             (F.lit(ctx.start) + F.col("id") * ctx.step).cast("long").alias("t")
         )
 
-    # above this many steps the one-pass map-explode densify would carry
-    # per-key cell maps of unbounded width through the generator; the
-    # join-based path (which streams the frame) takes over.  The bound
-    # is also a complexity guard: Spark map lookup is a linear scan, so
-    # the per-key fill is O(steps x cells) — measured FASTER than the
-    # double-execution join at 240 steps (st_rolling_sum 2 scans -> 1,
-    # NLJ grid join gone) and slower at 2557 (li_rolling_week 0.53 s
-    # join vs 1.2 s map, r16 A/B), hence 1024.  Rendered contexts
-    # step-align to the canvas width (auto-step), far below the bound.
-    _DENSIFY_MAP_MAX_STEPS = 1024
+    # above this many steps the one-pass densify would carry a per-key
+    # cell array of O(steps) structs (~16 B each) through the generator
+    # row, so the join-based path (which streams the frame) takes over.
+    # The walk itself is linear — sorted cells merged against the step
+    # sequence, one sequence segment per gap — so unlike the earlier
+    # map-lookup form (O(steps x cells)) the bound is purely a row-width
+    # guard: 65536 steps ~ 1 MB per key row.  Every registry/render
+    # context is far below it (auto-step aligns rendered contexts to the
+    # canvas width; the widest fixture grid is 2557 steps).
+    _DENSIFY_ONEPASS_MAX_STEPS = 65536
 
     def densify(self, rf: ResultFrame) -> ResultFrame:
         """Expand to the full [start, end) grid with NULL gaps.
 
         Keyed frames densify in ONE pass over the aggregate: collect each
-        key's (t, value) cells into a map, then explode a generated
-        struct array `transform(sequence(start..), t -> (t, m[t]))` —
-        one groupBy exchange, and the aggregate subtree executes once.
-        The former shape (`keys.distinct()` × broadcast grid, left join
-        back) executed the subtree TWICE (the key-distinct is a second
-        consumer) and shuffled both join sides; it remains the fallback
-        for contexts wider than _DENSIFY_MAP_MAX_STEPS, where the
-        per-key cell map would grow with the window.
+        key's (t, value) cells, sort them, and walk the sorted array once
+        — each cell expands to `sequence(prev.t + step, t)` grid points
+        (the gap nulls before it, then itself), and a phantom cell at
+        `last + step` expands the trailing gap (dropped after the
+        explode).  One groupBy exchange, the aggregate subtree executes
+        once, and the per-key fill is O(cells log cells + steps) — no
+        map lookup, no grid join.  The former shape (`keys.distinct()` ×
+        broadcast grid, left join back) executed the subtree TWICE (the
+        key-distinct is a second consumer) and shuffled both join sides;
+        it remains the fallback for contexts wider than
+        _DENSIFY_ONEPASS_MAX_STEPS, where the per-key cell array would
+        outgrow a sane row width.
         """
         if rf.dense:
             return rf
@@ -413,21 +417,40 @@ class Evaluator:
             return replace(rf, dense=True)
         kc = rf.key_cols
         ctx = self.ctx
-        if kc and ctx.n_steps <= self._DENSIFY_MAP_MAX_STEPS:
-            last = ctx.start + (ctx.n_steps - 1) * ctx.step
+        if kc and ctx.n_steps <= self._DENSIFY_ONEPASS_MAX_STEPS:
+            start, step = ctx.start, ctx.step
+            last = start + (ctx.n_steps - 1) * step
             g = rf.df.groupBy(*kc).agg(
-                F.map_from_entries(
-                    F.collect_list(F.struct("t", "value"))
-                ).alias("_m")
+                F.collect_list(F.struct("t", "value")).alias("_raw")
             )
-            gen = F.explode(
+            # on-grid cells only (both prior densify shapes dropped
+            # off-grid ts), sorted, plus the phantom trailing cell
+            g = g.select(
+                *kc,
                 F.expr(
-                    f"transform(sequence({ctx.start}L, {last}L, {ctx.step}L),"
-                    " tt -> struct(tt AS t, _m[tt] AS value))"
-                )
+                    f"concat(array_sort(filter(_raw, c -> c.t >= {start}L"
+                    f" AND c.t <= {last}L AND (c.t - {start}L) % {step}L = 0)),"
+                    f" array(struct({last + step}L AS t,"
+                    f" CAST(NULL AS DOUBLE) AS value)))"
+                ).alias("_cs"),
             )
-            df = g.select(*kc, gen.alias("_c")).select(
-                *kc, F.col("_c.t").alias("t"), F.col("_c.value").alias("value")
+            # aggregate ts are unique per key, so consecutive cells are
+            # >= one step apart and every sequence below is non-empty
+            walk = (
+                "flatten(transform(_cs, (c, i) -> transform("
+                f"sequence(CASE WHEN i = 0 THEN {start}L"
+                f" ELSE element_at(_cs, i).t + {step}L END, c.t, {step}L),"
+                " tt -> struct(tt AS t,"
+                " IF(tt = c.t, c.value, CAST(NULL AS DOUBLE)) AS value))))"
+            )
+            df = (
+                g.select(*kc, F.explode(F.expr(walk)).alias("_c"))
+                .select(
+                    *kc,
+                    F.col("_c.t").alias("t"),
+                    F.col("_c.value").alias("value"),
+                )
+                .filter(F.col("t") <= last)  # drop the phantom cell
             )
             return replace(rf, df=df, dense=True)
         grid = F.broadcast(self.grid_df())

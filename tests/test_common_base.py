@@ -137,7 +137,7 @@ def test_collapse_bails_to_generic(spark, ev_src, ev_ctx):
 
 
 def test_densify_map_path_matches_join_path(spark, ev_src, ev_ctx):
-    """One-pass map-explode densify (contexts <= _DENSIFY_MAP_MAX_STEPS)
+    """One-pass sorted-walk densify (contexts <= _DENSIFY_ONEPASS_MAX_STEPS)
     is row-identical to the join-based fallback, and executes the
     aggregate subtree once (single scan, no NLJ grid join)."""
     from atlas_spark.stacklang.vocab import parse
@@ -145,7 +145,7 @@ def test_densify_map_path_matches_join_path(spark, ev_src, ev_ctx):
     e = parse(":true,:sum,(,name,),:by,3,:rolling-sum", step=ev_ctx.step)[0]
 
     class _JoinDensify(Evaluator):
-        _DENSIFY_MAP_MAX_STEPS = 0  # force the fallback
+        _DENSIFY_ONEPASS_MAX_STEPS = 0  # force the fallback
 
     a = _rows(ev_src, ev_ctx, e)
     b = _rows(ev_src, ev_ctx, e, _JoinDensify)
