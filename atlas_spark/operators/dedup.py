@@ -366,9 +366,13 @@ def _minhash_bands(feats: DataFrame, num_hashes: int = 32, bands: int = 16) -> D
     banded for LSH.
 
     All `num_hashes` permutation minima are computed in a single
-    hash-aggregate (narrow agg expressions in whole-stage codegen) — far
-    cheaper than per-row nested array folds.  The band bucket packs the
-    masked minima into one 60-bit key.
+    hash-aggregate (narrow agg expressions in whole-stage codegen) — the
+    right shape when the input arrives as EXPLODED rows (the md5
+    vocab-join paths).  When the shingles already sit in one array per
+    doc, `_bands_from_shingle_arrays` computes the same signature per
+    row with no aggregate and no exchange — the batch LSH pipelines use
+    that since r16.  The band bucket packs the masked minima into one
+    60-bit key.
     """
     rows_per_band = num_hashes // bands
     assert rows_per_band <= 2, "bucket packing holds at most two 31-bit minima"
@@ -479,40 +483,56 @@ def minhash_bands_map(
     same 28-bit masking, same two-minima packing) — pinned by a
     differential test.  Docs shorter than the shingle width emit no
     bands (the batch aggregate likewise never sees them)."""
+    sh = ngram_shingles(df, n, hash_fn=F.xxhash64, extra_cols=extra_cols)
+    return _bands_from_shingle_arrays(sh, num_hashes, bands, extra_cols)
+
+
+def _bands_from_shingle_arrays(
+    sh: DataFrame, num_hashes: int = 48, bands: int = 24, extra_cols: tuple = ()
+) -> DataFrame:
+    """(doc_id, shingles[], ...) -> exploded (doc_id, band, bucket) via
+    per-row array folds — the shared core of `minhash_bands_map` and the
+    batch LSH pipelines.
+
+    The batch pipelines moved here from the `_minhash_bands` explode +
+    hash-aggregate in r16 (guide §2.4 "remove shuffles outright"): the
+    shingle frame already holds one complete array per doc, so grouping
+    exploded rows back by doc_id only re-derived what the row had — at
+    the price of one Exchange shipping a 48-minima signature row PER
+    DOCUMENT (O(corpus) rows at 100 TB).  The fold computes the same
+    signature without any shuffle; A/B at sf0.1 was cost-neutral
+    (0.542 s vs 0.551 s full-pipeline warm min-of-5) and the emitted
+    (doc_id, band, bucket) set is pinned identical on the real corpus
+    (`test_minhash_bands_map_equals_aggregate`).  `_minhash_bands` stays
+    for the md5 unit-oracle paths, whose input is exploded vocab-join
+    rows rather than arrays."""
     rows_per_band = num_hashes // bands
     assert rows_per_band <= 2, "bucket packing holds at most two 31-bit minima"
     consts = _perm_consts(num_hashes)
-    sh = ngram_shingles(df, n, hash_fn=F.xxhash64, extra_cols=extra_cols).filter(
-        F.size("shingles") > 0
-    )
+    sh = sh.filter(F.size("shingles") > 0)
 
-    def perm_min(a: int, b: int):
-        return F.array_min(
-            F.transform(
-                F.col("shingles"),
-                lambda s: (F.lit(a) * s.bitwiseAND(F.lit(_MASK28)) + F.lit(b))
-                % F.lit(_PERM_P),
-            )
+    # one F.expr SQL string, not per-op Column chains: each Column
+    # operator is a py4j round-trip and the fold is ~300 ops (r16 build
+    # batching, see _minhash_bands).  All literals L-suffixed: the
+    # a*s28+b products stay below 2^59, exact in 64-bit.
+    def perm_min(a: int, b: int) -> str:
+        return (
+            f"array_min(transform(shingles, s -> "
+            f"({a}L * (s & {_MASK28}L) + {b}L) % {_PERM_P}L))"
         )
 
-    def bucket(bi: int):
-        out = F.lit(0).cast("long")
+    def bucket(bi: int) -> str:
+        out = "0L"
         for r in range(rows_per_band):
             a, b = consts[bi * rows_per_band + r]
-            out = out * F.lit(1 << 31) + perm_min(a, b)
+            out = f"({out} * {1 << 31}L + {perm_min(a, b)})"
         return out
 
+    structs = ", ".join(
+        f"named_struct('band', {bi}, 'bucket', {bucket(bi)})" for bi in range(bands)
+    )
     return sh.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(bi).alias("band"), bucket(bi).alias("bucket"))
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("bb"),
-        *extra_cols,
+        "doc_id", F.expr(f"explode(array({structs}))").alias("bb"), *extra_cols
     ).select("doc_id", "bb.band", "bb.bucket", *extra_cols)
 
 
@@ -1104,10 +1124,11 @@ def minhash_lsh_pairs(
     a prebuilt (shared) shingle frame instead of deriving one here."""
     if sh is None:
         sh = scoped_persist(ngram_shingles(docs, n, hash_fn=F.xxhash64))
+    # per-row fold over the shingle arrays, not explode + hash-aggregate:
+    # removes the Exchange that shipped one signature row per document
+    # (see _bands_from_shingle_arrays)
     cand = _band_candidates(
-        _minhash_bands(
-            sh.select("doc_id", F.explode("shingles").alias("s")), num_hashes, bands
-        ),
+        _bands_from_shingle_arrays(sh, num_hashes, bands),
         max_bucket=max_bucket,
         skip_observation=skip_observation,
     )
@@ -1277,8 +1298,8 @@ def ngram_jaccard_pairs(
     # at sf0.1.  Two-row bands keep the noise-pair candidate rate
     # quadratic in J (single-row bands flood verification).
     cand = _band_candidates(
-        _minhash_bands(sh.select("doc_id", F.explode("shingles").alias("s")), 48, 24)
-    )  # default LSH_MAX_BUCKET cap applies
+        _bands_from_shingle_arrays(sh, 48, 24)
+    )  # default LSH_MAX_BUCKET cap applies; zero-shuffle per-row signatures
     return _verified_pairs(sh, cand, threshold).select("id_a", "id_b", "jaccard")
 
 

@@ -404,6 +404,21 @@ def test_minhash_recall_on_planted_dups(spark):
     assert not missed, missed
 
 
+def test_batch_lsh_has_no_signature_exchange(spark, sf_dir, queries):
+    """The batch LSH pipelines compute MinHash signatures with a per-row
+    fold over the shingle arrays (`_bands_from_shingle_arrays`), not the
+    explode + min-aggregate: the aggregate shape paid an Exchange
+    shipping one 48-minima row PER DOCUMENT — O(corpus) shuffle rows at
+    scale for information the row already held.  Pin that no min
+    aggregate survives anywhere in either query's plan (the only min()
+    in these pipelines was the signature), while the candidate pipeline
+    keeps its two legitimate keyed shuffles (bucket agg, pair distinct)."""
+    for name in ("op_minhash_candidates", "op_ngram_jaccard"):
+        plan = _plan(queries[name](spark, sf_dir))
+        assert "partial_min" not in plan, name
+        assert "functions=[min(" not in plan, name
+
+
 def test_minhash_bands_map_equals_aggregate(spark, sf_dir):
     """The per-row (zero-shuffle, streaming-composable) signature of
     minhash_bands_map must emit the IDENTICAL (doc_id, band, bucket) set
