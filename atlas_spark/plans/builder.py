@@ -612,12 +612,15 @@ class Evaluator:
         ctx = self.ctx.with_offset(offset) if offset else self.ctx
         fn = e.af.fn if isinstance(e, E.GroupByExpr) else getattr(e, "fn", None)
         raw_base = (
-            fn == "sum"
+            fn is not None
+            and fn == self.source.raw_fold
             and self.source.raw_ranged is not None
             and not isinstance(e, E.AllExpr)
         )
         if raw_base:
-            # sum-of-sums == sum: skip the per-series ingest rollup shuffle
+            # the aggregation merges exactly like the ingest rollup
+            # (sum-of-sums == sum; max-of-max == max): skip the
+            # per-series ingest rollup shuffle
             base = self.source.raw_ranged(ctx.start, ctx.end)
         else:
             base = self.source.ranged_df(ctx.start, ctx.end)
@@ -1009,9 +1012,11 @@ class Evaluator:
         offset = sup_e.af.offset // self.ctx.step
         ctx = self.ctx.with_offset(offset) if offset else self.ctx
         fn = sup_e.af.fn
-        raw_base = fn == "sum" and self.source.raw_ranged is not None
+        raw_base = fn == self.source.raw_fold and self.source.raw_ranged is not None
         if raw_base:
-            # sum-of-sums == sum: skip the per-series ingest rollup shuffle
+            # the aggregation merges exactly like the ingest rollup
+            # (sum-of-sums == sum; max-of-max == max): skip the
+            # per-series ingest rollup shuffle
             base = self.source.raw_ranged(ctx.start, ctx.end)
         else:
             base = self.source.ranged_df(ctx.start, ctx.end)

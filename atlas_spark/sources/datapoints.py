@@ -143,10 +143,19 @@ class DatapointSource:
     # cannot use scan statistics.
     ranged: "object" = None
     # Optional pre-rollup rows (same columns, one row per raw datapoint).
-    # Only valid when the ingest rollup is SUM: `:sum` aggregations then
-    # fold raw rows directly (sum-of-sums == sum), removing one full
+    # Valid when the consuming aggregation merges exactly like the ingest
+    # rollup (`raw_fold` below): those aggregations then fold raw rows
+    # directly (sum-of-sums == sum, max-of-max == max), removing one full
     # shuffle + hash aggregate from the most common query shape.
     raw_ranged: "object" = None
+    # The ingest rollup the raw path replaces: a consuming aggregation may
+    # fold `raw_ranged` rows directly only when its fn EQUALS this fold
+    # and the fold is mergeable ("sum": sum-of-sums == sum, counts are a
+    # sum of 1.0 rows so the equality is exact in doubles below 2^53;
+    # "max"/"min": idempotent, max-of-max == max).  "count" is NOT a
+    # valid fold: a `:count` aggregation counts series CELLS, not raw
+    # rows.
+    raw_fold: str = "sum"
     # DsType of every series in this source ("rate" | "gauge",
     # DsType.scala:18-36).  Consolidation `avg` divides by the number of
     # sub-intervals for rates but by the NON-NULL count for gauges — a
@@ -485,12 +494,44 @@ def percentile_datapoints(
             )
         )
 
+    def project(ev_df):
+        # pre-rollup rows for the raw `:sum` path: the ingest rollup is a
+        # COUNT, i.e. a SUM over value=1.0 rows, so a consuming `:sum`
+        # that drops `name` can fold raw rows straight to its own
+        # (coarser) keys — one exchange of (bucket, t) partials instead
+        # of a full (name, bucket, t) rollup exchange plus a regroup.
+        # The label column rides along for tag-filter queries and is
+        # pruned when unused; grouping paths use the `_idx` component.
+        return (
+            ev_df.select(
+                F.col("event_type").alias("k_name"),
+                _step_t(ev_df, step),
+                amount.alias("_amt"),
+            )
+            .select(
+                "k_name",
+                idx.alias("_idx"),
+                F.format_string("D%04X", idx).alias("k_percentile"),
+                "t",
+                F.lit(1.0).alias("value"),
+            )
+        )
+
     return DatapointSource(
         df=build(ev),
         step=step,
         colmap={"name": "k_name", "percentile": "k_percentile"},
         sql_cte=percentile_cte(step),
         ranged=_memo_range(lambda lo, hi: build(_ts_range(ev, lo, hi))),
+        raw_ranged=_memo_range(lambda lo, hi: project(_ts_range(ev, lo, hi))),
+        raw_components={
+            # D%04X is injective over the index range and null iff the
+            # index is null
+            "percentile": (
+                ("_idx",),
+                lambda: F.format_string("D%04X", F.col("_idx")),
+            ),
+        },
     )
 
 
@@ -541,12 +582,37 @@ def distinct_datapoints(
             )
         )
 
+    def project(ev_df):
+        # pre-rollup rows for the raw `:max` path: the ingest rollup is a
+        # MAX over per-event rho values — idempotent, so a consuming
+        # `:max` that drops `name` (the `:approx-distinct` register merge)
+        # folds raw rows straight to its own (register, t) keys, skipping
+        # the (name, register, t) ingest exchange.  The label column
+        # rides along for tag-filter queries; grouping uses `_reg`.
+        return ev_df.select(
+            F.col("event_type").alias("k_name"),
+            reg,
+            F.format_string("R%02X", reg).alias("k_distinct"),
+            _step_t(ev_df, step),
+            rho.cast("double").alias("value"),
+        )
+
     return DatapointSource(
         df=build(ev),
         step=step,
         colmap={"name": "k_name", "distinct": "k_distinct"},
         sql_cte=distinct_cte(step),
         ranged=_memo_range(lambda lo, hi: build(_ts_range(ev, lo, hi))),
+        raw_ranged=_memo_range(lambda lo, hi: project(_ts_range(ev, lo, hi))),
+        raw_fold="max",
+        raw_components={
+            # R%02X is injective over the register index and null iff the
+            # index is null
+            "distinct": (
+                ("_reg",),
+                lambda: F.format_string("R%02X", F.col("_reg")),
+            ),
+        },
     )
 
 

@@ -1063,3 +1063,57 @@ def test_span_dedup_hot_gram_safe_plan(spark, sf_dir, queries):
     assert "Window" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "partial_min" in plan or "partial" in plan.lower(), plan
+
+
+def test_sketch_sources_fuse_ingest_rollup(spark, sf_dir, queries):
+    """The pct / sketch sources roll raw events up per (name, bucket, t)
+    series, but `:percentiles` (sum over value=1.0 rows == count) and
+    `:approx-distinct` (max rho, idempotent) immediately merge the
+    series across `name` — so the evaluator folds RAW rows straight to
+    the consumer's coarser keys (`DatapointSource.raw_fold`), and the
+    finest-granularity ingest exchange disappears from the plan.  Pin
+    that no exchange in either plan is keyed by the source name column
+    (the fused first exchange carries (bucket|register, t) partials)."""
+    import re
+
+    for name in ("pct_percentiles", "ad_distinct", "pct_median"):
+        plan = _plan(queries[name](spark, sf_dir))
+        for args in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+            assert "k_name" not in args and "event_type" not in args, (
+                name,
+                args,
+            )
+
+
+def test_sketch_raw_fusion_differential(spark, sf_dir):
+    """Raw-path fusion vs the generic per-series rollup path must be
+    value-identical (count == sum of 1.0 rows exactly; max-of-max
+    idempotent).  Drive the Evaluator directly, once with the source as
+    registered (raw path) and once with raw_ranged stripped (generic
+    path), and compare rounded rows — rounding to the registry's 6
+    decimals absorbs hash-aggregate summation-order ulps in the
+    estimator stages, same as the driver's oracle comparison."""
+    from dataclasses import replace
+
+    from atlas_spark.plans.builder import Evaluator
+    from atlas_spark.registry import ASL_SPECS, SOURCES
+
+    for name in ("pct_percentiles", "ad_distinct", "pct_sample_count"):
+        spec = next(s for s in ASL_SPECS if s.name == name)
+        src = SOURCES[spec.source].factory(spark, sf_dir)
+        assert src.raw_ranged is not None, name
+        ctx = spec._ctx()
+        e = spec.expr()
+        fused = Evaluator(src, ctx).eval(e).df
+        generic = Evaluator(replace(src, raw_ranged=None), ctx).eval(e).df
+
+        def norm(df):
+            rows = df.collect()
+            return sorted(
+                tuple(
+                    round(v, 6) if isinstance(v, float) else v for v in r
+                )
+                for r in rows
+            )
+
+        assert norm(fused) == norm(generic), name
