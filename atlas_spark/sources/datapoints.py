@@ -389,8 +389,10 @@ def gauge_datapoints(
     reports when an event exceeds `GAUGE_MIN_VALUE`, giving the gap-y
     series gauge consolidation semantics exist for.  Ingest rollup is
     MAX (duplicate gauge publishes in a step keep the max,
-    `AggrDatapoint.scala:195-222` / `norm.gauge_dedup_batch`), so there
-    is no sum-exact `raw_ranged` fast path.
+    `AggrDatapoint.scala:195-222` / `norm.gauge_dedup_batch`), so the
+    raw fast path applies to `:max` consumers only (`raw_fold="max"`,
+    idempotent max-of-max); `:sum`/`:count` over gauge series must go
+    through the per-series rollup.
     """
     from ..session import configure_existing
 
@@ -417,12 +419,38 @@ def gauge_datapoints(
             )
         )
 
+    def project(ev_df: DataFrame) -> DataFrame:
+        # pre-rollup rows for the raw `:max` path (idempotent fold): a
+        # consuming `:max` that drops series keys folds raw gauge
+        # publishes straight to its own keys, skipping the
+        # (name, bucket, t) ingest exchange.  Cell sets are identical
+        # (a cell exists iff any raw publish survives the gauge filter),
+        # so gauge consolidation semantics (non-null denominator) are
+        # unchanged.
+        return ev_df.filter(F.col("value") > GAUGE_MIN_VALUE).select(
+            F.col("event_type").alias("k_name"),
+            (F.col("user_id") % 8).cast("int").alias("_ub"),
+            F.concat(F.lit("u"), (F.col("user_id") % 8).cast("string")).alias(
+                "k_bucket"
+            ),
+            _step_t(ev_df, step),
+            F.col("value"),
+        )
+
     return DatapointSource(
         df=build(ev),
         step=step,
         colmap={"name": "k_name", "bucket": "k_bucket"},
         sql_cte=gauge_cte(step),
         ranged=_memo_range(lambda lo, hi: build(_ts_range(ev, lo, hi))),
+        raw_ranged=_memo_range(lambda lo, hi: project(_ts_range(ev, lo, hi))),
+        raw_fold="max",
+        raw_components={
+            "bucket": (
+                ("_ub",),
+                lambda: F.concat(F.lit("u"), F.col("_ub").cast("string")),
+            ),
+        },
         ds_type="gauge",
     )
 

@@ -1098,7 +1098,14 @@ def test_sketch_raw_fusion_differential(spark, sf_dir):
     from atlas_spark.plans.builder import Evaluator
     from atlas_spark.registry import ASL_SPECS, SOURCES
 
-    for name in ("pct_percentiles", "ad_distinct", "pct_sample_count"):
+    for name in (
+        "pct_percentiles",
+        "ad_distinct",
+        "pct_sample_count",
+        "data_gauge_day_max",
+        "data_cf_avg_gauge",
+        "f_consolidate_avg_gauge",
+    ):
         spec = next(s for s in ASL_SPECS if s.name == name)
         src = SOURCES[spec.source].factory(spark, sf_dir)
         assert src.raw_ranged is not None, name
