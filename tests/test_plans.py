@@ -1124,3 +1124,15 @@ def test_sketch_raw_fusion_differential(spark, sf_dir):
             )
 
         assert norm(fused) == norm(generic), name
+
+
+def test_batch_lsh_single_fold_pass(spark, sf_dir, queries):
+    """The MinHash signature is ONE aggregate fold over the shingle
+    array with a num_hashes-wide running-min accumulator — not one
+    transform + array_min traversal per permutation, and CollapseProject
+    must not inline the fold into the 24 bucket expressions (that would
+    re-run it 24x per row).  Pin exactly one fold per plan."""
+    for name in ("op_minhash_candidates", "op_ngram_jaccard"):
+        plan = _plan(queries[name](spark, sf_dir))
+        assert plan.count("aggregate(shingles") == 1, name
+        assert "array_min(transform" not in plan, name
