@@ -1506,7 +1506,20 @@ class Evaluator:
         df, ek_cols = self._pct_indexed(e)
         lo_idx = index_of(_math.ceil(e.lo)) if e.lo > 0 else 0
         hi_idx = index_of(_math.ceil(e.hi)) if _math.isfinite(e.hi) else 1 << 30
-        df = df.filter((F.col("_idx") >= lo_idx) & (F.col("_idx") < hi_idx))
+        # Keep the bucket-range filter at CELL level (the reference
+        # filters the series set, MathVocabulary.scala:1373): `_idx` is
+        # parsed from the label, and an unguarded range conjunct is
+        # deterministic, so Catalyst pushes it through the (fused)
+        # rollup aggregate and inlines format_string -> conv(substring)
+        # per RAW row, twice — java.util.Formatter per event was
+        # measured at 4-5x the whole query (1.8 s vs 0.4 s at sf0.1).
+        # Guarding on the aggregated `value` pins the filter above the
+        # rollup; semantics unchanged (_pct_indexed already drops
+        # value IS NULL rows), and the cell count a step holds is
+        # bounded by the bucket count, so the un-pushed filter costs
+        # O(buckets x steps), not O(events), at every scale.
+        guarded = F.when(F.col("value").isNotNull(), F.col("_idx"))
+        df = df.filter((guarded >= lo_idx) & (guarded < hi_idx))
         out = df.groupBy(*ek_cols, "t").agg(F.sum("value").alias("value"))
         cm = {k: self.source.colmap.get(k, sanitize(k)) for k in e.eval_keys()}
         return ResultFrame(out, e.eval_keys(), cm, e.expr.query.exact_keys())

@@ -1136,3 +1136,21 @@ def test_batch_lsh_single_fold_pass(spark, sf_dir, queries):
         plan = _plan(queries[name](spark, sf_dir))
         assert plan.count("aggregate(shingles") == 1, name
         assert "array_min(transform" not in plan, name
+
+
+def test_sample_count_range_filter_stays_at_cell_level(spark, sf_dir, queries):
+    """The sample-count bucket-range filter must act on aggregated
+    cells, not be pushed through the rollup: pushed, it inlines the
+    label format + parse (java.util.Formatter) per RAW event, twice —
+    measured 4-5x the whole query.  Pin that no scan-level filter
+    contains format_string."""
+    for name in ("pct_sample_count", "pct_sample_count_inf"):
+        df = queries[name](spark, sf_dir)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        # every Condition below the first exchange (i.e. in the scan
+        # stage) must be free of the label round trip
+        scan_stage = plan.split("hashpartitioning", 1)[0]
+        for cond in re.findall(r"Condition : (.*)", scan_stage):
+            assert "format_string" not in cond, (name, cond[:200])
