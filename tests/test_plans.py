@@ -1133,7 +1133,11 @@ def test_batch_lsh_single_fold_pass(spark, sf_dir, queries):
     must not inline the fold into the 24 bucket expressions (that would
     re-run it 24x per row).  Pin exactly one fold per plan."""
     for name in ("op_minhash_candidates", "op_ngram_jaccard"):
-        plan = _plan(queries[name](spark, sf_dir))
+        # pin the OPTIMIZED LOGICAL plan: the physical rendering changes
+        # once the query has executed (final-plan sections, truncated
+        # field lists), while the logical plan is stable and shows the
+        # fold exactly where CollapseProject left it
+        plan = _optimized(queries[name](spark, sf_dir))
         assert plan.count("aggregate(shingles") == 1, name
         assert "array_min(transform" not in plan, name
 
