@@ -1364,7 +1364,7 @@ def simhash(spark: SparkSession, sf_dir: str, bits: int = 60) -> DataFrame:
     in-engine hash would forfeit for no measured gain (the md5 is ~2% of
     query time; profiled md5-direct == xxhash64 at sf0.1).
 
-    The bit votes fold inside TWO nested higher-order `aggregate`
+    The bit votes fold inside constant-size higher-order `aggregate`
     expressions over the per-doc hash list instead of `bits` separate
     conditional-sum aggregate columns: a wide agg costs Catalyst
     analysis/optimization time proportional to the expression count on
@@ -1372,6 +1372,17 @@ def simhash(spark: SparkSession, sf_dir: str, bits: int = 60) -> DataFrame:
     tree is constant-size.  The per-doc list is bounded by the doc's
     distinct-word count, and SQL `shiftright` (unlike the PySpark
     wrapper) accepts the lambda index as its shift amount.
+
+    The bit counts accumulate in ONE pass over the hash list with a
+    `bits`-wide accumulator (r17; same one-pass rule as the MinHash
+    signature fold): the former inner aggregate ran once per bit — 60
+    traversals of the list per document.  The fingerprint is then
+    assembled from the counts in two halves so the materialized count
+    column is referenced twice: CollapseProject leaves multiply-
+    referenced non-cheap expressions in their own projection, keeping
+    the fold at one evaluation per row (a single reference would be
+    inlined INTO the assembling lambda and re-run per bit).  Values are
+    bit-identical (same per-(hash, bit) arithmetic; integer sums).
     """
     docs = _spread(load_documents(spark, sf_dir))
     strs = docs.select(
@@ -1385,13 +1396,28 @@ def simhash(spark: SparkSession, sf_dir: str, bits: int = 60) -> DataFrame:
     hs = feats.groupBy("doc_id").agg(
         F.collect_list("h").alias("hs"), F.count("*").alias("n")
     )
-    sim = F.expr(
-        f"""
-        aggregate(sequence(0, {bits - 1}), 0L, (acc, i) ->
-          acc | IF(aggregate(hs, 0L, (a, h) -> a + (shiftright(h, i) & 1)) * 2 > n,
-                   shiftleft(1L, i), 0L))"""
+    counts = F.expr(
+        f"aggregate(hs, array_repeat(0L, {bits}), (acc, h) -> "
+        f"zip_with(acc, sequence(0, {bits - 1}), "
+        "(c, i) -> c + (shiftright(h, i) & 1)))"
     )
-    return hs.select("doc_id", sim.alias("simhash"))
+    half = bits // 2
+
+    def assemble(lo: int, hi: int) -> F.Column:
+        return F.expr(
+            f"aggregate(sequence({lo}, {hi - 1}), 0L, (acc, i) -> "
+            "acc | IF(element_at(_bc, i + 1) * 2 > n, shiftleft(1L, i), 0L))"
+        )
+
+    return (
+        hs.select("doc_id", "n", counts.alias("_bc"))
+        .select(
+            "doc_id",
+            assemble(0, half).alias("_lo"),
+            assemble(half, bits).alias("_hi"),
+        )
+        .select("doc_id", F.expr("_lo | _hi").alias("simhash"))
+    )
 
 
 def _simhash_sql(bits: int = 60) -> str:

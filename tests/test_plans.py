@@ -1158,3 +1158,14 @@ def test_sample_count_range_filter_stays_at_cell_level(spark, sf_dir, queries):
         scan_stage = plan.split("hashpartitioning", 1)[0]
         for cond in re.findall(r"Condition : (.*)", scan_stage):
             assert "format_string" not in cond, (name, cond[:200])
+
+
+def test_simhash_single_fold_pass(spark, sf_dir, queries):
+    """The simhash bit votes accumulate in ONE pass over the per-doc
+    hash list (bits-wide accumulator), not one inner aggregate per bit
+    (60 traversals/doc), and the count column must not be inlined into
+    the assembling lambdas (re-running the fold per bit).  Pin one fold
+    per plan and no per-bit inner aggregate."""
+    plan = _optimized(queries["op_simhash"](spark, sf_dir))
+    assert plan.count("zip_with") == 1, plan.count("zip_with")
+    assert not re.search(r"aggregate\(hs#\d+, 0", plan), "per-bit inner aggregate"
