@@ -77,16 +77,18 @@ def chunk_dedup(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     chunk text (combiner-bounded), one on doc_id (bounded by survivors),
     one doc_id equi-join back to the corpus scan."""
     docs = load_documents(spark, sf_dir)
-    words = F.split(F.col("text"), " ")
-    n_chunks = F.ceil(F.size(words) / F.lit(k)).cast("int")
+    # word array staged in its own projection — inlined into the slice
+    # lambda, the split re-ran once per chunk (see ngram_shingles, r17)
+    d1 = docs.select("doc_id", F.split(F.col("text"), " ").alias("_w"))
+    n_chunks = F.ceil(F.size("_w") / F.lit(k)).cast("int")
     chunks = F.transform(
         F.sequence(F.lit(1), n_chunks),
         lambda i: F.struct(
             i.alias("chunk_idx"),
-            F.concat_ws(" ", F.slice(words, (i - 1) * k + 1, k)).alias("chunk"),
+            F.concat_ws(" ", F.slice(F.col("_w"), (i - 1) * k + 1, k)).alias("chunk"),
         ),
     )
-    occ = docs.select(
+    occ = d1.select(
         "doc_id", F.explode(chunks).alias("c")
     ).select("doc_id", "c.chunk_idx", "c.chunk")
     keep = occ.groupBy("chunk").agg(
@@ -108,7 +110,7 @@ def chunk_dedup(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
         )
     )
     return (
-        docs.select("doc_id", n_chunks.cast("long").alias("n_chunks"))
+        d1.select("doc_id", n_chunks.cast("long").alias("n_chunks"))
         .join(survivors, "doc_id", "left")
         .select(
             "doc_id",
@@ -179,18 +181,24 @@ def span_dedup(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     semantics at the text level, so hash values never cross engines
     (same contract as ngram_jaccard)."""
     docs = load_documents(spark, sf_dir)
-    words = F.split(F.col("text"), " ")
+    # STAGE the word array: inlined into the slice lambda, the split
+    # re-ran once per gram — O(words^2) per document (same fix as
+    # ngram_shingles, r17); `_w` is multiply referenced so
+    # CollapseProject keeps the projection.
+    d1 = docs.select("doc_id", "text", F.split(F.col("text"), " ").alias("_w"))
     grams = F.when(
-        F.size(words) >= k,
+        F.size("_w") >= k,
         F.transform(
-            F.sequence(F.lit(0), F.size(words) - k),
+            F.sequence(F.lit(0), F.size("_w") - k),
             lambda p: F.struct(
                 p.cast("int").alias("pos"),
-                F.xxhash64(F.concat_ws(" ", F.slice(words, p + 1, k))).alias("g"),
+                F.xxhash64(
+                    F.concat_ws(" ", F.slice(F.col("_w"), p + 1, k))
+                ).alias("g"),
             ),
         ),
     ).otherwise(F.array().cast("array<struct<pos:int,g:long>>"))
-    occ = docs.select("doc_id", F.explode(grams).alias("o")).select(
+    occ = d1.select("doc_id", F.explode(grams).alias("o")).select(
         "doc_id", "o.pos", "o.g"
     )
     keep = occ.groupBy("g").agg(F.min(F.struct("doc_id", "pos")).alias("first"))
@@ -204,24 +212,33 @@ def span_dedup(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
         .agg(F.array_sort(F.collect_set("pos")).alias("ps"))
     )
     toks = F.transform(
-        words, lambda w, i: F.struct(i.cast("int").alias("i"), w.alias("w"))
+        F.col("_w"), lambda w, i: F.struct(i.cast("int").alias("i"), w.alias("w"))
     )
     covered = lambda i: F.exists(  # noqa: E731
         F.col("ps"), lambda p: (p <= i) & (i < p + k)
     )
+    # the kept-token rebuild is O(tokens x marks) per doc; STAGE it too —
+    # it was referenced three times below and re-evaluated per reference
     kept = F.filter(toks, lambda t: ~covered(t.i))
-    out = docs.join(marks, "doc_id", "left").select(
+    staged = d1.join(marks, "doc_id", "left").select(
         "doc_id",
-        F.size(words).cast("long").alias("n_tokens"),
+        "text",
+        "ps",
+        F.size("_w").cast("long").alias("n_tokens"),
+        kept.alias("_kept"),
+    )
+    out = staged.select(
+        "doc_id",
+        "n_tokens",
         F.when(F.col("ps").isNull(), F.lit(0).cast("long"))
-        .otherwise((F.size(words) - F.size(kept)).cast("long"))
+        .otherwise((F.col("n_tokens") - F.size("_kept")).cast("long"))
         .alias("n_removed"),
         F.when(
             F.col("ps").isNull(), F.col("text")
         )
         .when(
-            F.size(kept) > 0,
-            F.concat_ws(" ", F.transform(kept, lambda t: t.w)),
+            F.size("_kept") > 0,
+            F.concat_ws(" ", F.transform(F.col("_kept"), lambda t: t.w)),
         )
         .alias("clean_text"),
     )
@@ -296,18 +313,24 @@ def ngram_shingles(
     additional columns through (e.g. the event time of a streaming
     corpus)."""
     h = hash_fn or _h60
-    words = F.split(F.col("text"), " ")
+    # STAGE the word array in its own projection: an expression inlined
+    # into a lambda body re-evaluates once per ELEMENT, so `split(text)`
+    # inside the per-gram slice ran once per gram — O(words^2) per
+    # document (r17; the staged attribute reference is a per-element
+    # pointer read).  `_w` is referenced three times (two sizes + the
+    # slice), so CollapseProject keeps the projection.
+    staged = df.select("doc_id", F.split(F.col("text"), " ").alias("_w"), *extra_cols)
     # guard: Spark sequence(0, k) with k<0 generates DESCENDING indexes —
     # docs shorter than n words must produce an empty shingle set
     idx = F.when(
-        F.size(words) >= n, F.sequence(F.lit(0), F.size(words) - n)
+        F.size("_w") >= n, F.sequence(F.lit(0), F.size("_w") - n)
     ).otherwise(F.array().cast("array<int>"))
     # distinct the shingle STRINGS before hashing: repeated shingles within
     # a doc are common and the hash is the expensive part
     strs = F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws("\x1f", F.slice(words, i + 1, n)))
+        F.transform(idx, lambda i: F.concat_ws("\x1f", F.slice(F.col("_w"), i + 1, n)))
     )
-    return df.select(
+    return staged.select(
         "doc_id", F.transform(strs, lambda s: h(s)).alias("shingles"), *extra_cols
     )
 
@@ -345,15 +368,20 @@ def _md5_feats(df: DataFrame, n: int = 3) -> DataFrame:
     occurrences and broadcasts; at cluster scale it degrades gracefully
     to a string-keyed shuffle join that still beats per-occurrence md5.
     """
-    words = F.split(F.col("text"), " ")
+    # word array staged in its own projection — inlined into the slice
+    # lambda, the split re-ran once per gram (see ngram_shingles, r17)
     idx = F.when(
-        F.size(words) >= n, F.sequence(F.lit(0), F.size(words) - n)
+        F.size("_w") >= n, F.sequence(F.lit(0), F.size("_w") - n)
     ).otherwise(F.array().cast("array<int>"))
     strs = df.select(
+        "doc_id", F.split(F.col("text"), " ").alias("_w")
+    ).select(
         "doc_id",
         F.explode(
             F.array_distinct(
-                F.transform(idx, lambda i: F.concat_ws("\x1f", F.slice(words, i + 1, n)))
+                F.transform(
+                    idx, lambda i: F.concat_ws("\x1f", F.slice(F.col("_w"), i + 1, n))
+                )
             )
         ).alias("w"),
     )

@@ -267,14 +267,17 @@ def decontaminate(spark: SparkSession, sf_dir: str, n: int = 2) -> DataFrame:
     train = docs.filter(F.col("source") != "src0")
 
     def shingles(df: DataFrame) -> DataFrame:
-        words = F.split(F.col("text"), " ")
+        # word array staged in its own projection — inlined into the
+        # slice lambda, the split re-ran per gram (see
+        # dedup.ngram_shingles, r17)
+        staged = df.select("doc_id", F.split(F.col("text"), " ").alias("_w"))
         idx = F.when(
-            F.size(words) >= n, F.sequence(F.lit(0), F.size(words) - n)
+            F.size("_w") >= n, F.sequence(F.lit(0), F.size("_w") - n)
         ).otherwise(F.array().cast("array<int>"))
         grams = F.array_distinct(
-            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(F.col("_w"), i + 1, n)))
         )
-        return df.select("doc_id", F.explode(grams).alias("gram"))
+        return staged.select("doc_id", F.explode(grams).alias("gram"))
 
     bench_grams = F.broadcast(shingles(bench).select("gram").distinct())
     tr = shingles(train)
@@ -668,17 +671,27 @@ def repetition_ratio(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
             F.col("doc_id") % 5 == 0, F.concat_ws(" ", "text", "text")
         ).otherwise(F.col("text")),
     )
-    words = F.split(F.col("text"), " ")
+    # STAGE the word and gram arrays in their own projections: inlining
+    # `split(text)` into the per-gram slice lambda re-ran the split once
+    # per gram (O(words^2) per document — measured 2.27 s vs 0.46 s at
+    # sf0.1, values identical), and `grams` is referenced twice (total /
+    # distinct).  Multiply-referenced non-cheap expressions keep their
+    # own projection through CollapseProject, so each array
+    # materializes once per row.
+    d1 = docs.select("doc_id", F.split(F.col("text"), " ").alias("_w"))
     idx = F.when(
-        F.size(words) >= n, F.sequence(F.lit(0), F.size(words) - n)
+        F.size("_w") >= n, F.sequence(F.lit(0), F.size("_w") - n)
     ).otherwise(F.array().cast("array<int>"))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
-    total = F.size(grams)
-    distinct = F.size(F.array_distinct(grams))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(F.col("_w"), i + 1, n))
+    )
+    d2 = d1.select("doc_id", grams.alias("_g"))
+    total = F.size("_g")
+    distinct = F.size(F.array_distinct("_g"))
     ratio = F.when(
         total > 0, F.round(1.0 - distinct / total.cast("double"), 6)
     ).otherwise(F.lit(0.0))
-    return docs.select(
+    return d2.select(
         "doc_id",
         total.cast("long").alias("n_grams"),
         distinct.cast("long").alias("n_distinct"),
@@ -763,18 +776,21 @@ def ngram_topk(spark: SparkSession, sf_dir: str, n: int = 2, k: int = 20) -> Dat
     the gram string so the result is fully deterministic.
     """
     docs = load_documents(spark, sf_dir)
-    words = F.split(F.col("text"), " ")
+    # word array staged in its own projection — inlined into the
+    # element_at lambda, the split re-ran per (gram, position) (see
+    # dedup.ngram_shingles, r17)
+    staged = docs.select(F.split(F.col("text"), " ").alias("_w"))
     grams = F.when(
-        F.size(words) >= n,
+        F.size("_w") >= n,
         F.transform(
-            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            F.sequence(F.lit(1), F.size("_w") - (n - 1)),
             lambda i: F.concat_ws(
-                " ", *[F.element_at(words, i + j) for j in range(n)]
+                " ", *[F.element_at(F.col("_w"), i + j) for j in range(n)]
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        docs.select(F.explode(grams).alias("gram"))
+        staged.select(F.explode(grams).alias("gram"))
         .groupBy("gram")
         .agg(F.count("*").cast("long").alias("cnt"))
         .orderBy(F.col("cnt").desc(), F.col("gram").asc())
@@ -1310,19 +1326,23 @@ def curation_funnel(
         F.col("survivor_id").alias("doc_id"), F.lit(True).alias("survivor")
     )
 
-    words = F.split(F.col("text"), " ")
+    # word array staged per frame — inlined into the slice lambda, the
+    # split re-ran per gram (see dedup.ngram_shingles, r17)
     idx = F.when(
-        F.size(words) >= n, F.sequence(F.lit(0), F.size(words) - n)
+        F.size("_w") >= n, F.sequence(F.lit(0), F.size("_w") - n)
     ).otherwise(F.array().cast("array<int>"))
     grams = F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(F.col("_w"), i + 1, n)))
     )
     bench_grams = F.broadcast(
         docs.filter(F.col("source") == "src0")
+        .select(F.split(F.col("text"), " ").alias("_w"))
         .select(F.explode(grams).alias("gram"))
         .distinct()
     )
-    tr_grams = train.select("doc_id", F.explode(grams).alias("gram"))
+    tr_grams = train.select(
+        "doc_id", F.split(F.col("text"), " ").alias("_w")
+    ).select("doc_id", F.explode(grams).alias("gram"))
     hits = (
         tr_grams.join(bench_grams, "gram")
         .groupBy("doc_id")
@@ -1336,7 +1356,7 @@ def curation_funnel(
         .select("doc_id", F.lit(True).alias("contaminated"))
     )
 
-    n_words = F.size(words)
+    n_words = F.size(F.split(F.col("text"), " "))
     awl = (F.length("text") - (n_words - 1)) / n_words
     flagged = (
         train.join(labels, "doc_id", "left")

@@ -373,21 +373,27 @@ def chunk_dedup_stream(
     `dedup_exact_stream`), but the surviving chunk-hash SET is
     arrival-independent — the driver-checkable value.  Expects columns
     [doc_id long, text string, ts timestamp]."""
-    words = F.split(F.col("text"), " ")
-    n_chunks = F.ceil(F.size(words) / F.lit(k)).cast("int")
+    # word array staged in its own projection — inlined into the slice
+    # lambda, the split re-ran once per chunk (see
+    # operators/dedup.ngram_shingles, r17)
+    n_chunks = F.ceil(F.size("_w") / F.lit(k)).cast("int")
     chunks = F.transform(
         F.sequence(F.lit(1), n_chunks),
         lambda i: F.struct(
             i.alias("chunk_idx"),
             F.sha2(
-                F.concat_ws(" ", F.slice(words, (i - 1) * k + 1, k)).cast("binary"),
+                F.concat_ws(
+                    " ", F.slice(F.col("_w"), (i - 1) * k + 1, k)
+                ).cast("binary"),
                 256,
             ).alias("ch"),
         ),
     )
     occ = docs_stream.select(
-        "doc_id", "ts", F.explode(chunks).alias("c")
-    ).select(F.col("c.ch").alias("ch"), "doc_id", F.col("c.chunk_idx"), "ts")
+        "doc_id", "ts", F.split(F.col("text"), " ").alias("_w")
+    ).select(F.explode(chunks).alias("c"), "doc_id", "ts").select(
+        F.col("c.ch").alias("ch"), "doc_id", F.col("c.chunk_idx"), "ts"
+    )
     return (
         occ.withWatermark("ts", within)
         .dropDuplicatesWithinWatermark(["ch"])
@@ -411,22 +417,27 @@ def span_dedup_stream(
     state-store provider is the right default (module docstring; PERF.md
     r14 provider table).  Expects [doc_id long, text string,
     ts timestamp]."""
-    words = F.split(F.col("text"), " ")
+    # word array staged in its own projection — inlined into the slice
+    # lambda, the split re-ran once per gram (see
+    # operators/dedup.ngram_shingles, r17)
     grams = F.when(
-        F.size(words) >= k,
+        F.size("_w") >= k,
         F.transform(
-            F.sequence(F.lit(0), F.size(words) - k),
+            F.sequence(F.lit(0), F.size("_w") - k),
             lambda p: F.struct(
                 p.cast("int").alias("pos"),
                 F.sha2(
-                    F.concat_ws(" ", F.slice(words, p + 1, k)).cast("binary"), 256
+                    F.concat_ws(" ", F.slice(F.col("_w"), p + 1, k)).cast("binary"),
+                    256,
                 ).alias("gh"),
             ),
         ),
     ).otherwise(F.array().cast("array<struct<pos:int,gh:string>>"))
     occ = docs_stream.select(
-        "doc_id", "ts", F.explode(grams).alias("g")
-    ).select(F.col("g.gh").alias("gh"), "doc_id", F.col("g.pos"), "ts")
+        "doc_id", "ts", F.split(F.col("text"), " ").alias("_w")
+    ).select(F.explode(grams).alias("g"), "doc_id", "ts").select(
+        F.col("g.gh").alias("gh"), "doc_id", F.col("g.pos"), "ts"
+    )
     return (
         occ.withWatermark("ts", within)
         .dropDuplicatesWithinWatermark(["gh"])

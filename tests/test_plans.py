@@ -1169,3 +1169,15 @@ def test_simhash_single_fold_pass(spark, sf_dir, queries):
     plan = _optimized(queries["op_simhash"](spark, sf_dir))
     assert plan.count("zip_with") == 1, plan.count("zip_with")
     assert not re.search(r"aggregate\(hs#\d+, 0", plan), "per-bit inner aggregate"
+
+
+def test_word_arrays_staged_once(spark, sf_dir, queries):
+    """Gram builders must stage the split word array in its own
+    projection: an expression inlined into a lambda body re-evaluates
+    once per ELEMENT, so `split(text)` inside a per-gram slice ran once
+    per gram — O(words^2) per document (r17: op_repetition_ratio 2.27
+    -> 0.46 s, op_ngram_topk 2.58 -> 0.43 s at sf0.1).  Pin one split
+    per single-branch plan."""
+    for name in ("op_repetition_ratio", "op_ngram_topk"):
+        plan = _optimized(queries[name](spark, sf_dir))
+        assert plan.count("split(") == 1, (name, plan.count("split("))
